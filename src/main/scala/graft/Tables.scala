@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` per call: the returned value is only a logical
+  * plan, so Catalyst still sees the scan directly and can push filters and
+  * prune columns into the vectorized parquet reader. At 100 TB the same
+  * pattern holds — the scan node is the pushdown target, never a cached
+  * materialization that would read all columns.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
