@@ -1,12 +1,19 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
 /** SURVEY §2.4 — aggregation suite. Hash aggregates with automatic
   * partial+final (map-side combine); at 100 TB the shuffle carries only
-  * (group key → partial state), never raw rows. */
+  * (group key → partial state), never raw rows.
+  *
+  * Moment statistics (stddev/var/corr) are declared via exact decimal power
+  * sums + closed-form combination in DOUBLE, not the engines' native
+  * `stddev_samp`/`corr` — those accumulate doubles in engine-specific order
+  * and would not hash-match. The closed form from exact sums is
+  * deterministic, identical in both engines, and shuffle-friendly at scale
+  * (constant-size partial state per group). */
 object Aggregates extends QueryGroup {
 
   /** FLAGSHIP: TPC-H Q1-shaped pricing summary. */
@@ -26,21 +33,211 @@ object Aggregates extends QueryGroup {
   }
 
   val queries: Map[String, QFn] = Map(
-    "q_agg_pricing" -> (pricing _)
+    "q_agg_pricing" -> (pricing _),
+
+    "q_agg_having" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(when($"c_acctbal" > 0, 1)).as("n_pos"),
+             count(lit(1)).as("n_cust"))
+        .filter($"n_pos" > 250)
+        .orderBy($"c_mktsegment")
+    }),
+
+    "q_agg_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(r4(dsum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(coalesce($"r_name", lit("ALL")).as("region"),
+                coalesce($"n_name", lit("ALL")).as("nation"),
+                $"revenue", $"n_orders")
+        .orderBy($"region", $"nation")
+    }),
+
+    "q_agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), r4(dsum($"o_totalprice")).as("revenue"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+                coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+                $"n_orders", $"revenue")
+        .orderBy($"status", $"priority")
+    }),
+
+    "q_agg_gsets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |  coalesce(l_linestatus, 'ALL') AS status,
+          |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+          |  COUNT(*) AS n_rows
+          |FROM li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY flag, status""".stripMargin)
+    }),
+
+    "q_agg_stats" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("h", hour($"ts").cast("double"))
+      val agg = ev.groupBy($"event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum($"value", 6).as("sx"),
+        dsum($"value" * $"value", 6).as("sxx"),
+        dsum($"h", 6).as("sy"),
+        dsum($"h" * $"h", 6).as("syy"),
+        dsum($"value" * $"h", 6).as("sxy"),
+        r4(min($"value")).as("min_v"),
+        r4(max($"value")).as("max_v"))
+      agg.select($"event_type",
+          r4(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_v"),
+          r4(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("stddev_v"),
+          $"min_v", $"max_v",
+          r4(($"sxy" - $"sx" * $"sy" / $"n") /
+             (sqrt($"sxx" - $"sx" * $"sx" / $"n") * sqrt($"syy" - $"sy" * $"sy" / $"n"))).as("corr_vh"))
+        .orderBy($"event_type")
+    }),
+
+    "q_agg_median" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(r4(median($"o_totalprice")).as("med"),
+             r4(percentile($"o_totalprice", lit(0.25))).as("p25"),
+             r4(percentile($"o_totalprice", lit(0.75))).as("p75"),
+             count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // HLL sketch differs from DuckDB's — property-tested (<5% error), no oracle.
+    "q_agg_approx" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+             countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_agg_collect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_custkey", year($"o_orderdate").as("y"))
+        .groupBy($"o_custkey")
+        .agg(array_join(array_sort(collect_list($"y")), ",").as("years"),
+             count(lit(1)).as("n_orders"))
+        .orderBy($"o_custkey")
+    })
   )
 
+  private val q1Oracle =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  round(${oSum("l_quantity")}, 4) AS sum_qty,
+       |  round(${oSum("l_extendedprice")}, 4) AS sum_base_price,
+       |  round(${oSum("l_extendedprice * (1.0 - l_discount)", 6)}, 4) AS sum_disc_price,
+       |  round(${oAvg("l_quantity")}, 4) AS avg_qty,
+       |  round(${oAvg("l_extendedprice")}, 4) AS avg_price,
+       |  round(${oAvg("l_discount", 6)}, 4) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_agg_pricing" ->
-      s"""SELECT l_returnflag, l_linestatus,
+    "q_agg_pricing" -> q1Oracle,
+
+    "q_agg_having" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+        |  COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment
+        |HAVING COUNT(*) FILTER (WHERE c_acctbal > 0) > 250
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         |  round(${oSum("o_totalprice")}, 4) AS revenue, COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY region, nation""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n_orders, round(${oSum("o_totalprice")}, 4) AS revenue
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+
+    "q_agg_gsets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         |  coalesce(l_linestatus, 'ALL') AS status,
          |  round(${oSum("l_quantity")}, 4) AS sum_qty,
-         |  round(${oSum("l_extendedprice")}, 4) AS sum_base_price,
-         |  round(${oSum("l_extendedprice * (1.0 - l_discount)", 6)}, 4) AS sum_disc_price,
-         |  round(${oAvg("l_quantity")}, 4) AS avg_qty,
-         |  round(${oAvg("l_extendedprice")}, 4) AS avg_price,
-         |  round(${oAvg("l_discount", 6)}, 4) AS avg_disc,
-         |  COUNT(*) AS count_order
+         |  COUNT(*) AS n_rows
          |FROM lineitem
-         |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY flag, status""".stripMargin,
+
+    "q_agg_stats" ->
+      s"""WITH a AS (
+         |  SELECT event_type,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${oSum("value", 6)} AS sx,
+         |    ${oSum("value * value", 6)} AS sxx,
+         |    ${oSum("CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)", 6)} AS sy,
+         |    ${oSum("CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) * CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)", 6)} AS syy,
+         |    ${oSum("value * CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)", 6)} AS sxy,
+         |    round(MIN(value), 4) AS min_v,
+         |    round(MAX(value), 4) AS max_v
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type,
+         |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_v,
+         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_v,
+         |  min_v, max_v,
+         |  round((sxy - sx * sy / n) /
+         |        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 4) AS corr_vh
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_custkey,
+        |  string_agg(CAST(y AS VARCHAR), ',' ORDER BY y) AS years,
+        |  COUNT(*) AS n_orders
+        |FROM (SELECT o_custkey, year(o_orderdate) AS y FROM orders) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

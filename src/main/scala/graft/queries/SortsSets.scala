@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.6 + §2.7 — sorts/limits/top-k and set operations.
+  *
+  * Scale notes: `q_topk` is orderBy+limit → Spark plans
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows, no
+  * global sort). `q_topk_group` uses the window-rank formulation — the only
+  * per-group top-k that scales (no per-group collect). NULL ordering is
+  * pinned explicitly everywhere: Spark defaults ASC→NULLS FIRST while
+  * DuckDB defaults NULLS LAST. */
+object SortsSets extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    "q_sort_multi" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+        .orderBy($"c_nationkey".asc_nulls_first, $"c_acctbal".desc_nulls_last, $"c_custkey")
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(r4(dsum($"o_totalprice")).as("total_value"), count(lit(1)).as("n_orders"))
+        .orderBy($"total_value".desc, $"o_custkey")
+        .limit(10)
+    }),
+
+    "q_topk_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    "q_set_union" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val high   = o.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey")
+      val dUnion = urgent.union(high).distinct()
+        .agg(count(lit(1)).as("n")).select(lit("union_distinct").as("mode"), $"n")
+      val aUnion = urgent.unionAll(high)
+        .agg(count(lit(1)).as("n")).select(lit("union_all").as("mode"), $"n")
+      dUnion.unionAll(aUnion).orderBy($"mode")
+    }),
+
+    "q_set_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        .intersect(o.filter($"o_orderstatus" === "O").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    }),
+
+    "q_set_except" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      o.filter($"o_orderstatus" === "O").select($"o_custkey")
+        .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sort_multi" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |ORDER BY c_nationkey ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,
+
+    "q_topk" ->
+      s"""SELECT o_custkey, round(${oSum("o_totalprice")}, 4) AS total_value,
+         |  COUNT(*) AS n_orders
+         |FROM orders GROUP BY o_custkey
+         |ORDER BY total_value DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT 'union_distinct' AS mode, COUNT(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') t
+        |UNION ALL
+        |SELECT 'union_all' AS mode, COUNT(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') t
+        |ORDER BY mode""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

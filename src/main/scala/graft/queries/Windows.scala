@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.5 — window-function suite (the trajectory-op substrate:
+  * prev-point deltas, running totals, per-entity ranking).
+  *
+  * Every window is keyed on a high-cardinality partition column
+  * (customer/user), so at 100 TB the single shuffle per query distributes
+  * evenly; no global-order window appears anywhere (a global ORDER BY
+  * window would serialize onto one task). Running sums go through DECIMAL:
+  * engines disagree on windowed double accumulation order (segment trees
+  * vs sequential), decimal is exact under both. */
+object Windows extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    "q_win_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+                row_number().over(w).as("rn"),
+                rank().over(w).as("rk"),
+                dense_rank().over(w).as("drk"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q_win_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+                r4(sum($"o_totalprice".cast("decimal(18,4)")).over(w).cast("double"))
+                  .as("running_rev"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q_win_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+        .groupBy($"user_id")
+        .agg(r4(sum($"gap_us") * lit(1.0) / count($"gap_us")).as("avg_gap_us"),
+             count($"gap_us").as("n_gaps"))
+        .orderBy($"user_id")
+    }),
+
+    "q_win_range" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"ts_ms")
+        .rangeBetween(-2592000000L, 0) // 30 days in ms
+      t(s, dir, "orders")
+        .withColumn("ts_ms", unix_millis($"o_orderdate".cast("timestamp")))
+        .select($"o_custkey", $"o_orderkey", count(lit(1)).over(w).as("n_30d"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q_win_analytic" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      t(s, dir, "customer")
+        .select($"c_custkey",
+                ntile(4).over(w).as("quartile"),
+                r4(percent_rank().over(w)).as("pct_rank"),
+                r4(cume_dist().over(w)).as("cume"))
+        .orderBy($"c_custkey")
+    }),
+
+    "q_win_firstlast" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .select($"user_id",
+                first($"event_type").over(w).as("first_type"),
+                last($"event_type").over(w).as("last_type"))
+        .distinct()
+        .orderBy($"user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_rev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_lag" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id,
+        |  round(SUM(gap_us) * 1.0 / COUNT(gap_us), 4) AS avg_gap_us,
+        |  COUNT(gap_us) AS n_gaps
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_win_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+        |    RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW) AS n_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_analytic" ->
+      """SELECT c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_firstlast" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin
+  )
+}
