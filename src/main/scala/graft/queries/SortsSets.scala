@@ -36,7 +36,7 @@ object SortsSets extends QueryGroup {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
         .orderBy($"o_custkey", $"rn")

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.9 — streaming-shaped queries, declared through their batch
+  * bodies (the oracle sees batch; `graft.streaming.StreamOps` wires the
+  * same shapes through readStream for the semantics tests).
+  *
+  * Scale notes: tumbling/sliding aggregation states are bounded by
+  * (#windows × #types); sessionization is one window pass per user
+  * partition (lag-gap flag + running sum — the classic linear-scan
+  * formulation, no self-join); with a watermark the streaming state store
+  * evicts expired windows, so state stays O(active windows) at any volume. */
+object StreamingQueries extends QueryGroup {
+
+  private val GapUs  = 1800000000L // 30 min session gap, µs
+  private val LateUs = 600000000L  // 10 min watermark, µs
+
+  val queries: Map[String, QFn] = Map(
+    "q_stream_tumble" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), r4(dsum($"value", 6)).as("sum_value"))
+        .select(unix_millis($"window.start").as("start_ms"), $"event_type", $"n", $"sum_value")
+        .orderBy($"start_ms", $"event_type")
+    }),
+
+    "q_stream_slide" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "30 minutes", "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"window.start").as("start_ms"), $"n")
+        .orderBy($"start_ms")
+    }),
+
+    "q_stream_session" -> ((s, dir) => {
+      import s.implicits._
+      val w  = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val ws = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("new_sess",
+          when(lag($"ts_us", 1).over(w).isNull ||
+               $"ts_us" - lag($"ts_us", 1).over(w) > GapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum($"new_sess").over(ws))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"ts_us").as("s_start"), max($"ts_us").as("s_end"),
+             count(lit(1)).as("s_n"))
+      sess.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             r4(sum($"s_end" - $"s_start") * lit(1.0) / count(lit(1))).as("avg_dur_us"),
+             r4(sum($"s_n") * lit(1.0) / count(lit(1))).as("avg_events"))
+        .orderBy($"user_id")
+    }),
+
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .dropDuplicates("event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // Batch analog of watermark semantics: an event is "late" if it arrives
+    // (arrival order = event_id) more than 10 min behind the running max
+    // event time. The streaming watermark test lives in StreamingSpec.
+    "q_stream_late" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"event_id").rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("hwm", max($"ts_us").over(w))
+        .withColumn("late", $"hwm".isNotNull && $"ts_us" < $"hwm" - LateUs)
+        .groupBy($"event_type")
+        .agg(count(when($"late", 1)).as("n_late"),
+             count(when(!$"late", 1)).as("n_ontime"))
+        .orderBy($"event_type")
+    }),
+
+    // Batch analog of per-user running state (last type, cumulative value).
+    "q_stream_state" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("last_type", last($"event_type").over(w))
+        .groupBy($"user_id")
+        .agg(max($"last_type").as("last_type"), // constant per user
+             count(lit(1)).as("n_events"),
+             r4(dsum($"value", 6)).as("total_value"))
+        .orderBy($"user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      s"""SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS start_ms,
+         |  event_type, COUNT(*) AS n, round(${oSum("value", 6)}, 4) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY start_ms, event_type""".stripMargin,
+
+    "q_stream_slide" ->
+      """WITH e AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 600000) * 600000 AS b FROM events),
+        |s AS (SELECT b AS st FROM e
+        |      UNION ALL SELECT b - 600000 FROM e
+        |      UNION ALL SELECT b - 1200000 FROM e)
+        |SELECT st AS start_ms, COUNT(*) AS n FROM s GROUP BY st ORDER BY start_ms""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP))
+        |              - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+        |sid AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(ts_us) AS s_start, MAX(ts_us) AS s_end,
+        |    COUNT(*) AS s_n
+        |  FROM sid GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  round(SUM(s_end - s_start) * 1.0 / COUNT(*), 4) AS avg_dur_us,
+        |  round(SUM(s_n) * 1.0 / COUNT(*), 4) AS avg_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_late" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) FILTER (WHERE hwm IS NOT NULL AND ts_us < hwm - 600000000) AS n_late,
+        |  COUNT(*) FILTER (WHERE NOT (hwm IS NOT NULL AND ts_us < hwm - 600000000)) AS n_ontime
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_state" ->
+      s"""WITH l AS (
+         |  SELECT user_id, value,
+         |    last_value(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+         |  FROM events)
+         |SELECT user_id, MAX(last_type) AS last_type, COUNT(*) AS n_events,
+         |  round(${oSum("value", 6)}, 4) AS total_value
+         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -22,9 +22,9 @@ object Windows extends QueryGroup {
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
       t(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey", $"o_totalprice",
-                row_number().over(w).as("rn"),
-                rank().over(w).as("rk"),
-                dense_rank().over(w).as("drk"))
+                row_number().over(w).cast("long").as("rn"),
+                rank().over(w).cast("long").as("rk"),
+                dense_rank().over(w).cast("long").as("drk"))
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
@@ -66,7 +66,7 @@ object Windows extends QueryGroup {
       val w = Window.orderBy($"c_acctbal", $"c_custkey")
       t(s, dir, "customer")
         .select($"c_custkey",
-                ntile(4).over(w).as("quartile"),
+                ntile(4).over(w).cast("long").as("quartile"),
                 r4(percent_rank().over(w)).as("pct_rank"),
                 r4(cume_dist().over(w)).as("cume"))
         .orderBy($"c_custkey")
