@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.HaversineDist
+import Q._
+
+/** SURVEY §2.10 — spatio-temporal mining over derived pseudo-coordinates
+  * (the testdata has no lat/lon; both engines derive them with identical
+  * integer-exact arithmetic, FIXTURES.md).
+  *
+  * Scale design: every trajectory op is one window pass partitioned by
+  * user (shuffle once on user_id, no self-joins); containment/radius are
+  * scan-side predicates; the grid heatmap is a hash aggregate on derived
+  * cell keys — the same cell keys that at 100 TB become the physical
+  * partition column for spatial pruning; kNN at this scale is a
+  * TakeOrderedAndProject (per-partition heap), with grid-prune as the
+  * documented scale path; trajectory similarity joins users on shared
+  * grid cells (candidate pruning) rather than all-pairs.
+  *
+  * FP parity: per-segment haversine values may differ from DuckDB by libm
+  * ulps, so consumers (a) sum through DECIMAL(18,4) where a 1e-12 wobble
+  * cannot cross a rounding boundary except with ~1e-8 probability, and (b)
+  * never compare per-row quotients with tiny denominators — per-user speed
+  * ratios are taken over aggregate totals, and the max segment speed is
+  * rounded to integer km/h. */
+object Geo extends QueryGroup {
+
+  /** Derived pseudo-coordinates — integer-exact, identical text in SQL. */
+  private def withGeo(df: DataFrame): DataFrame = df
+    .withColumn("lat", ((col("event_id") * 37L)  % 1700L) / 10.0 - 85.0)
+    .withColumn("lon", ((col("event_id") * 131L) % 3600L) / 10.0 - 180.0)
+
+  private def pts(s: SparkSession, dir: String): DataFrame = {
+    HaversineDist.register(s)
+    withGeo(t(s, dir, "events")).withColumn("ts_us", unix_micros(col("ts")))
+  }
+
+  private def hv(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    HaversineDist.haversineKm(lat1, lon1, lat2, lon2)
+
+  private val trajW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+
+  /** Consecutive-point segments per user: (user_id, event_id, ts_us, seg_km, dt_us). */
+  private def segments(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("plat", lag(col("lat"), 1).over(trajW))
+      .withColumn("plon", lag(col("lon"), 1).over(trajW))
+      .withColumn("pts_us", lag(col("ts_us"), 1).over(trajW))
+      .withColumn("seg_km", hv(col("plat"), col("plon"), col("lat"), col("lon")))
+      .withColumn("dt_us", col("ts_us") - col("pts_us"))
+
+  // ---- oracle-side shared SQL ----------------------------------------------
+
+  private val ptsCte =
+    """WITH pts AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    ((event_id * 37) % 1700) / 10.0 - 85.0 AS lat,
+      |    ((event_id * 131) % 3600) / 10.0 - 180.0 AS lon
+      |  FROM events)""".stripMargin
+
+  private val segCte = ptsCte +
+    s""",
+       |seg AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    CASE WHEN plat IS NULL THEN NULL
+       |         ELSE ${HaversineDist.oracleSql("plat", "plon", "lat", "lon")} END AS seg_km,
+       |    ts_us - pts_us AS dt_us
+       |  FROM (
+       |    SELECT user_id, event_id, ts_us, lat, lon,
+       |      lag(lat, 1) OVER w AS plat, lag(lon, 1) OVER w AS plon,
+       |      lag(ts_us, 1) OVER w AS pts_us
+       |    FROM pts
+       |    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t)""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q_geo_haversine" -> ((s, dir) => {
+      import s.implicits._
+      segments(s, dir)
+        .groupBy($"user_id")
+        .agg(r3(dsum($"seg_km", 4)).as("track_km"),
+             count($"seg_km").as("n_segs"))
+        .orderBy($"user_id")
+    }),
+
+    "q_geo_bbox" -> ((s, dir) => {
+      import s.implicits._
+      pts(s, dir)
+        .filter($"lat".between(-30.0, 30.0) && $"lon".between(-90.0, 90.0))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_inside"))
+        .orderBy($"event_type")
+    }),
+
+    "q_geo_radius" -> ((s, dir) => {
+      import s.implicits._
+      pts(s, dir)
+        .filter(hv($"lat", $"lon", lit(48.85), lit(2.35)) < 500.0)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy($"user_id")
+    }),
+
+    "q_geo_grid" -> ((s, dir) => {
+      import s.implicits._
+      pts(s, dir)
+        .groupBy(floor($"lat" / 10.0).cast("long").as("cell_lat"),
+                 floor($"lon" / 10.0).cast("long").as("cell_lon"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"cell_lat", $"cell_lon")
+        .limit(20)
+    }),
+
+    "q_geo_knn" -> ((s, dir) => {
+      import s.implicits._
+      pts(s, dir)
+        .withColumn("dist_km", r3(hv($"lat", $"lon", lit(10.0), lit(20.0))))
+        .select($"event_id", $"dist_km")
+        .orderBy($"dist_km", $"event_id")
+        .limit(5)
+    }),
+
+    "q_traj_speed" -> ((s, dir) => {
+      import s.implicits._
+      val seg = segments(s, dir)
+        .filter($"dt_us" > 0)
+        .withColumn("speed_kmh", $"seg_km" / ($"dt_us" / 3.6e9))
+      seg.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_segs"),
+             r3(dsum($"seg_km", 4)).as("total_km"),
+             r2(dsum($"seg_km", 4) / (sum($"dt_us") / 3.6e9)).as("avg_speed_kmh"),
+             round(max($"speed_kmh"), 0).cast("long").as("max_speed_kmh"),
+             count(when($"speed_kmh" > 1000.0, 1)).as("n_speeding"))
+        .orderBy($"user_id")
+    }),
+
+    // Stay-points: maximal runs of consecutive points each ≤3000 km from the
+    // previous; a run is a "stay" if ≥3 points and ≥10 min span.
+    "q_traj_stay" -> ((s, dir) => {
+      import s.implicits._
+      val wRun = trajW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = segments(s, dir)
+        .withColumn("new_run",
+          when($"seg_km".isNull || $"seg_km" > 3000.0, 1L).otherwise(0L))
+        .withColumn("rid", sum($"new_run").over(wRun))
+        .groupBy($"user_id", $"rid")
+        .agg(count(lit(1)).as("n_pts"),
+             (max($"ts_us") - min($"ts_us")).as("span_us"))
+      runs.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_runs"),
+             count(when($"n_pts" >= 3 && $"span_us" >= 600000000L, 1)).as("n_stays"))
+        .orderBy($"user_id")
+    }),
+
+    // Trajectory similarity: Jaccard over visited 10° grid-cell sets,
+    // candidate pairs generated by joining on shared cells only.
+    "q_traj_sim" -> ((s, dir) => {
+      import s.implicits._
+      val cells = pts(s, dir)
+        .select($"user_id",
+                floor($"lat" / 10.0).cast("long").as("cx"),
+                floor($"lon" / 10.0).cast("long").as("cy"))
+        .distinct()
+      val sizes = cells.groupBy($"user_id").agg(count(lit(1)).as("n_cells"))
+      val inter = cells.as("a")
+        .join(cells.as("b"), Seq("cx", "cy"))
+        .filter($"a.user_id" < $"b.user_id")
+        .groupBy($"a.user_id".as("u1"), $"b.user_id".as("u2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select($"user_id".as("u1"), $"n_cells".as("n1")), Seq("u1"))
+        .join(sizes.select($"user_id".as("u2"), $"n_cells".as("n2")), Seq("u2"))
+        .select($"u1", $"u2",
+                r4($"n_inter" * lit(1.0) / ($"n1" + $"n2" - $"n_inter")).as("jaccard"))
+        .orderBy($"jaccard".desc, $"u1", $"u2")
+        .limit(10)
+    }),
+
+    // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
+    "m_dbscan" -> ((s, dir) => {
+      import s.implicits._
+      val p = withGeo(t(s, dir, "events"))
+        .select($"event_id".as("id"), $"lat".as("y"), $"lon".as("x"))
+      graft.operators.DBSCAN.run(s, p, eps = 3.0, minPts = 5)
+        .groupBy($"role").agg(count(lit(1)).as("n"))
+        .orderBy($"role")
+    }),
+
+    // Property-tested (KmeansSpec): purity vs generator labels, seed-stable.
+    "m_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+        .withColumn("features", array_to_vector($"embedding"))
+      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(emb)
+      model.transform(emb)
+        .groupBy($"prediction")
+        .agg(count(lit(1)).as("n"))
+        .select($"prediction".cast("long").as("cluster"), $"n")
+        .orderBy($"n".desc, $"cluster")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_geo_haversine" -> (segCte +
+      """
+        |SELECT user_id,
+        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 3) AS track_km,
+        |  COUNT(seg_km) AS n_segs
+        |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_geo_bbox" -> (ptsCte +
+      """
+        |SELECT event_type, COUNT(*) AS n_inside
+        |FROM pts
+        |WHERE lat BETWEEN -30.0 AND 30.0 AND lon BETWEEN -90.0 AND 90.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "q_geo_radius" -> (ptsCte +
+      s"""
+         |SELECT user_id, COUNT(*) AS n_close
+         |FROM pts
+         |WHERE ${HaversineDist.oracleSql("lat", "lon", "48.85", "2.35")} < 500.0
+         |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_geo_grid" -> (ptsCte +
+      """
+        |SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cell_lat,
+        |       CAST(floor(lon / 10.0) AS BIGINT) AS cell_lon,
+        |       COUNT(*) AS n
+        |FROM pts GROUP BY 1, 2
+        |ORDER BY n DESC, cell_lat, cell_lon LIMIT 20""".stripMargin),
+
+    "q_geo_knn" -> (ptsCte +
+      s"""
+         |SELECT event_id,
+         |  round(${HaversineDist.oracleSql("lat", "lon", "10.0", "20.0")}, 3) AS dist_km
+         |FROM pts ORDER BY dist_km, event_id LIMIT 5""".stripMargin),
+
+    "q_traj_speed" -> (segCte +
+      """
+        |SELECT user_id, COUNT(*) AS n_segs,
+        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 3) AS total_km,
+        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE)
+        |        / (SUM(dt_us) / 3.6e9), 2) AS avg_speed_kmh,
+        |  CAST(round(MAX(seg_km / (dt_us / 3.6e9)), 0) AS BIGINT) AS max_speed_kmh,
+        |  COUNT(*) FILTER (WHERE seg_km / (dt_us / 3.6e9) > 1000.0) AS n_speeding
+        |FROM seg WHERE dt_us > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_traj_stay" -> (segCte +
+      """,
+        |runs AS (
+        |  SELECT user_id, rid, COUNT(*) AS n_pts,
+        |    MAX(ts_us) - MIN(ts_us) AS span_us
+        |  FROM (
+        |    SELECT user_id, ts_us,
+        |      SUM(CASE WHEN seg_km IS NULL OR seg_km > 3000.0 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |    FROM seg) t
+        |  GROUP BY user_id, rid)
+        |SELECT user_id, COUNT(*) AS n_runs,
+        |  COUNT(*) FILTER (WHERE n_pts >= 3 AND span_us >= 600000000) AS n_stays
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_traj_sim" -> (ptsCte +
+      """,
+        |cells AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(lat / 10.0) AS BIGINT) AS cx,
+        |    CAST(floor(lon / 10.0) AS BIGINT) AS cy
+        |  FROM pts),
+        |sizes AS (SELECT user_id, COUNT(*) AS n_cells FROM cells GROUP BY user_id),
+        |inter AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_inter
+        |  FROM cells a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+        |  WHERE a.user_id < b.user_id
+        |  GROUP BY a.user_id, b.user_id)
+        |SELECT u1, u2,
+        |  round(n_inter * 1.0 / (s1.n_cells + s2.n_cells - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.user_id = u1
+        |JOIN sizes s2 ON s2.user_id = u2
+        |ORDER BY jaccard DESC, u1, u2 LIMIT 10""".stripMargin)
+  )
+}
