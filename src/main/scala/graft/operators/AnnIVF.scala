@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest-neighbour search (SURVEY §2.11 extension,
+  * `m_sim_ivf`): a k-means coarse quantizer assigns every vector to one of
+  * `nlist` cells; a query probes only its `nprobe` closest cells and runs
+  * exact cosine inside them.
+  *
+  * Scale design: the cell assignment is a one-off batch job whose output
+  * (vec_id, cell) becomes the physical partition column — at 100 TB each
+  * query touches nprobe/nlist of the data, pruned at the partition level.
+  * Centroids (nlist × dim doubles) broadcast everywhere. Property-tested
+  * for recall against the exact brute-force top-k (`q_sim_knn_vec`). */
+object AnnIVF {
+
+  private def cosExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / " +
+      s"(sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)) * " +
+      s" sqrt(aggregate(transform($b, x -> x * x), 0D, (acc, x) -> acc + x)))"
+
+  /** Top-k cosine neighbours for each probe id, searching nprobe cells. */
+  def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
+           k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("features", array_to_vector($"embedding"))
+
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20).fit(emb)
+    val assigned = km.transform(emb).select($"vec_id", $"v", $"prediction".as("cell"))
+
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq.toDF("cell", "cv")
+
+    val probes = assigned.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+
+    // nprobe closest cells per probe (tiny: |probes| × nlist).
+    val wc = Window.partitionBy($"probe_id").orderBy($"cdist".desc, $"cell")
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr(cosExpr("pv", "cv")))
+      .withColumn("rn", row_number().over(wc)).filter($"rn" <= nprobe)
+      .select($"probe_id", $"pv", $"cell")
+
+    // Exact cosine inside the probed cells only.
+    val wk = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    probeCells.join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("cos", round(expr(cosExpr("pv", "v")), 4))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"probe_id", $"rank")
+  }
+}

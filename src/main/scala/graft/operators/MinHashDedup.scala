@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalable near-duplicate candidate generation via MinHash + LSH banding —
+  * the 100 TB path of SURVEY §2.11 (`m_dedup_minhash`), property-tested
+  * against the exact shingle-Jaccard truth (`q_dedup_jaccard`).
+  *
+  * Pipeline: 3-gram token shingles → HashingTF (2^18-dim binary sparse
+  * vectors, fixed seed-free hashing) → MinHashLSH (8 tables, seed 42) →
+  * `approxSimilarityJoin` at Jaccard-distance ≤ threshold. At scale the
+  * join shuffles on (band hash) buckets only — never all pairs. */
+object MinHashDedup {
+
+  def candidatePairs(spark: SparkSession, documents: DataFrame,
+                     maxJaccardDistance: Double): DataFrame = {
+    import spark.implicits._
+    val sh = documents
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .select($"doc_id", $"shingles")
+
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(sh).filter(expr("features IS NOT NULL"))
+
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(vecs)
+
+    model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "jdist")
+      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
+              round(col("jdist"), 4).as("jdist"))
+      .filter($"d1" < $"d2")
+      .orderBy($"d1", $"d2")
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate vector-similarity join via bucketed random projections
+  * (SURVEY §2.11 `m_sim_lsh`) — the euclidean LSH scale path for the
+  * embedding column, property-tested for recall against the exact cosine
+  * truth (`q_sim_cosine` / `q_sim_knn_vec`).
+  *
+  * At scale `approxSimilarityJoin` shuffles on (hash bucket), so the pair
+  * candidate set is bucket-local, never N². bucketLength trades recall for
+  * bucket size; 2.0 ≈ d/4 keeps buckets small on unit-ish 64-dim vectors. */
+object VectorLSH {
+
+  def candidatePairs(spark: SparkSession, embeddings: DataFrame,
+                     maxEuclideanDistance: Double): DataFrame = {
+    import spark.implicits._
+    val vecs = embeddings
+      .withColumn("features", array_to_vector($"embedding"))
+      .select($"vec_id", $"features")
+
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(vecs)
+
+    model.approxSimilarityJoin(vecs, vecs, maxEuclideanDistance, "edist")
+      .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
+              round(col("edist"), 4).as("edist"))
+      .filter($"va" < $"vb")
+      .orderBy($"va", $"vb")
+  }
+}

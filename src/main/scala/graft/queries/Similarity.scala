@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.11 — similarity search over the `embeddings` vector column,
+  * plus the multimodal (text ⋈ vector, binary-column) surface.
+  *
+  * The exact brute-force cosine join is the correctness baseline (dot
+  * products via codegen-friendly higher-order functions on DOUBLE arrays —
+  * float math would diverge from the oracle). The scale paths are
+  * `m_sim_lsh` (random-projection bucketing) and `m_sim_ivf` (k-means
+  * cells + nprobe search), both property-tested for recall against the
+  * exact truth. */
+object Similarity extends QueryGroup {
+
+  /** Embeddings as DOUBLE arrays with precomputed norms. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm",
+        sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+  }
+
+  private val dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** All vector pairs (a < b) with cosine — one broadcast self-join. */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val a = e.select($"vec_id".as("va"), $"v".as("av"), $"norm".as("na"))
+    val b = e.select($"vec_id".as("vb"), $"v".as("bv"), $"norm".as("nb"))
+    a.join(broadcast(b), $"va" < $"vb")
+      .withColumn("cos", r4(expr(dot) / ($"na" * $"nb")))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_sim_cosine" -> ((s, dir) => {
+      import s.implicits._
+      pairs(s, dir)
+        .select($"va", $"vb", $"cos")
+        .orderBy($"cos".desc, $"va", $"vb")
+        .limit(20)
+    }),
+
+    "q_sim_knn_vec" -> ((s, dir) => {
+      import s.implicits._
+      val e = vecs(s, dir)
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"v".as("av"), $"norm".as("na"))
+      val cands = e.select($"vec_id".as("vb"), $"v".as("bv"), $"norm".as("nb"))
+      val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vb")
+      probes.join(broadcast(cands), $"probe_id" =!= $"vb")
+        .withColumn("cos", r4(expr(dot) / ($"na" * $"nb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"probe_id", $"rank", $"vb".as("neighbor"), $"cos")
+        .orderBy($"probe_id", $"rank")
+    }),
+
+    // Embedding-cosine near-duplicate pairs (threshold tuned to the corpus).
+    "q_dedup_embcos" -> ((s, dir) => {
+      import s.implicits._
+      pairs(s, dir)
+        .filter($"cos" >= 0.4)
+        .select($"va", $"vb", $"cos")
+        .orderBy($"va", $"vb")
+    }),
+
+    // Multimodal join: text corpus ⋈ vector table on shared id space.
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val joined = d.join(e, d("doc_id") === e("vec_id"))
+      val stats = joined.groupBy($"label")
+        .agg(count(lit(1)).as("n_docs"),
+             r4(sum($"n_chars") * lit(1.0) / count(lit(1))).as("avg_chars"))
+      val wt = Window.partitionBy($"label").orderBy($"cnt".desc, $"term")
+      val topTerm = joined
+        .select($"label", explode(split($"text", " ")).as("term"))
+        .groupBy($"label", $"term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wt)).filter($"rn" === 1)
+        .select($"label", $"term".as("top_term"))
+      stats.join(topTerm, Seq("label"))
+        .select($"label".cast("long").as("label"), $"n_docs", $"avg_chars", $"top_term")
+        .orderBy($"label")
+    }),
+
+    // Binary-column surface: media bytes (utf-8 of text as stand-in blob),
+    // byte lengths and content hashes — the schema/plumbing layer of the
+    // multimodal pipeline (graft.multimodal for decode/feature stubs).
+    "q_multimodal_bin" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("media", $"text".cast("binary"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length($"media")).as("total_bytes"),
+             countDistinct(sha2($"media", 256)).as("n_distinct_blobs"))
+        .orderBy($"lang")
+    }),
+
+    // Approximate paths — property-tested for recall, no SQL oracle.
+    "m_sim_lsh" -> ((s, dir) =>
+      graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 6.0)),
+
+    "m_sim_ivf" -> ((s, dir) =>
+      graft.operators.AnnIVF.topK(s, t(s, dir, "embeddings"),
+        probeIds = (0L until 10L), k = 5, nlist = 16, nprobe = 4))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin,
+
+    "q_sim_knn_vec" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT probe_id, e.vec_id AS neighbor,
+        |    round(list_cosine_similarity(pv, e.v), 4) AS cos
+        |  FROM p JOIN e ON e.vec_id <> probe_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+        |ORDER BY va, vb""".stripMargin,
+
+    "q_multimodal" ->
+      """WITH joined AS (
+        |  SELECT d.doc_id, d.text, d.n_chars, e.label
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |stats AS (
+        |  SELECT label, COUNT(*) AS n_docs,
+        |    round(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+        |  FROM joined GROUP BY label),
+        |tt AS (
+        |  SELECT label, term, COUNT(*) AS cnt FROM (
+        |    SELECT label, unnest(string_split(text, ' ')) AS term FROM joined) x
+        |  GROUP BY label, term),
+        |top AS (
+        |  SELECT label, term AS top_term,
+        |    row_number() OVER (PARTITION BY label ORDER BY cnt DESC, term) AS rn
+        |  FROM tt)
+        |SELECT CAST(s.label AS BIGINT) AS label, n_docs, avg_chars, top_term
+        |FROM stats s JOIN top USING (label) WHERE rn = 1 ORDER BY label""".stripMargin,
+
+    "q_multimodal_bin" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(octet_length(encode(text))) AS total_bytes,
+        |  COUNT(DISTINCT sha256(text)) AS n_distinct_blobs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

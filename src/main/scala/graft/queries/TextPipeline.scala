@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.11 — text-analysis + deduplication operators for an
+  * LLM-training-data pipeline, over the `documents` corpus.
+  *
+  * Scale design: everything is explode→hash-aggregate or hash-join on
+  * content-derived keys (term, shingle, hash) — all shuffle-partitioned by
+  * those keys, no driver-side state. The exact Jaccard self-join is the
+  * small-scale ground truth; its 100 TB path is `m_dedup_minhash`
+  * (MinHashLSH banding) and `m_dedup_simhash` (64-bit fingerprint with
+  * 4-band blocking), both property-tested against the exact truth. */
+object TextPipeline extends QueryGroup {
+
+  /** (doc_id, term) token stream — the shared substrate. */
+  private def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("term"))
+  }
+
+  /** Distinct 3-gram token shingles per doc (docs with ≥3 tokens). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("s"))
+      .distinct()
+  }
+
+  private val shinglesCte =
+    """WITH tt AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |            for i in range(1, len(toks) - 1)]) AS s
+      |  FROM tt)""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q_text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      tokens(s, dir)
+        .groupBy($"term")
+        .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("doc_freq"))
+        .orderBy($"cnt".desc, $"term")
+        .limit(50)
+    }),
+
+    "q_text_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val tok = tokens(s, dir)
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tok.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score",
+          round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"term").agg(count(lit(1)).as("n_docs_top"))
+        .orderBy($"n_docs_top".desc, $"term")
+    }),
+
+    "q_text_langstats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+             r4(sum($"n_chars") * lit(1.0) / count(lit(1))).as("avg_chars"),
+             r4(sum($"n_tok") * lit(1.0) / count(lit(1))).as("avg_tokens"))
+        .orderBy($"lang", $"source")
+    }),
+
+    // Quality scoring: deterministic rational heuristics (length, stopword
+    // ratio, mean token length), averaged per language.
+    "q_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      val stops = Seq("select", "join", "table", "row", "data")
+      val q = t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_tok", size($"toks").cast("double"))
+        .withColumn("n_stop",
+          size(filter($"toks", x => x.isin(stops.map(lit(_)): _*))).cast("double"))
+        .withColumn("avg_len",
+          length(regexp_replace($"text", " ", "")) * lit(1.0) / $"n_tok")
+        .withColumn("quality",
+          lit(0.3) * least($"n_tok" / 100.0, lit(1.0)) +
+          lit(0.4) * (lit(1.0) - $"n_stop" / $"n_tok") +
+          lit(0.3) * least($"avg_len" / 8.0, lit(1.0)))
+      q.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), r4(davg($"quality", 6)).as("avg_quality"))
+        .orderBy($"lang")
+    }),
+
+    // Language-ID by n-gram/token profile: profile = top-20 tokens per lang
+    // (self-trained on the corpus), prediction = max-overlap lang.
+    "q_text_langid" -> ((s, dir) => {
+      import s.implicits._
+      val tok = tokens(s, dir)
+      val wp = Window.partitionBy($"lang").orderBy($"cnt".desc, $"term")
+      val profile = tok.groupBy($"lang", $"term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wp)).filter($"rn" <= 20)
+        .select($"lang".as("plang"), $"term")
+      val docTerms = tok.select($"doc_id", $"lang", $"term").distinct()
+      val overlap = docTerms.join(broadcast(profile), Seq("term"))
+        .groupBy($"doc_id", $"lang", $"plang").agg(count(lit(1)).as("ov"))
+      val wd = Window.partitionBy($"doc_id").orderBy($"ov".desc, $"plang")
+      overlap.withColumn("rn", row_number().over(wd)).filter($"rn" === 1)
+        .groupBy($"lang", $"plang".as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"predicted")
+    }),
+
+    // Document fingerprint: winnowing-style minimum shingle hash (md5 —
+    // identical hex in both engines).
+    "q_text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      shingles(s, dir)
+        .groupBy($"doc_id").agg(min(md5($"s")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("n_ws", size(split($"text", " ")).cast("long"))
+        .withColumn("n_bpe", size(regexp_extract_all($"text", lit("[a-z0-9]{1,4}"), lit(0))).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_ws").as("ws_tokens"),
+             sum($"n_bpe").as("bpe_tokens"),
+             r4(sum($"n_bpe") * lit(1.0) / sum($"n_ws")).as("bpe_per_ws"))
+        .orderBy($"source")
+    }),
+
+    // Exact-dup groups on the full normalized text AND on the 8-token
+    // normalized prefix (the corpus has planted prefix-sharing near-dups).
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val full = d.select(lit("full").as("mode"),
+        sha2(lower(trim($"text")), 256).as("h"))
+      val pref = d.select(lit("prefix8").as("mode"),
+        sha2(array_join(slice(split($"text", " "), 1, 8), " "), 256).as("h"))
+      full.unionAll(pref)
+        .groupBy($"mode", $"h").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1)
+        .orderBy($"mode", $"h")
+    }),
+
+    // Exact 3-gram-shingle Jaccard ≥ 0.8 — ground truth for MinHash/SimHash.
+    "q_dedup_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"), Seq("s"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("ni"))
+      inter
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .withColumn("jaccard", r4($"ni" * lit(1.0) / ($"n1" + $"n2" - $"ni")))
+        .filter($"jaccard" >= 0.8)
+        .select($"d1", $"d2", $"jaccard")
+        .orderBy($"d1", $"d2")
+    }),
+
+    // Scalable near-dup paths — property-tested vs q_dedup_jaccard truth.
+    "m_dedup_minhash" -> ((s, dir) =>
+      graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5)),
+
+    "m_dedup_simhash" -> ((s, dir) =>
+      graft.operators.SimHash.nearDupPairs(s, t(s, dir, "documents"), maxHamming = 3))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT term, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) t
+        |       GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |top AS (
+        |  SELECT doc_id, term,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT term, COUNT(*) AS n_docs_top FROM top WHERE rn = 1
+        |GROUP BY term ORDER BY n_docs_top DESC, term""".stripMargin,
+
+    "q_text_langstats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  round(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars,
+        |  round(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 4) AS avg_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH q AS (
+         |  SELECT lang,
+         |    0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+         |        x -> x IN ('select','join','table','row','data'))) AS DOUBLE)
+         |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |    + 0.3 * least((length(replace(text, ' ', '')) * 1.0
+         |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) AS quality
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  round(${oAvg("quality", 6)}, 4) AS avg_quality
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |profile AS (
+        |  SELECT lang AS plang, term FROM (
+        |    SELECT lang, term, COUNT(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rn
+        |    FROM tok GROUP BY lang, term) t
+        |  WHERE rn <= 20),
+        |dt AS (SELECT DISTINCT doc_id, lang, term FROM tok),
+        |overlap AS (
+        |  SELECT doc_id, lang, plang, COUNT(*) AS ov
+        |  FROM dt JOIN profile USING (term) GROUP BY doc_id, lang, plang),
+        |best AS (
+        |  SELECT doc_id, lang, plang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ov DESC, plang) AS rn
+        |  FROM overlap)
+        |SELECT lang, plang AS predicted, COUNT(*) AS n_docs
+        |FROM best WHERE rn = 1
+        |GROUP BY lang, plang ORDER BY lang, predicted""".stripMargin,
+
+    "q_text_fingerprint" -> (shinglesCte +
+      """
+        |SELECT doc_id, MIN(md5(s)) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q_token_count" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS ws_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS bpe_tokens,
+        |  round(SUM(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) * 1.0
+        |        / SUM(len(string_split(text, ' '))), 4) AS bpe_per_ws
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT mode, h, COUNT(*) AS n FROM (
+        |  SELECT 'full' AS mode, sha256(lower(trim(text))) AS h FROM documents
+        |  UNION ALL
+        |  SELECT 'prefix8' AS mode,
+        |    sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+        |  FROM documents) t
+        |GROUP BY mode, h HAVING COUNT(*) > 1 ORDER BY mode, h""".stripMargin,
+
+    "q_dedup_jaccard" -> (shinglesCte +
+      """,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+        |  FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, round(ni * 1.0 / (s1.n + s2.n - ni), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(ni * 1.0 / (s1.n + s2.n - ni), 4) >= 0.8
+        |ORDER BY d1, d2""".stripMargin)
+  )
+}
