@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One telemetry event (µs epoch — matches the batch contract queries). */
+case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
+
+/** Per-user running state carried by the stateful operator. */
+case class UserState(last_type: String, total_value: Double, n_events: Long)
+
+/** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
+  *
+  * Every aggregation body is written once as DataFrame → DataFrame and works
+  * under both `spark.read` (the oracle path, queries/StreamingQueries) and
+  * `spark.readStream` (this module; semantics tests drive it with
+  * MemoryStream + processAllAvailable).
+  *
+  * Scale notes: with the watermark set, the state store evicts windows older
+  * than (watermark − window length), so streaming state is O(active windows ×
+  * types), independent of stream length; `dropDuplicatesWithinWatermark`
+  * likewise bounds the dedup key set. The stateful op keys state by user_id —
+  * state volume is O(|users|), shuffle-partitioned like any keyed agg. */
+object StreamOps {
+
+  /** Event-time column as TIMESTAMP for window functions. */
+  private def withEventTime(ev: DataFrame): DataFrame =
+    ev.withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** Tumbling 1-hour counts+sums per event type (same body as q_stream_tumble). */
+  def tumbling(ev: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ev)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("start_ms"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Sliding 30-min/10-min counts (same body as q_stream_slide). */
+  def sliding(ev: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ev)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("start_ms"), col("n"))
+
+  /** Native streaming session windows (30-min gap) per user. */
+  def sessions(ev: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ev)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_millis(col("session_window.start")).as("start_ms"),
+              unix_millis(col("session_window.end")).as("end_ms"),
+              col("n_events"))
+
+  /** Exactly-once proxy: drop duplicate event_ids within the watermark. */
+  def dedup(ev: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ev)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful op: per-user running (last type, total value, count).
+    * Streaming counterpart of the batch q_stream_state (update mode). */
+  def runningState(ev: Dataset[Ev]): Dataset[(Long, String, Double, Long)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, (Long, String, Double, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[UserState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val prev = state.getOption.getOrElse(UserState(null, 0.0, 0L))
+          val next = sorted.foldLeft(prev) { (st, e) =>
+            UserState(e.event_type, st.total_value + e.value, st.n_events + 1)
+          }
+          state.update(next)
+          Iterator((user, next.last_type, next.total_value, next.n_events))
+      }
+  }
+
+  /** Streaming source over a parquet events directory (library surface;
+    * tests use MemoryStream instead). The raw schema carries ts as Long ns
+    * (nanosAsLong), converted here to the µs timestamp the bodies expect. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(raw).parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import scala.util.Random
+import graft.operators.DBSCAN
+
+/** SURVEY §5.3 — DBSCAN equivalence vs an in-memory reference
+  * implementation on deterministic generated point sets, plus invariants. */
+class DbscanSpec extends BaseSpec {
+  import spark.implicits._
+
+  private def genPoints(n: Int, seed: Long): Seq[(Long, Double, Double)] = {
+    val rnd = new Random(seed)
+    // three dense blobs + uniform noise
+    val blobs = Seq((2.0, 2.0), (8.0, 8.0), (2.0, 8.0))
+    (0 until n).map { i =>
+      if (i % 4 < 3) {
+        val (cx, cy) = blobs(i % 3)
+        (i.toLong, cx + rnd.nextGaussian() * 0.3, cy + rnd.nextGaussian() * 0.3)
+      } else (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+    }
+  }
+
+  /** Reference DBSCAN mirroring the distributed semantics:
+    * cluster id = min core id in component; border → min neighbor cluster. */
+  private def brute(pts: Seq[(Long, Double, Double)], eps: Double, minPts: Int)
+      : Map[Long, (String, Long)] = {
+    val arr = pts.toArray
+    def d2(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val neigh = arr.map(p => arr.filter(q => d2(p, q) <= eps * eps).map(_._1).toSet)
+    val idx = arr.map(_._1).zipWithIndex.toMap
+    val core = arr.indices.filter(i => neigh(i).size >= minPts).map(arr(_)._1).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map[Long, Long](core.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for (c <- core; nb <- neigh(idx(c)) if core(nb)) {
+      val (ra, rb) = (find(c), find(nb)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cluster = core.map(c => c -> core.filter(x => find(x) == find(c)).min).toMap
+    arr.indices.flatMap { i =>
+      val id = arr(i)._1
+      if (core(id)) Some(id -> ("core", cluster(id)))
+      else {
+        val coreNb = neigh(i).filter(core)
+        if (coreNb.nonEmpty) Some(id -> ("border", coreNb.map(cluster).min))
+        else Some(id -> ("noise", -1L))
+      }
+    }.toMap
+  }
+
+  test("distributed DBSCAN equals in-memory reference exactly") {
+    for (seed <- Seq(1L, 42L)) {
+      val pts = genPoints(300, seed)
+      val df = pts.toDF("id", "x", "y")
+      val got = DBSCAN.run(spark, df, eps = 0.5, minPts = 4)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val expected = brute(pts, 0.5, 4)
+      assert(got.size == expected.size)
+      val diffs = expected.keys.filter(k => got(k) != expected(k)).take(5)
+      assert(diffs.isEmpty,
+        s"seed=$seed mismatches: ${diffs.map(k => s"$k got=${got(k)} exp=${expected(k)}")}")
+    }
+  }
+
+  test("invariant: larger eps never increases noise count") {
+    val pts = genPoints(200, 7L)
+    val df = pts.toDF("id", "x", "y")
+    def noise(eps: Double) =
+      DBSCAN.run(spark, df, eps, 4).filter($"role" === "noise").count()
+    assert(noise(0.8) <= noise(0.4))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GeomMean, HaversineDist}
+import graft.operators.SimHash
+
+/** SURVEY §2.12 — custom function surfaces. */
+class FunctionsSpec extends BaseSpec {
+  import spark.implicits._
+
+  test("haversine_km expression: known distances") {
+    HaversineDist.register(spark)
+    // Paris ↔ London ≈ 343–344 km
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("a", "b", "c", "d")
+      .select(HaversineDist.haversineKm($"a", $"b", $"c", $"d").as("km"))
+      .as[Double].head()
+    assert(math.abs(d - 343.5) < 1.5, s"Paris-London got $d")
+    // zero distance, symmetry, null propagation
+    assert(HaversineDist.km(10, 20, 10, 20) == 0.0)
+    assert(HaversineDist.km(1, 2, 3, 4) == HaversineDist.km(3, 4, 1, 2))
+    val n = Seq((Option.empty[Double], 2.0, 3.0, 4.0)).toDF("a", "b", "c", "d")
+      .select(HaversineDist.haversineKm($"a", $"b", $"c", $"d").as("km"))
+      .collect().head
+    assert(n.isNullAt(0), "null input must yield null")
+  }
+
+  test("haversine_km registered for SQL") {
+    HaversineDist.register(spark)
+    val d = spark.sql("SELECT haversine_km(0D, 0D, 0D, 90D) AS km").as[Double].head()
+    // quarter of the equator circumference
+    assert(math.abs(d - 2.0 * math.Pi * 6371.0 / 4.0) < 0.5)
+  }
+
+  test("GeomMean aggregator matches exp(avg(ln)) within tolerance") {
+    val gm = udaf(GeomMean)
+    val vals = Tables(spark, sf, "orders").select($"o_totalprice")
+    val got = vals.agg(gm($"o_totalprice")).as[Double].head()
+    val expected = vals.agg(exp(avg(log($"o_totalprice")))).as[Double].head()
+    assert(math.abs(got / expected - 1.0) < 1e-9, s"got $got expected $expected")
+  }
+
+  test("simhash64 is deterministic and locality-sensitive") {
+    val a = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    val b = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    assert(a == b)
+    val near = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "eta"))
+    val far = SimHash.simhash64(Seq("one", "two", "three", "four", "five", "six"))
+    assert(SimHash.hamming(a, near) < SimHash.hamming(a, far),
+      s"near=${SimHash.hamming(a, near)} far=${SimHash.hamming(a, far)}")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIVF, MinHashDedup, SimHash, VectorLSH}
+
+/** SURVEY §5.3 — recall/quality properties of the approximate operators
+  * against their exact-truth contract queries, at sf0.001. */
+class MlSpec extends BaseSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  test("MinHashLSH recall >= 0.95 vs exact Jaccard >= 0.8 truth") {
+    val truth = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val cand = MinHashDedup.candidatePairs(spark, docs, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val recall = truth.count(cand).toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall over ${truth.size} truth pairs")
+  }
+
+  test("SimHash banding finds exactly the brute-force Hamming<=3 pairs") {
+    val fps = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => id -> SimHash.simhash64(text.split(" ").toSeq) }
+    val expected = (for {
+      (i, hi) <- fps; (j, hj) <- fps if i < j
+      if SimHash.hamming(hi, hj) <= 3
+    } yield (i, j)).toSet
+    val got = SimHash.nearDupPairs(spark, docs, maxHamming = 3)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+  }
+
+  test("BRP-LSH: perfect precision, recall >= 0.8 vs exact euclidean pairs") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    val truth = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j
+      if dist(vi, vj) <= 6.0
+    } yield (i, j)).toSet
+    val got = VectorLSH.candidatePairs(spark, emb, 6.0)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "approxSimilarityJoin must post-filter by true distance")
+    if (truth.nonEmpty) {
+      val recall = truth.count(got).toDouble / truth.size
+      assert(recall >= 0.8, s"recall $recall over ${truth.size} truth pairs")
+    }
+  }
+
+  test("IVF ANN recall@5 >= 0.5 vs exact kNN") {
+    val exact = SparkEntry.queries("q_sim_knn_vec")(spark, sf)
+      .select($"probe_id", $"neighbor").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = AnnIVF.topK(spark, emb, (0L until 10L), k = 5, nlist = 16, nprobe = 4)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, t) =>
+      t.count(approx.getOrElse(p, Set.empty)).toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 $mean")
+  }
+
+  test("KMeans: seed-stable, above-chance purity, inertia monotone in k") {
+    def sizes() = SparkEntry.queries("m_kmeans")(spark, sf)
+      .as[(Long, Long)].collect().toList
+    assert(sizes() == sizes(), "same seed must give identical clustering")
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = emb.withColumn("features", array_to_vector($"embedding"))
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(data)
+    // NOTE: the generator's label signal is faint (within-label cosine
+    // ~0.005 vs 0.0005 across — near-isotropic vectors), so even ideal
+    // Lloyd's tops out at ~0.17 purity here. Assert above the 0.126
+    // max-label-share chance baseline, not a separable-clusters bar.
+    val purity = model.transform(data)
+      .groupBy($"prediction", $"label").agg(count(lit(1)).as("n"))
+      .groupBy($"prediction").agg(max($"n").as("top"), sum($"n").as("tot"))
+      .agg((sum($"top") / sum($"tot")).as("p")).as[Double].head()
+    assert(purity >= 0.14, s"purity $purity should beat chance (~0.126)")
+
+    val cost10 = model.summary.trainingCost
+    val cost2 = new KMeans().setK(2).setSeed(42L).setMaxIter(20).fit(data)
+      .summary.trainingCost
+    assert(cost10 < cost2, s"inertia must shrink with k: k10=$cost10 k2=$cost2")
+    val sz = sizes()
+    assert(sz.size == 10 && sz.map(_._2).sum == emb.count(), s"sizes $sz")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = SparkEntry.queries("q_agg_approx")(spark, sf)
+      .select($"approx_parts", $"exact_parts").as[(Long, Long)].collect()
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx $approx exact $exact")
+    }
+  }
+}

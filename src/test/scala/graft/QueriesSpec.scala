@@ -1,0 +1,28 @@
+package graft
+
+import scala.io.Source
+
+/** Contract-shape checks + golden row counts at sf0.001 (SURVEY §5.4). */
+class QueriesSpec extends BaseSpec {
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("golden row counts at sf0.001") {
+    val golden = Source.fromFile("src/test/resources/golden_counts_sf0.001.txt")
+      .getLines().filter(_.nonEmpty).map { line =>
+        val Array(k, v) = line.split(" "); k -> v.toLong
+      }.toMap
+    val failures = golden.flatMap { case (name, expected) =>
+      val got = SparkEntry.queries(name)(spark, sf).count()
+      if (got != expected) Some(s"$name: got $got expected $expected") else None
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 — CSV/JSON source/sink capability (no shipped fixtures, so
+  * round-trip through temp dirs). */
+class SourcesSpec extends BaseSpec {
+  import spark.implicits._
+
+  test("csv round-trip with header preserves data") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Tables(spark, sf, "nation")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == src.count())
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+    val a = src.orderBy($"n_nationkey").collect().map(_.toSeq).toList
+    val b = back.orderBy($"n_nationkey").collect().map(_.toSeq).toList
+    assert(a == b)
+  }
+
+  test("json round-trip preserves data") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val src = Tables(spark, sf, "region")
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 5)
+    assert(back.select($"r_name").as[String].collect().sorted.toList ==
+           src.select($"r_name").as[String].collect().sorted.toList)
+  }
+
+  test("from_json to MapType surface") {
+    val m = Tables(spark, sf, "events")
+      .select(from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(element_at($"m", "k").as("k"))
+    assert(m.filter($"k".isNotNull).count() > 0)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Ev, StreamOps}
+
+/** SURVEY §2.9/§5.3 — streaming semantics with MemoryStream: batch≡stream
+  * for shared bodies, watermark late-drop, session windows, dedup-within-
+  * watermark, arbitrary stateful op. */
+class StreamingSpec extends BaseSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000L // 1 hour in µs
+  private def ev(id: Long, tUs: Long, user: Long = 1L, typ: String = "click",
+                 value: Double = 1.0) = Ev(id, tUs, user, typ, value)
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"stream_out_$qn" }
+
+  test("tumbling: streaming output equals batch body on same data") {
+    implicit val ctx = spark.sqlContext
+    val events = Tables(spark, sf, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+    val input = MemoryStream[Ev]
+    input.addData(events)
+    val name = nextName()
+    val q = StreamOps.tumbling(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name)
+      .select($"start_ms", $"event_type", $"n").as[(Long, String, Long)].collect().toSet
+    val batch = StreamOps.tumbling(
+        spark.createDataset(events).toDF())
+      .select($"start_ms", $"event_type", $"n").as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermark: late rows are dropped from append output") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.tumbling(input.toDF(), watermark = "10 minutes").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    // batch 1: two events in hour-0
+    input.addData(ev(1, 10L * 60 * 1000000), ev(2, 20L * 60 * 1000000))
+    q.processAllAvailable()
+    // batch 2: far-future event → watermark passes hour-0, window emits
+    input.addData(ev(3, 5 * H))
+    q.processAllAvailable()
+    val afterClose = spark.table(name).filter($"start_ms" === 0L)
+      .select($"n").as[Long].collect().toList
+    assert(afterClose == List(2L), s"hour-0 window should emit n=2, got $afterClose")
+    // batch 3: late event into hour-0 → dropped, no new/updated row
+    input.addData(ev(4, 30L * 60 * 1000000))
+    q.processAllAvailable(); q.stop()
+    val finalRows = spark.table(name).filter($"start_ms" === 0L)
+      .select($"n").as[Long].collect().toList
+    assert(finalRows == List(2L), s"late row must not change the closed window: $finalRows")
+  }
+
+  test("session windows split on 30-min inactivity gaps") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    // session_window aggregation streams in append mode only (emits a
+    // session once the watermark passes its close).
+    val q = StreamOps.sessions(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    // user 1: 3 events with <30min gaps = one session
+    input.addData(ev(1, 0), ev(2, 10L * 60 * 1000000), ev(3, 25L * 60 * 1000000))
+    q.processAllAvailable()
+    // far-future event advances the watermark past the session close...
+    input.addData(ev(4, 3 * H))
+    q.processAllAvailable()
+    // ...and the emission lands on the following trigger.
+    input.addData(ev(5, 3 * H + 60000000L))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table(name)
+      .select($"start_ms", $"end_ms", $"n_events").as[(Long, Long, Long)].collect().toList
+    assert(sessions.exists(s => s._1 == 0L && s._3 == 3L),
+      s"first session (start 0, 3 events) should have emitted: $sessions")
+    // close = last event + 30-min gap
+    val first = sessions.find(_._1 == 0L).get
+    assert(first._2 == 25L * 60 * 1000 + 30L * 60 * 1000, s"session end: $first")
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.dedup(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    input.addData(ev(1, 1000000), ev(1, 1000000), ev(2, 2000000), ev(1, 1500000))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table(name).select($"event_id").as[Long].collect().sorted.toList
+    assert(ids == List(1L, 2L), s"duplicates must collapse: $ids")
+  }
+
+  test("stateful runningState matches batch equivalent across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.runningState(input.toDS()).toDF("user_id", "last_type", "total_value", "n_events")
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    input.addData(ev(1, 1000000, user = 7, typ = "signup", value = 2.0),
+                  ev(2, 2000000, user = 7, typ = "click", value = 3.0))
+    q.processAllAvailable()
+    input.addData(ev(3, 3000000, user = 7, typ = "purchase", value = 5.0))
+    q.processAllAvailable(); q.stop()
+    // last update row carries the final state
+    val last = spark.table(name).orderBy($"n_events".desc).limit(1)
+      .select($"last_type", $"total_value", $"n_events")
+      .as[(String, Double, Long)].collect().head
+    assert(last == ("purchase", 10.0, 3L), s"state after two batches: $last")
+  }
+}
