@@ -18,15 +18,13 @@ import org.apache.spark.sql.functions._
   * for recall against the exact brute-force top-k (`q_sim_knn_vec`). */
 object AnnIVF {
 
-  private def cosExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / " +
-      s"(sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)) * " +
-      s" sqrt(aggregate(transform($b, x -> x * x), 0D, (acc, x) -> acc + x)))"
+  private def cosExpr(a: String, b: String): String = s"cosine_sim($a, $b)"
 
   /** Top-k cosine neighbours for each probe id, searching nprobe cells. */
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
            k: Int, nlist: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorOps.register(spark)
     val emb = embeddings
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("features", array_to_vector($"embedding"))

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * At scale `approxSimilarityJoin` shuffles on (hash bucket), so the pair
   * candidate set is bucket-local, never N². bucketLength trades recall for
-  * bucket size; 2.0 ≈ d/4 keeps buckets small on unit-ish 64-dim vectors. */
+  * bucket size; pair distances on unit-norm 64-dim vectors concentrate near
+  * √2, so thresholds live in [1, 1.4] and bucketLength 2.0 keeps buckets small. */
 object VectorLSH {
 
   def candidatePairs(spark: SparkSession, embeddings: DataFrame,

@@ -183,7 +183,7 @@ object Geo extends QueryGroup {
       import s.implicits._
       val p = withGeo(t(s, dir, "events"))
         .select($"event_id".as("id"), $"lat".as("y"), $"lon".as("x"))
-      graft.operators.DBSCAN.run(s, p, eps = 10.0, minPts = 4)
+      graft.operators.DBSCAN.run(s, p, eps = 3.0, minPts = 4)
         .groupBy($"role").agg(count(lit(1)).as("n"))
         .orderBy($"role")
     }),

@@ -3,39 +3,38 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 import Q._
 
 /** SURVEY §2.11 — similarity search over the `embeddings` vector column,
   * plus the multimodal (text ⋈ vector, binary-column) surface.
   *
   * The exact brute-force cosine join is the correctness baseline (dot
-  * products via codegen-friendly higher-order functions on DOUBLE arrays —
+  * products via the native CosineSim expression over DOUBLE arrays —
   * float math would diverge from the oracle). The scale paths are
   * `m_sim_lsh` (random-projection bucketing) and `m_sim_ivf` (k-means
   * cells + nprobe search), both property-tested for recall against the
   * exact truth. */
 object Similarity extends QueryGroup {
 
-  /** Embeddings as DOUBLE arrays with precomputed norms. */
+  /** Embeddings as DOUBLE arrays (cosine runs in the native CosineSim
+    * expression — JIT'd loops, sequential accumulation). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    VectorOps.register(s)
     t(s, dir, "embeddings")
       .select($"vec_id", $"label",
               expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
   }
-
-  private val dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
   /** All vector pairs (a < b) with cosine — one broadcast self-join. */
   private def pairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val a = e.select($"vec_id".as("va"), $"v".as("av"), $"norm".as("na"))
-    val b = e.select($"vec_id".as("vb"), $"v".as("bv"), $"norm".as("nb"))
+    val a = e.select($"vec_id".as("va"), $"v".as("av"))
+    val b = e.select($"vec_id".as("vb"), $"v".as("bv"))
     a.join(broadcast(b), $"va" < $"vb")
-      .withColumn("cos", r4(expr(dot) / ($"na" * $"nb")))
+      .withColumn("cos", r4(VectorOps.cosineSim($"av", $"bv")))
   }
 
   val queries: Map[String, QFn] = Map(
@@ -51,11 +50,11 @@ object Similarity extends QueryGroup {
       import s.implicits._
       val e = vecs(s, dir)
       val probes = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("probe_id"), $"v".as("av"), $"norm".as("na"))
-      val cands = e.select($"vec_id".as("vb"), $"v".as("bv"), $"norm".as("nb"))
+        .select($"vec_id".as("probe_id"), $"v".as("av"))
+      val cands = e.select($"vec_id".as("vb"), $"v".as("bv"))
       val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vb")
       probes.join(broadcast(cands), $"probe_id" =!= $"vb")
-        .withColumn("cos", r4(expr(dot) / ($"na" * $"nb")))
+        .withColumn("cos", r4(VectorOps.cosineSim($"av", $"bv")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= 5)
         .select($"probe_id", $"rank", $"vb".as("neighbor"), $"cos")
@@ -107,7 +106,7 @@ object Similarity extends QueryGroup {
 
     // Approximate paths — property-tested for recall, no SQL oracle.
     "m_sim_lsh" -> ((s, dir) =>
-      graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 6.0)),
+      graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 1.2)),
 
     "m_sim_ivf" -> ((s, dir) =>
       graft.operators.AnnIVF.topK(s, t(s, dir, "embeddings"),

@@ -39,9 +39,9 @@ class MlSpec extends BaseSpec {
       math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
     val truth = (for {
       (i, vi) <- vecs; (j, vj) <- vecs if i < j
-      if dist(vi, vj) <= 6.0
+      if dist(vi, vj) <= 1.2
     } yield (i, j)).toSet
-    val got = VectorLSH.candidatePairs(spark, emb, 6.0)
+    val got = VectorLSH.candidatePairs(spark, emb, 1.2)
       .select($"va", $"vb").as[(Long, Long)].collect().toSet
     assert(got.subsetOf(truth), "approxSimilarityJoin must post-filter by true distance")
     if (truth.nonEmpty) {
