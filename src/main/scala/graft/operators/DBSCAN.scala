@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * side only. Core flags and degrees are hash aggregates. Only core–core
   * ε-edges enter connected components — O(log diameter) rounds, each
   * shuffling O(|edges|).
-  * At 100 TB density skew (one hot cell) is the risk — the mitigation is
-  * two-level partitioning (split hot cells by a salted sub-grid), noted here
-  * and property-tested at small scale.
+  * At 100 TB density skew (one hot cell) is the risk — the known mitigation
+  * is two-level partitioning (split hot cells by a salted sub-grid); it is
+  * documented here but not implemented, since the ε-sized grid plus AQE skew
+  * handling covers the tested densities.
   *
   * Cluster ids are the minimum point id in each component → deterministic.
   */

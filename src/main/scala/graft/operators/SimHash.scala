@@ -51,7 +51,10 @@ object SimHash {
     import spark.implicits._
     val fp = fingerprints(spark, documents)
     val banded = fp.select($"doc_id", $"sh",
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(sh, b * 16) % 65536 AS bits))"))
+      // & mask, not % — for band 0 the shift is 0 and Java's % keeps the
+      // sign of a negative fingerprint, so opposite-sign pairs sharing only
+      // band 0 would never equi-join; bitwise AND is sign-safe.
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(sh, b * 16) & 65535 AS bits))"))
         .as("bb"))
       .select($"doc_id", $"sh", $"bb.band", $"bb.bits")
     banded.as("a").join(banded.as("b"), Seq("band", "bits"))

@@ -37,8 +37,10 @@ object Scalars extends QueryGroup {
       import s.implicits._
       t(s, dir, "part")
         .withColumn("toks", split($"p_name", " "))
-        .select(element_at($"toks", 1).as("first_word"),
-                element_at($"toks", 2).as("second_word"))
+        // try_element_at: NULL out of range like DuckDB's list[i] — ANSI
+        // element_at would throw on a single-word p_name.
+        .select(try_element_at($"toks", lit(1)).as("first_word"),
+                try_element_at($"toks", lit(2)).as("second_word"))
         .groupBy($"second_word")
         .agg(count(lit(1)).as("n"),
              countDistinct($"first_word").as("n_first"))
