@@ -15,10 +15,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Locale-pinned: a comma decimal separator would corrupt the JSON.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout (BENCH_r02 lost the head
+    // of a single long line, "parsed": null). So: short total line first,
+    // per-query map on its own line, and the total line repeated LAST so a
+    // tail capture of any reasonable size always contains one complete,
+    // parseable {"metric":"total"...} line.
+    val totalLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+    println(totalLine)
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(totalLine)
     spark.stop()
   }
 }

@@ -4,20 +4,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed DBSCAN(ε, minPts) — MLlib has none, so composed Spark-first
-  * (SURVEY §2.10 `m_dbscan`): grid-bucketed candidate pairs + pointer-
-  * jumping connected components (see [[ConnectedComponents]]). No planner
-  * extension needed — this is an algorithm, not an operator.
+  * (SURVEY §2.10 `m_dbscan`): position contraction + grid-bucketed candidate
+  * pairs + large-star/small-star connected components (see
+  * [[ConnectedComponents]]). No planner extension needed — this is an
+  * algorithm, not an operator.
   *
-  * Scale design: cell size = ε, so every ε-neighbor of a point lies in its
-  * 3×3 cell neighborhood. Candidate generation is an equi-join on cell key
-  * (shuffle on cell, no N² pairs); each point is replicated 9× on the probe
-  * side only. Core flags and degrees are hash aggregates. Only core–core
-  * ε-edges enter connected components — O(log diameter) rounds, each
-  * shuffling O(|edges|).
-  * At 100 TB density skew (one hot cell) is the risk — the known mitigation
-  * is two-level partitioning (split hot cells by a salted sub-grid); it is
-  * documented here but not implemented, since the ε-sized grid plus AQE skew
-  * handling covers the tested densities.
+  * Scale design, in pipeline order:
+  *  1. **Position contraction.** Colocated points have identical
+  *     ε-neighborhoods, hence identical role and cluster — so identical
+  *     (x, y) positions are contracted to one node carrying
+  *     (pid = min point id, weight = point count) BEFORE any pairing.
+  *     Quantized/lattice coordinates (GPS fixes, derived grids) repeat
+  *     heavily, so this shrinks every downstream join and the CC input by
+  *     the duplication factor; with all-distinct positions it degrades to a
+  *     single extra keyed shuffle.
+  *  2. **Grid-bucketed pairs.** Cell size = ε, so every ε-neighbor of a
+  *     position lies in its 3×3 cell neighborhood. Candidate generation is
+  *     an equi-join on cell key (shuffle on cell, never N² pairs); each
+  *     position is replicated 9× on the probe side only.
+  *  3. **Weighted degrees.** |N_ε(p)| = Σ weight over positions within ε
+  *     (own weight included via the self-pair) — a hash aggregate.
+  *  4. **Star-contraction CC** over core positions only — edge set shrinks
+  *     every round (see ConnectedComponents scaladoc).
+  *  At extreme density skew (one hot cell) a two-level salted sub-grid
+  *  split is a known mitigation; it is NOT implemented here — contraction
+  *  plus the ε-sized grid and AQE skew handling cover the tested densities.
   *
   * Cluster ids are the minimum point id in each component → deterministic.
   */
@@ -30,61 +41,73 @@ object DBSCAN {
     import spark.implicits._
     val p = pts.select($"id".cast("long"), $"x".cast("double"), $"y".cast("double"))
 
-    val withCell = p
+    // 1. Contract identical positions. Reused by pairs and all three role
+    // expansions — materialize once.
+    val positions = p.groupBy($"x", $"y")
+      .agg(min($"id").as("pid"), count(lit(1)).as("w"))
+      .localCheckpoint()
+
+    val withCell = positions
       .withColumn("cx", floor($"x" / eps).cast("long"))
       .withColumn("cy", floor($"y" / eps).cast("long"))
 
-    // Probe side: each point exploded into its 9 neighbor cells, so an
-    // equi-join on (cx,cy) yields every pair at Chebyshev cell distance ≤ 1
-    // — a superset of all ε-pairs. One scan, not nine.
+    // Probe side: each position exploded into its 9 neighbor cells, so an
+    // equi-join on (cx,cy) yields every ordered position pair at Chebyshev
+    // cell distance ≤ 1 exactly once — a superset of all ε-pairs.
     val probe = withCell
-      .select($"id".as("id2"), $"x".as("x2"), $"y".as("y2"),
+      .select($"pid".as("pid2"), $"x".as("x2"), $"y".as("y2"), $"w".as("w2"),
         explode(expr(
           "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
           .as("cell"))
-      .select($"id2", $"x2", $"y2", $"cell.cx", $"cell.cy")
+      .select($"pid2", $"x2", $"y2", $"w2", $"cell.cx", $"cell.cy")
 
-    // Materialized once: pairs feed degrees, core edges, and the border
-    // assignment — without this the grid join would replay per consumer.
+    // Ordered ε-pairs of distinct positions (self-pair included). Feeds
+    // degrees, core edges, and border assignment — materialize once.
     val pairs = withCell.join(probe, Seq("cx", "cy"))
       .filter(($"x" - $"x2") * ($"x" - $"x2") + ($"y" - $"y2") * ($"y" - $"y2") <= eps * eps)
-      .select($"id", $"id2")
+      .select($"pid", $"pid2", $"w2")
       .localCheckpoint()
 
-    // |N_ε(p)| includes p itself (the id==id2 self-pair from the (0,0) shift).
-    val degrees = pairs.groupBy($"id").agg(count(lit(1)).as("deg"))
-    val core = degrees.filter($"deg" >= minPts).select($"id".as("core_id"))
+    // Weighted degree: each point at position pid has |N_ε| = Σ w2 over the
+    // ε-reachable positions (the self-pair contributes the colocated count).
+    val degrees = pairs.groupBy($"pid").agg(sum($"w2").as("deg"))
+    val core = degrees.filter($"deg" >= minPts).select($"pid".as("core_pid"))
       .localCheckpoint()
 
     val coreEdges = pairs
-      .join(core, pairs("id") === core("core_id")).drop("core_id")
-      .join(core, pairs("id2") === core("core_id")).drop("core_id")
-      .filter($"id" < $"id2")
+      .join(core, pairs("pid") === core("core_pid")).drop("core_pid")
+      .join(core, pairs("pid2") === core("core_pid")).drop("core_pid")
+      .filter($"pid" < $"pid2")
 
-    // Pointer-jumping CC labels each component with its min vertex id →
-    // deterministic (see ConnectedComponents for why not GraphX Pregel).
+    // CC labels every core component with its min pid — and pid is the min
+    // point id at its position, so the label IS the min core point id.
     val cc = ConnectedComponents.run(spark,
-        core.select($"core_id".as("id")),
-        coreEdges.select($"id".as("src"), $"id2".as("dst")))
+        core.select($"core_pid".as("id")),
+        coreEdges.select($"pid".as("src"), $"pid2".as("dst")))
       .withColumnRenamed("comp", "cluster")
+      .localCheckpoint()
 
-    val coreOut = cc.select($"id", lit("core").as("role"), $"cluster")
+    val corePos = cc.select($"id".as("pid"), lit("core").as("role"), $"cluster")
 
-    // Border: non-core point within ε of ≥1 core → join pairs against core
-    // assignments, take the minimum cluster id for determinism. Anti-joins,
-    // not EXCEPT: ids are unique, and anti-join skips EXCEPT's distinct.
-    val nonCore = p.select($"id")
-      .join(core.select($"core_id".as("id")), Seq("id"), "left_anti")
-    val borderOut = pairs.join(nonCore, Seq("id"))
-      .join(cc.select($"id".as("id2"), $"cluster"), Seq("id2"))
-      .groupBy($"id").agg(min($"cluster").as("cluster"))
-      .select($"id", lit("border").as("role"), $"cluster")
+    // Border: non-core position within ε of ≥1 core position → minimum
+    // neighboring cluster id for determinism. Anti-join, not EXCEPT: pids
+    // are unique, and anti-join skips EXCEPT's distinct.
+    val nonCorePos = positions.select($"pid")
+      .join(core.select($"core_pid".as("pid")), Seq("pid"), "left_anti")
+    val borderPos = pairs.join(nonCorePos, Seq("pid"))
+      .join(cc.select($"id".as("pid2"), $"cluster"), Seq("pid2"))
+      .groupBy($"pid").agg(min($"cluster").as("cluster"))
+      .select($"pid", lit("border").as("role"), $"cluster")
 
-    val assigned = coreOut.unionAll(borderOut).localCheckpoint()
-    val noiseOut = p.select($"id")
-      .join(assigned.select($"id"), Seq("id"), "left_anti")
-      .select($"id", lit("noise").as("role"), lit(-1L).as("cluster"))
+    val assignedPos = corePos.unionAll(borderPos).localCheckpoint()
+    val noisePos = positions.select($"pid")
+      .join(assignedPos.select($"pid"), Seq("pid"), "left_anti")
+      .select($"pid", lit("noise").as("role"), lit(-1L).as("cluster"))
 
-    assigned.unionAll(noiseOut)
+    // Expand position roles back to every point through the (x, y) key.
+    val roles = assignedPos.unionAll(noisePos)
+    p.join(positions.select($"x", $"y", $"pid"), Seq("x", "y"))
+      .join(roles, Seq("pid"))
+      .select($"id", $"role", $"cluster")
   }
 }

@@ -179,11 +179,16 @@ object Geo extends QueryGroup {
     }),
 
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
+    // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
+    // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of
+    // positions core with real border/noise fractions. ε=3.0 (mean degree
+    // ~44) made every point core in one giant component — nothing
+    // clustered and the CC stage ground for minutes.
     "m_dbscan" -> ((s, dir) => {
       import s.implicits._
       val p = withGeo(t(s, dir, "events"))
         .select($"event_id".as("id"), $"lat".as("y"), $"lon".as("x"))
-      graft.operators.DBSCAN.run(s, p, eps = 3.0, minPts = 4)
+      graft.operators.DBSCAN.run(s, p, eps = 1.0, minPts = 5)
         .groupBy($"role").agg(count(lit(1)).as("n"))
         .orderBy($"role")
     }),

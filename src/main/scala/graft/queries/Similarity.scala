@@ -164,7 +164,7 @@ object Similarity extends QueryGroup {
 
     "q_multimodal_bin" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(octet_length(encode(text))) AS total_bytes,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  COUNT(DISTINCT sha256(text)) AS n_distinct_blobs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )

@@ -71,12 +71,27 @@ object StreamingQueries extends QueryGroup {
     // Batch analog of watermark semantics: an event is "late" if it arrives
     // (arrival order = event_id) more than 10 min behind the running max
     // event time. The streaming watermark test lives in StreamingSpec.
+    // Two-pass running max, no global window over data rows: fixed
+    // event_id blocks carry a local (partitioned) running max; the
+    // cross-block prefix max comes from per-block maxima — a window over
+    // BLOCK-STATS rows only (#rows/8192 of the data, broadcast back).
     "q_stream_late" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"event_id").rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "events")
+      val blockSz = 8192L
+      val wPrevBlk = Window.orderBy($"blk").rowsBetween(Window.unboundedPreceding, -1)
+      val wLocal = Window.partitionBy($"blk").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = t(s, dir, "events")
         .withColumn("ts_us", unix_micros($"ts"))
-        .withColumn("hwm", max($"ts_us").over(w))
+        .withColumn("blk", floor($"event_id" / blockSz).cast("long"))
+      val bstats = e.groupBy($"blk").agg(max($"ts_us").as("bmax"))
+        .withColumn("pmax", max($"bmax").over(wPrevBlk))
+        .select($"blk", $"pmax")
+      e.join(broadcast(bstats), Seq("blk"))
+        // greatest() ignores NULLs: first row of a block falls back to the
+        // previous blocks' max, first block to local-only — exactly the
+        // strict-predecessor running max.
+        .withColumn("hwm", greatest(max($"ts_us").over(wLocal), $"pmax"))
         .withColumn("late", $"hwm".isNotNull && $"ts_us" < $"hwm" - LateUs)
         .groupBy($"event_type")
         .agg(count(when($"late", 1)).as("n_late"),

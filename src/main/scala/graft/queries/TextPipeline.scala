@@ -256,8 +256,8 @@ object TextPipeline extends QueryGroup {
 
     "q_token_count" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS ws_tokens,
-        |  SUM(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS bpe_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS BIGINT) AS bpe_tokens,
         |  round(SUM(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) * 1.0
         |        / SUM(len(string_split(text, ' '))), 4) AS bpe_per_ws
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

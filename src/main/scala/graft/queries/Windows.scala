@@ -8,10 +8,12 @@ import Q._
 /** SURVEY §2.5 — window-function suite (the trajectory-op substrate:
   * prev-point deltas, running totals, per-entity ranking).
   *
-  * Every window is keyed on a high-cardinality partition column
-  * (customer/user), so at 100 TB the single shuffle per query distributes
-  * evenly; no global-order window appears anywhere (a global ORDER BY
-  * window would serialize onto one task). Running sums go through DECIMAL:
+  * Every window over data rows is keyed on a partition column (customer/
+  * user for the keyed queries; a value-derived bucket for the global-order
+  * analytics), so at 100 TB the single shuffle per query distributes
+  * evenly. No data-scale global-order window appears anywhere (it would
+  * serialize onto one task); the only unpartitioned windows run over
+  * constant-size bucket-stats rows. Running sums go through DECIMAL:
   * engines disagree on windowed double accumulation order (segment trees
   * vs sequential), decimal is exact under both. */
 object Windows extends QueryGroup {
@@ -61,14 +63,41 @@ object Windows extends QueryGroup {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Global-order analytics WITHOUT a global window: value-derived buckets
+    // (floor(acctbal/500) — monotone in the sort key, ~22 buckets over the
+    // fixture's value range) carry local row_numbers; global offsets come
+    // from per-bucket counts. The only unpartitioned windows left run over
+    // the BUCKET-STATS rows (constant-size, data-independent), never over
+    // data rows. ntile/percent_rank/cume_dist are then pure arithmetic on
+    // the global row number (the (acctbal, custkey) order is total, so
+    // rank = row_number).
     "q_win_analytic" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal", $"c_custkey")
-      t(s, dir, "customer")
+      val bucketed = t(s, dir, "customer")
+        .withColumn("b", floor($"c_acctbal" / 500.0).cast("long"))
+      val wLocal = Window.partitionBy($"b").orderBy($"c_acctbal", $"c_custkey")
+      val wPrev  = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
+      val wAll   = Window.orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val stats = bucketed.groupBy($"b").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum($"cnt").over(wPrev), lit(0L)))
+        .withColumn("n", sum($"cnt").over(wAll))
+        .select($"b", $"off", $"n")
+      bucketed
+        .withColumn("lrn", row_number().over(wLocal).cast("long"))
+        .join(broadcast(stats), Seq("b"))
+        .withColumn("rn", $"off" + $"lrn")
+        .withColumn("q", expr("n div 4"))
+        .withColumn("r", $"n" % 4)
+        // SQL ntile: first r tiles get q+1 rows, the rest q.
+        .withColumn("quartile",
+          when($"rn" <= ($"q" + 1) * $"r", expr("(rn + q) div (q + 1)"))
+            .otherwise(expr("r + (rn - (q + 1) * r + greatest(q, 1) - 1) div greatest(q, 1)")))
         .select($"c_custkey",
-                ntile(4).over(w).cast("long").as("quartile"),
-                r4(percent_rank().over(w)).as("pct_rank"),
-                r4(cume_dist().over(w)).as("cume"))
+                $"quartile".cast("long").as("quartile"),
+                r4(when($"n" > 1, ($"rn" - 1).cast("double") / ($"n" - 1))
+                  .otherwise(lit(0.0))).as("pct_rank"),
+                r4($"rn".cast("double") / $"n").as("cume"))
         .orderBy($"c_custkey")
     }),
 

@@ -69,6 +69,18 @@ def main():
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: schema {list(got.columns)} (spark) vs {list(exp.columns)} (oracle)")
             bad.append(name); continue
+        # dtype parity: the driver's hasher renders values per-dtype, so an
+        # int column on one side vs float/object on the other (e.g. DuckDB
+        # HUGEINT from SUM(BIGINT)) hash-fails even when values are equal.
+        # float(a)==float(b) below can NEVER catch that — check dtypes here.
+        kinds = [(c, got[c].dtype.kind, exp[c].dtype.kind) for c in exp.columns]
+        dk = [(c, g, e) for c, g, e in kinds
+              if g != e and not (g in "iu" and e in "iu")
+              and "O" not in (g, e)]  # object cols (strings/lists) compared cell-wise
+        if dk:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle): "
+                  + ", ".join(f"{c}: {got[c].dtype} vs {exp[c].dtype}" for c, _, _ in dk))
+            bad.append(name); continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows {len(got)} (spark) vs {len(exp)} (oracle)")
             bad.append(name); continue
