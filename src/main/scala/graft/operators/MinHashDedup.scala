@@ -37,7 +37,18 @@ object MinHashDedup {
       .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(vecs)
 
-    model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "jdist")
+    // Materialize the signatures ONCE: approxSimilarityJoin self-joins its
+    // inputs, and without this both sides replay the whole shingle →
+    // HashingTF → minhash chain (it dominated the query's runtime).
+    // approxSimilarityJoin sees the existing output column and skips
+    // re-transforming. The shingle strings are projected away first — the
+    // join only needs (id, features, hashes), and the raw strings are the
+    // bulk of the row.
+    val hashed = model.transform(vecs)
+      .select(col("doc_id"), col("features"), col("hashes"))
+      .localCheckpoint()
+
+    model.approxSimilarityJoin(hashed, hashed, maxJaccardDistance, "jdist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
               round(col("jdist"), 4).as("jdist"))
       .filter($"d1" < $"d2")

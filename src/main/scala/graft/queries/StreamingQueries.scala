@@ -78,7 +78,13 @@ object StreamingQueries extends QueryGroup {
     "q_stream_late" -> ((s, dir) => {
       import s.implicits._
       val blockSz = 8192L
-      val wPrevBlk = Window.orderBy($"blk").rowsBetween(Window.unboundedPreceding, -1)
+      // Explicit single partition: this window sees only the #rows/8192
+      // block-stats rows (one task by design; at extreme volumes the same
+      // blocking recurses to blocks-of-blocks). The key is constant-valued
+      // but non-foldable so EliminateWindowPartitions does not strip it
+      // back to an unpartitioned window.
+      val wPrevBlk = Window.partitionBy($"blk" * 0).orderBy($"blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
       val wLocal = Window.partitionBy($"blk").orderBy($"event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val e = t(s, dir, "events")

@@ -76,8 +76,14 @@ object Windows extends QueryGroup {
       val bucketed = t(s, dir, "customer")
         .withColumn("b", floor($"c_acctbal" / 500.0).cast("long"))
       val wLocal = Window.partitionBy($"b").orderBy($"c_acctbal", $"c_custkey")
-      val wPrev  = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
-      val wAll   = Window.orderBy($"b")
+      // Explicit single partition: these two windows see only the ~22
+      // bucket-stats rows, so one task is the design, not an accident. The
+      // key is constant-VALUED but non-foldable ($"b" * 0 — the optimizer
+      // cannot fold it because b could be null), so EliminateWindowPartitions
+      // does not strip it back to an unpartitioned window.
+      val wPrev  = Window.partitionBy($"b" * 0).orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll   = Window.partitionBy($"b" * 0).orderBy($"b")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val stats = bucketed.groupBy($"b").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum($"cnt").over(wPrev), lit(0L)))
