@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -14,10 +14,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * used on the DuckDB oracle side (radians → pow/sin/cos → least-clamp →
   * asin), so both engines differ at most by transcendental-libm ulps, which
   * every consuming query rounds away via decimal casts.
+  *
+  * Codegen: `doGenCode` emits a call to the same static [[HaversineDist.km]]
+  * the interpreted path uses — the expression stays inside whole-stage
+  * codegen (one virtual call per row, identical bits on both paths) instead
+  * of forcing a CodegenFallback boundary in every geo/trajectory plan.
   */
 case class HaversineDist(first: Expression, second: Expression,
                          third: Expression, fourth: Expression)
-  extends QuaternaryExpression with CodegenFallback {
+  extends QuaternaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -25,6 +30,10 @@ case class HaversineDist(first: Expression, second: Expression,
     HaversineDist.km(
       lat1.asInstanceOf[Double], lon1.asInstanceOf[Double],
       lat2.asInstanceOf[Double], lon2.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lat1, lon1, lat2, lon2) =>
+      s"${ev.value} = graft.functions.HaversineDist.km($lat1, $lon1, $lat2, $lon2);")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -37,7 +46,8 @@ case class HaversineDist(first: Expression, second: Expression,
 object HaversineDist {
   final val EarthRadiusKm = 6371.0
 
-  /** Same operation order as the oracle SQL inline formula. */
+  /** Same operation order as the oracle SQL inline formula. Called from
+    * both `nullSafeEval` and the generated code (static forwarder). */
   def km(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val a = math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
       math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *

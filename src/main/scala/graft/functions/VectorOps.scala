@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -15,15 +15,35 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * inner loops run as JIT-compiled primitive-array code instead of
   * per-element interpreted lambdas: ~10× on the 2M-pair brute-force joins.
   * At 100 TB this expression sits inside the ANN candidate-verification
-  * stage, so its per-pair cost is the dominant CPU term. */
+  * stage, so its per-pair cost is the dominant CPU term.
+  *
+  * Codegen: `doGenCode` calls the same static [[CosineSim.compute]] used by
+  * the interpreted path, so the surrounding join/filter stays one
+  * whole-stage-codegen span with identical bits on both paths.
+  */
 case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
-    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSim.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  /** One implementation for both eval paths (static forwarder for codegen). */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
     val n = math.min(xs.length, ys.length)
     var dot = 0.0; var sa = 0.0; var sb = 0.0
     var i = 0
@@ -33,11 +53,6 @@ case class CosineSim(left: Expression, right: Expression)
     }
     dot / (math.sqrt(sa) * math.sqrt(sb))
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-
-  override def prettyName: String = "cosine_sim"
 }
 
 object VectorOps {
