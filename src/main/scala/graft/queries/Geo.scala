@@ -16,8 +16,9 @@ import Q._
   * cell keys — the same cell keys that at 100 TB become the physical
   * partition column for spatial pruning; kNN at this scale is a
   * TakeOrderedAndProject (per-partition heap), with grid-prune as the
-  * documented scale path; trajectory similarity joins users on shared
-  * grid cells (candidate pruning) rather than all-pairs.
+  * documented scale path; trajectory similarity reduces each user to a
+  * fixed-size visited-cell bitmap (one aggregate) and compares signatures
+  * with broadcast codegen'd popcount — no candidate-pair shuffle.
   *
   * FP parity: per-segment haversine values may differ from DuckDB by libm
   * ulps, so consumers (a) sum through DECIMAL(18,4) where a 1e-12 wobble
@@ -154,24 +155,34 @@ object Geo extends QueryGroup {
         .orderBy($"user_id")
     }),
 
-    // Trajectory similarity: Jaccard over visited 10° grid-cell sets,
-    // candidate pairs generated by joining on shared cells only.
+    // Trajectory similarity: exact Jaccard over visited 10° grid-cell sets.
+    // The cell universe is fixed (18×36 = 648 cells), so each user's set is
+    // a 704-bit bitmap: 11 bit_or-aggregated longs — one signature row per
+    // user — then a broadcast pair scan with codegen'd AND/popcount. This
+    // replaces the shared-cell equi-join, which at bench density (every
+    // user visits most cells) degenerated to ~all-pairs × shared-cells
+    // shuffle rows. Per-user state is O(|grid|/8) bytes regardless of data
+    // volume; for unbounded user counts the documented scale path is
+    // MinHash-LSH over the same cell sets (m_dedup_minhash machinery).
     "q_traj_sim" -> ((s, dir) => {
       import s.implicits._
-      val cells = pts(s, dir)
-        .select($"user_id",
-                floor($"lat" / 10.0).cast("long").as("cx"),
-                floor($"lon" / 10.0).cast("long").as("cy"))
-        .distinct()
-      val sizes = cells.groupBy($"user_id").agg(count(lit(1)).as("n_cells"))
-      val inter = cells.as("a")
-        .join(cells.as("b"), Seq("cx", "cy"))
-        .filter($"a.user_id" < $"b.user_id")
-        .groupBy($"a.user_id".as("u1"), $"b.user_id".as("u2"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select($"user_id".as("u1"), $"n_cells".as("n1")), Seq("u1"))
-        .join(sizes.select($"user_id".as("u2"), $"n_cells".as("n2")), Seq("u2"))
+      val W = 11 // ceil(648 / 64)
+      val cid = ((floor($"lat" / 10.0) + 9L) * 36L + (floor($"lon" / 10.0) + 18L)).cast("int")
+      val cells = pts(s, dir).select($"user_id", cid.as("cid")).distinct()
+      val words = (0 until W).map(w =>
+        expr(s"bit_or(CASE WHEN cid div 64 = $w THEN shiftleft(1L, cid % 64) ELSE 0L END)")
+          .as(s"w$w"))
+      val bm = cells.groupBy($"user_id").agg(words.head, words.tail: _*)
+      val lhs = bm.select($"user_id".as("u1") +: (0 until W).map(w => col(s"w$w").as(s"a$w")): _*)
+      val rhs = bm.select($"user_id".as("u2") +: (0 until W).map(w => col(s"w$w").as(s"b$w")): _*)
+      val nInter = (0 until W).map(w => expr(s"bit_count(a$w & b$w)")).reduce(_ + _)
+      val n1 = (0 until W).map(w => expr(s"bit_count(a$w)")).reduce(_ + _)
+      val n2 = (0 until W).map(w => expr(s"bit_count(b$w)")).reduce(_ + _)
+      lhs.join(broadcast(rhs), $"u1" < $"u2")
+        .withColumn("n_inter", nInter.cast("long"))
+        .withColumn("n1", n1.cast("long"))
+        .withColumn("n2", n2.cast("long"))
+        .filter($"n_inter" > 0) // the equi-join shape never saw 0-overlap pairs
         .select($"u1", $"u2",
                 r4($"n_inter" * lit(1.0) / ($"n1" + $"n2" - $"n_inter")).as("jaccard"))
         .orderBy($"jaccard".desc, $"u1", $"u2")
