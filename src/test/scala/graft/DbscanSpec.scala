@@ -10,13 +10,20 @@ class DbscanSpec extends BaseSpec {
 
   private def genPoints(n: Int, seed: Long): Seq[(Long, Double, Double)] = {
     val rnd = new Random(seed)
-    // three dense blobs + uniform noise
+    // three dense blobs + uniform noise; every 10th point duplicates an
+    // earlier point's EXACT position, so the distributed implementation's
+    // position-contraction path (weight > 1 nodes) is exercised by the
+    // equivalence test, not just by distinct-position data.
     val blobs = Seq((2.0, 2.0), (8.0, 8.0), (2.0, 8.0))
-    (0 until n).map { i =>
+    val base = (0 until n).map { i =>
       if (i % 4 < 3) {
         val (cx, cy) = blobs(i % 3)
         (i.toLong, cx + rnd.nextGaussian() * 0.3, cy + rnd.nextGaussian() * 0.3)
       } else (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+    }
+    base.map { case (i, x, y) =>
+      if (i % 10 == 9) { val (_, px, py) = base((i - 9).toInt); (i, px, py) }
+      else (i, x, y)
     }
   }
 
