@@ -10,6 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warmup (not measured): the first plan executed pays one-time
+    // costs — parquet reader init, whole-stage-codegen compiler startup,
+    // broadcast/window/shuffle machinery classloading (~5 s measured) —
+    // which would otherwise be misattributed to whichever query the map
+    // happens to order first. One tiny representative plan over the two
+    // smallest tables moves that cost out of the per-query numbers.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("r_name").agg(sum("n_nationkey").as("s"))
+        .orderBy("r_name").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

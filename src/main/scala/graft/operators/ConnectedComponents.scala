@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *  - small-star(u): connect u and every neighbor v ≤ u to that minimum.
   * Both preserve connectivity and never change a component's minimum; the
   * unique common fixpoint is the star forest rooted at component minima.
+  *
+  * Distributed rounds run only while the edge set exceeds `localThreshold`;
+  * below it an exact driver-local union-find finishes the job (bounded
+  * memory, explicit parameter) — contraction shrinks the edge set every
+  * round, so at any scale the tail of the computation is small and the
+  * fixed per-round job overhead, not data volume, would dominate it.
   */
 object ConnectedComponents {
 
@@ -52,51 +58,93 @@ object ConnectedComponents {
 
   /** @param vertices single `id` column
     * @param edges `src`,`dst` (each undirected edge once is enough)
+    * @param localThreshold finish with an exact driver-local union-find once
+    *        the contracted edge set has at most this many edges (~16 B/edge
+    *        of bounded driver memory; 0 forces pure distributed rounds)
     * @return (id, comp) — comp is the min vertex id reachable */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-          maxIter: Int = 50): DataFrame = {
+          maxIter: Int = 50, localThreshold: Long = 1L << 22): DataFrame = {
     import spark.implicits._
     val selfLabels = vertices.select($"id", $"id".as("comp"))
     var e = edges
       .select(greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
       .filter($"hi" =!= $"lo")
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+
+    // Hybrid endgame: below localThreshold the remaining O(log n) star
+    // rounds would each pay a fixed multi-stage job on a tiny edge list, so
+    // finish with an exact union-find on the driver instead — the standard
+    // local-completion step for contraction CC. Union-to-min preserves the
+    // invariant label = component minimum; output is the same star forest
+    // the distributed fixpoint would reach, so downstream code is
+    // indifferent to which path produced it.
+    def localStarForest(df: DataFrame): DataFrame = {
+      val arr = df.select($"hi", $"lo").as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      arr.foreach { case (hi, lo) =>
+        val (ra, rb) = (find(hi), find(lo))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val star = arr.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toSet.iterator
+        .map((id: Long) => (id, find(id)))
+        .filter { case (id, root) => id != root }
+        .toSeq
+      spark.createDataset(star).toDF("hi", "lo")
+    }
 
     // Fingerprint = (count, xxhash64 xor-fold): unchanged ⟺ the round was a
     // no-op, and the only edge set both ops fix is the star forest. bit_xor,
-    // not sum — an order-independent fold that cannot ANSI-overflow. The
-    // definitive star-forest assertion below makes a (astronomically
-    // unlikely) fingerprint collision a hard failure, never a wrong answer.
+    // not sum — an order-independent fold that cannot ANSI-overflow. A
+    // fingerprint match is only a cheap convergence *hint*: it is confirmed
+    // by the definitive star-forest check, and on a (astronomically
+    // unlikely) collision the loop simply keeps iterating instead of
+    // aborting a correct run.
     def fingerprint(df: DataFrame): (Long, Long) = {
       df.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)))
         .as[(Long, Long)].head()
     }
 
-    if (!e.isEmpty) {
-      var prev = fingerprint(e)
-      var converged = false
+    // Star forest ⟺ every child has exactly one parent and no parent is
+    // itself a child — the unique common fixpoint of both star ops.
+    def isStarForest(df: DataFrame): Boolean = {
+      val multiParent = df.groupBy($"hi").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1).limit(1).count()
+      lazy val chained = df.as("a")
+        .join(df.as("b"), col("a.lo") === col("b.hi"), "left_semi")
+        .limit(1).count()
+      multiParent == 0 && chained == 0
+    }
+
+    var prev = fingerprint(e)
+    if (prev._1 > 0) {
+      var verified = false
       var i = 0
-      while (!converged && i < maxIter) {
-        e = smallStar(largeStar(e)).localCheckpoint()
+      while (!verified && prev._1 > localThreshold && i < maxIter) {
+        e = smallStar(largeStar(e)).localCheckpoint(eager = false)
         val cur = fingerprint(e)
-        converged = cur == prev
+        // Definitive check runs only on a fingerprint match — once on a
+        // normal run. Labels only contract, so iterating past a collision
+        // is always safe and always terminates at the true fixpoint.
+        verified = cur == prev && isStarForest(e)
         prev = cur
         i += 1
       }
-      if (!converged)
+      if (!verified && prev._1 <= localThreshold) {
+        e = localStarForest(e)
+        verified = true
+      }
+      if (!verified)
         throw new IllegalStateException(
-          s"ConnectedComponents: no fixpoint after $maxIter large/small-star rounds")
-      // Star forest ⟺ every child has exactly one parent and no parent is
-      // itself a child. Anything else here is a bug — fail loudly.
-      val multiParent = e.groupBy($"hi").agg(count(lit(1)).as("c"))
-        .filter($"c" > 1).limit(1).count()
-      val chained = e.as("a")
-        .join(e.as("b"), col("a.lo") === col("b.hi"), "left_semi")
-        .limit(1).count()
-      if (multiParent > 0 || chained > 0)
-        throw new IllegalStateException(
-          "ConnectedComponents: converged edge set is not a star forest")
+          s"ConnectedComponents: no verified star-forest fixpoint after $maxIter rounds")
     }
 
     selfLabels.as("v")

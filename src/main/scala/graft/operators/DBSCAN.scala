@@ -45,7 +45,7 @@ object DBSCAN {
     // expansions — materialize once.
     val positions = p.groupBy($"x", $"y")
       .agg(min($"id").as("pid"), count(lit(1)).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val withCell = positions
       .withColumn("cx", floor($"x" / eps).cast("long"))
@@ -66,13 +66,13 @@ object DBSCAN {
     val pairs = withCell.join(probe, Seq("cx", "cy"))
       .filter(($"x" - $"x2") * ($"x" - $"x2") + ($"y" - $"y2") * ($"y" - $"y2") <= eps * eps)
       .select($"pid", $"pid2", $"w2")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // Weighted degree: each point at position pid has |N_ε| = Σ w2 over the
     // ε-reachable positions (the self-pair contributes the colocated count).
     val degrees = pairs.groupBy($"pid").agg(sum($"w2").as("deg"))
     val core = degrees.filter($"deg" >= minPts).select($"pid".as("core_pid"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val coreEdges = pairs
       .join(core, pairs("pid") === core("core_pid")).drop("core_pid")
@@ -85,7 +85,7 @@ object DBSCAN {
         core.select($"core_pid".as("id")),
         coreEdges.select($"pid".as("src"), $"pid2".as("dst")))
       .withColumnRenamed("comp", "cluster")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val corePos = cc.select($"id".as("pid"), lit("core").as("role"), $"cluster")
 
@@ -99,7 +99,7 @@ object DBSCAN {
       .groupBy($"pid").agg(min($"cluster").as("cluster"))
       .select($"pid", lit("border").as("role"), $"cluster")
 
-    val assignedPos = corePos.unionAll(borderPos).localCheckpoint()
+    val assignedPos = corePos.unionAll(borderPos).localCheckpoint(eager = false)
     val noisePos = positions.select($"pid")
       .join(assignedPos.select($"pid"), Seq("pid"), "left_anti")
       .select($"pid", lit("noise").as("role"), lit(-1L).as("cluster"))

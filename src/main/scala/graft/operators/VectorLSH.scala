@@ -28,7 +28,13 @@ object VectorLSH {
       .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(vecs)
 
-    model.approxSimilarityJoin(vecs, vecs, maxEuclideanDistance, "edist")
+    // Materialize the projections ONCE (same fix as MinHashDedup):
+    // approxSimilarityJoin self-joins its input, and without this both
+    // sides replay array→vector + 4 random projections per row; with the
+    // output column present it skips re-transforming.
+    val hashed = model.transform(vecs).localCheckpoint()
+
+    model.approxSimilarityJoin(hashed, hashed, maxEuclideanDistance, "edist")
       .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
               round(col("edist"), 4).as("edist"))
       .filter($"va" < $"vb")

@@ -156,9 +156,12 @@ object Geo extends QueryGroup {
     }),
 
     // Trajectory similarity: exact Jaccard over visited 10° grid-cell sets.
-    // The cell universe is fixed (18×36 = 648 cells), so each user's set is
-    // a 704-bit bitmap: 11 bit_or-aggregated longs — one signature row per
-    // user — then a broadcast pair scan with codegen'd AND/popcount. This
+    // The cell universe is fixed (19×37 = 703 ids over the closed GPS domain
+    // lat ∈ [-90,90], lon ∈ [-180,180] — the 37-wide stride gives the
+    // boundary points lat=90 / lon=180 their own cells instead of aliasing
+    // into the next row), so each user's set is a 704-bit bitmap: 11
+    // bit_or-aggregated longs — one signature row per user — then a
+    // broadcast pair scan with codegen'd AND/popcount. This
     // replaces the shared-cell equi-join, which at bench density (every
     // user visits most cells) degenerated to ~all-pairs × shared-cells
     // shuffle rows. Per-user state is O(|grid|/8) bytes regardless of data
@@ -166,8 +169,11 @@ object Geo extends QueryGroup {
     // MinHash-LSH over the same cell sets (m_dedup_minhash machinery).
     "q_traj_sim" -> ((s, dir) => {
       import s.implicits._
-      val W = 11 // ceil(648 / 64)
-      val cid = ((floor($"lat" / 10.0) + 9L) * 36L + (floor($"lon" / 10.0) + 18L)).cast("int")
+      val W = 11 // ceil(703 / 64)
+      // cid ∈ [0, 702]: lat row (floor(lat/10)+9) ∈ [0,18], lon col
+      // (floor(lon/10)+18) ∈ [0,36] on the closed domain; out-of-domain
+      // input would still alias, so the domain assumption lives here.
+      val cid = ((floor($"lat" / 10.0) + 9L) * 37L + (floor($"lon" / 10.0) + 18L)).cast("int")
       val cells = pts(s, dir).select($"user_id", cid.as("cid")).distinct()
       val words = (0 until W).map(w =>
         expr(s"bit_or(CASE WHEN cid div 64 = $w THEN shiftleft(1L, cid % 64) ELSE 0L END)")

@@ -21,6 +21,25 @@ class MlSpec extends BaseSpec {
     assert(recall >= 0.95, s"recall $recall over ${truth.size} truth pairs")
   }
 
+  test("MinHashLSH finds a threshold-adjacent pair (J just above the 0.5 cut)") {
+    // The fixture's planted near-dups sit far above the Jaccard threshold,
+    // so the recall property alone would not notice a numHashTables change
+    // that only loses borderline pairs. This pair is constructed at the
+    // edge: docs share a 15-token prefix of 20 tokens → 13 of 23 distinct
+    // 3-gram shingles shared → J = 13/23 ≈ 0.565, distance 0.435 — just
+    // inside the 0.5 cut. Seed 42 makes the banding deterministic.
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 15).map(i => s"w$i") ++ (16 to 20).map(i => s"v$i")).mkString(" ")
+    val decoys = (3L to 8L).map(i => i -> (1 to 20).map(j => s"d${i}x$j").mkString(" "))
+    val docs = ((1L -> a) +: (2L -> b) +: decoys).toDF("doc_id", "text")
+    val got = MinHashDedup.candidatePairs(spark, docs, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)),
+      s"4-table LSH must keep catching the borderline J≈0.565 pair; got $got")
+    assert(!got.exists { case (x, y) => x >= 3L && y >= 3L },
+      s"decoys share no shingles and must not pair up; got $got")
+  }
+
   test("SimHash banding finds exactly the brute-force Hamming<=3 pairs") {
     val fps = docs.select($"doc_id", $"text").as[(Long, String)].collect()
       .map { case (id, text) => id -> SimHash.simhash64(text.split(" ").toSeq) }
