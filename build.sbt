@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW. sbt's default LoggedOutput
+// prefixes every program line with "[info] ", so no line starts with '{'
+// and the driver's tail-capture JSON scan finds nothing (BENCH_r04
+// "parsed": null; BENCH_r03 parsed only because the byte-window cut
+// happened to land exactly on a '{'). StdoutOutput bypasses the logger.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

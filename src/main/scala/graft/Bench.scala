@@ -16,7 +16,9 @@ object Bench {
     // which would otherwise be misattributed to whichever query the map
     // happens to order first. One tiny representative plan over the two
     // smallest tables moves that cost out of the per-query numbers.
-    locally {
+    // Guarded: a missing/unreadable warmup table must degrade to cold-start
+    // per-query numbers, never abort the whole bench before any timing.
+    try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       val n = spark.read.parquet(s"$sfDir/nation.parquet")
@@ -26,7 +28,7 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .groupBy("r_name").agg(sum("n_nationkey").as("s"))
         .orderBy("r_name").count()
-    }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

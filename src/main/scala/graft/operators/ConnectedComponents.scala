@@ -59,11 +59,14 @@ object ConnectedComponents {
   /** @param vertices single `id` column
     * @param edges `src`,`dst` (each undirected edge once is enough)
     * @param localThreshold finish with an exact driver-local union-find once
-    *        the contracted edge set has at most this many edges (~16 B/edge
-    *        of bounded driver memory; 0 forces pure distributed rounds)
+    *        the contracted edge set has at most this many edges. Driver cost
+    *        is two 8 B/edge primitive arrays retained plus the transient
+    *        `Row[]` of the collect (~60 B/edge until the next GC), so the
+    *        1M default peaks well under 100 MB of driver heap; 0 forces pure
+    *        distributed rounds
     * @return (id, comp) — comp is the min vertex id reachable */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-          maxIter: Int = 50, localThreshold: Long = 1L << 22): DataFrame = {
+          maxIter: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val selfLabels = vertices.select($"id", $"id".as("comp"))
     var e = edges
@@ -80,7 +83,17 @@ object ConnectedComponents {
     // the distributed fixpoint would reach, so downstream code is
     // indifferent to which path produced it.
     def localStarForest(df: DataFrame): DataFrame = {
-      val arr = df.select($"hi", $"lo").as[(Long, Long)].collect()
+      // Collected Rows are unpacked straight into two primitive long arrays
+      // (the retained footprint) so only the Row[] itself is transient boxed
+      // memory; no tuple/Set materialization of the edge list.
+      val rows = df.select($"hi", $"lo").collect()
+      val n = rows.length
+      val his = new Array[Long](n)
+      val los = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        his(i) = rows(i).getLong(0); los(i) = rows(i).getLong(1); i += 1
+      }
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -89,16 +102,19 @@ object ConnectedComponents {
         while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      arr.foreach { case (hi, lo) =>
-        val (ra, rb) = (find(hi), find(lo))
+      i = 0
+      while (i < n) {
+        val ra = find(his(i)); val rb = find(los(i))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 1
       }
-      val star = arr.iterator.flatMap { case (a, b) => Iterator(a, b) }
-        .toSet.iterator
-        .map((id: Long) => (id, find(id)))
-        .filter { case (id, root) => id != root }
-        .toSeq
-      spark.createDataset(star).toDF("hi", "lo")
+      // One (id, root) pair per non-root vertex; LongMap doubles as the
+      // primitive-keyed visited set.
+      val star = scala.collection.mutable.LongMap.empty[Long]
+      def visit(x: Long): Unit = { val r = find(x); if (r != x) star(x) = r }
+      i = 0
+      while (i < n) { visit(his(i)); visit(los(i)); i += 1 }
+      spark.createDataset(star.toSeq).toDF("hi", "lo")
     }
 
     // Fingerprint = (count, xxhash64 xor-fold): unchanged ⟺ the round was a

@@ -3,7 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only: stage-by-stage timing of the m_dbscan pipeline at sf0.1. */
+/** Dev-only: stage-by-stage timing of the m_dbscan pipeline at sf0.1.
+  *
+  * The stages below (position contraction → ε-cell probe join → degree /
+  * core filter → core edges → CC) are a hand-inlined copy of
+  * `DBSCAN.run`'s internals as of commit 015676c, with minPts = 5 and the
+  * Geo.scala derived lat/lon columns. If `DBSCAN.scala` changes shape,
+  * re-sync this file or its stage timings will silently measure the old
+  * pipeline — the `full-run` stage at the end runs the real operator and is
+  * the drift check: its total should ≈ the sum of the stages above it.
+  */
 object ProfileDbscan {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
