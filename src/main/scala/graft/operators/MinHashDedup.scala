@@ -1,57 +1,66 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scalable near-duplicate candidate generation via MinHash + LSH banding —
-  * the 100 TB path of SURVEY §2.11 (`m_dedup_minhash`), property-tested
-  * against the exact shingle-Jaccard truth (`q_dedup_jaccard`).
+/** Scalable near-duplicate candidate generation via MinHash banding — the
+  * 100 TB path of SURVEY §2.11 (`m_dedup_minhash`), property-tested against
+  * the exact shingle-Jaccard truth (`q_dedup_jaccard`).
   *
-  * Pipeline: 3-gram token shingles → HashingTF (2^18-dim binary sparse
-  * vectors, fixed seed-free hashing) → MinHashLSH (4 tables, seed 42) →
-  * `approxSimilarityJoin` at Jaccard-distance ≤ threshold. At scale the
-  * join shuffles on (band hash) buckets only — never all pairs. 4 tables
-  * (down from 8) halves the hash explode + candidate volume; recall vs the
-  * exact-Jaccard truth stays ≥ 0.95 (MlSpec property) because the planted
-  * near-dups sit far above the threshold. */
+  * Spark-native pipeline (no MLlib — every step is a codegen'd builtin):
+  *  1. 3-gram token shingles → distinct 64-bit `xxhash64` values per doc
+  *     (Jaccard over these equals Jaccard over distinct shingles up to
+  *     2⁻⁶⁴-probability hash collisions — tighter than hashing into
+  *     HashingTF's 2¹⁸ buckets);
+  *  2. `numBands` permutation minima, perm_i(h) = xxhash64(h, i) — the
+  *     classic "min over a keyed re-hash" MinHash family, one
+  *     `array_min(transform(...))` per band, all inside whole-stage codegen;
+  *  3. banding equi-join on (band, min) — a pair becomes a candidate iff it
+  *     agrees on ANY band minimum, P(candidate) = 1 − (1 − J)^numBands, the
+  *     same OR-amplification as MLlib MinHashLSH with numHashTables bands;
+  *  4. exact Jaccard verification of the candidates only
+  *     (`array_intersect`/`array_union` on the signature arrays), keeping
+  *     pairs at distance ≤ `maxJaccardDistance`.
+  *
+  * At scale the only shuffles are the (band, min) bucket join — never all
+  * pairs — and the doc_id-keyed verify join over the surviving candidates;
+  * signatures are integers, so no raw text moves after step 1. */
 object MinHashDedup {
+
+  /** OR-amplification width. 6 single-row bands keep the borderline
+    * J ≈ 0.565 fixture pair at P = 1 − 0.435⁶ ≈ 0.993 while the exact
+    * verify step keeps precision at 1.0 regardless. */
+  private val numBands = 6
 
   def candidatePairs(spark: SparkSession, documents: DataFrame,
                      maxJaccardDistance: Double): DataFrame = {
     import spark.implicits._
-    val sh = documents
+    // Distinct shingle hashes per doc — reused by the band explode and by
+    // BOTH sides of the verify join, so materialize once.
+    val sig = documents
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .withColumn("shingles", expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-      .select($"doc_id", $"shingles")
+      .select($"doc_id", expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hs"))
+      .localCheckpoint(eager = false)
 
-    val tf = new HashingTF()
-      .setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val vecs = tf.transform(sh).filter(expr("features IS NOT NULL"))
+    val bands = sig.select($"doc_id", posexplode(expr(
+      s"transform(sequence(0, ${numBands - 1}), i -> array_min(transform(hs, h -> xxhash64(h, i))))"))
+      .as(Seq("band", "mh")))
 
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(vecs)
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "mh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
 
-    // Materialize the signatures ONCE: approxSimilarityJoin self-joins its
-    // inputs, and without this both sides replay the whole shingle →
-    // HashingTF → minhash chain (it dominated the query's runtime).
-    // approxSimilarityJoin sees the existing output column and skips
-    // re-transforming. The shingle strings are projected away first — the
-    // join only needs (id, features, hashes), and the raw strings are the
-    // bulk of the row.
-    val hashed = model.transform(vecs)
-      .select(col("doc_id"), col("features"), col("hashes"))
-      .localCheckpoint()
-
-    model.approxSimilarityJoin(hashed, hashed, maxJaccardDistance, "jdist")
-      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
-              round(col("jdist"), 4).as("jdist"))
-      .filter($"d1" < $"d2")
+    cand
+      .join(sig.select($"doc_id".as("d1"), $"hs".as("h1")), Seq("d1"))
+      .join(sig.select($"doc_id".as("d2"), $"hs".as("h2")), Seq("d2"))
+      .withColumn("jdist", round(lit(1.0) -
+        size(array_intersect($"h1", $"h2")).cast("double") / size(array_union($"h1", $"h2")), 4))
+      .filter($"jdist" <= maxJaccardDistance)
+      .select($"d1", $"d2", $"jdist")
       .orderBy($"d1", $"d2")
   }
 }

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,34 +8,46 @@ import org.apache.spark.sql.functions._
   * embedding column, property-tested for recall against the exact cosine
   * truth (`q_sim_cosine` / `q_sim_knn_vec`).
   *
-  * At scale `approxSimilarityJoin` shuffles on (hash bucket), so the pair
-  * candidate set is bucket-local, never N². bucketLength trades recall for
-  * bucket size; pair distances on unit-norm 64-dim vectors concentrate near
-  * √2, so thresholds live in [1, 1.4] and bucketLength 2.0 keeps buckets small. */
+  * Spark-native: bucket ids come from the [[graft.functions.BrpBuckets]]
+  * codegen expression (p-stable gaussian projections, deterministic seed),
+  * candidates from a (table, bucket) equi-join — bucket-local, never N² —
+  * and every candidate is verified with the exact
+  * [[graft.functions.EuclideanDist]] before emission, so precision is 1.0
+  * by construction and only recall depends on the LSH parameters.
+  * bucketLength trades recall for bucket size; pair distances on unit-norm
+  * 64-dim vectors concentrate near √2, so thresholds live in [1, 1.4] and
+  * bucketLength 2.0 keeps buckets small. */
 object VectorLSH {
+
+  private val numTables = 4
+  private val bucketLen = 2.0
+  private val seed = 42L
 
   def candidatePairs(spark: SparkSession, embeddings: DataFrame,
                      maxEuclideanDistance: Double): DataFrame = {
     import spark.implicits._
+    graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed)
+
+    // Vectors as ARRAY<DOUBLE>, materialized once: the bucket explode and
+    // both sides of the verify join reuse them.
     val vecs = embeddings
-      .withColumn("features", array_to_vector($"embedding"))
-      .select($"vec_id", $"features")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint(eager = false)
 
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(vecs)
+    val buckets = vecs.select($"vec_id",
+      posexplode(expr("brp_buckets(v)")).as(Seq("tbl", "bkt")))
 
-    // Materialize the projections ONCE (same fix as MinHashDedup):
-    // approxSimilarityJoin self-joins its input, and without this both
-    // sides replay array→vector + 4 random projections per row; with the
-    // output column present it skips re-transforming.
-    val hashed = model.transform(vecs).localCheckpoint()
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("tbl", "bkt"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
 
-    model.approxSimilarityJoin(hashed, hashed, maxEuclideanDistance, "edist")
-      .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
-              round(col("edist"), 4).as("edist"))
-      .filter($"va" < $"vb")
+    cand
+      .join(vecs.select($"vec_id".as("va"), $"v".as("v1")), Seq("va"))
+      .join(vecs.select($"vec_id".as("vb"), $"v".as("v2")), Seq("vb"))
+      .withColumn("edist", round(expr("euclidean_dist(v1, v2)"), 4))
+      .filter($"edist" <= maxEuclideanDistance)
+      .select($"va", $"vb", $"edist")
       .orderBy($"va", $"vb")
   }
 }

@@ -23,11 +23,13 @@ class MlSpec extends BaseSpec {
 
   test("MinHashLSH finds a threshold-adjacent pair (J just above the 0.5 cut)") {
     // The fixture's planted near-dups sit far above the Jaccard threshold,
-    // so the recall property alone would not notice a numHashTables change
+    // so the recall property alone would not notice a band-count change
     // that only loses borderline pairs. This pair is constructed at the
     // edge: docs share a 15-token prefix of 20 tokens → 13 of 23 distinct
     // 3-gram shingles shared → J = 13/23 ≈ 0.565, distance 0.435 — just
-    // inside the 0.5 cut. Seed 42 makes the banding deterministic.
+    // inside the 0.5 cut. The xxhash64 permutation family makes the
+    // banding fully deterministic, so this either always passes or the
+    // band width regressed.
     val a = (1 to 20).map(i => s"w$i").mkString(" ")
     val b = ((1 to 15).map(i => s"w$i") ++ (16 to 20).map(i => s"v$i")).mkString(" ")
     val decoys = (3L to 8L).map(i => i -> (1 to 20).map(j => s"d${i}x$j").mkString(" "))
@@ -35,7 +37,7 @@ class MlSpec extends BaseSpec {
     val got = MinHashDedup.candidatePairs(spark, docs, 0.5)
       .select($"d1", $"d2").as[(Long, Long)].collect().toSet
     assert(got.contains((1L, 2L)),
-      s"4-table LSH must keep catching the borderline J≈0.565 pair; got $got")
+      s"6-band MinHash must keep catching the borderline J≈0.565 pair; got $got")
     assert(!got.exists { case (x, y) => x >= 3L && y >= 3L },
       s"decoys share no shingles and must not pair up; got $got")
   }
