@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2 extensions — relational reshaping and pipeline utilities a
+  * large-scale training-data build needs beyond the core operator set:
+  * pivot/unpivot, one-pass column profiling (data-quality gate), batch
+  * sessionization, an explicitly skew-salted join, and the raw `spark.sql`
+  * ANSI surface (the same SQL text runs unchanged on Spark and DuckDB).
+  *
+  * Scale notes per operator live on each query; the common theme is that
+  * every shuffle is keyed by the grouping column that the next stage needs,
+  * and the salted join demonstrates the standard mitigation when one key
+  * dominates a shuffle (hot-key rows spread over `nSalt` reducers, the
+  * small side replicated `nSalt`×, result provably identical to the plain
+  * join — the oracle IS the plain join).
+  */
+object Reshape extends QueryGroup {
+
+  private val nSalt = 8
+
+  /** Gap-based sessionization core (batch form of what
+    * `q_stream_session`'s `session_window` does in streaming): rows within
+    * `gapUs` of the previous row of the same user share a session. Exposed
+    * for direct unit-testing on synthetic traces (ReshapeSpec).
+    * Input: (user_id, event_id, ts_us). Output adds sess_id (1-based per
+    * user). One shuffle on user_id; the two window passes and the later
+    * per-(user, session) aggregate all reuse that partitioning. */
+  def sessionize(ev: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "brk")
+  }
+
+  /** The identical ANSI text runs on Spark (over temp views) and DuckDB —
+    * TPC-H Q3 shape. Decimal-routed sum per SURVEY §2 determinism rules. */
+  private val tpchQ3 =
+    """SELECT o_orderkey,
+      |  round(CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate  > TIMESTAMP '1995-03-15'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    // Wide pivot: one hash-agg shuffle on the row key; the pivoted columns
+    // are plain conditional aggregates, so no extra pass per column.
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(r4(dsum($"l_quantity")))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // unpivot/melt (Spark 3.4+ Dataset.unpivot): long-form metrics table.
+    "q_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(r3(davg($"c_acctbal", 2)).as("avg_acctbal"),
+             count(lit(1)).cast("double").as("n_cust"))
+        .unpivot(Array($"c_mktsegment"), Array($"avg_acctbal", $"n_cust"),
+                 "metric", "value")
+        .orderBy($"c_mktsegment", $"metric")
+    }),
+
+    // One-pass-per-column data-quality profile (null / distinct / range) —
+    // the pre-ingest gate of a training-data pipeline. Each branch prunes
+    // to its single column at the scan, so total bytes read equal one
+    // full-width scan; exact COUNT(DISTINCT) is per-branch (no expand
+    // blow-up). At 100 TB swap in approx_count_distinct — kept exact here
+    // because the oracle compares exact values.
+    "q_profile" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      def prof(c: String, numeric: Boolean) = {
+        val range =
+          if (numeric) Seq(r4(min(col(c)).cast("double")).as("min_num"),
+                           r4(max(col(c)).cast("double")).as("max_num"))
+          else Seq(lit(null).cast("double").as("min_num"),
+                   lit(null).cast("double").as("max_num"))
+        val aggs = Seq(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct")) ++ range
+        o.agg(aggs.head, aggs.tail: _*).select(lit(c).as("col"), col("*"))
+      }
+      Seq(prof("o_orderkey", true), prof("o_custkey", true),
+          prof("o_orderstatus", false), prof("o_totalprice", true),
+          prof("o_orderpriority", false))
+        .reduce(_ unionAll _)
+        .orderBy($"col")
+    }),
+
+    // Batch sessionization: 30-minute inactivity gap, per-user session
+    // stats. Single user_id shuffle feeds windows and both aggregates.
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      sessionize(ev, 1800L * 1000000L)
+        .groupBy($"user_id", $"sess_id")
+        .agg(count(lit(1)).as("n"), (max($"ts_us") - min($"ts_us")).as("span_us"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"),
+             max($"span_us").as("max_span_us"))
+        .orderBy($"user_id")
+    }),
+
+    // Skew-salted join: the fact side's hot keys are spread across nSalt
+    // shuffle partitions by a deterministic salt; the dim side is exploded
+    // nSalt× so every (key, salt) bucket still finds its match. Result is
+    // provably the plain join — the oracle runs the unsalted SQL. This is
+    // the standard AQE-independent mitigation when one key holds >1 task
+    // of data at 100 TB.
+    "q_join_salted" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .withColumn("salt", pmod(xxhash64($"l_orderkey"), lit(nSalt.toLong)))
+      val ord = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+        .withColumn("salt", explode(sequence(lit(0L), lit(nSalt - 1L))))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy($"o_orderpriority")
+        .agg(r4(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Raw ANSI SQL surface: the exact same text the oracle runs. Catalyst
+    // plans it like the DataFrame version (broadcast customer, shuffled
+    // lineitem⋈orders, partial aggs); TopK via ORDER BY + LIMIT 10 is a
+    // TakeOrderedAndProject — no full sort at scale.
+    "q_sql_tpch" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem").foreach { n =>
+        t(s, dir, n).createOrReplaceTempView(n)
+      }
+      s.sql(tpchQ3)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      s"""SELECT l_returnflag,
+         |  round(${oSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 4) AS qty_f,
+         |  round(${oSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 4) AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT c_mktsegment,
+         |    round(${oAvg("c_acctbal", 2)}, 3) AS avg_acctbal,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_cust
+         |  FROM customer GROUP BY c_mktsegment)
+         |SELECT c_mktsegment, 'avg_acctbal' AS metric, avg_acctbal AS value FROM a
+         |UNION ALL
+         |SELECT c_mktsegment, 'n_cust' AS metric, n_cust AS value FROM a
+         |ORDER BY c_mktsegment, metric""".stripMargin,
+
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  round(CAST(MIN($c) AS DOUBLE), 4) AS min_num,
+           |  round(CAST(MAX($c) AS DOUBLE), 4) AS max_num
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+          num("o_totalprice"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    },
+
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS n, MAX(ts_us) - MIN(ts_us) AS span_us
+        |  FROM s2 GROUP BY user_id, sess_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(MAX(span_us) AS BIGINT) AS max_span_us
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_salted" ->
+      s"""SELECT o_orderpriority,
+         |  round(${oSum("l_extendedprice * (1.0 - l_discount)", 6)}, 4) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sql_tpch" -> tpchQ3
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.Reshape
+import org.apache.spark.sql.functions._
+
+/** Reshape/pipeline-utility group (SURVEY §2 extensions): pivot algebra,
+  * salted-join ≡ plain-join, and the sessionization core on constructed
+  * gap patterns. */
+class ReshapeSpec extends BaseSpec {
+  import spark.implicits._
+
+  test("q_pivot cells equal the equivalent filtered sums") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val piv = Reshape.queries("q_pivot")(spark, sf)
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map { case (f, qf, qo) => f -> ((qf, qo)) }.toMap
+    val manual = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity".cast("decimal(18,4)")).cast("double"), 4).as("q"))
+      .as[(String, String, Double)].collect()
+      .map { case (f, st, q) => (f, st) -> q }.toMap
+    for (((f, st), q) <- manual) {
+      val cell = if (st == "F") piv(f)._1 else piv(f)._2
+      assert(cell.contains(q), s"pivot cell ($f, $st): got ${cell}, want $q")
+    }
+  }
+
+  test("salted join aggregates exactly equal the plain join") {
+    val salted = Reshape.queries("q_join_salted")(spark, sf)
+      .as[(String, Double, Long)].collect().toSeq
+    val li = graft.Tables(spark, sf, "lineitem")
+    val ord = graft.Tables(spark, sf, "orders")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+             .cast("decimal(18,6)")).cast("double"), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
+  test("sessionize splits exactly at the gap threshold") {
+    // user 1: gaps 29 min / 31 min / 29 min around a 30-min threshold →
+    // sessions {e1,e2}, {e3,e4}; user 2: single event → one session.
+    val m = 60L * 1000000L
+    val ev = Seq(
+      (1L, 1L, 0L * m), (1L, 2L, 29L * m), (1L, 3L, 60L * m), (1L, 4L, 89L * m),
+      (2L, 5L, 0L * m)
+    ).toDF("user_id", "event_id", "ts_us")
+    val got = Reshape.sessionize(ev, 30L * m)
+      .select($"user_id", $"event_id", $"sess_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+                      (2L, 5L, 1L)), s"got $got")
+    // Boundary: a gap of exactly 30 min does NOT split (strict >).
+    val edge = Seq((3L, 6L, 0L), (3L, 7L, 30L * m)).toDF("user_id", "event_id", "ts_us")
+    val ids = Reshape.sessionize(edge, 30L * m)
+      .select($"sess_id").as[Long].collect().toSet
+    assert(ids == Set(1L), s"exact-gap rows must share a session, got $ids")
+  }
+
+  test("q_profile reports zero nulls and full distinctness for the key") {
+    val rows = Reshape.queries("q_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nOrders = graft.Tables(spark, sf, "orders").count()
+    val key = rows("o_orderkey")
+    assert(key.getLong(1) == nOrders && key.getLong(2) == 0L &&
+           key.getLong(3) == nOrders,
+      s"o_orderkey profile: $key (n_orders=$nOrders)")
+    assert(rows("o_orderstatus").isNullAt(4), "string column has no numeric range")
+  }
+}
