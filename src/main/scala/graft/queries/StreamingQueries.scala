@@ -105,6 +105,22 @@ object StreamingQueries extends QueryGroup {
         .orderBy($"event_type")
     }),
 
+    // Batch body of the stream-stream interval join (StreamOps
+    // .attributionJoin): purchases within 20 min after a click by the same
+    // user, aggregated per user. StreamingSpec proves batch ≡ stream on
+    // the join pairs.
+    "q_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts")).drop("ts")
+      val pairs = graft.streaming.StreamOps.attributionJoin(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"))
+      pairs.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"), r4(dsum($"value", 6)).as("attr_value"))
+        .orderBy($"user_id")
+    }),
+
     // Batch analog of per-user running state (last type, cumulative value).
     "q_stream_state" -> ((s, dir) => {
       import s.implicits._
@@ -183,6 +199,18 @@ object StreamingQueries extends QueryGroup {
          |  FROM events)
          |SELECT user_id, MAX(last_type) AS last_type, COUNT(*) AS n_events,
          |  round(${oSum("value", 6)}, 4) AS total_value
-         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_join" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events),
+         |c AS (SELECT user_id, ts_us AS c_us FROM ev WHERE event_type = 'click'),
+         |b AS (SELECT user_id, ts_us AS b_us, value FROM ev WHERE event_type = 'purchase')
+         |SELECT user_id, COUNT(*) AS n_pairs, round(${oSum("value", 6)}, 4) AS attr_value
+         |FROM c JOIN b USING (user_id)
+         |WHERE b_us >= c_us AND b_us < c_us + 1200000000
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -80,6 +80,28 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join ("purchase within 20 min of a click by
+    * the same user"): the canonical attribution join. Both sides are
+    * watermarked and the join condition carries the time-range bound on
+    * the event-time columns, so each side's state store holds only rows
+    * inside (watermark + 20 min) — bounded state at any stream length,
+    * shuffled on user_id like a batch equi-join. Same body runs in batch
+    * (q_stream_join's aggregate sits on top of it). */
+  def attributionJoin(clicks: DataFrame, buys: DataFrame,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val c = withEventTime(clicks).withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"), col("ts_us").as("c_us"))
+    val b = withEventTime(buys).withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+              col("ts").as("b_ts"), col("ts_us").as("b_us"), col("value"))
+    c.join(b, col("user_id") === col("b_user") &&
+              col("b_ts") >= col("c_ts") &&
+              col("b_ts") < col("c_ts") + expr("INTERVAL 20 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+              col("c_us"), col("b_us"), col("value"))
+  }
+
   /** Streaming source over a parquet events directory (library surface;
     * tests use MemoryStream instead). The raw schema carries ts as Long ns
     * (nanosAsLong), converted here to the µs timestamp the bodies expect. */

@@ -99,6 +99,40 @@ class StreamingSpec extends BaseSpec {
     assert(ids == List(1L, 2L), s"duplicates must collapse: $ids")
   }
 
+  test("stream-stream interval join: streamed pairs equal the batch body") {
+    implicit val ctx = spark.sqlContext
+    // clicks for users 1/2 at t=B; purchases at +5 min (in window),
+    // +25 min (outside 20-min window), different-user at +5 min (no match).
+    // B is well past epoch 0: rows AT the initial watermark (epoch 0) are
+    // classified late by the join's state-row filter and dropped.
+    val M = 60L * 1000000L
+    val B = 100 * H
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.attributionJoin(clicks.toDF(), buys.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val cRows = Seq(ev(1, B, user = 1), ev(2, B, user = 2))
+    val bRows = Seq(ev(10, B + 5 * M, user = 1, typ = "purchase", value = 7.0),
+                    ev(11, B + 25 * M, user = 1, typ = "purchase", value = 9.0),
+                    ev(12, B + 5 * M, user = 3, typ = "purchase", value = 4.0))
+    clicks.addData(cRows: _*); buys.addData(bRows: _*)
+    q.processAllAvailable()
+    // advance both watermarks so all joinable state resolves
+    clicks.addData(ev(3, B + 10 * H, user = 99)); buys.addData(ev(13, B + 10 * H, user = 99, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name)
+      .select($"user_id", $"click_id", $"buy_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = StreamOps.attributionJoin(
+        spark.createDataset(cRows).toDF(), spark.createDataset(bRows).toDF())
+      .select($"user_id", $"click_id", $"buy_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((1L, 1L, 10L)), s"batch body pairs: $batch")
+    assert(streamed.filter(_._1 != 99L) == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("stateful runningState matches batch equivalent across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
