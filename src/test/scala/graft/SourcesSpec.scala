@@ -38,4 +38,33 @@ class SourcesSpec extends BaseSpec {
       .select(element_at($"m", "k").as("k"))
     assert(m.filter($"k".isNotNull).count() > 0)
   }
+
+  test("orc round-trip preserves data") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables(spark, sf, "customer")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    val a = src.orderBy($"c_custkey").collect().map(_.toSeq).toList
+    val b = back.orderBy($"c_custkey").collect().map(_.toSeq).toList
+    assert(a == b)
+  }
+
+  test("partitioned parquet write prunes at the partition level on read") {
+    // Hive-style partition layout is the physical backbone of the 100 TB
+    // design (SURVEY §4): a predicate on the partition column must turn
+    // into PartitionFilters (directories never listed), not a data filter.
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables(spark, sf, "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val back = spark.read.parquet(dir).filter($"o_orderpriority" === "1-URGENT")
+    val scan = back.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [") &&
+           scan.replaceAll(".*PartitionFilters", "").contains("o_orderpriority"),
+      s"partition predicate did not prune: $scan")
+    val expected = Tables(spark, sf, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").count()
+    assert(back.count() == expected)
+  }
 }
