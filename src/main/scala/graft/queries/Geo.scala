@@ -95,8 +95,12 @@ object Geo extends QueryGroup {
         .orderBy($"event_type")
     }),
 
+    // HaversineRadiusPruning rewrites the radius test into
+    // bbox-conjuncts + radius (sargable range predicates run before the
+    // trig; on stored lat/lon columns they'd reach the parquet scan).
     "q_geo_radius" -> ((s, dir) => {
       import s.implicits._
+      graft.plans.HaversineRadiusPruning.install(s)
       pts(s, dir)
         .filter(hv($"lat", $"lon", lit(48.85), lit(2.35)) < 500.0)
         .groupBy($"user_id")

@@ -52,6 +52,63 @@ class PlanSpec extends BaseSpec {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate pair, got $hashAggs:\n$p")
   }
 
+  test("HaversineRadiusPruning injects sargable bbox bounds and preserves results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.HaversineRadiusPruning.install(spark)
+    graft.functions.HaversineDist.register(spark)
+    val hv = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+              c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =>
+      call_function("haversine_km", a, b, c, d)
+    val df = SparkEntry.queries("q_geo_radius")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // lat/lon are collapsed into inline arithmetic by the time the rule
+    // fires, so look for the injected bound literals themselves.
+    val (latLo, latHi, Some((lonLo, lonHi))) =
+      graft.plans.HaversineRadiusPruning.bbox(48.85, 2.35, 500.0)
+    for (b <- Seq(latLo, latHi, lonLo, lonHi))
+      assert(opt.contains(b.toString), s"bbox bound $b missing from optimized plan:\n$opt")
+    // Equivalence, with a radius wide enough to match rows at sf0.001
+    // (q_geo_radius's 500 km disc is legitimately empty there — golden 0).
+    // Truth is computed driver-side from the collected points, entirely
+    // outside the optimizer, so the rule cannot influence both sides.
+    val base = Tables(spark, sf, "events")
+      .withColumn("lat", (($"event_id" * 37) % 1700).cast("double") / 10.0 - 85.0)
+      .withColumn("lon", (($"event_id" * 131) % 3600).cast("double") / 10.0 - 180.0)
+    val pruned = base
+      .filter(hv($"lat", $"lon", lit(48.85), lit(2.35)) < lit(3000.0))
+      .select($"event_id").as[Long].collect().toSet
+    val truth = base.select($"event_id", $"lat", $"lon")
+      .as[(Long, Double, Double)].collect()
+      .filter { case (_, la, lo) =>
+        graft.functions.HaversineDist.km(la, lo, 48.85, 2.35) < 3000.0 }
+      .map(_._1).toSet
+    assert(truth.nonEmpty)
+    assert(pruned == truth,
+      s"bbox pruning changed results: missing=${(truth -- pruned).take(5)} extra=${(pruned -- truth).take(5)}")
+  }
+
+  test("bbox bound is a true superset of the haversine disc") {
+    // Deterministic lat/lon grid around the centre: every point inside the
+    // radius must fall inside the derived box (including the lon bound).
+    val (cLat, cLon, r) = (48.85, 2.35, 500.0)
+    val (latLo, latHi, lonB) = graft.plans.HaversineRadiusPruning.bbox(cLat, cLon, r)
+    val Some((lonLo, lonHi)) = lonB
+    val inside = for {
+      la <- BigDecimal(cLat - 8) to BigDecimal(cLat + 8) by BigDecimal(0.25)
+      lo <- BigDecimal(cLon - 12) to BigDecimal(cLon + 12) by BigDecimal(0.25)
+      if graft.functions.HaversineDist.km(la.toDouble, lo.toDouble, cLat, cLon) <= r
+    } yield (la.toDouble, lo.toDouble)
+    assert(inside.nonEmpty)
+    val escaped = inside.filterNot { case (la, lo) =>
+      la >= latLo && la <= latHi && lo >= lonLo && lo <= lonHi }
+    assert(escaped.isEmpty, s"points inside radius but outside box: ${escaped.take(5)}")
+    // High-latitude centre near the antimeridian: lon bound must drop out
+    // rather than wrap incorrectly.
+    val (_, _, polar) = graft.plans.HaversineRadiusPruning.bbox(89.9, 179.9, 500.0)
+    assert(polar.isEmpty, s"polar/antimeridian lon bound should be omitted: $polar")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // CosineSim / HaversineDist / BrpBuckets implement doGenCode — the
     // queries that use them must show WholeStageCodegen spans, not
