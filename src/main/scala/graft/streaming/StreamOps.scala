@@ -10,6 +10,31 @@ case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, va
 /** Per-user running state carried by the stateful operator. */
 case class UserState(last_type: String, total_value: Double, n_events: Long)
 
+/** `StatefulProcessor` behind [[StreamOps.runningStateTws]]: per-user
+  * running (last type, total value, count) in a single `ValueState`,
+  * updated in (ts_us, event_id) order within each micro-batch. */
+class RunningStateProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, String, Double, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: streaming.ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[UserState](
+      "userState", Encoders.product[UserState], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: streaming.TimerValues): Iterator[(Long, String, Double, Long)] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val prev = Option(st.get()).getOrElse(UserState(null, 0.0, 0L))
+    val next = sorted.foldLeft(prev) { (s, e) =>
+      UserState(e.event_type, s.total_value + e.value, s.n_events + 1)
+    }
+    st.update(next)
+    Iterator((key, next.last_type, next.total_value, next.n_events))
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -78,6 +103,19 @@ object StreamOps {
           state.update(next)
           Iterator((user, next.last_type, next.total_value, next.n_events))
       }
+  }
+
+  /** Spark 4 `transformWithState` variant of [[runningState]]: the same
+    * per-user running (last type, total value, count), carried in a
+    * `ValueState` inside a `StatefulProcessor`. TWS is the
+    * successor API to flatMapGroupsWithState — explicit state variables,
+    * TTL support, timer callbacks — and requires the RocksDB state store
+    * provider (StreamingSpec sets it; RocksDB ships with Spark 4). */
+  def runningStateTws(ev: Dataset[Ev]): Dataset[(Long, String, Double, Long)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new RunningStateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 
   /** Stream-stream interval join ("purchase within 20 min of a click by

@@ -133,6 +133,34 @@ class StreamingSpec extends BaseSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("transformWithState processor carries per-user state across batches") {
+    implicit val ctx = spark.sqlContext
+    // TWS requires the RocksDB state store provider (ships with Spark 4).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val name = nextName()
+      val q = StreamOps.runningStateTws(input.toDS())
+        .toDF("user_id", "last_type", "total_value", "n_events")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      input.addData(ev(1, 1000000, user = 7, typ = "signup", value = 2.0),
+                    ev(2, 2000000, user = 7, typ = "click", value = 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 3000000, user = 7, typ = "purchase", value = 5.0))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table(name).orderBy($"n_events".desc).limit(1)
+        .select($"last_type", $"total_value", $"n_events")
+        .as[(String, Double, Long)].collect().head
+      assert(last == ("purchase", 10.0, 3L), s"TWS state after two batches: $last")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("stateful runningState matches batch equivalent across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
