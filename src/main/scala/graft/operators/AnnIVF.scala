@@ -29,7 +29,7 @@ object AnnIVF {
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("features", array_to_vector($"embedding"))
 
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20).fit(emb)
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20).setInitMode("random").fit(emb)
     val assigned = km.transform(emb).select($"vec_id", $"v", $"prediction".as("cell"))
 
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>

@@ -221,7 +221,7 @@ object Geo extends QueryGroup {
       import org.apache.spark.ml.functions.array_to_vector
       val emb = t(s, dir, "embeddings")
         .withColumn("features", array_to_vector($"embedding"))
-      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(emb)
+      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).setInitMode("random").fit(emb)
       model.transform(emb)
         .groupBy($"prediction")
         .agg(count(lit(1)).as("n"))
