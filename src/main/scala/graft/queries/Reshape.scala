@@ -144,6 +144,38 @@ object Reshape extends QueryGroup {
         .orderBy($"o_orderpriority")
     }),
 
+    // Equi-width histogram — the profiling companion to q_profile. One
+    // hash-agg over at most 20 bucket keys; integer-exact bucket math is
+    // identical in both engines.
+    "q_histogram" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          least(floor($"o_totalprice" / 25000.0), lit(19.0)).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), r2(dsum($"o_totalprice", 2)).as("sum_price"))
+        .withColumn("bucket_lo", ($"bucket" * 25000L).cast("double"))
+        .select($"bucket", $"bucket_lo", $"n", $"sum_price")
+        .orderBy($"bucket")
+    }),
+
+    // CDC/merge pattern: a deltas table (per-user event-value totals)
+    // upserted onto customer balances via left join + coalesce — the
+    // relational core of MERGE INTO, shuffled on the join key exactly
+    // once. Unmatched rows pass through; matched rows apply the delta.
+    "q_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val delta = t(s, dir, "events")
+        .groupBy($"user_id").agg(dsum($"value", 6).as("delta"))
+      cust.join(delta, cust("c_custkey") === delta("user_id"), "left")
+        .withColumn("new_bal", r2($"c_acctbal" + coalesce($"delta", lit(0.0))))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), count($"delta").as("n_updated"),
+             r2(dsum($"new_bal", 2)).as("total_bal"))
+        .orderBy($"c_nationkey")
+    }),
+
     // Raw ANSI SQL surface: the exact same text the oracle runs. Catalyst
     // plans it like the DataFrame version (broadcast customer, shuffled
     // lineitem⋈orders, partial aggs); TopK via ORDER BY + LIMIT 10 is a
@@ -220,6 +252,23 @@ object Reshape extends QueryGroup {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    "q_sql_tpch" -> tpchQ3
+    "q_sql_tpch" -> tpchQ3,
+
+    "q_histogram" ->
+      s"""SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS bucket_lo,
+         |  COUNT(*) AS n, round(${oSum("o_totalprice", 2)}, 2) AS sum_price
+         |FROM (SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19.0) AS BIGINT) AS bucket,
+         |             o_totalprice
+         |      FROM orders) t
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_upsert" ->
+      s"""WITH d AS (
+         |  SELECT user_id, ${oSum("value", 6)} AS delta
+         |  FROM events GROUP BY user_id)
+         |SELECT c_nationkey, COUNT(*) AS n_cust, COUNT(delta) AS n_updated,
+         |  round(${oSum("round(c_acctbal + COALESCE(delta, 0.0), 2)", 2)}, 2) AS total_bal
+         |FROM customer LEFT JOIN d ON c_custkey = user_id
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }
