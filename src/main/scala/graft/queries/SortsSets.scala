@@ -42,6 +42,22 @@ object SortsSets extends QueryGroup {
         .orderBy($"o_custkey", $"rn")
     }),
 
+    // Same result as q_topk_group, computed by the TopKPairs
+    // TypedImperativeAggregate: O(k) state per group with map-side
+    // combine, so shuffle bytes are k·|groups| instead of the window
+    // formulation's full per-partition sort. The oracle is the window SQL
+    // — proving the bounded-heap path is result-identical.
+    "q_topk_heap" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TopKPairs.register(s, 3)
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(call_function("topk_pairs", $"o_totalprice", $"o_orderkey").as("top"))
+        .select($"o_custkey", posexplode($"top").as(Seq("pos", "p")))
+        .select($"o_custkey", ($"pos" + 1).cast("long").as("rn"),
+                $"p.id".as("o_orderkey"), $"p.score".as("o_totalprice"))
+        .orderBy($"o_custkey", $"rn")
+    }),
     "q_set_union" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders")
@@ -83,6 +99,14 @@ object SortsSets extends QueryGroup {
          |ORDER BY total_value DESC, o_custkey LIMIT 10""".stripMargin,
 
     "q_topk_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_heap" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey

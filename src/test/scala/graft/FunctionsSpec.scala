@@ -39,6 +39,21 @@ class FunctionsSpec extends BaseSpec {
     assert(math.abs(got / expected - 1.0) < 1e-9, s"got $got expected $expected")
   }
 
+  test("TopKBuffer keeps the (score desc, id asc) winners under churn and merge") {
+    val buf = new graft.functions.TopKBuffer(3)
+    // interleave ties and evictions: scores 5,5,5,7,1,7 with varying ids
+    Seq((5.0, 30L), (5.0, 10L), (5.0, 20L), (7.0, 2L), (1.0, 1L), (7.0, 9L))
+      .foreach { case (s, i) => buf.offer(s, i) }
+    assert(buf.sortedDesc.toList == List((7.0, 2L), (7.0, 9L), (5.0, 10L)),
+      s"got ${buf.sortedDesc.toList}")
+    // merge path (partial aggregation): a second buffer with a better tie
+    val other = new graft.functions.TopKBuffer(3)
+    other.offer(5.0, 5L); other.offer(0.5, 99L)
+    other.foreach(buf.offer)
+    assert(buf.sortedDesc.toList == List((7.0, 2L), (7.0, 9L), (5.0, 5L)),
+      s"after merge: ${buf.sortedDesc.toList}")
+  }
+
   test("simhash64 is deterministic and locality-sensitive") {
     val a = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
     val b = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
