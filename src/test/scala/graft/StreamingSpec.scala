@@ -133,6 +133,29 @@ class StreamingSpec extends BaseSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once") {
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Ev]
+    def start() = input.toDF()
+      .select($"event_id", $"user_id", $"value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    input.addData(ev(1, 1000000), ev(2, 2000000))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint: committed offsets must not replay
+    input.addData(ev(3, 3000000))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(out).select($"event_id").as[Long]
+      .collect().sorted.toList
+    assert(ids == List(1L, 2L, 3L),
+      s"file sink must contain each event exactly once after restart: $ids")
+  }
+
   test("transformWithState processor carries per-user state across batches") {
     implicit val ctx = spark.sqlContext
     // TWS requires the RocksDB state store provider (ships with Spark 4).
