@@ -109,6 +109,50 @@ class PlanSpec extends BaseSpec {
     assert(polar.isEmpty, s"polar/antimeridian lon bound should be omitted: $polar")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // The 100 TB co-location story: both sides bucketed+sorted on the join
+    // key at write time → SortMergeJoin consumes the bucket layout
+    // directly, zero Exchange in the plan. (AQE is disabled for this
+    // query-shape check only — it wraps the plan before execution.)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables(spark, sf, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    Tables(spark, sf, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+                "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+              $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan ignored bucket layout:\n$plan")
+      // No exchange on either JOIN key (the later groupBy re-key is fine).
+      assert(!plan.contains("hashpartitioning(l_orderkey") &&
+             !plan.contains("hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == 5)
+    }
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
+  private def withSQLConf(confs: (String, String)*)(f: => Unit): Unit = {
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // CosineSim / HaversineDist / BrpBuckets implement doGenCode — the
     // queries that use them must show WholeStageCodegen spans, not
