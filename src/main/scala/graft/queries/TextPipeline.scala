@@ -177,6 +177,24 @@ object TextPipeline extends QueryGroup {
         .orderBy($"d1", $"d2")
     }),
 
+    // Fuzzy dedup by edit distance with prefix blocking: candidate pairs
+    // share an 8-char normalized prefix (the standard blocking key —
+    // pairs differing inside the prefix are out of scope by design), then
+    // exact Levenshtein on the first 80 chars. The block join shuffles on
+    // the prefix key only — never all pairs.
+    "q_dedup_edit" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", substring(lower(trim($"text")), 1, 80).as("t"))
+        .withColumn("p", substring($"t", 1, 8))
+      d.as("a").join(d.as("b"), Seq("p"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .withColumn("ed", levenshtein($"a.t", $"b.t").cast("long"))
+        .filter($"ed" <= 5)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"ed")
+        .orderBy($"d1", $"d2")
+    }),
+
     // Scalable near-dup paths — property-tested vs q_dedup_jaccard truth.
     "m_dedup_minhash" -> ((s, dir) =>
       graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5)),
@@ -283,6 +301,17 @@ object TextPipeline extends QueryGroup {
         |JOIN sizes s1 ON s1.doc_id = d1
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE round(ni * 1.0 / (s1.n + s2.n - ni), 4) >= 0.8
-        |ORDER BY d1, d2""".stripMargin)
+        |ORDER BY d1, d2""".stripMargin),
+
+    "q_dedup_edit" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 80) AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, t, substr(t, 1, 8) AS p FROM d)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS ed
+        |FROM p a JOIN p b ON a.p = b.p AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 5
+        |ORDER BY d1, d2""".stripMargin
   )
 }
