@@ -104,6 +104,23 @@ object Similarity extends QueryGroup {
         .orderBy($"lang")
     }),
 
+    // Per-label embedding centroids (head dims) + mean L2 norm: the
+    // cluster-summary aggregate of an embedding pipeline. Per-row norm is
+    // a sequential left-to-right fold (`aggregate` HOF — same order as
+    // DuckDB's list_sum), means go through decimal. One hash-agg shuffle
+    // on label.
+    "q_emb_centroid" -> ((s, dir) => {
+      import s.implicits._
+      def dim(i: Int) = r4(davg(element_at($"embedding", i).cast("double"), 6)).as(s"d$i")
+      t(s, dir, "embeddings")
+        .withColumn("norm", sqrt(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+        .groupBy($"label".cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), dim(1), dim(2), dim(3), dim(4),
+             r4(davg($"norm", 6)).as("avg_norm"))
+        .orderBy($"label")
+    }),
+
     // Approximate paths — property-tested for recall, no SQL oracle.
     "m_sim_lsh" -> ((s, dir) =>
       graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 1.2)),
@@ -114,6 +131,16 @@ object Similarity extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_emb_centroid" -> {
+      def dim(i: Int) =
+        s"round(${oAvg(s"CAST(embedding[$i] AS DOUBLE)", 6)}, 4) AS d$i"
+      s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+         |  ${dim(1)}, ${dim(2)}, ${dim(3)}, ${dim(4)},
+         |  round(${oAvg(
+             "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))", 6)}, 4) AS avg_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    },
+
     "q_sim_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
