@@ -199,6 +199,27 @@ object Geo extends QueryGroup {
         .limit(10)
     }),
 
+    // Convoy/co-travel detection (grid-coarse): pairs of users observed
+    // in the same 20° cell during the same hour, in ≥3 distinct hours
+    // (cell size chosen so the derived lattice actually co-locates).
+    // The self-join is keyed on (hour, cell) — candidate pairs are
+    // bucket-local, never all user pairs; the distinct() pre-pass bounds
+    // each bucket at |users in that cell-hour|.
+    "q_traj_convoy" -> ((s, dir) => {
+      import s.implicits._
+      val p = pts(s, dir)
+        .select($"user_id", expr("ts_us div 3600000000").as("hb"),
+                floor($"lat" / 20.0).cast("long").as("cla"),
+                floor($"lon" / 20.0).cast("long").as("clo"))
+        .distinct()
+      p.as("a").join(p.as("b"), Seq("hb", "cla", "clo"))
+        .filter($"a.user_id" < $"b.user_id")
+        .groupBy($"a.user_id".as("u1"), $"b.user_id".as("u2"))
+        .agg(countDistinct($"hb").as("n_hours"))
+        .filter($"n_hours" >= 3)
+        .orderBy($"u1", $"u2")
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of
@@ -292,6 +313,19 @@ object Geo extends QueryGroup {
         |SELECT user_id, COUNT(*) AS n_runs,
         |  COUNT(*) FILTER (WHERE n_pts >= 3 AND span_us >= 600000000) AS n_stays
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_traj_convoy" -> (ptsCte +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts)
+        |SELECT a.user_id AS u1, b.user_id AS u2, COUNT(DISTINCT a.hb) AS n_hours
+        |FROM p a JOIN p b
+        |  ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |  AND a.user_id < b.user_id
+        |GROUP BY u1, u2 HAVING COUNT(DISTINCT a.hb) >= 3
+        |ORDER BY u1, u2""".stripMargin),
 
     "q_traj_sim" -> (ptsCte +
       """,

@@ -39,6 +39,26 @@ class SourcesSpec extends BaseSpec {
     assert(m.filter($"k".isNotNull).count() > 0)
   }
 
+  test("malformed JSON rows surface in _corrupt_record, not as crashes") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rows.json"),
+      """{"k": 1, "v": "ok"}
+        |{"k": 2 "v": "missing comma"}
+        |{"k": 3, "v": "ok2"}
+        |""".stripMargin.getBytes)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema).json(dir).cache()
+    try {
+      assert(df.count() == 3)
+      assert(df.filter($"_corrupt_record".isNotNull).count() == 1,
+        "exactly the malformed line must be quarantined")
+      assert(df.filter($"_corrupt_record".isNull).select(sum($"k")).as[Long].head() == 4L)
+    } finally df.unpersist()
+  }
+
   test("orc round-trip preserves data") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Tables(spark, sf, "customer")
