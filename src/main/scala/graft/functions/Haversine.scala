@@ -22,7 +22,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class HaversineDist(first: Expression, second: Expression,
                          third: Expression, fourth: Expression)
-  extends QuaternaryExpression {
+  extends QuaternaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // Analyzer-inserted casts: SQL decimal/int literals coerce to DOUBLE
+  // (raw `0.0` parses as DECIMAL(1,1) — without this, SQL-text callers
+  // through GraftExtensions would hit a Decimal ClassCastException).
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
 
   override def dataType: DataType = DoubleType
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Cosine similarity of two ARRAY<DOUBLE> columns as a native expression.
   *
@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * whole-stage-codegen span with identical bits on both paths.
   */
 case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // Coerce ARRAY<FLOAT>/decimal-literal arrays to ARRAY<DOUBLE> in the
+  // analyzer so SQL-text callers need no manual transform-cast.
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
 
