@@ -28,10 +28,19 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .groupBy("r_name").agg(sum("n_nationkey").as("s"))
         .orderBy("r_name").count()
-    } catch { case _: Throwable => () }
+      // Second warmup plan: explode/HOF codegen, localCheckpoint block
+      // caching (the CC/minhash loop machinery), and the parquet WRITE path
+      // — all first-use costs that otherwise land on one unlucky query.
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      n.select(explode(expr("transform(sequence(0, 3), i -> n_nationkey + i)")).as("k"))
+        .localCheckpoint(true)
+        .groupBy("k").count()
+        .write.mode("overwrite").parquet(s"$wdir/warm.parquet")
+    } catch { case scala.util.control.NonFatal(_) => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale-pinned: a comma decimal separator would corrupt the JSON.

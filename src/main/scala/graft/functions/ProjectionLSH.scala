@@ -33,10 +33,14 @@ object EuclideanDist {
   def compute(a: ArrayData, b: ArrayData): Double = {
     val xs = a.toDoubleArray()
     val ys = b.toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+    // Fail loudly on ragged input: a truncated distance would silently
+    // admit false positives through the LSH verify filter.
+    if (xs.length != ys.length)
+      throw new IllegalArgumentException(
+        s"euclidean_dist: vector dimensions differ (${xs.length} vs ${ys.length})")
     var s = 0.0
     var i = 0
-    while (i < n) { val d = xs(i) - ys(i); s += d * d; i += 1 }
+    while (i < xs.length) { val d = xs(i) - ys(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
 }

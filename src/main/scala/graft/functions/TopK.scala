@@ -28,9 +28,15 @@ import org.apache.spark.sql.types._
 case class TopKPairs(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
+
+  // Analyzer-time coercion: a decimal score or int id from SQL text is cast
+  // here (or rejected) instead of surfacing as a ClassCastException inside
+  // update() at execution time.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false

@@ -49,7 +49,12 @@ object CosineSim {
   def compute(a: ArrayData, b: ArrayData): Double = {
     val xs = a.toDoubleArray()
     val ys = b.toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+    // Fail loudly on ragged input — a truncated similarity is a silent
+    // wrong answer in every ANN verify stage built on this expression.
+    if (xs.length != ys.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dimensions differ (${xs.length} vs ${ys.length})")
+    val n = xs.length
     var dot = 0.0; var sa = 0.0; var sb = 0.0
     var i = 0
     while (i < n) {

@@ -69,11 +69,16 @@ object ConnectedComponents {
           maxIter: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val selfLabels = vertices.select($"id", $"id".as("comp"))
+    // Eager checkpoint: materialize the normalized edge set ONCE and cut its
+    // lineage, so every subsequent action in the loop scans cached blocks
+    // instead of re-running the upstream plan. (Lazy checkpoints made each
+    // convergence probe a coin-flip on what had materialized — the source of
+    // the round-5 bench variance on m_dbscan.)
     var e = edges
       .select(greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
       .filter($"hi" =!= $"lo")
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
     // Hybrid endgame: below localThreshold the remaining O(log n) star
     // rounds would each pay a fixed multi-stage job on a tiny edge list, so
@@ -117,44 +122,39 @@ object ConnectedComponents {
       spark.createDataset(star.toSeq).toDF("hi", "lo")
     }
 
-    // Fingerprint = (count, xxhash64 xor-fold): unchanged ⟺ the round was a
-    // no-op, and the only edge set both ops fix is the star forest. bit_xor,
-    // not sum — an order-independent fold that cannot ANSI-overflow. A
-    // fingerprint match is only a cheap convergence *hint*: it is confirmed
-    // by the definitive star-forest check, and on a (astronomically
-    // unlikely) collision the loop simply keeps iterating instead of
-    // aborting a correct run.
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      df.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)))
-        .as[(Long, Long)].head()
-    }
+    // Star forest ⟺ every child has exactly one parent AND no parent is
+    // itself a child — the unique common fixpoint of both star ops (and a
+    // star forest is fixed by both, so this check alone is definitive).
+    // Folded into ONE job: tag each vertex with (as-child, as-parent)
+    // counts in a single grouped pass; nh > 1 ⟺ multiple parents,
+    // nh > 0 ∧ nl > 0 ⟺ the vertex is both child and parent (a chain).
+    def isStarForest(df: DataFrame): Boolean =
+      df.select($"hi".as("v"), lit(1L).as("h"), lit(0L).as("l"))
+        .unionAll(df.select($"lo".as("v"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy($"v").agg(sum($"h").as("nh"), sum($"l").as("nl"))
+        .filter($"nh" > 1 || ($"nh" > 0 && $"nl" > 0))
+        .limit(1).isEmpty
 
-    // Star forest ⟺ every child has exactly one parent and no parent is
-    // itself a child — the unique common fixpoint of both star ops.
-    def isStarForest(df: DataFrame): Boolean = {
-      val multiParent = df.groupBy($"hi").agg(count(lit(1)).as("c"))
-        .filter($"c" > 1).limit(1).count()
-      lazy val chained = df.as("a")
-        .join(df.as("b"), col("a.lo") === col("b.hi"), "left_semi")
-        .limit(1).count()
-      multiParent == 0 && chained == 0
-    }
-
-    var prev = fingerprint(e)
-    if (prev._1 > 0) {
+    // Convergence protocol, one cheap action per round: each round produces
+    // an eagerly-checkpointed edge set (the materializing job IS the round's
+    // work), then a count over the cached blocks. Contraction never grows
+    // the edge set, so a count plateau is the convergence hint; it is
+    // confirmed by the definitive single-job star-forest check. A false
+    // plateau (same size, different set) just iterates on — always safe,
+    // always terminating at the true fixpoint.
+    var cnt = e.count()
+    if (cnt > 0) {
       var verified = false
       var i = 0
-      while (!verified && prev._1 > localThreshold && i < maxIter) {
-        e = smallStar(largeStar(e)).localCheckpoint(eager = false)
-        val cur = fingerprint(e)
-        // Definitive check runs only on a fingerprint match — once on a
-        // normal run. Labels only contract, so iterating past a collision
-        // is always safe and always terminates at the true fixpoint.
-        verified = cur == prev && isStarForest(e)
-        prev = cur
+      while (!verified && cnt > localThreshold && i < maxIter) {
+        val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+        val prevCnt = cnt
+        cnt = next.count()
+        verified = cnt == prevCnt && isStarForest(next)
+        e = next
         i += 1
       }
-      if (!verified && prev._1 <= localThreshold) {
+      if (!verified && cnt <= localThreshold) {
         e = localStarForest(e)
         verified = true
       }

@@ -57,9 +57,12 @@ object MinHashDedup {
     cand
       .join(sig.select($"doc_id".as("d1"), $"hs".as("h1")), Seq("d1"))
       .join(sig.select($"doc_id".as("d2"), $"hs".as("h2")), Seq("d2"))
-      .withColumn("jdist", round(lit(1.0) -
-        size(array_intersect($"h1", $"h2")).cast("double") / size(array_union($"h1", $"h2")), 4))
-      .filter($"jdist" <= maxJaccardDistance)
+      .withColumn("jdist_exact", lit(1.0) -
+        size(array_intersect($"h1", $"h2")).cast("double") / size(array_union($"h1", $"h2")))
+      // Threshold on the UNROUNDED distance (rounding first would admit
+      // pairs up to maxJaccardDistance + 5e-5); round only the output.
+      .filter($"jdist_exact" <= maxJaccardDistance)
+      .withColumn("jdist", round($"jdist_exact", 4))
       .select($"d1", $"d2", $"jdist")
       .orderBy($"d1", $"d2")
   }

@@ -45,8 +45,10 @@ object VectorLSH {
     cand
       .join(vecs.select($"vec_id".as("va"), $"v".as("v1")), Seq("va"))
       .join(vecs.select($"vec_id".as("vb"), $"v".as("v2")), Seq("vb"))
-      .withColumn("edist", round(expr("euclidean_dist(v1, v2)"), 4))
-      .filter($"edist" <= maxEuclideanDistance)
+      // Threshold on the UNROUNDED distance; round only the output column.
+      .withColumn("edist_exact", expr("euclidean_dist(v1, v2)"))
+      .filter($"edist_exact" <= maxEuclideanDistance)
+      .withColumn("edist", round($"edist_exact", 4))
       .select($"va", $"vb", $"edist")
       .orderBy($"va", $"vb")
   }

@@ -132,8 +132,13 @@ object Reshape extends QueryGroup {
     "q_join_salted" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-        .withColumn("salt", pmod(xxhash64($"l_orderkey"), lit(nSalt.toLong)))
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+        // Salt must vary WITHIN a key — hashing the key alone would send
+        // every row of a hot key to the same bucket, defeating the spread.
+        // (l_orderkey, l_linenumber) is row-unique, so hot-key rows fan out
+        // uniformly across the nSalt reducers.
+        .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(nSalt.toLong)))
+        .drop("l_linenumber")
       val ord = t(s, dir, "orders")
         .select($"o_orderkey", $"o_orderpriority")
         .withColumn("salt", explode(sequence(lit(0L), lit(nSalt - 1L))))
