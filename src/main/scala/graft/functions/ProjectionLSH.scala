@@ -102,12 +102,13 @@ object BrpBuckets {
 
 object ProjectionLSH {
   /** Registry names carry the LSH parameters baked in at registration time
-    * (they are operator constants, not per-row data). */
+    * (they are operator constants, not per-row data). `name` lets callers
+    * register several parameterizations side by side in one session. */
   def register(spark: SparkSession, numTables: Int, bucketLen: Double,
-               seed: Long): Unit = {
+               seed: Long, name: String = "brp_buckets"): Unit = {
     val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ss.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "brp_buckets", exprs => BrpBuckets(exprs(0), numTables, bucketLen, seed),
+      name, exprs => BrpBuckets(exprs(0), numTables, bucketLen, seed),
       "scala_udf")
     ss.sessionState.functionRegistry.createOrReplaceTempFunction(
       "euclidean_dist", exprs => EuclideanDist(exprs(0), exprs(1)), "scala_udf")

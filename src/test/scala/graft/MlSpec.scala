@@ -43,8 +43,10 @@ class MlSpec extends BaseSpec {
   }
 
   test("SimHash banding finds exactly the brute-force Hamming<=3 pairs") {
+    // split(" ", -1) matches Spark's split() semantics (trailing empties
+    // kept) so the driver-side reference tokenizes exactly like the plan.
     val fps = docs.select($"doc_id", $"text").as[(Long, String)].collect()
-      .map { case (id, text) => id -> SimHash.simhash64(text.split(" ").toSeq) }
+      .map { case (id, text) => id -> SimHash.simhash64(text.split(" ", -1).toSeq) }
     val expected = (for {
       (i, hi) <- fps; (j, hj) <- fps if i < j
       if SimHash.hamming(hi, hj) <= 3
@@ -69,6 +71,35 @@ class MlSpec extends BaseSpec {
       val recall = truth.count(got).toDouble / truth.size
       assert(recall >= 0.8, s"recall $recall over ${truth.size} truth pairs")
     }
+  }
+
+  test("embcos scale path: wide-LSH candidates cover every cos>=0.4 truth pair") {
+    // q_dedup_embcos rides the LSH candidate set; its oracle is the exact
+    // all-pairs SQL, so the candidates MUST be a superset of the truth pairs
+    // (the cosine verify then makes the result identical). Unit-norm
+    // vectors: cos >= 0.4 ⇔ edist <= 1.0954 < the 1.2 LSH cut.
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i); sb += b(i).toDouble * b(i)
+      }
+      BigDecimal(dot / (math.sqrt(sa) * math.sqrt(sb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val truth = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j
+      if cos4(vi, vj) >= 0.4
+    } yield (i, j)).toSet
+    assert(truth.nonEmpty, "fixture should contain cos>=0.4 near-dup pairs")
+    val cand = VectorLSH.candidatePairs(spark, emb, 1.2, numTables = 12)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"LSH candidates missed truth pairs: ${missed.take(5)}")
+    val got = SparkEntry.queries("q_dedup_embcos")(spark, sf)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"declared operator != brute force: " +
+      s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
   test("IVF ANN recall@5 >= 0.5 vs exact kNN") {

@@ -153,6 +153,21 @@ class PlanSpec extends BaseSpec {
     }
   }
 
+  test("SimHash fingerprints stay inside whole-stage codegen") {
+    // The fingerprint stage is explode → xxhash64 → 64-slot ±1 hash agg —
+    // all builtins. A regression to a typed .map (the round-5 shape) shows
+    // up as Serialize/DeserializeToObject nodes and a codegen break.
+    val df = graft.operators.SimHash.fingerprints(spark, Tables(spark, sf, "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapElements"),
+      s"fingerprints fell back to typed JVM lambdas:\n$p")
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toList
+    assert(aggs.nonEmpty, s"expected hash aggregation:\n$p")
+    assert(aggs.exists(_.contains("*(")),
+      s"bit-vote aggregate sits outside codegen:\n${aggs.mkString("\n")}")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // CosineSim / HaversineDist / BrpBuckets implement doGenCode — the
     // queries that use them must show WholeStageCodegen spans, not
