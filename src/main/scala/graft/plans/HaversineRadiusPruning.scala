@@ -58,24 +58,51 @@ object HaversineRadiusPruning extends Rule[LogicalPlan] {
 
   private def dLit(v: Double) = Literal(v, DoubleType)
 
-  /** Bounds implied by one conjunct, if it is a literal-centred radius test. */
+  /** Any non-null numeric literal, as a Double — an integer/long/decimal
+    * radius or centre written in SQL text must get the same bbox a DOUBLE
+    * literal gets (ImplicitCastInputTypes usually folds the cast away
+    * before this rule fires, but not for every parse shape). */
+  private object NumLit {
+    import org.apache.spark.sql.types._
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(null, _) => None
+      case Literal(v: Double, DoubleType)   => Some(v)
+      case Literal(v: Float, FloatType)     => Some(v.toDouble)
+      case Literal(v: Int, IntegerType)     => Some(v.toDouble)
+      case Literal(v: Long, LongType)       => Some(v.toDouble)
+      case Literal(v: Short, ShortType)     => Some(v.toDouble)
+      case Literal(v: Byte, ByteType)       => Some(v.toDouble)
+      case Literal(v: Decimal, _: DecimalType) => Some(v.toDouble)
+      case _ => None
+    }
+  }
+
+  /** Bounds implied by one conjunct, if it is a literal-centred radius test.
+    * haversine_km is symmetric in its two points, so the literal centre may
+    * appear in either argument pair. */
   private def boundsOf(conjunct: Expression): Seq[Expression] = {
+    def bounds(latE: Expression, lonE: Expression,
+               cLat: Double, cLon: Double, r: Double): Seq[Expression] = {
+      val (latLo, latHi, lon) = bbox(cLat, cLon, r)
+      Seq(GreaterThanOrEqual(latE, dLit(latLo)), LessThanOrEqual(latE, dLit(latHi))) ++
+        lon.toSeq.flatMap { case (lo, hi) =>
+          Seq(GreaterThanOrEqual(lonE, dLit(lo)), LessThanOrEqual(lonE, dLit(hi)))
+        }
+    }
     def derive(h: HaversineDist, r: Double): Seq[Expression] = h match {
-      case HaversineDist(latE, lonE, Literal(cLat: Double, DoubleType),
-                         Literal(cLon: Double, DoubleType))
-          if latE.deterministic && lonE.deterministic =>
-        val (latLo, latHi, lon) = bbox(cLat, cLon, r)
-        Seq(GreaterThanOrEqual(latE, dLit(latLo)), LessThanOrEqual(latE, dLit(latHi))) ++
-          lon.toSeq.flatMap { case (lo, hi) =>
-            Seq(GreaterThanOrEqual(lonE, dLit(lo)), LessThanOrEqual(lonE, dLit(hi)))
-          }
+      case HaversineDist(latE, lonE, NumLit(cLat), NumLit(cLon))
+          if latE.deterministic && lonE.deterministic && !latE.foldable && !lonE.foldable =>
+        bounds(latE, lonE, cLat, cLon, r)
+      case HaversineDist(NumLit(cLat), NumLit(cLon), latE, lonE)
+          if latE.deterministic && lonE.deterministic && !latE.foldable && !lonE.foldable =>
+        bounds(latE, lonE, cLat, cLon, r)
       case _ => Nil
     }
     conjunct match {
-      case LessThan(h: HaversineDist, Literal(r: Double, DoubleType))        => derive(h, r)
-      case LessThanOrEqual(h: HaversineDist, Literal(r: Double, DoubleType)) => derive(h, r)
-      case GreaterThan(Literal(r: Double, DoubleType), h: HaversineDist)     => derive(h, r)
-      case GreaterThanOrEqual(Literal(r: Double, DoubleType), h: HaversineDist) => derive(h, r)
+      case LessThan(h: HaversineDist, NumLit(r))        => derive(h, r)
+      case LessThanOrEqual(h: HaversineDist, NumLit(r)) => derive(h, r)
+      case GreaterThan(NumLit(r), h: HaversineDist)     => derive(h, r)
+      case GreaterThanOrEqual(NumLit(r), h: HaversineDist) => derive(h, r)
       case _ => Nil
     }
   }

@@ -202,23 +202,10 @@ object Geo extends QueryGroup {
     // Convoy/co-travel detection (grid-coarse): pairs of users observed
     // in the same 20° cell during the same hour, in ≥3 distinct hours
     // (cell size chosen so the derived lattice actually co-locates).
-    // The self-join is keyed on (hour, cell) — candidate pairs are
-    // bucket-local, never all user pairs; the distinct() pre-pass bounds
-    // each bucket at |users in that cell-hour|.
-    "q_traj_convoy" -> ((s, dir) => {
-      import s.implicits._
-      val p = pts(s, dir)
-        .select($"user_id", expr("ts_us div 3600000000").as("hb"),
-                floor($"lat" / 20.0).cast("long").as("cla"),
-                floor($"lon" / 20.0).cast("long").as("clo"))
-        .distinct()
-      p.as("a").join(p.as("b"), Seq("hb", "cla", "clo"))
-        .filter($"a.user_id" < $"b.user_id")
-        .groupBy($"a.user_id".as("u1"), $"b.user_id".as("u2"))
-        .agg(countDistinct($"hb").as("n_hours"))
-        .filter($"n_hours" >= 3)
-        .orderBy($"u1", $"u2")
-    }),
+    // Bucket-local self-join; hot-bucket skew story in [[Convoy]]'s
+    // scaladoc, pinned by GeoSpec's hot-bucket property.
+    "q_traj_convoy" -> ((s, dir) =>
+      graft.operators.Convoy.coTravelers(pts(s, dir), cellDeg = 20.0, minHours = 3)),
 
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the

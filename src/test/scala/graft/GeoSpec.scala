@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Convoy
+
+/** Skew properties of the bucket-keyed spatio-temporal operators: one hot
+  * space-time bucket must produce exactly its combinatorial output (with
+  * AQE's skew-join handling on, the default) — not fewer pairs, not a hang. */
+class GeoSpec extends BaseSpec {
+  import spark.implicits._
+
+  test("convoy: one hot (hour, cell) bucket yields exactly C(u,2) pairs") {
+    val H = 3600L * 1000000L
+    val hotUsers = 150
+    // Every hot user in the SAME 20-degree cell for hours 0, 1, 2; decoys in
+    // a far cell for one hour only (below minHours) plus a duplicate fix per
+    // user to exercise the distinct() pre-pass.
+    val hot = for {
+      u <- 0 until hotUsers; h <- 0 until 3
+      rep <- 0 until (if (h == 0) 2 else 1) // duplicate fixes, same bucket
+    } yield (u.toLong, h * H + rep * 60000000L, 5.0 + (u % 7) * 0.1, 5.0)
+    val decoys = for (u <- 1000 until 1020) yield (u.toLong, 0L, -75.0, -170.0)
+    val pts = (hot ++ decoys).toDF("user_id", "ts_us", "lat", "lon")
+    val got = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 3)
+      .as[(Long, Long, Long)].collect()
+    val expectedPairs = hotUsers.toLong * (hotUsers - 1) / 2
+    assert(got.length == expectedPairs,
+      s"hot bucket must emit C($hotUsers,2)=$expectedPairs pairs, got ${got.length}")
+    assert(got.forall(_._3 == 3L), s"all pairs co-travel 3 hours: ${got.take(3).toList}")
+    assert(got.forall { case (u1, u2, _) => u1 < u2 && u2 < 1000L },
+      "decoys (single shared hour) must not pair")
+  }
+
+  test("convoy: pairs below minHours are dropped, across-cell users never pair") {
+    val H = 3600L * 1000000L
+    val pts = Seq(
+      // users 1,2: same cell hours 0,1,2 → pair (3 hours)
+      (1L, 0L, 10.0, 10.0), (2L, 0L, 11.0, 11.0),
+      (1L, H, 10.0, 10.0), (2L, H, 11.0, 11.0),
+      (1L, 2 * H, 10.0, 10.0), (2L, 2 * H, 11.0, 11.0),
+      // user 3 joins them for only 2 hours → no pair with anyone
+      (3L, 0L, 12.0, 12.0), (3L, H, 12.0, 12.0),
+      // user 4 is always one cell east → never pairs
+      (4L, 0L, 10.0, 25.0), (4L, H, 10.0, 25.0), (4L, 2 * H, 10.0, 25.0)
+    ).toDF("user_id", "ts_us", "lat", "lon")
+    val got = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 3)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 3L)), s"expected only (1,2,3): $got")
+  }
+}

@@ -88,6 +88,55 @@ class PlanSpec extends BaseSpec {
       s"bbox pruning changed results: missing=${(truth -- pruned).take(5)} extra=${(pruned -- truth).take(5)}")
   }
 
+  test("HaversineRadiusPruning fires on centre-first and integer-radius SQL shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.HaversineRadiusPruning.install(spark)
+    graft.functions.HaversineDist.register(spark)
+    Tables(spark, sf, "events")
+      .withColumn("lat", (($"event_id" * 37) % 1700).cast("double") / 10.0 - 85.0)
+      .withColumn("lon", (($"event_id" * 131) % 3600).cast("double") / 10.0 - 180.0)
+      .createOrReplaceTempView("geo_pts")
+    val (latLo, latHi, _) = graft.plans.HaversineRadiusPruning.bbox(48.85, 2.35, 500.0)
+    // Centre-first argument order AND an integer radius literal — both must
+    // derive the same bounds as the canonical point-first DOUBLE shape.
+    for (q <- Seq(
+      "SELECT event_id FROM geo_pts WHERE haversine_km(48.85, 2.35, lat, lon) < 500",
+      "SELECT event_id FROM geo_pts WHERE haversine_km(lat, lon, 48.85, 2.35) < 500")) {
+      val opt = spark.sql(q).queryExecution.optimizedPlan.toString
+      for (b <- Seq(latLo, latHi))
+        assert(opt.contains(b.toString), s"bound $b missing for: $q\n$opt")
+    }
+  }
+
+  test("bbox bounds reach PushedFilters on stored lat/lon parquet columns") {
+    // The rule's 100 TB payoff: on STORED columns the injected range
+    // conjuncts must reach the parquet reader as PushedFilters (row-group
+    // min/max skipping), not just evaluate pre-trig.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.HaversineRadiusPruning.install(spark)
+    graft.functions.HaversineDist.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_geo").toString
+    Tables(spark, sf, "events")
+      .withColumn("lat", (($"event_id" * 37) % 1700).cast("double") / 10.0 - 85.0)
+      .withColumn("lon", (($"event_id" * 131) % 3600).cast("double") / 10.0 - 180.0)
+      .select($"event_id", $"lat", $"lon")
+      .write.mode("overwrite").parquet(s"$dir/pts.parquet")
+    val pts = spark.read.parquet(s"$dir/pts.parquet")
+    // Default maxMetadataStringLength (100) elides the PushedFilters list
+    // in the plan string — widen it for the assertion only.
+    withSQLConf("spark.sql.maxMetadataStringLength" -> "2000") {
+      val q = pts.filter(
+        call_function("haversine_km", $"lat", $"lon", lit(48.85), lit(2.35)) < lit(500.0))
+      val p = q.queryExecution.executedPlan.toString
+      val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      for (want <- Seq("GreaterThanOrEqual(lat", "LessThanOrEqual(lat",
+                       "GreaterThanOrEqual(lon", "LessThanOrEqual(lon"))
+        assert(pushed.contains(want), s"$want not pushed to the scan: $pushed\n$p")
+    }
+  }
+
   test("bbox bound is a true superset of the haversine disc") {
     // Deterministic lat/lon grid around the centre: every point inside the
     // radius must fall inside the derived box (including the lon bound).

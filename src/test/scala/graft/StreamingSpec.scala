@@ -133,6 +133,32 @@ class StreamingSpec extends BaseSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("query bodies run on a non-file streaming source (rate)") {
+    // No Kafka jar ships in this environment; the rate source is the
+    // built-in non-file, unbounded source — proving the query bodies are
+    // source-agnostic (readStream shape in, windowed agg out).
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    val evs = rate.select(
+      $"value".as("event_id"),
+      unix_micros($"timestamp").as("ts_us"),
+      ($"value" % 5).as("user_id"),
+      when($"value" % 2 === 0, "click").otherwise("view").as("event_type"),
+      ($"value" % 10).cast("double").as("value"))
+    val name = nextName()
+    val q = StreamOps.tumbling(evs).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    // rate is unbounded — processAllAvailable never drains it; poll until
+    // the windowed aggregate emits.
+    val deadline = System.currentTimeMillis() + 60000
+    var n = 0L
+    while (n == 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250); n = spark.table(name).count()
+    }
+    q.stop()
+    assert(n > 0, "tumbling body produced no rows on the rate source")
+  }
+
   test("parquet sink + checkpoint: restart resumes exactly-once") {
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
