@@ -189,8 +189,11 @@ object TextPipeline extends QueryGroup {
         .withColumn("p", substring($"t", 1, 8))
       d.as("a").join(d.as("b"), Seq("p"))
         .filter($"a.doc_id" < $"b.doc_id")
-        .withColumn("ed", levenshtein($"a.t", $"b.t").cast("long"))
-        .filter($"ed" <= 5)
+        // 3-arg levenshtein = banded DP bounded by the threshold: O(len·k)
+        // instead of O(len²) per pair, returning -1 above the bound —
+        // identical kept rows, ~7× less DP work at k=5 over 80-char keys.
+        .withColumn("ed", levenshtein($"a.t", $"b.t", 5).cast("long"))
+        .filter($"ed" >= 0)
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"ed")
         .orderBy($"d1", $"d2")
     }),
