@@ -20,22 +20,26 @@ import org.apache.spark.sql.functions._
 object VectorLSH {
 
   val DefaultTables = 4
-  private val bucketLen = 2.0
+  val DefaultBucketLen = 2.0
   private val seed = 42L
 
   /** @param numTables OR-amplification width: P(candidate) =
     *        1 − (1 − p₁)^numTables. 4 tables ≈ 0.98 at the d ≈ 1.1 boundary
     *        (the recall-property operating point); callers that need the
     *        candidate set to be a deterministic superset of a truth set —
-    *        e.g. the embedding-dedup verify path — pass a wider width. */
+    *        e.g. the embedding-dedup verify path — pass a wider width.
+    * @param bucketLen projection quantum: smaller buckets hold fewer
+    *        vectors (fewer bucket-join rows to verify) at lower per-table
+    *        collision probability — trade against numTables. */
   def candidatePairs(spark: SparkSession, embeddings: DataFrame,
                      maxEuclideanDistance: Double,
-                     numTables: Int = DefaultTables): DataFrame = {
+                     numTables: Int = DefaultTables,
+                     bucketLen: Double = DefaultBucketLen): DataFrame = {
     import spark.implicits._
-    // Width-specific function name: two candidatePairs calls with different
-    // widths in one session must not overwrite each other's registration
-    // before their (lazy) plan analysis runs.
-    val fn = s"brp_buckets_$numTables"
+    // Parameter-specific function name: two candidatePairs calls with
+    // different parameters in one session must not overwrite each other's
+    // registration before their (lazy) plan analysis runs.
+    val fn = s"brp_buckets_${numTables}_${(bucketLen * 100).toInt}"
     graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed, fn)
 
     // Vectors as ARRAY<DOUBLE>, materialized once: the bucket explode and

@@ -140,6 +140,19 @@ object StreamOps {
               col("c_us"), col("b_us"), col("value"))
   }
 
+  /** Stream-static enrichment join — the "attach the user's segment to
+    * every event" pipeline step. Stateless: each micro-batch joins against
+    * the static dimension as an ordinary (broadcast) hash join, no state
+    * store involved, and the static side is re-resolved per batch. Left
+    * join + coalesce so events from unknown users pass through labeled
+    * rather than dropped. At 100 TB the dim side is the broadcast-sized
+    * table; a dim too big to broadcast becomes a shuffled join keyed like
+    * any batch equi-join. */
+  def enriched(ev: DataFrame, dims: DataFrame): DataFrame =
+    ev.join(broadcast(dims), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              coalesce(col("segment"), lit("unknown")).as("segment"))
+
   /** Streaming source over a parquet events directory (library surface;
     * tests use MemoryStream instead). The raw schema carries ts as Long ns
     * (nanosAsLong), converted here to the µs timestamp the bodies expect. */

@@ -133,6 +133,22 @@ class StreamingSpec extends BaseSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("stream-static enrichment join attaches dim attributes per batch") {
+    implicit val ctx = spark.sqlContext
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.enriched(input.toDF(), dims).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    input.addData(ev(1, 1000000, user = 1), ev(2, 2000000, user = 2))
+    q.processAllAvailable()
+    input.addData(ev(3, 3000000, user = 9)) // no dim row → labeled, not dropped
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select($"event_id", $"segment")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "gold"), (2L, "silver"), (3L, "unknown")), s"got $got")
+  }
+
   test("query bodies run on a non-file streaming source (rate)") {
     // No Kafka jar ships in this environment; the rate source is the
     // built-in non-file, unbounded source — proving the query bodies are
