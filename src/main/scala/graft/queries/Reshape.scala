@@ -183,6 +183,24 @@ object Reshape extends QueryGroup {
 
     // Raw ANSI SQL surface: the exact same text the oracle runs. Catalyst
     // plans it like the DataFrame version (broadcast customer, shuffled
+    // Keep-latest-snapshot dedup: the "newest crawl of each URL" /
+    // "current row per entity" operator of a CDC or crawl pipeline. One
+    // user_id shuffle, per-partition sort, rank-1 filter; at 100 TB the
+    // same shape — never a global sort, and with the table bucketed on the
+    // entity key even the shuffle disappears. Ties broken by event_id so
+    // the result is total and engine-independent.
+    "q_dedup_latest" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id".as("latest_event"),
+                $"ts_us".as("latest_ts_us"), $"value")
+        .orderBy($"user_id")
+    }),
+
     // lineitem⋈orders, partial aggs); TopK via ORDER BY + LIMIT 10 is a
     // TakeOrderedAndProject — no full sort at scale.
     "q_sql_tpch" -> ((s, dir) => {
@@ -194,6 +212,16 @@ object Reshape extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id AS latest_event, ts_us AS latest_ts_us, value
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+        |    row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_pivot" ->
       s"""SELECT l_returnflag,
          |  round(${oSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 4) AS qty_f,

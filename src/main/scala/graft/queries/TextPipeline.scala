@@ -198,6 +198,26 @@ object TextPipeline extends QueryGroup {
         .orderBy($"d1", $"d2")
     }),
 
+    // Sequence packing: assign documents to fixed token-budget packs (the
+    // context-window batching step of a training-data build). Greedy by
+    // cumulative token count within each lang shard: pack_id = which
+    // 2048-token budget the doc STARTS in (docs may straddle budgets —
+    // the deterministic, window-friendly convention). Partitioned by lang,
+    // so the running sum is one per-shard window pass, never a global
+    // sort; at 100 TB the shard key is whatever the pack layout keys on.
+    "q_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+        .groupBy($"lang", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"lang", $"pack_id")
+    }),
+
     // Scalable near-dup paths — property-tested vs q_dedup_jaccard truth.
     "m_dedup_minhash" -> ((s, dir) =>
       graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5)),
@@ -305,6 +325,19 @@ object TextPipeline extends QueryGroup {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE round(ni * 1.0 / (s1.n + s2.n - ni), 4) >= 0.8
         |ORDER BY d1, d2""".stripMargin),
+
+    "q_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok)
+        |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM cum GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
     "q_dedup_edit" ->
       """WITH d AS (
