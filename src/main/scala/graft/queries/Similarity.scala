@@ -133,6 +133,29 @@ object Similarity extends QueryGroup {
         .orderBy($"label")
     }),
 
+    // Int8 scalar quantization (per-vector symmetric scale = 127/max|x|):
+    // the storage-shrink step of an embedding pipeline (4× smaller than
+    // float32, 8× than the double working form). Output is integer-exact
+    // (code sums + saturation counts) so parity with the oracle is exact by
+    // construction; the only double output (avg scale) goes through the
+    // decimal-sum route. All per-row work is HOFs in whole-stage codegen;
+    // the one shuffle is the label hash-agg.
+    "q_emb_quantize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("q", expr("transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT))"))
+        .withColumn("sum_q", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("n_sat", size(expr("filter(q, x -> abs(x) = 127)")).cast("long"))
+        .groupBy($"label".cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+             sum($"sum_q").as("sum_q"),
+             sum($"n_sat").as("n_saturated"),
+             r4(davg($"maxabs", 6)).as("avg_scale"))
+        .orderBy($"label")
+    }),
+
     // Approximate paths — property-tested for recall, no SQL oracle.
     "m_sim_lsh" -> ((s, dir) =>
       graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 1.2)),
@@ -200,6 +223,23 @@ object Similarity extends QueryGroup {
         |  FROM tt)
         |SELECT CAST(s.label AS BIGINT) AS label, n_docs, avg_chars, top_term
         |FROM stats s JOIN top USING (label) WHERE rn = 1 ORDER BY label""".stripMargin,
+
+    "q_emb_quantize" ->
+      s"""WITH e AS (
+         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+         |  FROM e),
+         |q AS (
+         |  SELECT label, maxabs,
+         |    list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT)) AS q
+         |  FROM m)
+         |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+         |  CAST(SUM(list_sum(q)) AS BIGINT) AS sum_q,
+         |  CAST(SUM(len(list_filter(q, x -> abs(x) = 127))) AS BIGINT) AS n_saturated,
+         |  round(${oAvg("maxabs", 6)}, 4) AS avg_scale
+         |FROM q GROUP BY label ORDER BY label""".stripMargin,
 
     "q_multimodal_bin" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -45,6 +45,42 @@ object TextPipeline extends QueryGroup {
       |            for i in range(1, len(toks) - 1)]) AS s
       |  FROM tt)""".stripMargin
 
+  /** Exact shingle-Jaccard pairs (d1 < d2, jaccard ≥ minJ) — the shared
+    * substrate of the near-dup truth query and the dedup-clustering step.
+    * Shuffles on the shingle key (the inverted-index join), never all pairs. */
+  private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("s"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .withColumn("jaccard", r4($"ni" * lit(1.0) / ($"n1" + $"n2" - $"ni")))
+      .filter($"jaccard" >= minJ)
+      .select($"d1", $"d2", $"jaccard")
+  }
+
+  /** Oracle-side mirror of [[jaccardPairs]]: appends sizes/inter/pairs CTEs
+    * to [[shinglesCte]]. */
+  private def jaccardPairsCte(minJ: Double): String =
+    shinglesCte +
+      s""",
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+         |  FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT d1, d2, round(ni * 1.0 / (s1.n + s2.n - ni), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE round(ni * 1.0 / (s1.n + s2.n - ni), 4) >= $minJ)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -160,21 +196,66 @@ object TextPipeline extends QueryGroup {
     }),
 
     // Exact 3-gram-shingle Jaccard ≥ 0.8 — ground truth for MinHash/SimHash.
-    "q_dedup_jaccard" -> ((s, dir) => {
+    "q_dedup_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir, 0.8).orderBy(col("d1"), col("d2"))),
+
+    // Dedup clustering: the keep/drop decision step after pair generation.
+    // Near-dup pairs (exact Jaccard ≥ 0.5) → connected components → each doc
+    // labeled with its cluster representative (the component-minimum doc_id;
+    // "keep comp, drop the rest" is then a filter). The CC operator is the
+    // same alternating-star contraction DBSCAN uses — edge-list joins all
+    // the way down, no driver state above the documented local endgame. The
+    // oracle computes the same fixpoint via a recursive reachability CTE.
+    "q_dedup_cluster" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"), Seq("s"))
-        .filter($"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .agg(count(lit(1)).as("ni"))
-      inter
-        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-        .withColumn("jaccard", r4($"ni" * lit(1.0) / ($"n1" + $"n2" - $"ni")))
-        .filter($"jaccard" >= 0.8)
-        .select($"d1", $"d2", $"jaccard")
-        .orderBy($"d1", $"d2")
+      // One eager checkpoint: the pair list feeds both the vertex set and
+      // the CC edge input, and CC's convergence loop re-reads it.
+      val pairs = jaccardPairs(s, dir, 0.5)
+        .select($"d1", $"d2").localCheckpoint(eager = true)
+      val verts = pairs.select($"d1".as("id"))
+        .unionAll(pairs.select($"d2".as("id"))).distinct()
+      graft.operators.ConnectedComponents
+        .run(s, verts, pairs.select($"d1".as("src"), $"d2".as("dst")))
+        .select($"id".as("doc_id"), $"comp")
+        .orderBy($"doc_id")
+    }),
+
+    // Gopher-style repetition signal: per-doc duplicate-3-gram fraction
+    // (1 − distinct/total shingles), aggregated per language. One pass, no
+    // join: the per-row HOFs stay in whole-stage codegen and the only
+    // shuffle is the final lang hash-agg.
+    "q_text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .withColumn("n_sh", (size($"toks") - 2).cast("double"))
+        .withColumn("n_uniq", size(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .cast("double"))
+        .withColumn("rep", lit(1.0) - $"n_uniq" / $"n_sh")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             r4(davg($"rep", 6)).as("avg_rep"),
+             r4(max($"rep")).as("max_rep"),
+             sum(when($"rep" > 0.2, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy($"lang")
+    }),
+
+    // Deterministic train/val/test split: first hex nibble of md5(doc_id)
+    // buckets 12/2/2 → 75%/12.5%/12.5%. Content-keyed hashing (not
+    // rand()/mod-counter) is what keeps the split stable under re-runs,
+    // re-partitioning, and incremental corpus appends at 100 TB.
+    "q_sample_split" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("b", substring(md5($"doc_id".cast("string")), 1, 1))
+        .withColumn("split",
+          when($"b" < "c", "train").when($"b" < "e", "val").otherwise("test"))
+        .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"split", $"lang")
     }),
 
     // Fuzzy dedup by edit distance with prefix blocking: candidate pairs
@@ -312,19 +393,50 @@ object TextPipeline extends QueryGroup {
         |  FROM documents) t
         |GROUP BY mode, h HAVING COUNT(*) > 1 ORDER BY mode, h""".stripMargin,
 
-    "q_dedup_jaccard" -> (shinglesCte +
+    "q_dedup_jaccard" -> (jaccardPairsCte(0.8) +
+      """
+        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin),
+
+    // Connected components as recursive reachability: comp(u) = min over
+    // everything reachable from u (∪ u itself) — the same fixpoint the
+    // alternating-star contraction computes.
+    "q_dedup_cluster" -> (jaccardPairsCte(0.5).replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
-        |  FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT d1, d2, round(ni * 1.0 / (s1.n + s2.n - ni), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes s1 ON s1.doc_id = d1
-        |JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE round(ni * 1.0 / (s1.n + s2.n - ni), 4) >= 0.8
-        |ORDER BY d1, d2""".stripMargin),
+        |sym AS (SELECT d1 AS u, d2 AS v FROM pairs
+        |        UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u)
+        |SELECT u AS doc_id, CAST(least(u, MIN(v)) AS BIGINT) AS comp
+        |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin),
+
+    "q_text_repetition" ->
+      s"""WITH d AS (
+         |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |r AS (
+         |  SELECT lang,
+         |    CAST(len(toks) - 2 AS DOUBLE) AS n_sh,
+         |    CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                            for i in range(1, len(toks) - 1)])) AS DOUBLE) AS n_uniq
+         |  FROM d),
+         |q AS (SELECT lang, 1.0 - n_uniq / n_sh AS rep FROM r)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  round(${oAvg("rep", 6)}, 4) AS avg_rep,
+         |  round(MAX(rep), 4) AS max_rep,
+         |  CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_split" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 'c' THEN 'train'
+        |            WHEN b < 'e' THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH tok AS (
