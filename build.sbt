@@ -29,6 +29,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap note: an interleaved 8g-vs-24g A/B (4 full bench runs) showed no
+// heap effect on total or variance — run-to-run swings are host-level
+// noise, not GC. 8g stays the default; override via SPARK_DRIVER_MEM.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -31,10 +31,15 @@ object VectorLSH {
     * @param bucketLen projection quantum: smaller buckets hold fewer
     *        vectors (fewer bucket-join rows to verify) at lower per-table
     *        collision probability — trade against numTables. */
-  def candidatePairs(spark: SparkSession, embeddings: DataFrame,
-                     maxEuclideanDistance: Double,
-                     numTables: Int = DefaultTables,
-                     bucketLen: Double = DefaultBucketLen): DataFrame = {
+  /** Verified candidate pairs with both DOUBLE vectors still attached:
+    * (va, vb, v1, v2, edist_exact ≤ maxEuclideanDistance), UNORDERED.
+    * Callers that re-score the pairs (e.g. the embedding-dedup cosine
+    * verify) build on this directly, so they neither re-join the vector
+    * table nor pay a sort that their own final ORDER BY would discard. */
+  def candidatesWithVecs(spark: SparkSession, embeddings: DataFrame,
+                         maxEuclideanDistance: Double,
+                         numTables: Int = DefaultTables,
+                         bucketLen: Double = DefaultBucketLen): DataFrame = {
     import spark.implicits._
     // Parameter-specific function name: two candidatePairs calls with
     // different parameters in one session must not overwrite each other's
@@ -59,9 +64,17 @@ object VectorLSH {
     cand
       .join(vecs.select($"vec_id".as("va"), $"v".as("v1")), Seq("va"))
       .join(vecs.select($"vec_id".as("vb"), $"v".as("v2")), Seq("vb"))
-      // Threshold on the UNROUNDED distance; round only the output column.
+      // Threshold on the UNROUNDED distance; round only in output columns.
       .withColumn("edist_exact", expr("euclidean_dist(v1, v2)"))
       .filter($"edist_exact" <= maxEuclideanDistance)
+  }
+
+  def candidatePairs(spark: SparkSession, embeddings: DataFrame,
+                     maxEuclideanDistance: Double,
+                     numTables: Int = DefaultTables,
+                     bucketLen: Double = DefaultBucketLen): DataFrame = {
+    import spark.implicits._
+    candidatesWithVecs(spark, embeddings, maxEuclideanDistance, numTables, bucketLen)
       .withColumn("edist", round($"edist_exact", 4))
       .select($"va", $"vb", $"edist")
       .orderBy($"va", $"vb")

@@ -201,6 +201,28 @@ object Reshape extends QueryGroup {
         .orderBy($"user_id")
     }),
 
+    // Time-series resampling with gap fill: regularize the event stream to
+    // a dense hourly grid, zero-filling empty buckets — the missing-bucket
+    // repair step before any rolling/seasonal computation. The bucket agg
+    // shuffles on the hour key; the grid is sequence()-exploded from ONE
+    // bounds row and joined to the (already tiny) aggregate, so grid size
+    // tracks the time range, never the input volume — at 100 TB the plan
+    // is identical. Buckets are epoch-ms longs (ns-truncation-proof).
+    "q_time_resample" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "events")
+        .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
+        .groupBy($"h")
+        .agg(count(lit(1)).as("n_events"), r4(dsum($"value", 6)).as("sum_value"))
+      val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select(explode(expr("sequence(lo, hi, 3600000)")).as("h"))
+      grid.join(agg, Seq("h"), "left")
+        .select($"h".as("bucket_ms"),
+                coalesce($"n_events", lit(0L)).as("n_events"),
+                coalesce($"sum_value", lit(0.0)).as("sum_value"))
+        .orderBy($"bucket_ms")
+    }),
+
     // lineitem⋈orders, partial aggs); TopK via ORDER BY + LIMIT 10 is a
     // TakeOrderedAndProject — no full sort at scale.
     "q_sql_tpch" -> ((s, dir) => {
@@ -221,6 +243,21 @@ object Reshape extends QueryGroup {
         |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_time_resample" ->
+      s"""WITH ev AS (
+         |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h, value
+         |  FROM events),
+         |agg AS (
+         |  SELECT h, COUNT(*) AS n_events,
+         |    round(${oSum("value", 6)}, 4) AS sum_value
+         |  FROM ev GROUP BY h),
+         |b AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+         |grid AS (SELECT unnest(generate_series(lo, hi, 3600000)) AS h FROM b)
+         |SELECT g.h AS bucket_ms,
+         |  CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+         |  COALESCE(a.sum_value, 0.0) AS sum_value
+         |FROM grid g LEFT JOIN agg a ON g.h = a.h ORDER BY bucket_ms""".stripMargin,
 
     "q_pivot" ->
       s"""SELECT l_returnflag,

@@ -71,12 +71,10 @@ object Similarity extends QueryGroup {
     // brute-force oracle while the plan shuffles only bucket-local pairs.
     "q_dedup_embcos" -> ((s, dir) => {
       import s.implicits._
-      val e = vecs(s, dir)
+      VectorOps.register(s)
       graft.operators.VectorLSH
-        .candidatePairs(s, t(s, dir, "embeddings"), 1.2, numTables = 12)
-        .join(e.select($"vec_id".as("va"), $"v".as("av")), Seq("va"))
-        .join(e.select($"vec_id".as("vb"), $"v".as("bv")), Seq("vb"))
-        .withColumn("cos", r4(VectorOps.cosineSim($"av", $"bv")))
+        .candidatesWithVecs(s, t(s, dir, "embeddings"), 1.2, numTables = 12)
+        .withColumn("cos", r4(VectorOps.cosineSim($"v1", $"v2")))
         .filter($"cos" >= 0.4)
         .select($"va", $"vb", $"cos")
         .orderBy($"va", $"vb")

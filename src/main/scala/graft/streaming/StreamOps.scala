@@ -140,6 +140,29 @@ object StreamOps {
               col("c_us"), col("b_us"), col("value"))
   }
 
+  /** Left-outer variant of [[attributionJoin]]: clicks that see NO purchase
+    * within the 20-minute window are still emitted — buy columns null —
+    * once the watermark proves the non-match (a row can only be declared
+    * unmatched after `c_ts + 20 min` falls behind the watermark, so outer
+    * results trail the inner ones by design, never mid-window). This is the
+    * "unattributed click" side of the funnel; per-side state bounds are
+    * identical to the inner join. */
+  def attributionJoinOuter(clicks: DataFrame, buys: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val c = withEventTime(clicks).withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"), col("ts_us").as("c_us"))
+    val b = withEventTime(buys).withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+              col("ts").as("b_ts"), col("ts_us").as("b_us"), col("value"))
+    c.join(b, col("user_id") === col("b_user") &&
+              col("b_ts") >= col("c_ts") &&
+              col("b_ts") < col("c_ts") + expr("INTERVAL 20 MINUTES"),
+           "leftOuter")
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+              col("c_us"), col("b_us"), col("value"))
+  }
+
   /** Stream-static enrichment join — the "attach the user's segment to
     * every event" pipeline step. Stateless: each micro-batch joins against
     * the static dimension as an ordinary (broadcast) hash join, no state

@@ -133,6 +133,32 @@ class StreamingSpec extends BaseSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("left-outer stream-stream join emits unattributed clicks with nulls") {
+    implicit val ctx = spark.sqlContext
+    val M = 60L * 1000000L
+    val B = 100 * H
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.attributionJoinOuter(clicks.toDF(), buys.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    clicks.addData(ev(1, B, user = 1), ev(2, B, user = 2))
+    buys.addData(ev(10, B + 5 * M, user = 1, typ = "purchase", value = 7.0))
+    q.processAllAvailable()
+    // The user-2 click is unmatched, but the state store can only prove the
+    // non-match once the watermark passes B + 20 min — no null row yet.
+    assert(spark.table(name).filter($"buy_id".isNull).isEmpty,
+      "outer row emitted before the watermark closed its window")
+    clicks.addData(ev(3, B + 10 * H, user = 99))
+    buys.addData(ev(13, B + 10 * H, user = 99, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).filter($"user_id" =!= 99L)
+      .select($"user_id", $"click_id", $"buy_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 10L), (2L, 2L, -1L)), s"got $got")
+  }
+
   test("stream-static enrichment join attaches dim attributes per batch") {
     implicit val ctx = spark.sqlContext
     val dims = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
