@@ -55,6 +55,41 @@ object Reshape extends QueryGroup {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Gap-filled hourly series (bucket_ms, n_events, sum_value), unordered:
+    * hour-bucket hash agg + a `sequence()` grid exploded from ONE bounds
+    * row, left-joined so empty hours appear as zeros. Grid size tracks the
+    * time range, never input volume. Shared by q_time_resample/q_roll_mean. */
+  private def resampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = t(s, dir, "events")
+      .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("n_events"), r4(dsum($"value", 6)).as("sum_value"))
+    val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(expr("sequence(lo, hi, 3600000)")).as("h"))
+    grid.join(agg, Seq("h"), "left")
+      .select($"h".as("bucket_ms"),
+              coalesce($"n_events", lit(0L)).as("n_events"),
+              coalesce($"sum_value", lit(0.0)).as("sum_value"))
+  }
+
+  /** Oracle-side mirror of [[resampled]] (CTEs ending in `res`). */
+  private val resampledCte =
+    s"""WITH ev AS (
+       |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h, value
+       |  FROM events),
+       |agg AS (
+       |  SELECT h, COUNT(*) AS n_events,
+       |    round(${oSum("value", 6)}, 4) AS sum_value
+       |  FROM ev GROUP BY h),
+       |b AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+       |grid AS (SELECT unnest(generate_series(lo, hi, 3600000)) AS h FROM b),
+       |res AS (
+       |  SELECT g.h AS bucket_ms,
+       |    CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       |    COALESCE(a.sum_value, 0.0) AS sum_value
+       |  FROM grid g LEFT JOIN agg a ON g.h = a.h)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // Wide pivot: one hash-agg shuffle on the row key; the pivoted columns
     // are plain conditional aggregates, so no extra pass per column.
@@ -208,19 +243,81 @@ object Reshape extends QueryGroup {
     // bounds row and joined to the (already tiny) aggregate, so grid size
     // tracks the time range, never the input volume — at 100 TB the plan
     // is identical. Buckets are epoch-ms longs (ns-truncation-proof).
-    "q_time_resample" -> ((s, dir) => {
+    "q_time_resample" -> ((s, dir) =>
+      resampled(s, dir).orderBy(col("bucket_ms"))),
+
+    // Rolling 24-bucket mean over the gap-filled hourly series — the
+    // moving-average smoother that NEEDS the zero-filled grid (a rolling
+    // window over raw buckets would silently skip empty hours). The window
+    // is a single global-order pass, which is correct at any input volume:
+    // the grid's row count is bounded by the TIME RANGE (one row per hour),
+    // not by data size, so even a century of data is under a million rows.
+    "q_roll_mean" -> ((s, dir) => {
       import s.implicits._
-      val agg = t(s, dir, "events")
-        .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
-        .groupBy($"h")
-        .agg(count(lit(1)).as("n_events"), r4(dsum($"value", 6)).as("sum_value"))
-      val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
-        .select(explode(expr("sequence(lo, hi, 3600000)")).as("h"))
-      grid.join(agg, Seq("h"), "left")
-        .select($"h".as("bucket_ms"),
-                coalesce($"n_events", lit(0L)).as("n_events"),
-                coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      // Windowed AVG would sum doubles in engine-specific order (Spark
+      // re-scans the frame, DuckDB uses a segment tree) — one ulp apart at
+      // round(4); and a decimal-sum/24 quotient can land EXACTLY on a
+      // 4th-decimal midpoint, where Spark's BigDecimal HALF_UP and DuckDB's
+      // double-math round break the tie differently. So: the event count
+      // gets a true mean (an integer/24 provably never hits a midpoint),
+      // the value gets the decimal-exact trailing SUM (no division at all).
+      val w = Window.orderBy($"bucket_ms").rowsBetween(-23, Window.currentRow)
+      resampled(s, dir)
+        .withColumn("roll_events",
+          r4(sum($"n_events").over(w).cast("double") / count(lit(1)).over(w)))
+        .withColumn("roll_value",
+          r4(sum(expr("CAST(sum_value AS DECIMAL(18,6))")).over(w).cast("double")))
+        .select($"bucket_ms", $"n_events", $"roll_events", $"roll_value")
         .orderBy($"bucket_ms")
+    }),
+
+    // Z-score anomaly detection over the telemetry values, per event type.
+    // Parity-safe by construction: mean and σ are derived from exact
+    // decimal-backed Σx / Σx² (identical doubles in both engines), so the
+    // per-row |z| > 3 classification can only disagree on a row landing
+    // within one ulp of the cut — probability ~0 for continuous values.
+    // Two shuffles: the stats hash-agg, then a broadcast of ≤|types| rows
+    // back onto the fact scan (the fact table never reshuffles).
+    "q_anomaly_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_type", $"value")
+      val st = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             dsum($"value", 6).as("s1"),
+             dsum($"value" * $"value", 6).as("s2"))
+        .withColumn("mean", $"s1" / $"n")
+        .withColumn("sd", sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)))
+      ev.join(broadcast(st), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(when($"value" > $"mean" + lit(3.0) * $"sd" ||
+                      $"value" < $"mean" - lit(3.0) * $"sd", 1L).otherwise(0L))
+               .as("n_outliers"),
+             r4(min($"mean")).as("mean"),
+             r4(min($"sd")).as("sd"))
+        .orderBy($"event_type")
+    }),
+
+    // Weighted dataset mixture: per-source keep rates (25% for even
+    // sources, 75% for odd) applied via an md5 two-nibble threshold on
+    // (source, doc_id) — the deterministic downsampling step that rebalances
+    // corpus composition before training. Like q_sample_split, the hash key
+    // makes the sample stable under re-runs and appends; realized rates
+    // concentrate on the target as the corpus grows.
+    "q_mix_sources" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("srcnum", regexp_extract($"source", "([0-9]+)$", 1).cast("int"))
+        .withColumn("thresh", when(pmod($"srcnum", lit(2)) === 0, "40").otherwise("c0"))
+        .withColumn("h2",
+          substring(md5(concat($"source", lit(":"), $"doc_id".cast("string"))), 1, 2))
+        .withColumn("keep", $"h2" < $"thresh")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+             r4(sum(when($"keep", 1L).otherwise(0L)) * lit(1.0) / count(lit(1)))
+               .as("kept_frac"))
+        .orderBy($"source")
     }),
 
     // lineitem⋈orders, partial aggs); TopK via ORDER BY + LIMIT 10 is a
@@ -244,20 +341,51 @@ object Reshape extends QueryGroup {
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
-    "q_time_resample" ->
-      s"""WITH ev AS (
-         |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h, value
-         |  FROM events),
-         |agg AS (
-         |  SELECT h, COUNT(*) AS n_events,
-         |    round(${oSum("value", 6)}, 4) AS sum_value
-         |  FROM ev GROUP BY h),
-         |b AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
-         |grid AS (SELECT unnest(generate_series(lo, hi, 3600000)) AS h FROM b)
-         |SELECT g.h AS bucket_ms,
-         |  CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
-         |  COALESCE(a.sum_value, 0.0) AS sum_value
-         |FROM grid g LEFT JOIN agg a ON g.h = a.h ORDER BY bucket_ms""".stripMargin,
+    "q_time_resample" -> (resampledCte +
+      """
+        |SELECT bucket_ms, n_events, sum_value FROM res ORDER BY bucket_ms""".stripMargin),
+
+    "q_roll_mean" -> (resampledCte +
+      """
+        |SELECT bucket_ms, n_events,
+        |  round(CAST(SUM(n_events) OVER w AS DOUBLE) / (COUNT(*) OVER w), 4)
+        |    AS roll_events,
+        |  round(CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4)
+        |    AS roll_value
+        |FROM res
+        |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket_ms""".stripMargin),
+
+    "q_anomaly_zscore" ->
+      s"""WITH st AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    ${oSum("value", 6)} AS s1,
+         |    ${oSum("value * value", 6)} AS s2
+         |  FROM events GROUP BY event_type),
+         |x AS (
+         |  SELECT event_type, s1 / n AS mean,
+         |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+         |  FROM st)
+         |SELECT e.event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN e.value > mean + 3.0 * sd
+         |                  OR e.value < mean - 3.0 * sd THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  round(MIN(mean), 4) AS mean, round(MIN(sd), 4) AS sd
+         |FROM events e JOIN x USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_mix_sources" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+        |         THEN '40' ELSE 'c0' END AS thresh,
+        |    substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN h2 < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(SUM(CASE WHEN h2 < thresh THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+        |    AS kept_frac
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q_pivot" ->
       s"""SELECT l_returnflag,
