@@ -118,6 +118,29 @@ object Geo extends QueryGroup {
         .limit(20)
     }),
 
+    // Origin–destination matrix: per (user, day), the first and last grid
+    // cell visited → trip counts per OD pair — the classic telemetry
+    // mobility product. One (user, day) shuffle feeds both window passes
+    // and the rank-1 filter; the OD aggregate then shuffles on the pair
+    // key. At 100 TB the day column is the natural partition column, so
+    // the window pass is partition-local.
+    "q_geo_od" -> ((s, dir) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id", $"day").orderBy($"ts_us", $"event_id")
+      val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      pts(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .withColumn("cell", concat_ws(":",
+          floor($"lat" / 10.0).cast("long"), floor($"lon" / 10.0).cast("long")))
+        .withColumn("origin", first($"cell").over(wAll))
+        .withColumn("dest", last($"cell").over(wAll))
+        .withColumn("rn", row_number().over(wOrd))
+        .filter($"rn" === 1)
+        .groupBy($"origin", $"dest")
+        .agg(count(lit(1)).as("n_trips"))
+        .orderBy($"origin", $"dest")
+    }),
+
     "q_geo_knn" -> ((s, dir) => {
       import s.implicits._
       pts(s, dir)
@@ -273,6 +296,25 @@ object Geo extends QueryGroup {
          |SELECT event_id,
          |  round(${HaversineDist.oracleSql("lat", "lon", "10.0", "20.0")}, 3) AS dist_km
          |FROM pts ORDER BY dist_km, event_id LIMIT 5""".stripMargin),
+
+    "q_geo_od" -> (ptsCte +
+      """,
+        |e AS (
+        |  SELECT user_id, ts_us // 86400000000 AS day, event_id, ts_us,
+        |    CAST(CAST(floor(lat / 10.0) AS BIGINT) AS VARCHAR) || ':' ||
+        |    CAST(CAST(floor(lon / 10.0) AS BIGINT) AS VARCHAR) AS cell
+        |  FROM pts),
+        |od AS (
+        |  SELECT first_value(cell) OVER w AS origin,
+        |         last_value(cell) OVER w AS dest,
+        |         row_number() OVER (PARTITION BY user_id, day
+        |                            ORDER BY ts_us, event_id) AS rn
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT origin, dest, COUNT(*) AS n_trips
+        |FROM od WHERE rn = 1
+        |GROUP BY origin, dest ORDER BY origin, dest""".stripMargin),
 
     "q_traj_speed" -> (segCte +
       """
