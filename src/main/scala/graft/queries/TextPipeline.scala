@@ -81,6 +81,21 @@ object TextPipeline extends QueryGroup {
          |  JOIN sizes s2 ON s2.doc_id = d2
          |  WHERE round(ni * 1.0 / (s1.n + s2.n - ni), 4) >= $minJ)""".stripMargin
 
+  /** Dedup-cluster assignment (doc_id, comp) for every doc in a ≥ 0.5
+    * exact-Jaccard near-dup pair; comp = cluster-minimum doc_id. One eager
+    * checkpoint: the pair list feeds both the vertex set and the CC edge
+    * input, and CC's convergence loop re-reads it. */
+  private def clusterAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir, 0.5)
+      .select($"d1", $"d2").localCheckpoint(eager = true)
+    val verts = pairs.select($"d1".as("id"))
+      .unionAll(pairs.select($"d2".as("id"))).distinct()
+    graft.operators.ConnectedComponents
+      .run(s, verts, pairs.select($"d1".as("src"), $"d2".as("dst")))
+      .select($"id".as("doc_id"), $"comp")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -206,18 +221,26 @@ object TextPipeline extends QueryGroup {
     // same alternating-star contraction DBSCAN uses — edge-list joins all
     // the way down, no driver state above the documented local endgame. The
     // oracle computes the same fixpoint via a recursive reachability CTE.
-    "q_dedup_cluster" -> ((s, dir) => {
+    "q_dedup_cluster" -> ((s, dir) =>
+      clusterAssign(s, dir).orderBy(col("doc_id"))),
+
+    // The materialize step after clustering: which documents survive.
+    // Per language: total docs, docs dropped (cluster non-representatives),
+    // docs kept — "kept" is what the deduped training corpus would ship.
+    // One broadcast of the (tiny relative to corpus) dropped-id set onto
+    // the full scan; the corpus itself never joins pairwise.
+    "q_dedup_keep" -> ((s, dir) => {
       import s.implicits._
-      // One eager checkpoint: the pair list feeds both the vertex set and
-      // the CC edge input, and CC's convergence loop re-reads it.
-      val pairs = jaccardPairs(s, dir, 0.5)
-        .select($"d1", $"d2").localCheckpoint(eager = true)
-      val verts = pairs.select($"d1".as("id"))
-        .unionAll(pairs.select($"d2".as("id"))).distinct()
-      graft.operators.ConnectedComponents
-        .run(s, verts, pairs.select($"d1".as("src"), $"d2".as("dst")))
-        .select($"id".as("doc_id"), $"comp")
-        .orderBy($"doc_id")
+      val dropped = clusterAssign(s, dir)
+        .filter($"doc_id" =!= $"comp")
+        .select($"doc_id", lit(1L).as("is_drop"))
+      t(s, dir, "documents")
+        .join(broadcast(dropped), Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(coalesce($"is_drop", lit(0L))).as("n_dropped"),
+             (count(lit(1)) - sum(coalesce($"is_drop", lit(0L)))).as("n_kept"))
+        .orderBy($"lang")
     }),
 
     // Gopher-style repetition signal: per-doc duplicate-3-gram fraction
@@ -306,6 +329,21 @@ object TextPipeline extends QueryGroup {
     "m_dedup_simhash" -> ((s, dir) =>
       graft.operators.SimHash.nearDupPairs(s, t(s, dir, "documents"), maxHamming = 3))
   )
+
+  /** Oracle-side mirror of [[clusterAssign]]: recursive reachability over
+    * the symmetric pair edges, ending in an `assign(doc_id, comp)` CTE. */
+  private val clusterCte =
+    jaccardPairsCte(0.5).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |sym AS (SELECT d1 AS u, d2 AS v FROM pairs
+        |        UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+        |assign AS (
+        |  SELECT u AS doc_id, CAST(least(u, MIN(v)) AS BIGINT) AS comp
+        |  FROM walk GROUP BY u)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -400,16 +438,20 @@ object TextPipeline extends QueryGroup {
     // Connected components as recursive reachability: comp(u) = min over
     // everything reachable from u (∪ u itself) — the same fixpoint the
     // alternating-star contraction computes.
-    "q_dedup_cluster" -> (jaccardPairsCte(0.5).replaceFirst("WITH ", "WITH RECURSIVE ") +
+    "q_dedup_cluster" -> (clusterCte +
+      """
+        |SELECT doc_id, comp FROM assign ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_keep" -> (clusterCte +
       """,
-        |sym AS (SELECT d1 AS u, d2 AS v FROM pairs
-        |        UNION ALL SELECT d2, d1 FROM pairs),
-        |walk(u, v) AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u)
-        |SELECT u AS doc_id, CAST(least(u, MIN(v)) AS BIGINT) AS comp
-        |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin),
+        |dropped AS (SELECT doc_id FROM assign WHERE doc_id <> comp)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN dropped dr USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
 
     "q_text_repetition" ->
       s"""WITH d AS (
