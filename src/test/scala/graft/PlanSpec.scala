@@ -39,6 +39,12 @@ class PlanSpec extends BaseSpec {
     }
   }
 
+  test("q_anomaly_zscore broadcasts the stats row set — the fact scan never reshuffles") {
+    val p = planOf("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats not broadcast back onto the fact table:\n$p")
+  }
+
   test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"), s"q_topk plans a full sort:\n$p")
