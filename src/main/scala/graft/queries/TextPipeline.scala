@@ -265,6 +265,32 @@ object TextPipeline extends QueryGroup {
         .orderBy($"lang")
     }),
 
+    // C4-style percentile-band length filter: per-lang exact P05/P95 of the
+    // token count, then classify every doc as below/inside/above the band —
+    // the outlier-length cut of a corpus-cleaning pass. Thresholds are
+    // ROUNDED to 4 decimals before the comparison: the interpolated
+    // quantile is a small-denominator rational (exact at ≤4 decimals), so
+    // rounding erases the one-ulp gap between Spark's a + g·(b−a) and
+    // DuckDB's interpolation formula that could otherwise flip a doc whose
+    // integer length ties a threshold. Stats broadcast onto the corpus
+    // scan, same shape as q_anomaly_zscore.
+    "q_text_pfilter" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", size(split($"text", " ")).cast("double"))
+      val st = d.groupBy($"lang")
+        .agg(r4(percentile($"n_tok", lit(0.05))).as("p05"),
+             r4(percentile($"n_tok", lit(0.95))).as("p95"))
+      d.join(broadcast(st), Seq("lang"))
+        .groupBy($"lang")
+        .agg(min($"p05").as("p05"), min($"p95").as("p95"),
+             sum(when($"n_tok" < $"p05", 1L).otherwise(0L)).as("n_below"),
+             sum(when($"n_tok" >= $"p05" && $"n_tok" <= $"p95", 1L).otherwise(0L))
+               .as("n_kept"),
+             sum(when($"n_tok" > $"p95", 1L).otherwise(0L)).as("n_above"))
+        .orderBy($"lang")
+    }),
+
     // Deterministic train/val/test split: first hex nibble of md5(doc_id)
     // buckets 12/2/2 → 75%/12.5%/12.5%. Content-keyed hashing (not
     // rand()/mod-counter) is what keeps the split stable under re-runs,
@@ -469,6 +495,23 @@ object TextPipeline extends QueryGroup {
          |  round(MAX(rep), 4) AS max_rep,
          |  CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_pfilter" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT lang,
+        |    round(quantile_cont(n_tok, 0.05), 4) AS p05,
+        |    round(quantile_cont(n_tok, 0.95), 4) AS p95
+        |  FROM d GROUP BY lang)
+        |SELECT d.lang, MIN(p05) AS p05, MIN(p95) AS p95,
+        |  CAST(SUM(CASE WHEN n_tok < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN n_tok >= p05 AND n_tok <= p95 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN n_tok > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM d JOIN st USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_sample_split" ->
       """WITH d AS (
