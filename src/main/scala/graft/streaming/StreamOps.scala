@@ -7,8 +7,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One telemetry event (µs epoch — matches the batch contract queries). */
 case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
 
+/** [[Ev]] plus the TIMESTAMP event-time column a watermark attaches to
+  * (event-time timers require TimeMode.EventTime + a watermarked input). */
+case class EvT(event_id: Long, ts_us: Long, user_id: Long, event_type: String,
+               value: Double, ts: java.sql.Timestamp)
+
 /** Per-user running state carried by the stateful operator. */
 case class UserState(last_type: String, total_value: Double, n_events: Long)
+
+/** Open-session accumulator for [[SessionCloseProcessor]]; `timer_ms` is the
+  * currently registered close timer (so a newer event can delete it). */
+case class OpenSession(n_events: Long, first_us: Long, last_us: Long, timer_ms: Long)
 
 /** `StatefulProcessor` behind [[StreamOps.runningStateTws]]: per-user
   * running (last type, total value, count) in a single `ValueState`,
@@ -33,6 +42,49 @@ class RunningStateProcessor
     st.update(next)
     Iterator((key, next.last_type, next.total_value, next.n_events))
   }
+}
+
+/** Real-time sessionization via EVENT-TIME TIMERS — the push counterpart of
+  * `session_window` (which only emits when the engine closes the window as
+  * a side effect of aggregation): each user's open session re-arms a close
+  * timer at `last_event + gapMs`; when the watermark passes it, the expired
+  * session is EMITTED and its state CLEARED — exactly-one close record per
+  * session, state bounded by |open sessions|. Within one micro-batch all of
+  * a user's rows extend the current session (the timer can only fire
+  * between batches — the standard TWS idle-timeout convention). */
+class SessionCloseProcessor(gapMs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var open: streaming.ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "openSession", Encoders.product[OpenSession], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EvT],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val prev = Option(open.get()).getOrElse(
+      OpenSession(0L, Long.MaxValue, Long.MinValue, -1L))
+    val next = rows.foldLeft(prev) { (s, e) =>
+      OpenSession(s.n_events + 1,
+        math.min(s.first_us, e.ts_us), math.max(s.last_us, e.ts_us), s.timer_ms)
+    }
+    if (prev.timer_ms >= 0) getHandle.deleteTimer(prev.timer_ms)
+    val closeAt = next.last_us / 1000L + gapMs
+    getHandle.registerTimer(closeAt)
+    open.update(next.copy(timer_ms = closeAt))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: streaming.TimerValues,
+      expired: streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+    Option(open.get()) match {
+      case Some(s) =>
+        open.clear()
+        Iterator((key, s.n_events, s.first_us, s.last_us))
+      case None => Iterator.empty
+    }
 }
 
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
@@ -138,6 +190,21 @@ object StreamOps {
               col("b_ts") < col("c_ts") + expr("INTERVAL 20 MINUTES"))
       .select(col("user_id"), col("click_id"), col("buy_id"),
               col("c_us"), col("b_us"), col("value"))
+  }
+
+  /** Sessions closed by inactivity, emitted as (user_id, n_events,
+    * first_us, last_us) the moment the watermark proves the gap — see
+    * [[SessionCloseProcessor]]. Event-time timers need TimeMode.EventTime
+    * and a watermark on the input's timestamp column. */
+  def sessionClose(ev: DataFrame, gapMs: Long = 30L * 60 * 1000,
+                   watermark: String = "10 minutes"): Dataset[(Long, Long, Long, Long)] = {
+    import ev.sparkSession.implicits._
+    withEventTime(ev)
+      .withWatermark("ts", watermark)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
   }
 
   /** Left-outer variant of [[attributionJoin]]: clicks that see NO purchase

@@ -133,6 +133,41 @@ class StreamingSpec extends BaseSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("event-time timers close idle sessions exactly once and clear state") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val M = 60L * 1000000L
+      val B = 100 * H
+      val input = MemoryStream[Ev]
+      val name = nextName()
+      val q = StreamOps.sessionClose(input.toDF())
+        .toDF("user_id", "n_events", "first_us", "last_us")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // Two events 5 min apart: one open session, no close record yet.
+      input.addData(ev(1, B, user = 1), ev(2, B + 5 * M, user = 1))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty, "session closed before the gap elapsed")
+      // Watermark jumps past last_event + 30 min → the timer fires, the
+      // session closes once, and its state is gone (a second watermark
+      // advance must not re-emit it).
+      input.addData(ev(3, B + 2 * H, user = 99))
+      q.processAllAvailable()
+      input.addData(ev(4, B + 4 * H, user = 98))
+      q.processAllAvailable(); q.stop()
+      val closed = spark.table(name).filter($"user_id" === 1L)
+        .select($"n_events", $"first_us", $"last_us")
+        .as[(Long, Long, Long)].collect().toList
+      assert(closed == List((2L, B, B + 5 * M)), s"closed sessions for user 1: $closed")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("left-outer stream-stream join emits unattributed clicks with nulls") {
     implicit val ctx = spark.sqlContext
     val M = 60L * 1000000L
