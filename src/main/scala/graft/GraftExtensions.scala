@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.HaversineRadiusPruning)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBanding)
     ext.injectFunction((FunctionIdentifier("haversine_km"),
       info("haversine_km", classOf[functions.HaversineDist]),
       exprs => functions.HaversineDist(exprs(0), exprs(1), exprs(2), exprs(3))))

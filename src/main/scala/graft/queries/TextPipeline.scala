@@ -314,16 +314,19 @@ object TextPipeline extends QueryGroup {
     // the prefix key only — never all pairs.
     "q_dedup_edit" -> ((s, dir) => {
       import s.implicits._
+      // Written the NATURAL way (2-arg levenshtein ≤ 5); the
+      // LevenshteinBanding optimizer rule rewrites the predicate to the
+      // banded 3-arg DP — O(len·k) instead of O(len²) per pair, ~7× less
+      // work at k=5 over 80-char keys — so the contract query itself
+      // proves the rule is load-bearing (PlanSpec pins the rewrite).
+      graft.plans.LevenshteinBanding.install(s)
       val d = t(s, dir, "documents")
         .select($"doc_id", substring(lower(trim($"text")), 1, 80).as("t"))
         .withColumn("p", substring($"t", 1, 8))
       d.as("a").join(d.as("b"), Seq("p"))
         .filter($"a.doc_id" < $"b.doc_id")
-        // 3-arg levenshtein = banded DP bounded by the threshold: O(len·k)
-        // instead of O(len²) per pair, returning -1 above the bound —
-        // identical kept rows, ~7× less DP work at k=5 over 80-char keys.
-        .withColumn("ed", levenshtein($"a.t", $"b.t", 5).cast("long"))
-        .filter($"ed" >= 0)
+        .withColumn("ed", levenshtein($"a.t", $"b.t").cast("long"))
+        .filter($"ed" <= 5)
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"ed")
         .orderBy($"d1", $"d2")
     }),

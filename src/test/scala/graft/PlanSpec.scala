@@ -39,6 +39,30 @@ class PlanSpec extends BaseSpec {
     }
   }
 
+  test("LevenshteinBanding rewrites lev(a,b) <= k into the banded 3-arg form") {
+    import org.apache.spark.sql.functions._
+    graft.plans.LevenshteinBanding.install(spark)
+    val d = Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "substr(lower(trim(text)), 1, 40) AS t")
+    // The natural (unbanded) spelling, in a join condition AND a filter —
+    // both must come out banded. `lev ≤ k ⇔ lev3(k) ≥ 0` is the contract
+    // q_dedup_edit's DuckDB parity already pins, so plan shape is the claim.
+    val q = d.as("a").join(d.as("b"),
+        expr("levenshtein(a.t, b.t) <= 5") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("levenshtein(a.t, substr(b.t, 1, 39)) < 7"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.matches("(?s).*levenshtein\\([^,)]+, [^,)]+\\) <= 5.*"),
+      s"2-arg predicate survived optimization:\n$opt")
+    assert(opt.contains("Some(5)) >= 0"), s"join condition not banded at 5:\n$opt")
+    assert(opt.contains("Some(6)) >= 0"), s"strict < 7 not banded at 6:\n$opt")
+    // The contract query is written with the natural 2-arg spelling under a
+    // `.cast("long")` projection — the rule must see through the up-cast.
+    val edit = SparkEntry.queries("q_dedup_edit")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(edit.contains("Some(5)) >= 0"),
+      s"q_dedup_edit's cast-wrapped predicate not banded:\n$edit")
+  }
+
   test("q_anomaly_zscore broadcasts the stats row set — the fact scan never reshuffles") {
     val p = planOf("q_anomaly_zscore")
     assert(p.contains("BroadcastHashJoin"),
