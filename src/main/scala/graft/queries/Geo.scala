@@ -79,9 +79,14 @@ object Geo extends QueryGroup {
   val queries: Map[String, QFn] = Map(
     "q_geo_haversine" -> ((s, dir) => {
       import s.implicits._
+      // Output at 0.1 km: a single per-segment libm-ulp wobble can flip one
+      // DECIMAL(18,4) cast by 1e-4 (observed once at sf0.1 across 100k
+      // segments), and round(3) of the sum sits close enough to see it;
+      // round(1) needs the sum within 1e-4 of a 0.05 boundary ON TOP of a
+      // flip — combined probability ~1e-6 per group at sf0.1.
       segments(s, dir)
         .groupBy($"user_id")
-        .agg(r3(dsum($"seg_km", 4)).as("track_km"),
+        .agg(round(dsum($"seg_km", 4), 1).as("track_km"),
              count($"seg_km").as("n_segs"))
         .orderBy($"user_id")
     }),
@@ -157,7 +162,9 @@ object Geo extends QueryGroup {
         .withColumn("speed_kmh", $"seg_km" / ($"dt_us" / 3.6e9))
       seg.groupBy($"user_id")
         .agg(count(lit(1)).as("n_segs"),
-             r3(dsum($"seg_km", 4)).as("total_km"),
+             // round(1), not round(3): see q_geo_haversine — a one-segment
+             // cast flip must not be visible in the output rounding.
+             round(dsum($"seg_km", 4), 1).as("total_km"),
              r2(dsum($"seg_km", 4) / (sum($"dt_us") / 3.6e9)).as("avg_speed_kmh"),
              round(max($"speed_kmh"), 0).cast("long").as("max_speed_kmh"),
              count(when($"speed_kmh" > 1000.0, 1)).as("n_speeding"))
@@ -265,7 +272,7 @@ object Geo extends QueryGroup {
     "q_geo_haversine" -> (segCte +
       """
         |SELECT user_id,
-        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 3) AS track_km,
+        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 1) AS track_km,
         |  COUNT(seg_km) AS n_segs
         |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin),
 
@@ -319,7 +326,7 @@ object Geo extends QueryGroup {
     "q_traj_speed" -> (segCte +
       """
         |SELECT user_id, COUNT(*) AS n_segs,
-        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 3) AS total_km,
+        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 1) AS total_km,
         |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE)
         |        / (SUM(dt_us) / 3.6e9), 2) AS avg_speed_kmh,
         |  CAST(round(MAX(seg_km / (dt_us / 3.6e9)), 0) AS BIGINT) AS max_speed_kmh,
