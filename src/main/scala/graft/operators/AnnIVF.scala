@@ -20,9 +20,12 @@ object AnnIVF {
 
   private def cosExpr(a: String, b: String): String = s"cosine_sim($a, $b)"
 
-  /** Top-k cosine neighbours for each probe id, searching nprobe cells. */
-  def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
-           k: Int, nlist: Int, nprobe: Int): DataFrame = {
+  /** (assigned vectors, probed cells) — the shared coarse-quantizer step:
+    * `assigned` = (vec_id, v, cell) for the whole table, `probeCells` =
+    * (probe_id, pv, cell) for each probe's nprobe closest cells. */
+  private def assignAndProbe(spark: SparkSession, embeddings: DataFrame,
+                             probeIds: Seq[Long], nlist: Int, nprobe: Int)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
     val emb = embeddings
@@ -45,7 +48,26 @@ object AnnIVF {
       .withColumn("cdist", expr(cosExpr("pv", "cv")))
       .withColumn("rn", row_number().over(wc)).filter($"rn" <= nprobe)
       .select($"probe_id", $"pv", $"cell")
+    (assigned, probeCells)
+  }
 
+  /** Candidate (probe_id, vec_id) pairs from the probed cells only — the
+    * IVF half of a candidate-generation union (see `q_sim_knn_vec`). */
+  def probeCellCandidateIds(spark: SparkSession, embeddings: DataFrame,
+                            probeIds: Seq[Long], nlist: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val (assigned, probeCells) = assignAndProbe(spark, embeddings, probeIds, nlist, nprobe)
+    probeCells.select($"probe_id", $"cell").join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+      .distinct()
+  }
+
+  /** Top-k cosine neighbours for each probe id, searching nprobe cells. */
+  def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
+           k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val (assigned, probeCells) = assignAndProbe(spark, embeddings, probeIds, nlist, nprobe)
     // Exact cosine inside the probed cells only.
     val wk = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
     probeCells.join(assigned, Seq("cell"))

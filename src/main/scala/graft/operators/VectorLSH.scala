@@ -69,6 +69,30 @@ object VectorLSH {
       .filter($"edist_exact" <= maxEuclideanDistance)
   }
 
+  /** Candidate (probe_id, vec_id) pairs for a fixed probe set: every vector
+    * sharing any of the probe's `numTables` buckets. The probe bucket list
+    * is |probes| × numTables rows — broadcast onto the full bucket table,
+    * so the plan is one bucket-keyed broadcast join however large the
+    * vector table grows. The LSH half of a candidate-generation union. */
+  def probeCandidateIds(spark: SparkSession, embeddings: DataFrame,
+                        probeIds: Seq[Long],
+                        numTables: Int = DefaultTables,
+                        bucketLen: Double = DefaultBucketLen): DataFrame = {
+    import spark.implicits._
+    val fn = s"brp_buckets_${numTables}_${(bucketLen * 100).toInt}"
+    graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed, fn)
+    val vecs = embeddings
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val buckets = vecs.select($"vec_id",
+      posexplode(expr(s"$fn(v)")).as(Seq("tbl", "bkt")))
+    val pb = buckets.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("probe_id"), $"tbl", $"bkt")
+    broadcast(pb).join(buckets, Seq("tbl", "bkt"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+      .distinct()
+  }
+
   def candidatePairs(spark: SparkSession, embeddings: DataFrame,
                      maxEuclideanDistance: Double,
                      numTables: Int = DefaultTables,

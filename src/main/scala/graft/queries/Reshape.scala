@@ -286,7 +286,12 @@ object Reshape extends QueryGroup {
              dsum($"value", 6).as("s1"),
              dsum($"value" * $"value", 6).as("s2"))
         .withColumn("mean", $"s1" / $"n")
-        .withColumn("sd", sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)))
+        // Guarded σ: n=1 would divide by zero, and a (near-)constant type
+        // can round the variance operand epsilon-negative — Spark would
+        // yield NaN but DuckDB's sqrt(<0) is a hard error, so clamp at 0
+        // and emit NULL sd for n=1 on BOTH sides.
+        .withColumn("sd", when($"n" > 1,
+          sqrt(greatest(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1), lit(0.0)))))
       ev.join(broadcast(st), Seq("event_type"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -364,7 +369,8 @@ object Reshape extends QueryGroup {
          |  FROM events GROUP BY event_type),
          |x AS (
          |  SELECT event_type, s1 / n AS mean,
-         |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+         |    CASE WHEN n > 1
+         |         THEN sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0)) END AS sd
          |  FROM st)
          |SELECT e.event_type, COUNT(*) AS n_events,
          |  CAST(SUM(CASE WHEN e.value > mean + 3.0 * sd
@@ -377,7 +383,7 @@ object Reshape extends QueryGroup {
     "q_mix_sources" ->
       """WITH d AS (
         |  SELECT source,
-        |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+        |    CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
         |         THEN '40' ELSE 'c0' END AS thresh,
         |    substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
         |  FROM documents)

@@ -84,17 +84,27 @@ object TextPipeline extends QueryGroup {
   /** Dedup-cluster assignment (doc_id, comp) for every doc in a ≥ 0.5
     * exact-Jaccard near-dup pair; comp = cluster-minimum doc_id. One eager
     * checkpoint: the pair list feeds both the vertex set and the CC edge
-    * input, and CC's convergence loop re-reads it. */
-  private def clusterAssign(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pairs = jaccardPairs(s, dir, 0.5)
-      .select($"d1", $"d2").localCheckpoint(eager = true)
-    val verts = pairs.select($"d1".as("id"))
-      .unionAll(pairs.select($"d2".as("id"))).distinct()
-    graft.operators.ConnectedComponents
-      .run(s, verts, pairs.select($"d1".as("src"), $"d2".as("dst")))
-      .select($"id".as("doc_id"), $"comp")
-  }
+    * input, and CC's convergence loop re-reads it.
+    *
+    * Memoized per (session, sfDir), same discipline as [[graft.Tables]]:
+    * q_dedup_cluster and q_dedup_keep are two views of ONE clustering run,
+    * so the shingle join + CC contraction executes once per session/SF.
+    * The memoized plan ends at CC's final localCheckpoint, so downstream
+    * re-use replays no iteration. */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def clusterAssign(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.computeIfAbsent((s, dir), { _ =>
+      import s.implicits._
+      val pairs = jaccardPairs(s, dir, 0.5)
+        .select($"d1", $"d2").localCheckpoint(eager = true)
+      val verts = pairs.select($"d1".as("id"))
+        .unionAll(pairs.select($"d2".as("id"))).distinct()
+      graft.operators.ConnectedComponents
+        .run(s, verts, pairs.select($"d1".as("src"), $"d2".as("dst")))
+        .select($"id".as("doc_id"), $"comp")
+    })
 
   val queries: Map[String, QFn] = Map(
     "q_text_tokens" -> ((s, dir) => {
@@ -227,15 +237,17 @@ object TextPipeline extends QueryGroup {
     // The materialize step after clustering: which documents survive.
     // Per language: total docs, docs dropped (cluster non-representatives),
     // docs kept — "kept" is what the deduped training corpus would ship.
-    // One broadcast of the (tiny relative to corpus) dropped-id set onto
-    // the full scan; the corpus itself never joins pairwise.
+    // No broadcast hint on the dropped-id set: near-dup drop sets in web
+    // corpora can be 10-50% of all docs, far past the 8 GB broadcast limit
+    // at 100 TB. A doc_id-keyed shuffle join scales with the corpus, and
+    // AQE still downgrades it to broadcast when the set IS small.
     "q_dedup_keep" -> ((s, dir) => {
       import s.implicits._
       val dropped = clusterAssign(s, dir)
         .filter($"doc_id" =!= $"comp")
         .select($"doc_id", lit(1L).as("is_drop"))
       t(s, dir, "documents")
-        .join(broadcast(dropped), Seq("doc_id"), "left")
+        .join(dropped, Seq("doc_id"), "left")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
              sum(coalesce($"is_drop", lit(0L))).as("n_dropped"),

@@ -102,6 +102,45 @@ class MlSpec extends BaseSpec {
       s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("knn scale path: LSH∪IVF candidates cover the exact top-5; result == brute force") {
+    // q_sim_knn_vec now rides candidate generation (16-table LSH buckets ∪
+    // 4 IVF-probed cells) + exact cosine re-score; its oracle is still the
+    // brute-force SQL, so the candidate set MUST contain every true top-5
+    // neighbour (recall 1.0 at the operating point) — then the exact
+    // re-score makes the declared result identical to brute force.
+    val vecsArr = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i); sb += b(i).toDouble * b(i)
+      }
+      BigDecimal(dot / (math.sqrt(sa) * math.sqrt(sb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecsArr.toMap
+    val probeIds = (0L until 10L).filter(byId.contains)
+    val truthTop5: Map[Long, Seq[(Long, Long, Double)]] = probeIds.map { p =>
+      val ranked = vecsArr.filter(_._1 != p)
+        .map { case (id, v) => (id, cos4(byId(p), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      p -> ranked.zipWithIndex.map { case ((id, c), i) => (i + 1L, id, c) }.toSeq
+    }.toMap
+    val cand = VectorLSH.probeCandidateIds(spark, emb, 0L until 10L, numTables = 16)
+      .unionAll(AnnIVF.probeCellCandidateIds(spark, emb, 0L until 10L, nlist = 16, nprobe = 4))
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val missed = for {
+      (p, top) <- truthTop5.toSeq; (_, id, _) <- top if !cand((p, id))
+    } yield (p, id)
+    assert(missed.isEmpty, s"candidates missed true top-5 neighbours: $missed")
+
+    val got = SparkEntry.queries("q_sim_knn_vec")(spark, sf)
+      .select($"probe_id", $"rank", $"neighbor", $"cos")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq).toMap
+    assert(got == truthTop5,
+      s"declared knn != brute force; e.g. probe 0: got=${got.get(0L)} want=${truthTop5.get(0L)}")
+  }
+
   test("IVF ANN recall@5 >= 0.5 vs exact kNN") {
     val exact = SparkEntry.queries("q_sim_knn_vec")(spark, sf)
       .select($"probe_id", $"neighbor").as[(Long, Long)].collect()
