@@ -223,6 +223,66 @@ class PlanSpec extends BaseSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("grid-cell partition layout prunes partition directories") {
+    // The 100 TB spatial layout claim (Geo/AnnIVF scaladoc), demonstrated:
+    // events written partitionBy(cell) — the derived 30° grid key — then a
+    // bbox query carrying the derived cell-set predicate. The cell conjunct
+    // must land in PartitionFilters (directory pruning, no file I/O at all
+    // for other cells), the lat/lon bounds in PushedFilters (row-group
+    // skipping within the kept cells), and the partitions-read metric must
+    // equal the box's cell count, not the table's. AQE off so the
+    // FileSourceScanExec and its metrics are directly reachable.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cellpart").toString
+    def cellOf(lat: org.apache.spark.sql.Column,
+               lon: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (floor(lat / 30.0) * lit(100L) + floor(lon / 30.0)).cast("long")
+    val pts = Tables(spark, sf, "events")
+      .withColumn("lat", (($"event_id" * 37) % 1700).cast("double") / 10.0 - 85.0)
+      .withColumn("lon", (($"event_id" * 131) % 3600).cast("double") / 10.0 - 180.0)
+      .select($"event_id", $"user_id", $"lat", $"lon")
+      .withColumn("cell", cellOf($"lat", $"lon"))
+    pts.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/pts")
+
+    val part = spark.read.parquet(s"$dir/pts")
+    val nCellsTotal = part.select($"cell").distinct().count()
+    // bbox lat ∈ [5, 35], lon ∈ [-10, 40] spans 30° cells {0,1}×{-1,0,1}.
+    val (latLo, latHi, lonLo, lonHi) = (5.0, 35.0, -10.0, 40.0)
+    val boxCells = for {
+      cy <- math.floor(latLo / 30).toLong to math.floor(latHi / 30).toLong
+      cx <- math.floor(lonLo / 30).toLong to math.floor(lonHi / 30).toLong
+    } yield cy * 100L + cx
+    assert(boxCells.size == 6)
+
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+                "spark.sql.maxMetadataStringLength" -> "2000") {
+      val q = part.filter($"cell".isin(boxCells: _*) &&
+        $"lat".between(latLo, latHi) && $"lon".between(lonLo, lonHi))
+      val expected = pts.filter(
+        $"lat".between(latLo, latHi) && $"lon".between(lonLo, lonHi)).count()
+      // collect() (not count()) so THIS dataset's queryExecution runs and
+      // its scan-node metrics populate — count() plans a separate execution.
+      assert(q.collect().length.toLong == expected,
+        "cell-set predicate must not change the bbox result")
+
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"cell conjunct missing from PartitionFilters: ${scan.partitionFilters}")
+      val planStr = q.queryExecution.executedPlan.toString
+      val pushed = planStr.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(pushed.contains("GreaterThanOrEqual(lat") && pushed.contains("LessThanOrEqual(lat"),
+        s"lat bounds must still reach PushedFilters within kept cells: $pushed")
+      val partsRead = scan.metrics("numPartitions").value
+      assert(partsRead == boxCells.size,
+        s"expected ${boxCells.size} partition dirs read, got $partsRead of $nCellsTotal")
+      assert(partsRead < nCellsTotal,
+        s"pruning must skip directories: read $partsRead of $nCellsTotal")
+    }
+  }
+
   private def withSQLConf(confs: (String, String)*)(f: => Unit): Unit = {
     val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
