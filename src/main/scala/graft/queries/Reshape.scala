@@ -55,6 +55,76 @@ object Reshape extends QueryGroup {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q5 shape: the 6-table join chain with the local-supplier
+    * constraint (c_nationkey = s_nationkey). region/nation are broadcast
+    * dims; customer⋈orders⋈lineitem shuffle on their keys; revenue goes
+    * through DECIMAL per the determinism rules. */
+  private val tpchQ5 =
+    """SELECT n_name,
+      |  round(CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q21 shape: the multi-semi-join query — EXISTS (another supplier
+    * in the order) plans as a left-semi join, the correlated NOT EXISTS
+    * (nobody shipped later ⇒ this supplier was the last to ship in a
+    * finished order) as a null-safe left-anti join; both are equi-joins on
+    * l_orderkey, so at scale they shuffle once on the order key. The
+    * fixture has no receipt/commit dates, so "kept waiting" is re-expressed
+    * over l_shipdate with identical join structure. */
+  private val tpchQ21 =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders   ON o_orderkey = l1.l_orderkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND n_name LIKE 'NATION_1%'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q16 shape: distinct-aggregate over the part⋈supplier
+    * association with a NOT IN exclusion subquery (null-free key ⇒ plans
+    * as a left-anti join, not the null-aware variant). The fixture has no
+    * partsupp, so lineitem provides the association; COUNT(DISTINCT
+    * l_suppkey) is Spark's two-phase distinct aggregate — partial
+    * de-duplication before the shuffle, never a global sort. */
+  private val tpchQ16 =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 20""".stripMargin
+
+  /** Register every TPC-H view the identical-text queries touch. */
+  private def tpchViews(s: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem").foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(n)
+    }
+
   /** Gap-filled hourly series (bucket_ms, n_events, sum_value), unordered:
     * hour-bucket hash agg + a `sequence()` grid exploded from ONE bounds
     * row, left-joined so empty hours appear as zeros. Grid size tracks the
@@ -332,7 +402,11 @@ object Reshape extends QueryGroup {
         t(s, dir, n).createOrReplaceTempView(n)
       }
       s.sql(tpchQ3)
-    })
+    }),
+
+    "q_sql_tpch_q5" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ5) }),
+    "q_sql_tpch_q21" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ21) }),
+    "q_sql_tpch_q16" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ16) })
   )
 
   val oracle: Map[String, String] = Map(
@@ -457,6 +531,9 @@ object Reshape extends QueryGroup {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_sql_tpch" -> tpchQ3,
+    "q_sql_tpch_q5" -> tpchQ5,
+    "q_sql_tpch_q21" -> tpchQ21,
+    "q_sql_tpch_q16" -> tpchQ16,
 
     "q_histogram" ->
       s"""SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS bucket_lo,

@@ -223,6 +223,19 @@ class PlanSpec extends BaseSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("TPC-H shapes: Q21 plans semi+anti joins, Q16 anti join + top-k, Q5 partial agg") {
+    val p21 = planOf("q_sql_tpch_q21")
+    assert(p21.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"), s"LIMIT must not global-sort:\n$p21")
+    val p16 = planOf("q_sql_tpch_q16")
+    assert(p16.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$p16")
+    assert(p16.contains("TakeOrderedAndProject"), s"LIMIT must not global-sort:\n$p16")
+    assert(p16.contains("distinct"), s"COUNT(DISTINCT) must two-phase:\n$p16")
+    val p5 = planOf("q_sql_tpch_q5")
+    assert(p5.contains("partial_"), s"Q5 must keep map-side partial aggregation:\n$p5")
+  }
+
   test("grid-cell partition layout prunes partition directories") {
     // The 100 TB spatial layout claim (Geo/AnnIVF scaladoc), demonstrated:
     // events written partitionBy(cell) — the derived 30° grid key — then a
