@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed DBSCAN(ε, minPts) — MLlib has none, so composed Spark-first
@@ -26,18 +26,32 @@ import org.apache.spark.sql.functions._
   *     (own weight included via the self-pair) — a hash aggregate.
   *  4. **Star-contraction CC** over core positions only — edge set shrinks
   *     every round (see ConnectedComponents scaladoc).
-  *  At extreme density skew (one hot cell) a two-level salted sub-grid
-  *  split is a known mitigation; it is NOT implemented here — contraction
-  *  plus the ε-sized grid and AQE skew handling cover the tested densities.
+  *  5. **Hot-cell sub-grid split.** A cell whose POSITION count (after
+  *     contraction) exceeds `hotCellPositions` would make the (cx, cy)
+  *     bucket join quadratic in one key. Positions in such cells are
+  *     re-keyed one level down to an ε/3 sub-grid: the build side by its
+  *     own sub-cell, the probe side exploded over the target cell's
+  *     sub-cells within ±5 of its own — so per-key pair work drops from
+  *     |cell|² toward |sub-cell|·|probe-window| while the candidate set
+  *     stays a strict superset of all ε-pairs (exact distance filter
+  *     unchanged, output identical — pinned by DbscanSpec's planted
+  *     hot-cell property). Sub-cell ids are CELL-ANCHORED (3·cx + clamped
+  *     offset) so a 1-ulp floor() disagreement between x/eps and the
+  *     sub-grid division can never put a position outside its cell's
+  *     sub-range; the ±5 probe window absorbs the ≤1 sub-cell clamp error
+  *     on each side of the exact ±3 bound.
   *
   * Cluster ids are the minimum point id in each component → deterministic.
   */
 object DBSCAN {
 
   /** @param pts DataFrame with (id: Long, x: Double, y: Double)
+    * @param hotCellPositions contracted-position count per ε-cell above
+    *        which the sub-grid split engages
     * @return (id, role ∈ {core,border,noise}, cluster: Long — -1 for noise)
     */
-  def run(spark: SparkSession, pts: DataFrame, eps: Double, minPts: Int): DataFrame = {
+  def run(spark: SparkSession, pts: DataFrame, eps: Double, minPts: Int,
+          hotCellPositions: Long = 100000L): DataFrame = {
     import spark.implicits._
     val p = pts.select($"id".cast("long"), $"x".cast("double"), $"y".cast("double"))
 
@@ -51,21 +65,62 @@ object DBSCAN {
       .withColumn("cx", floor($"x" / eps).cast("long"))
       .withColumn("cy", floor($"y" / eps).cast("long"))
 
+    // Cell populations ride the same (cx, cy) key as the pair join; they
+    // tag both the build side and the probe targets, splitting each stream
+    // into a cold (plain bucket join) and a hot (sub-grid) branch.
+    val cellSizes = withCell.groupBy($"cx", $"cy").agg(count(lit(1)).as("cn"))
+    val tagged = withCell.join(cellSizes, Seq("cx", "cy"))
+
     // Probe side: each position exploded into its 9 neighbor cells, so an
     // equi-join on (cx,cy) yields every ordered position pair at Chebyshev
-    // cell distance ≤ 1 exactly once — a superset of all ε-pairs.
+    // cell distance ≤ 1 exactly once — a superset of all ε-pairs. Each
+    // probe row is then routed to the cold or hot branch by its TARGET
+    // cell's population, so no ordered pair is generated twice.
     val probe = withCell
       .select($"pid".as("pid2"), $"x".as("x2"), $"y".as("y2"), $"w".as("w2"),
         explode(expr(
           "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
           .as("cell"))
       .select($"pid2", $"x2", $"y2", $"w2", $"cell.cx", $"cell.cy")
+      .join(cellSizes, Seq("cx", "cy"))
+
+    val epsLit = lit(eps)
+    val inEps = ($"x" - $"x2") * ($"x" - $"x2") +
+      ($"y" - $"y2") * ($"y" - $"y2") <= eps * eps
+
+    val coldPairs = tagged.filter($"cn" <= hotCellPositions)
+      .join(probe.filter($"cn" <= hotCellPositions).drop("cn"), Seq("cx", "cy"))
+      .filter(inEps)
+      .select($"pid", $"pid2", $"w2")
+
+    // Hot branch: cell-anchored ε/3 sub-cell key. sub(v, c) ∈ [3c, 3c+2]
+    // by construction (clamped), immune to floor() ulp flips.
+    def sub(v: Column, c: Column): Column =
+      c * 3L + least(lit(2L), greatest(lit(0L),
+        floor((v - c * epsLit) / (eps / 3.0)).cast("long")))
+    val hotBuild = tagged.filter($"cn" > hotCellPositions)
+      .withColumn("sx", sub($"x", $"cx"))
+      .withColumn("sy", sub($"y", $"cy"))
+      .select($"pid", $"x", $"y", $"sx", $"sy")
+    val hotProbe = probe.filter($"cn" > hotCellPositions)
+      .withColumn("cbx", floor($"x2" / eps).cast("long"))
+      .withColumn("cby", floor($"y2" / eps).cast("long"))
+      .withColumn("sbx", sub($"x2", $"cbx"))
+      .withColumn("sby", sub($"y2", $"cby"))
+      // Target sub-cells: the target cell's 3×3 sub-range intersected with
+      // ±5 of the probe's own sub-cell (never empty; ≤ 9 targets/row).
+      .select($"pid2", $"x2", $"y2", $"w2", explode(expr(
+        "flatten(transform(sequence(greatest(3 * cx, sbx - 5), least(3 * cx + 2, sbx + 5)), " +
+          "tx -> transform(sequence(greatest(3 * cy, sby - 5), least(3 * cy + 2, sby + 5)), " +
+          "ty -> struct(tx AS sx, ty AS sy))))")).as("sc"))
+      .select($"pid2", $"x2", $"y2", $"w2", $"sc.sx", $"sc.sy")
+    val hotPairs = hotBuild.join(hotProbe, Seq("sx", "sy"))
+      .filter(inEps)
+      .select($"pid", $"pid2", $"w2")
 
     // Ordered ε-pairs of distinct positions (self-pair included). Feeds
     // degrees, core edges, and border assignment — materialize once.
-    val pairs = withCell.join(probe, Seq("cx", "cy"))
-      .filter(($"x" - $"x2") * ($"x" - $"x2") + ($"y" - $"y2") * ($"y" - $"y2") <= eps * eps)
-      .select($"pid", $"pid2", $"w2")
+    val pairs = coldPairs.unionAll(hotPairs)
       .localCheckpoint(eager = false)
 
     // Weighted degree: each point at position pid has |N_ε| = Σ w2 over the

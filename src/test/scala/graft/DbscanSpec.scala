@@ -69,6 +69,32 @@ class DbscanSpec extends BaseSpec {
     }
   }
 
+  test("hot-cell sub-grid split matches the plain path exactly on a planted dense cell") {
+    // 250 contracted positions crammed into ONE ε-cell (eps=0.5; x,y ∈
+    // [1.0, 1.49]) with sparse surroundings: hotCellPositions=20 forces the
+    // ε/3 sub-grid branch for that cell (and only it), including cross-cell
+    // pairs between the hot cell and its sparse neighbors through the ±5
+    // probe window. Output must be IDENTICAL to the plain bucket join and
+    // to the in-memory reference.
+    val rnd = new Random(11)
+    val dense = (0 until 250).map(i =>
+      (i.toLong, 1.0 + rnd.nextDouble() * 0.49, 1.0 + rnd.nextDouble() * 0.49))
+    val sparse = (250 until 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    val pts = dense ++ sparse
+    val df = pts.toDF("id", "x", "y")
+    def runWith(th: Long) = DBSCAN.run(spark, df, eps = 0.5, minPts = 4, th)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val plain = runWith(Long.MaxValue)
+    val split = runWith(20L)
+    val diffs = plain.keys.filter(k => plain(k) != split(k)).take(5)
+    assert(diffs.isEmpty, s"sub-grid split changed results: " +
+      s"${diffs.map(k => s"$k plain=${plain(k)} split=${split(k)}")}")
+    val expected = brute(pts, 0.5, 4)
+    assert(split == expected, "split path must still match the reference")
+    assert(dense.size > 20, "sanity: the planted cell exceeds the threshold")
+  }
+
   test("invariant: larger eps never increases noise count") {
     val pts = genPoints(200, 7L)
     val df = pts.toDF("id", "x", "y")

@@ -30,6 +30,33 @@ class GeoSpec extends BaseSpec {
       "decoys (single shared hour) must not pair")
   }
 
+  test("convoy: triangle-split on a planted hot bucket matches the unsalted path exactly") {
+    // A bucket 3x past the threshold: 150 users in one (hour, cell) with
+    // hotUsers = 50 engages the salted group-pair join (4 groups → every
+    // within/cross-group combination exercised), while the cold branch
+    // still handles a second, small bucket. The split must reproduce the
+    // unsalted output EXACTLY — same pairs, same hour counts — and the hot
+    // bucket must still emit all C(150,2) pairs.
+    val H = 3600L * 1000000L
+    val hot = for {
+      u <- 0 until 150; h <- 0 until 3
+    } yield (u.toLong, h * H, 5.0 + (u % 7) * 0.1, 5.0)
+    // cold companions: 2 users sharing a far cell 3 hours → one cold pair
+    val cold = for (u <- 500 until 502; h <- 0 until 3)
+      yield (u.toLong, h * H, -75.0, -170.0)
+    val pts = (hot ++ cold).toDF("user_id", "ts_us", "lat", "lon")
+    val plain = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 3)
+      .as[(Long, Long, Long)].collect().toList
+    val split = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 3,
+        hotUsers = 50, groups = 4)
+      .as[(Long, Long, Long)].collect().toList
+    assert(split == plain, s"triangle-split changed the result: " +
+      s"missing=${(plain.toSet -- split).take(3)} extra=${(split.toSet -- plain).take(3)}")
+    assert(split.count { case (u1, _, _) => u1 < 500L } == 150L * 149 / 2,
+      "hot bucket must still emit every C(150,2) pair")
+    assert(split.contains((500L, 501L, 3L)), "cold-branch pair must survive the union")
+  }
+
   test("convoy: pairs below minHours are dropped, across-cell users never pair") {
     val H = 3600L * 1000000L
     val pts = Seq(
