@@ -168,6 +168,77 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("bounded state: join, dedup, and timer state stay flat across advancing batches") {
+    // The scaladoc claims at StreamOps ("state holds only rows inside
+    // watermark + window") as measured fact: feed 12 micro-batches each a
+    // full hour later — far past every watermark — and read
+    // stateOperators.numRowsTotal after each. Bounded state means the
+    // plateau never grows with stream length; the unbounded alternative
+    // would accumulate ~rows-per-batch × batches.
+    implicit val ctx = spark.sqlContext
+    val M = 60L * 1000000L
+    val B = 100 * H
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    def assertFlat(sizes: Seq[Long], what: String): Unit = {
+      assert(sizes.exists(_ > 0), s"$what: no state evidence captured: $sizes")
+      val early = sizes.slice(1, 5).max
+      val late = sizes.takeRight(3).max
+      assert(late <= early, s"$what: state grew with stream length: $sizes")
+    }
+
+    val clicks = MemoryStream[Ev]; val buys = MemoryStream[Ev]
+    val jq = StreamOps.attributionJoin(clicks.toDF(), buys.toDF()).writeStream
+      .format("memory").queryName(nextName()).outputMode("append").start()
+    val jSizes = (0 until 12).map { bi =>
+      val t = B + bi * H
+      clicks.addData((0 until 5).map(i => ev(bi * 100 + i, t + i * M, user = i)): _*)
+      buys.addData((0 until 5).map(i =>
+        ev(bi * 100 + 50 + i, t + i * M + 2 * M, user = i, typ = "purchase")): _*)
+      jq.processAllAvailable()
+      stateRows(jq)
+    }
+    jq.stop()
+    assertFlat(jSizes, "interval join two-side state")
+
+    val dd = MemoryStream[Ev]
+    val dq = StreamOps.dedup(dd.toDF()).writeStream
+      .format("memory").queryName(nextName()).outputMode("append").start()
+    val dSizes = (0 until 12).map { bi =>
+      val t = B + bi * H
+      dd.addData((0 until 5).flatMap(i =>
+        Seq(ev(bi * 100 + i, t + i * M), ev(bi * 100 + i, t + i * M))): _*)
+      dq.processAllAvailable()
+      stateRows(dq)
+    }
+    dq.stop()
+    assertFlat(dSizes, "dedup-within-watermark state")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sc = MemoryStream[Ev]
+      val sq = StreamOps.sessionClose(sc.toDF())
+        .toDF("user_id", "n_events", "first_us", "last_us")
+        .writeStream.format("memory").queryName(nextName()).outputMode("append").start()
+      val sSizes = (0 until 12).map { bi =>
+        val t = B + bi * H
+        // fresh users every batch: sessions must close AND clear state as
+        // the watermark passes, or numRowsTotal grows by 5 per batch
+        sc.addData((0 until 5).map(i => ev(bi * 100 + i, t + i * M, user = bi * 10 + i)): _*)
+        sq.processAllAvailable()
+        stateRows(sq)
+      }
+      sq.stop()
+      assertFlat(sSizes, "event-time-timer session state")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("left-outer stream-stream join emits unattributed clicks with nulls") {
     implicit val ctx = spark.sqlContext
     val M = 60L * 1000000L
