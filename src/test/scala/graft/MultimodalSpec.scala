@@ -34,8 +34,10 @@ class MultimodalSpec extends BaseSpec {
   }
 
   test("decodeStub is the marked extension point") {
-    intercept[NotImplementedError] {
+    val e = intercept[UnsupportedOperationException] {
       Multimodal.decodeStub(Array[Byte](1, 2), graft.multimodal.MediaMeta("image", 1, 1, 0))
     }
+    assert(e.getMessage.contains("no codec libs"),
+      "the seam must explain why decode is unavailable in this image")
   }
 }
