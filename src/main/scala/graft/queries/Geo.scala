@@ -155,6 +155,37 @@ object Geo extends QueryGroup {
         .limit(5)
     }),
 
+    // Index-backed kNN: the grid layout IS the index. Candidates are
+    // restricted to the probe cell's 5×5 (ring=2) 10° neighborhood via a
+    // SARGABLE lat/lon range predicate — at 100 TB, on the cell-partitioned
+    // layout PlanSpec demonstrates, that predicate prunes partition
+    // DIRECTORIES (and row groups within the kept ones) before any scoring;
+    // TakeOrderedAndProject then heaps only the pruned candidates, so the
+    // probe reads 25 cells of the planet, not all of it. Exactness: the 5th
+    // neighbour's distance must stay inside the ring's safe radius (min
+    // distance from probe to ring boundary, ≈2190 km here; at sf0.001 the
+    // 5th neighbour sits at ~1190 km, which is why ring=1 with its 1094 km
+    // bound was NOT taken) — pinned by a GeoSpec property plus the
+    // UNCHANGED brute-force oracle (hash equality means pruned ≡ full
+    // scan). Repeated/low-latency lookups reuse the same layout with a
+    // different probe cell — no all-points pass per probe, the
+    // TakeOrderedAndProject-only weakness this key replaces.
+    "q_geo_knn_grid" -> ((s, dir) => {
+      import s.implicits._
+      val (pLat, pLon, cell, ring) = (10.0, 20.0, 10.0, 2)
+      val latLo = (math.floor(pLat / cell) - ring) * cell
+      val latHi = (math.floor(pLat / cell) + ring + 1) * cell
+      val lonLo = (math.floor(pLon / cell) - ring) * cell
+      val lonHi = (math.floor(pLon / cell) + ring + 1) * cell
+      pts(s, dir)
+        .filter($"lat" >= latLo && $"lat" < latHi &&
+                $"lon" >= lonLo && $"lon" < lonHi)
+        .withColumn("dist_km", r3(hv($"lat", $"lon", lit(pLat), lit(pLon))))
+        .select($"event_id", $"dist_km")
+        .orderBy($"dist_km", $"event_id")
+        .limit(5)
+    }),
+
     "q_traj_speed" -> ((s, dir) => {
       import s.implicits._
       val seg = segments(s, dir)
@@ -299,6 +330,14 @@ object Geo extends QueryGroup {
         |ORDER BY n DESC, cell_lat, cell_lon LIMIT 20""".stripMargin),
 
     "q_geo_knn" -> (ptsCte +
+      s"""
+         |SELECT event_id,
+         |  round(${HaversineDist.oracleSql("lat", "lon", "10.0", "20.0")}, 3) AS dist_km
+         |FROM pts ORDER BY dist_km, event_id LIMIT 5""".stripMargin),
+
+    // Deliberately the FULL-SCAN brute force: hash equality proves the
+    // grid-pruned plan loses no neighbour.
+    "q_geo_knn_grid" -> (ptsCte +
       s"""
          |SELECT event_id,
          |  round(${HaversineDist.oracleSql("lat", "lon", "10.0", "20.0")}, 3) AS dist_km

@@ -57,6 +57,25 @@ class GeoSpec extends BaseSpec {
     assert(split.contains((500L, 501L, 3L)), "cold-branch pair must survive the union")
   }
 
+  test("grid-pruned kNN is exact: results match full scan, kth inside the safe radius") {
+    // q_geo_knn_grid scores only the probe cell's 3×3 ring; exactness needs
+    // the 5th-neighbour distance to stay below the minimum distance from
+    // the probe to the ring boundary (anything outside the ring is at
+    // least that far). 0.9 margin covers the meridian cross-track vs
+    // along-parallel approximation.
+    val full = SparkEntry.queries("q_geo_knn")(spark, sf)
+      .as[(Long, Double)].collect().toList
+    val pruned = SparkEntry.queries("q_geo_knn_grid")(spark, sf)
+      .as[(Long, Double)].collect().toList
+    assert(pruned == full, s"pruned=$pruned full=$full")
+    val kth = full.last._2
+    val km = graft.functions.HaversineDist.km _
+    // ring=2 box: lat ∈ [-10, 40), lon ∈ [0, 50) around probe (10, 20)
+    val safe = Seq(km(10.0, 20.0, -10.0, 20.0), km(10.0, 20.0, 40.0, 20.0),
+                   km(10.0, 20.0, 10.0, 0.0), km(10.0, 20.0, 10.0, 50.0)).min * 0.9
+    assert(kth < safe, s"ring=2 unsafe: kth=$kth km but boundary only $safe km away")
+  }
+
   test("convoy: pairs below minHours are dropped, across-cell users never pair") {
     val H = 3600L * 1000000L
     val pts = Seq(
