@@ -54,6 +54,27 @@ class FunctionsSpec extends BaseSpec {
       s"after merge: ${buf.sortedDesc.toList}")
   }
 
+  test("zorder interleave matches a bit-by-bit reference and preserves tile order") {
+    def reference(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val a = rnd.nextLong() & 0xFFFFFFFFL
+      val b = rnd.nextLong() & 0xFFFFFFFFL
+      assert(graft.functions.ZOrderKey.interleave(a, b) == reference(a, b),
+        s"interleave($a, $b)")
+    }
+    // Morton property: keys inside one 2^k-aligned tile form a contiguous
+    // range — the reason row-group min/max prune in both dimensions.
+    val tile = for (a <- 4L to 7L; b <- 8L to 11L)
+      yield graft.functions.ZOrderKey.interleave(a, b)
+    assert(tile.max - tile.min == tile.size - 1 &&
+           tile.toSet.size == tile.size,
+      s"4x4 aligned tile must map to a contiguous key range: ${tile.sorted}")
+  }
+
   test("simhash64 is deterministic and locality-sensitive") {
     val a = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
     val b = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))

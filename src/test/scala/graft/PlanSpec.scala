@@ -236,6 +236,58 @@ class PlanSpec extends BaseSpec {
     assert(p5.contains("partial_"), s"Q5 must keep map-side partial aggregation:\n$p5")
   }
 
+  test("z-order clustering: a 2-D box scan survives fewer rows than a 1-D sort") {
+    // Same points written twice with small row groups: sorted by lat only
+    // vs sorted by the Morton key of quantized (lat, lon). Under a 10°×10°
+    // box predicate the scan's output rows ≈ rows in row groups whose
+    // min/max stats survive pushdown — the z-ordered layout must beat the
+    // 1-D sort (its groups are 2-D tiles, so BOTH bounds prune), and both
+    // must beat reading everything. AQE off so the scan node is reachable.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.ZOrderKey.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // 40k deterministic points (same derivation as the events grid), laid
+    // out as 64 range-partitioned files per ordering — each file's footer
+    // stats are the prune unit, standing in for the row groups of a 100 TB
+    // file. Box chosen inside one 1024-quadrant of the quantized space so
+    // the z-curve locality is representative, not the corner worst case.
+    val pts = spark.range(40000).toDF("event_id")
+      .withColumn("lat", (($"event_id" * 37) % 1700).cast("double") / 10.0 - 85.0)
+      .withColumn("lon", (($"event_id" * 131) % 3600).cast("double") / 10.0 - 180.0)
+    val total = pts.count()
+    pts.repartitionByRange(64, $"lat").sortWithinPartitions($"lat")
+      .write.mode("overwrite").parquet(s"$dir/by_lat")
+    // ×10 quantization is EXACT for this 0.1°-lattice data (qlat ∈ [0,1700),
+    // qlon ∈ [0,3600) — 12 bits each); finer would only dilute locality.
+    val z = graft.functions.ZOrderKey.zorderKey(
+      floor(($"lat" + 85.0) * 10).cast("long"),
+      floor(($"lon" + 180.0) * 10).cast("long"))
+    pts.withColumn("z", z)
+      .repartitionByRange(64, $"z").sortWithinPartitions($"z").drop("z")
+      .write.mode("overwrite").parquet(s"$dir/by_z")
+
+    def scannedRows(path: String): Long = {
+      // 9°×9° box with both quantized ranges inside one 256-aligned Morton
+      // tile (qlat 300-390, qlon 300-390 ⊂ [256, 512)): representative
+      // z-locality, not the 4-quadrant corner worst case.
+      val q = spark.read.parquet(path)
+        .filter($"lat".between(-55.0, -46.0) && $"lon".between(-150.0, -141.0))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail(s"no scan node for $path"))
+      scan.metrics("numOutputRows").value
+    }
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val latRows = scannedRows(s"$dir/by_lat")
+      val zRows = scannedRows(s"$dir/by_z")
+      assert(zRows < latRows,
+        s"z-order must out-prune the 1-D sort: z=$zRows lat=$latRows total=$total")
+      assert(latRows < total, s"1-D sort must prune at all: lat=$latRows total=$total")
+    }
+  }
+
   test("grid-cell partition layout prunes partition directories") {
     // The 100 TB spatial layout claim (Geo/AnnIVF scaladoc), demonstrated:
     // events written partitionBy(cell) — the derived 30° grid key — then a
