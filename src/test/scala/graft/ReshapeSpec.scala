@@ -69,4 +69,36 @@ class ReshapeSpec extends BaseSpec {
       s"o_orderkey profile: $key (n_orders=$nOrders)")
     assert(rows("o_orderstatus").isNullAt(4), "string column has no numeric range")
   }
+
+  test("content-keyed split and mixture decisions are append-stable") {
+    // The 100 TB claim behind q_sample_split / q_mix_sources: because the
+    // keep/split decision hashes CONTENT (source, doc_id), growing the
+    // corpus can never flip an existing document's assignment — unlike
+    // rand() or row-number schemes. Verified by re-deriving the per-doc
+    // decision on a half corpus and on the full corpus and asserting the
+    // shared docs agree exactly.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf, "documents")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    def splitOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("b", substring(md5($"doc_id".cast("string")), 1, 1))
+      .withColumn("split",
+        when($"b" < "c", "train").when($"b" < "e", "val").otherwise("test"))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    def keepOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("srcnum", regexp_extract($"source", "([0-9]+)$", 1).cast("int"))
+      .withColumn("thresh", when(pmod($"srcnum", lit(2)) === 0, "40").otherwise("c0"))
+      .withColumn("h2",
+        substring(md5(concat($"source", lit(":"), $"doc_id".cast("string"))), 1, 2))
+      .select($"doc_id", ($"h2" < $"thresh").as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    val (sHalf, sFull) = (splitOf(half), splitOf(docs))
+    assert(sHalf.forall { case (id, s) => sFull(id) == s },
+      "split assignment flipped when the corpus grew")
+    val (kHalf, kFull) = (keepOf(half), keepOf(docs))
+    assert(kHalf.forall { case (id, k) => kFull(id) == k },
+      "mixture keep decision flipped when the corpus grew")
+    // sanity: the decisions are non-trivial (both classes present)
+    assert(sFull.values.toSet.size == 3 && kFull.values.toSet.size == 2)
+  }
 }
