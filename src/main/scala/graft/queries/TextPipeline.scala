@@ -116,6 +116,24 @@ object TextPipeline extends QueryGroup {
         .limit(50)
     }),
 
+    // Heavy hitters via the Misra-Gries sketch (k=32 counters): the
+    // fixed-memory twin of q_text_tokens for unbounded vocabularies —
+    // shuffle bytes k·|groups| instead of |vocabulary| (map-side combine
+    // merges sketches). Estimates are order-dependent (any MG/SpaceSaving
+    // is); the certified bounds est ≤ true ≤ est + max_err are not, and
+    // FunctionsSpec pins them against exact counts. No SQL oracle by
+    // design (DuckDB has no MG) → rows-only check + property tests.
+    "m_text_heavyhitters" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.MgTopTerms.register(s, 32)
+      tokens(s, dir)
+        .agg(call_function("mg_top_terms", $"term").as("sk"))
+        .select(explode($"sk").as("e"))
+        .select($"e.term", $"e.est", $"e.max_err")
+        .orderBy($"est".desc, $"term")
+        .limit(20)
+    }),
+
     "q_text_tfidf" -> ((s, dir) => {
       import s.implicits._
       val tok = tokens(s, dir)

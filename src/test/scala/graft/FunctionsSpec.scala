@@ -75,6 +75,47 @@ class FunctionsSpec extends BaseSpec {
       s"4x4 aligned tile must map to a contiguous key range: ${tile.sorted}")
   }
 
+  test("Misra-Gries buffer: certified bounds hold on a zipf stream, merge included") {
+    val freq = (1 to 60).map(i => s"t$i" -> (600 / i).toLong).toMap
+    val stream = scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+      .shuffle(freq.toSeq.flatMap { case (t, n) => Seq.fill(n.toInt)(t) })
+    // split the stream like two partial aggregations, then merge
+    val (s1, s2) = stream.splitAt(stream.size / 3)
+    val (a, b) = (new graft.functions.MgBuffer(16), new graft.functions.MgBuffer(16))
+    s1.foreach(a.offer); s2.foreach(b.offer)
+    a.absorb(b)
+    val est = a.counters.toMap
+    freq.foreach { case (t, n) =>
+      val e = est.getOrElse(t, 0L)
+      assert(e <= n, s"$t: est $e must not exceed true $n")
+      assert(n - e <= a.dropped, s"$t: undercount ${n - e} exceeds bound ${a.dropped}")
+      if (n > a.dropped)
+        assert(est.contains(t), s"guaranteed heavy hitter $t missing (true=$n > D=${a.dropped})")
+    }
+  }
+
+  test("m_text_heavyhitters estimates are certified against exact term counts") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = SparkEntry.queries("m_text_heavyhitters")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, est, err) =>
+      val n = exact.getOrElse(t, 0L)
+      assert(est <= n && n <= est + err,
+        s"$t: est=$est err=$err but true=$n — certified bound violated")
+    }
+    // the single most frequent term is far above the error bound → must rank
+    val (topTerm, topN) = exact.maxBy { case (t, n) => (n, t) }
+    val err = got.head._3
+    if (topN > 2 * err)
+      assert(got.map(_._1).contains(topTerm),
+        s"dominant term $topTerm (n=$topN, D=$err) missing from sketch output")
+  }
+
   test("simhash64 is deterministic and locality-sensitive") {
     val a = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
     val b = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
