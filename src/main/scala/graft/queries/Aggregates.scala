@@ -126,6 +126,22 @@ object Aggregates extends QueryGroup {
         .orderBy($"o_orderstatus")
     }),
 
+    // Approximate-quantile sketch (Greenwald-Khanna via percentile_approx):
+    // the single-pass mergeable-summary path for percentiles at 100 TB —
+    // exact percentile() materializes each group's full value set per
+    // shuffle partition, the GK sketch carries O(1/ε) state through partial
+    // aggregation. Sketch internals differ from DuckDB's t-digest →
+    // no oracle; MlSpec pins the rank-error contract vs exact quantiles.
+    "m_agg_quantile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(r4(percentile_approx($"l_extendedprice", lit(0.5), lit(10000))).as("p50"),
+             r4(percentile_approx($"l_extendedprice", lit(0.95), lit(10000))).as("p95"),
+             count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // HLL sketch differs from DuckDB's — property-tested (<5% error), no oracle.
     "q_agg_approx" -> ((s, dir) => {
       import s.implicits._

@@ -155,6 +155,30 @@ class MlSpec extends BaseSpec {
     assert(mean >= 0.5, s"mean recall@5 $mean")
   }
 
+  test("GK quantile sketch stays within rank-error bounds of exact percentiles") {
+    // percentile_approx(accuracy=10000) guarantees rank error ≤ 1e-4;
+    // asserting against the exact quantiles at ±0.01 rank leaves two
+    // orders of magnitude of slack, so this only fails if the sketch (or
+    // its partial-aggregation merge) is actually broken.
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sf, "lineitem")
+    val exact = li.groupBy($"l_returnflag").agg(
+        percentile($"l_extendedprice", lit(0.49)).as("lo50"),
+        percentile($"l_extendedprice", lit(0.51)).as("hi50"),
+        percentile($"l_extendedprice", lit(0.94)).as("lo95"),
+        percentile($"l_extendedprice", lit(0.96)).as("hi95"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val approx = SparkEntry.queries("m_agg_quantile")(spark, sf)
+      .as[(String, Double, Double, Long)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (g, p50, p95, _) =>
+      val (lo50, hi50, lo95, hi95) = exact(g)
+      assert(p50 >= lo50 - 1e-4 && p50 <= hi50 + 1e-4, s"$g p50=$p50 outside [$lo50, $hi50]")
+      assert(p95 >= lo95 - 1e-4 && p95 <= hi95 + 1e-4, s"$g p95=$p95 outside [$lo95, $hi95]")
+    }
+  }
+
   test("KMeans: seed-stable, above-chance purity, inertia monotone in k") {
     def sizes() = SparkEntry.queries("m_kmeans")(spark, sf)
       .as[(Long, Long)].collect().toList

@@ -236,6 +236,36 @@ class PlanSpec extends BaseSpec {
     assert(p5.contains("partial_"), s"Q5 must keep map-side partial aggregation:\n$p5")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // The injected-runtime-filter story at 100 TB: a selective dimension
+    // filter (orders with one priority) should not force a full lineitem
+    // shuffle — Spark's runtime bloom filter builds on the filtered dim
+    // keys and drops non-matching fact rows AT THE SCAN, before the
+    // exchange. Thresholds are sized for clusters; lower them so the
+    // optimizer fires on test data, then assert the filter is in the plan
+    // and the result is unchanged.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val li = Tables(spark, sf, "lineitem")
+    val sel = Tables(spark, sf, "orders").filter($"o_orderpriority" === "3-MEDIUM")
+    def joined = li.join(sel, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    val plainRows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    withSQLConf(confs: _*) {
+      val q = joined
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$optimized")
+      val rows = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == plainRows, "bloom filter must never change results")
+    }
+  }
+
   test("z-order clustering: a 2-D box scan survives fewer rows than a 1-D sort") {
     // Same points written twice with small row groups: sorted by lat only
     // vs sorted by the Morton key of quantized (lat, lon). Under a 10°×10°
