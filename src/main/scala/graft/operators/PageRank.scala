@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Edge-list PageRank (SURVEY §2.10 graph-mining extension,
+  * `m_graph_pagerank`): power iteration expressed as DataFrame joins —
+  * no GraphX, same design choice as [[ConnectedComponents]] (Pregel's
+  * per-superstep scheduling overhead dominates on few-iteration jobs;
+  * an edge-list join IS the message exchange, and Catalyst/AQE handle
+  * partitioning and skew).
+  *
+  * Scale shape per iteration: ranks ⋈ edges on src (one keyed shuffle),
+  * contributions hash-aggregated on dst (second keyed shuffle) — both on
+  * stable keys, so at 100 TB the two exchanges reuse co-partitioning
+  * round to round; `localCheckpoint(eager)` cuts lineage each iteration
+  * exactly like the CC loop. Dangling mass (nodes with no out-edges) is
+  * redistributed uniformly each round, keeping Σrank = 1 an invariant
+  * (PageRankSpec asserts it together with node-wise equality to a
+  * driver-side reference iteration).
+  *
+  * Determinism note: double contributions are summed in shuffle order, so
+  * node ranks carry ~1e-15 noise run to run; consumers round (r6) before
+  * ranking, far above the noise floor — structurally-symmetric nodes get
+  * mathematically equal ranks and round identically.
+  */
+object PageRank {
+
+  /** @param edges DIRECTED (src, dst) edge list, duplicates allowed
+    *        (weights by multiplicity); pass both directions for an
+    *        undirected graph
+    * @return (id, rank) for every vertex appearing in `edges`, Σrank = 1 */
+  def run(spark: SparkSession, edges: DataFrame,
+          damping: Double = 0.85, iterations: Int = 15): DataFrame = {
+    import spark.implicits._
+    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .localCheckpoint(eager = true)
+    val verts = e.select($"src".as("id")).unionAll(e.select($"dst".as("id")))
+      .distinct().localCheckpoint(eager = true)
+    val n = verts.count().toDouble
+    val outDeg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+    var i = 0
+    while (i < iterations) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      // Dangling nodes (deg null) spread their whole rank uniformly.
+      val danglingMass = withDeg.filter($"deg".isNull)
+        .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
+      val contribs = withDeg.filter($"deg".isNotNull)
+        .select($"id".as("src"), ($"rank" / $"deg").as("c"))
+        .join(e, Seq("src"))
+        .groupBy($"dst".as("id")).agg(sum($"c").as("in_mass"))
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      ranks = verts.join(contribs, Seq("id"), "left")
+        .select($"id",
+          (lit(base) + lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    ranks
+  }
+}

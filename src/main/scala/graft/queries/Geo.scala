@@ -268,6 +268,25 @@ object Geo extends QueryGroup {
     "q_traj_convoy" -> ((s, dir) =>
       graft.operators.Convoy.coTravelers(pts(s, dir), cellDeg = 20.0, minHours = 3)),
 
+    // Influence ranking over the co-traveler graph: PageRank on the
+    // (minHours ≥ 2) co-travel pairs, top-10 users by rank — the "central
+    // figure in a movement network" query of a trajectory-mining engine.
+    // Ranks rounded to 6 decimals (noise floor ~1e-15), ties by user_id.
+    // No SQL oracle (iterative damped ranking has no DuckDB analog at
+    // parity precision); PageRankSpec pins node-wise equality to a
+    // driver-side reference iteration plus the Σrank = 1 invariant.
+    "m_graph_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Convoy
+        .coTravelers(pts(s, dir), cellDeg = 20.0, minHours = 2)
+      val edges = pairs.select($"u1".as("src"), $"u2".as("dst"))
+        .unionAll(pairs.select($"u2".as("src"), $"u1".as("dst")))
+      graft.operators.PageRank.run(s, edges)
+        .select($"id".as("user_id"), round($"rank", 6).as("rank"))
+        .orderBy($"rank".desc, $"user_id")
+        .limit(10)
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.PageRank
+
+/** SURVEY §5.3 — PageRank equivalence vs a driver-side reference power
+  * iteration (same formula, same iteration count), plus invariants. */
+class PageRankSpec extends BaseSpec {
+  import spark.implicits._
+
+  /** Reference iteration mirroring the distributed semantics exactly. */
+  private def reference(edges: Seq[(Long, Long)], d: Double, iters: Int)
+      : Map[Long, Double] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = verts.size.toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dangling = verts.filterNot(out.contains).map(rank).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
+      val base = (1 - d) / n + d * dangling / n
+      rank = verts.map(v => v -> (base + d * in.getOrElse(v, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("distributed ranks equal the reference on a graph with dangling nodes") {
+    // star (1 -> 2,3,4), a chain into it, a 2-cycle, and dangling sink 9.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 1L), (6L, 5L),
+                    (7L, 8L), (8L, 7L), (4L, 9L))
+    val got = PageRank.run(spark, edges.toDF("src", "dst"))
+      .as[(Long, Double)].collect().toMap
+    val want = reference(edges, 0.85, 15)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"node $v: got $r want ${want(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
+  }
+
+  test("undirected symmetric nodes tie exactly after rounding; hubs outrank leaves") {
+    // path 1-2-3 (undirected): leaves 1 and 3 are symmetric twins.
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = PageRank.run(spark, edges).as[(Long, Double)].collect()
+      .map { case (v, r) => v -> BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+      .toMap
+    assert(got(1L) == got(3L), s"symmetric leaves must tie: $got")
+    assert(got(2L) > got(1L), s"hub must outrank leaves: $got")
+  }
+
+  test("m_graph_pagerank returns a full top-10 with positive normalized ranks") {
+    val rows = SparkEntry.queries("m_graph_pagerank")(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 10, s"expected top-10, got ${rows.length}")
+    assert(rows.forall(_._2 > 0))
+    assert(rows.map(_._2).toList == rows.map(_._2).toList.sorted.reverse)
+  }
+}
