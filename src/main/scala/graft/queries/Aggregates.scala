@@ -160,6 +160,24 @@ object Aggregates extends QueryGroup {
         .agg(array_join(array_sort(collect_list($"y")), ",").as("years"),
              count(lit(1)).as("n_orders"))
         .orderBy($"o_custkey")
+    }),
+
+    // Modal value per group. NOT max_by/arg_max: both engines leave their
+    // tie-break unspecified, so the deterministic form is a two-level
+    // aggregate picking max(struct(count, value)) — count-descending with
+    // the LEXICALLY LARGEST value winning ties, identically in both
+    // engines. Two hash-agg shuffles, second over |groups| rows only.
+    "q_agg_mode" -> ((s, dir) => {
+      import s.implicits._
+      val counts = t(s, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy($"o_orderpriority")
+        .agg(max(struct($"cnt", $"o_orderstatus")).as("m"),
+             sum($"cnt").as("n_orders"))
+        .select($"o_orderpriority", $"m.o_orderstatus".as("mode_status"),
+                $"m.cnt".as("mode_n"), $"n_orders")
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -254,6 +272,21 @@ object Aggregates extends QueryGroup {
         |  string_agg(CAST(y AS VARCHAR), ',' ORDER BY y) AS years,
         |  COUNT(*) AS n_orders
         |FROM (SELECT o_custkey, year(o_orderdate) AS y FROM orders) t
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // Mirrors max(struct(cnt, status)): cnt desc, then LARGER status wins.
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderstatus, cnt,
+        |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n_orders,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cnt DESC, o_orderstatus DESC) AS rn
+        |  FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_n,
+        |  CAST(n_orders AS BIGINT) AS n_orders
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
   )
 }
