@@ -40,14 +40,24 @@ object PageRank {
     val n = verts.count().toDouble
     val outDeg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
 
+    // Dangling vertex SET is iteration-invariant — compute it once. The
+    // common undirected case (co-travel graph: every vertex has out-edges)
+    // has none, and then the loop runs ZERO driver actions per iteration
+    // beyond the checkpoint itself; only a true dangling set pays the
+    // per-iteration mass aggregation.
+    val danglingVerts = verts.join(outDeg, Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val hasDangling = !danglingVerts.isEmpty
+
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     var i = 0
     while (i < iterations) {
-      val withDeg = ranks.join(outDeg, Seq("id"), "left")
-      // Dangling nodes (deg null) spread their whole rank uniformly.
-      val danglingMass = withDeg.filter($"deg".isNull)
-        .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
-      val contribs = withDeg.filter($"deg".isNotNull)
+      val danglingMass =
+        if (hasDangling)
+          ranks.join(danglingVerts, Seq("id"), "left_semi")
+            .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
+        else 0.0
+      val contribs = ranks.join(outDeg, Seq("id"))
         .select($"id".as("src"), ($"rank" / $"deg").as("c"))
         .join(e, Seq("src"))
         .groupBy($"dst".as("id")).agg(sum($"c").as("in_mass"))
