@@ -95,6 +95,24 @@ class DbscanSpec extends BaseSpec {
     assert(dense.size > 20, "sanity: the planted cell exceeds the threshold")
   }
 
+  test("sub-grid split matches plain on the random generated clouds") {
+    // The planted test exercises one hot cell; this one runs the blob+noise
+    // generator (duplicates included) under a threshold low enough that
+    // every blob cell splits — output must be identical to the plain path
+    // at multiple thresholds, including one where NOTHING splits.
+    val pts = genPoints(300, 5L)
+    val df = pts.toDF("id", "x", "y")
+    def runWith(th: Long) = DBSCAN.run(spark, df, eps = 0.5, minPts = 4, th)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val plain = runWith(Long.MaxValue)
+    for (th <- Seq(1L, 8L, 1000L)) {
+      val split = runWith(th)
+      val diffs = plain.keys.filter(k => plain(k) != split(k)).take(5)
+      assert(diffs.isEmpty, s"threshold=$th diverged: " +
+        s"${diffs.map(k => s"$k plain=${plain(k)} split=${split(k)}")}")
+    }
+  }
+
   test("invariant: larger eps never increases noise count") {
     val pts = genPoints(200, 7L)
     val df = pts.toDF("id", "x", "y")

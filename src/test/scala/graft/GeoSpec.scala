@@ -76,6 +76,32 @@ class GeoSpec extends BaseSpec {
     assert(kth < safe, s"ring=2 unsafe: kth=$kth km but boundary only $safe km away")
   }
 
+  test("convoy: triangle-split matches plain on random point clouds") {
+    // Beyond the planted-bucket case: random data with mixed densities,
+    // several thresholds/group widths — the split must be output-identical
+    // everywhere, including thresholds low enough that EVERY bucket salts.
+    val H = 3600L * 1000000L
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.tabulate(800) { i =>
+      val u = rnd.nextInt(120).toLong
+      val h = rnd.nextInt(6)
+      // clustered lat/lon so buckets of many sizes arise
+      (u, h * H + rnd.nextInt(1000000),
+        rnd.nextInt(4) * 20.0 + rnd.nextDouble(),
+        rnd.nextInt(3) * 25.0 + rnd.nextDouble())
+    }.toDF("user_id", "ts_us", "lat", "lon")
+    val plain = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 2)
+      .as[(Long, Long, Long)].collect().toList
+    assert(plain.nonEmpty, "random cloud should produce co-travel pairs")
+    for ((th, g) <- Seq((1, 4), (10, 3), (40, 8))) {
+      val split = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 2,
+          hotUsers = th, groups = g)
+        .as[(Long, Long, Long)].collect().toList
+      assert(split == plain, s"hotUsers=$th groups=$g: " +
+        s"missing=${(plain.toSet -- split).take(3)} extra=${(split.toSet -- plain).take(3)}")
+    }
+  }
+
   test("convoy: pairs below minHours are dropped, across-cell users never pair") {
     val H = 3600L * 1000000L
     val pts = Seq(
