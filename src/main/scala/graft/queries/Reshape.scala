@@ -404,6 +404,40 @@ object Reshape extends QueryGroup {
       s.sql(tpchQ3)
     }),
 
+    // Daily conversion funnel view → click → purchase, per (user, day):
+    // three stacked running-min windows over ONE (user, day) sort (Catalyst
+    // collapses them into a single shuffle + sort; each step's "reached"
+    // timestamp is the min qualifying event AFTER the previous step was
+    // reached, the strictly-ordered funnel semantics), then a user-day
+    // rollup and a ≤4-row depth histogram with integer-exact step-delay
+    // sums. Windows are ROWS-framed explicitly so Spark and DuckDB agree
+    // on same-timestamp rows (ties broken by event_id in the sort).
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"day").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .select($"user_id", $"day", $"event_type", $"ts_us", $"event_id")
+      val s3 = e
+        .withColumn("sv", min(when($"event_type" === "view", $"ts_us")).over(w))
+        .withColumn("sc", min(when($"event_type" === "click" && $"sv".isNotNull,
+          $"ts_us")).over(w))
+        .withColumn("sp", min(when($"event_type" === "purchase" && $"sc".isNotNull,
+          $"ts_us")).over(w))
+      s3.groupBy($"user_id", $"day")
+        .agg(min($"sv").as("v"), min($"sc").as("c"), min($"sp").as("p"))
+        .withColumn("depth",
+          when($"p".isNotNull, 3L).when($"c".isNotNull, 2L)
+            .when($"v".isNotNull, 1L).otherwise(0L))
+        .groupBy($"depth")
+        .agg(count(lit(1)).as("n_user_days"),
+             sum(when($"c".isNotNull, $"c" - $"v")).as("sum_vc_us"),
+             sum(when($"p".isNotNull, $"p" - $"c")).as("sum_cp_us"))
+        .orderBy($"depth")
+    }),
+
     "q_sql_tpch_q5" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ5) }),
     "q_sql_tpch_q21" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ21) }),
     "q_sql_tpch_q16" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ16) })
@@ -529,6 +563,33 @@ object Reshape extends QueryGroup {
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts_us // 86400000000 AS day, event_type, ts_us, event_id
+        |  FROM (SELECT user_id, event_type,
+        |          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |        FROM events) x),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id, day ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv FROM e),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND sv IS NOT NULL THEN ts_us END)
+        |    OVER (PARTITION BY user_id, day ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND sc IS NOT NULL THEN ts_us END)
+        |    OVER (PARTITION BY user_id, day ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp FROM s2),
+        |u AS (SELECT user_id, day, MIN(sv) AS v, MIN(sc) AS c, MIN(sp) AS p
+        |      FROM s3 GROUP BY 1, 2)
+        |SELECT CAST(CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2
+        |            WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+        |  COUNT(*) AS n_user_days,
+        |  CAST(SUM(CASE WHEN c IS NOT NULL THEN c - v END) AS BIGINT) AS sum_vc_us,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL THEN p - c END) AS BIGINT) AS sum_cp_us
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_tpch" -> tpchQ3,
     "q_sql_tpch_q5" -> tpchQ5,

@@ -41,6 +41,13 @@ object Windows extends QueryGroup {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Emits the exact integer gap SUM, not round(sum/count, 4): at sf0.1
+    // the average gap is ~5e10 µs, and 4 decimals there is 16 significant
+    // digits — past double precision, where Spark (rounds the shortest
+    // decimal repr) and DuckDB (rounds the binary value) split on the last
+    // digit. Found by the round-7 sf0.1 parity sweep; same class as the
+    // q_roll_mean midpoint trap, same fix (the caller divides if it wants
+    // the average — sum and count are both exact).
     "q_win_lag" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
@@ -48,7 +55,7 @@ object Windows extends QueryGroup {
         .withColumn("ts_us", unix_micros($"ts"))
         .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
         .groupBy($"user_id")
-        .agg(r4(sum($"gap_us") * lit(1.0) / count($"gap_us")).as("avg_gap_us"),
+        .agg(sum($"gap_us").as("sum_gap_us"),
              count($"gap_us").as("n_gaps"))
         .orderBy($"user_id")
     }),
@@ -143,7 +150,7 @@ object Windows extends QueryGroup {
         |      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gap_us
         |  FROM events)
         |SELECT user_id,
-        |  round(SUM(gap_us) * 1.0 / COUNT(gap_us), 4) AS avg_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
         |  COUNT(gap_us) AS n_gaps
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
