@@ -87,6 +87,61 @@ class SessionCloseProcessor(gapMs: Long)
     }
 }
 
+/** One buffered funnel event; list-state element of [[FunnelCloseProcessor]]. */
+case class FunnelEv(day: Long, event_type: String, ts_us: Long, event_id: Long)
+
+/** Streaming twin of the batch `q_funnel`: per (user, day) the view →
+  * click → purchase depth, emitted exactly once when the watermark proves
+  * the day is over. Events of the OPEN day are buffered in `ListState`
+  * (bounded by one user-day's events — the same bound `session_window`
+  * carries) and the funnel is evaluated from the (ts, id)-sorted buffer at
+  * day close, so arrival ORDER within the day cannot change the answer —
+  * identical semantics to the batch stacked-running-min formulation, which
+  * StreamingSpec pins shuffled-arrival ≡ batch. One event-time timer per
+  * observed day; expiry emits and drops exactly that day's buffer. */
+class FunnelCloseProcessor(dayUs: Long = 86400000000L)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EvT, (Long, Long, Long, Long, Long, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var buf: streaming.ListState[FunnelEv] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    buf = getHandle.getListState[FunnelEv](
+      "funnelBuf", Encoders.product[FunnelEv], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EvT],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+    rows.foreach { e =>
+      val day = e.ts_us / dayUs
+      buf.appendValue(FunnelEv(day, e.event_type, e.ts_us, e.event_id))
+      // idempotent per day: timers are keyed by expiry ms, so re-registering
+      // the same day-end is a no-op rather than a duplicate
+      getHandle.registerTimer((day + 1) * dayUs / 1000L)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: streaming.TimerValues,
+      expired: streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+    val all = buf.get().toSeq
+    val closedDay = expired.getExpiryTimeInMs * 1000L / dayUs - 1
+    val (closed, open) = all.partition(_.day <= closedDay)
+    if (open.isEmpty) buf.clear()
+    else { buf.clear(); open.foreach(buf.appendValue) }
+    closed.groupBy(_.day).toSeq.sortBy(_._1).iterator.map { case (day, evs) =>
+      var v = -1L; var c = -1L; var p = -1L
+      evs.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (e.event_type == "view" && v < 0) v = e.ts_us
+        else if (e.event_type == "click" && v >= 0 && c < 0) c = e.ts_us
+        else if (e.event_type == "purchase" && c >= 0 && p < 0) p = e.ts_us
+      }
+      val depth = if (p >= 0) 3L else if (c >= 0) 2L else if (v >= 0) 1L else 0L
+      (key, day, depth, v, c, p)
+    }
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -204,6 +259,19 @@ object StreamOps {
       .as[EvT]
       .groupByKey(_.user_id)
       .transformWithState(new SessionCloseProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+  }
+
+  /** Streaming daily funnel — see [[FunnelCloseProcessor]]. Output:
+    * (user_id, day, depth, v_us, c_us, p_us), -1 for unreached steps. */
+  def funnelClose(ev: DataFrame, watermark: String = "10 minutes")
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import ev.sparkSession.implicits._
+    withEventTime(ev)
+      .withWatermark("ts", watermark)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelCloseProcessor(),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
   }
 

@@ -87,4 +87,25 @@ class SourcesSpec extends BaseSpec {
       .filter($"o_orderpriority" === "1-URGENT").count()
     assert(back.count() == expected)
   }
+
+  test("parquet schema evolution: mergeSchema unions columns, old rows read null") {
+    // The data-lake reality at 100 TB: a column added mid-corpus must not
+    // force a rewrite — mergeSchema unions the footers and back-fills null.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t/batch=1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra")
+      .write.mode("overwrite").parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "v", "extra", "batch"),
+      s"got ${merged.columns.toList}")
+    val rows = merged.select($"id", $"extra").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "pre-evolution rows must be null")
+    assert(rows(3L).contains(30L) && rows(4L).contains(40L))
+    // and the new column is still a pushdown target across the union
+    val q = merged.filter($"extra" > 35)
+    assert(q.count() == 1)
+  }
 }

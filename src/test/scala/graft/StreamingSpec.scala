@@ -239,6 +239,64 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming daily funnel: shuffled arrival matches batch semantics, emits once") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val D = 86400000000L
+      val M = 60L * 1000000L
+      // user 1 day 100: full funnel, but a click BEFORE the first view must
+      // not count as step 2 (order sensitivity is the whole point); user 1
+      // day 101: view only. user 2 day 100: view+click, purchase BEFORE the
+      // click → depth 2. Arrival order within the batch is SHUFFLED.
+      val day100 = Seq(
+        ev(1, 100 * D + 50 * M, user = 1, typ = "click"),
+        ev(2, 100 * D + 60 * M, user = 1, typ = "view"),
+        ev(3, 100 * D + 70 * M, user = 1, typ = "click"),
+        ev(4, 100 * D + 80 * M, user = 1, typ = "purchase"),
+        ev(6, 100 * D + 10 * M, user = 2, typ = "purchase"),
+        ev(7, 100 * D + 20 * M, user = 2, typ = "view"),
+        ev(8, 100 * D + 30 * M, user = 2, typ = "click"))
+      val shuffled = new scala.util.Random(5).shuffle(day100)
+      val input = MemoryStream[Ev]
+      val name = nextName()
+      val q = StreamOps.funnelClose(input.toDF())
+        .toDF("user_id", "day", "depth", "v_us", "c_us", "p_us")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      input.addData(shuffled: _*)
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty, "no funnel may emit before its day closes")
+      // a day-101 event pushes the watermark to exactly day-100's end →
+      // the day-100 funnels emit, the new day stays open
+      input.addData(ev(5, 101 * D + 10 * M, user = 1, typ = "view"))
+      q.processAllAvailable()
+      val after100 = spark.table(name)
+        .select($"user_id", $"day", $"depth", $"v_us", $"c_us", $"p_us")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(after100 == Set(
+        (1L, 100L, 3L, 100 * D + 60 * M, 100 * D + 70 * M, 100 * D + 80 * M),
+        (2L, 100L, 2L, 100 * D + 20 * M, 100 * D + 30 * M, -1L)),
+        s"day-100 funnels wrong: $after100")
+      // watermark past day 101 → the open day closes once; nothing re-emits
+      input.addData(ev(91, 103 * D, user = 98, typ = "view"))
+      q.processAllAvailable()
+      input.addData(ev(92, 105 * D, user = 97, typ = "view"))
+      q.processAllAvailable(); q.stop()
+      val all = spark.table(name)
+        .select($"user_id", $"day", $"depth")
+        .as[(Long, Long, Long)].collect().toList
+      assert(all.count { case (u, d, _) => u == 1L && d == 100L } == 1,
+        "day-100 funnel must not re-emit")
+      assert(all.contains((1L, 101L, 1L)), s"day-101 view-only funnel missing: $all")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("left-outer stream-stream join emits unattributed clicks with nulls") {
     implicit val ctx = spark.sqlContext
     val M = 60L * 1000000L
