@@ -306,6 +306,28 @@ object Reshape extends QueryGroup {
         .orderBy($"user_id")
     }),
 
+    // SCD type-2 history build: compress each user's event stream into
+    // validity intervals of their event_type "attribute" — rows survive
+    // only where the attribute CHANGES (lag ≠ current), valid_from = that
+    // event's ts, valid_to = the next change's ts (NULL while current),
+    // is_current flags the open row. The classic warehouse history-table
+    // derivation from an append log: two window passes over ONE user_id
+    // shuffle, no self-join, integer-exact timestamps — at 100 TB the cost
+    // is the single keyed shuffle the sort already pays.
+    "q_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        .withColumn("valid_to", lead($"ts_us", 1).over(w))
+        .select($"user_id", $"event_type".as("attr"),
+                $"ts_us".as("valid_from"), $"valid_to",
+                $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"valid_from", $"attr")
+    }),
+
     // Time-series resampling with gap fill: regularize the event stream to
     // a dense hourly grid, zero-filling empty buckets — the missing-bucket
     // repair step before any rolling/seasonal computation. The bucket agg
@@ -563,6 +585,25 @@ object Reshape extends QueryGroup {
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS attr, ts_us AS valid_from,
+        |  lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS valid_to,
+        |  (lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    IS NULL) AS is_current
+        |FROM ch ORDER BY user_id, valid_from, attr""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (
