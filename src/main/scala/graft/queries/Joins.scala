@@ -134,6 +134,31 @@ object Joins extends QueryGroup {
         .orderBy($"event_id")
     }),
 
+    // Tolerance-bounded as-of: same backward match as q_join_asof but the
+    // prior event only counts within 12 h — the financial/telemetry form
+    // ("match the quote no older than Δt"). Same single user_id window
+    // pass; the tolerance is a null-out, not another join.
+    "q_join_asof_tol" -> ((s, dir) => {
+      import s.implicits._
+      val tolUs = 43200000000L // 12 h
+      val ev = eventsUs(s, dir)
+        .filter($"event_type".isin("purchase", "signup", "click"))
+        .select($"event_id", $"user_id", $"event_type", $"ts_us")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("prior_event_id",
+          last(when($"event_type" =!= "purchase", $"event_id"), ignoreNulls = true).over(w))
+        .withColumn("prior_ts_us",
+          last(when($"event_type" =!= "purchase", $"ts_us"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("gap_us", $"ts_us" - $"prior_ts_us")
+        .select($"event_id", $"user_id",
+          when($"gap_us" <= tolUs, $"prior_event_id").as("prior_event_id"),
+          when($"gap_us" <= tolUs, $"gap_us").as("gap_us"))
+        .orderBy($"event_id")
+    }),
+
     // Interval join: events within promotion windows derived from orders.
     // Integer-exact µs arithmetic; interval side broadcast (BNLJ on range).
     "q_join_interval" -> ((s, dir) => {
@@ -215,6 +240,22 @@ object Joins extends QueryGroup {
          |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
          |  FROM events WHERE event_type IN ('purchase','signup','click'))
          |SELECT event_id, user_id, prior_event_id, ts_us - prior_ts_us AS gap_us
+         |FROM (
+         |  SELECT event_id, user_id, event_type, ts_us,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS) $asOfWin AS prior_event_id,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END IGNORE NULLS) $asOfWin AS prior_ts_us
+         |  FROM ev) t
+         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_tol" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events WHERE event_type IN ('purchase','signup','click'))
+         |SELECT event_id, user_id,
+         |  CASE WHEN ts_us - prior_ts_us <= 43200000000 THEN prior_event_id END
+         |    AS prior_event_id,
+         |  CASE WHEN ts_us - prior_ts_us <= 43200000000 THEN ts_us - prior_ts_us END
+         |    AS gap_us
          |FROM (
          |  SELECT event_id, user_id, event_type, ts_us,
          |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS) $asOfWin AS prior_event_id,
