@@ -223,6 +223,22 @@ class PlanSpec extends BaseSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("window-family keys are single-shuffle plans") {
+    // The "one shuffle per logical step, on the highest-useful-cardinality
+    // key" claim, pinned: the change-detection/as-of/latest family must
+    // plan exactly ONE hash exchange (the user_id window shuffle) — lead/
+    // lag/rank all reuse it — plus only the final presentation sort. A
+    // refactor that sneaks in a second keyed shuffle still passes value
+    // checks; this is what fails.
+    for (key <- Seq("q_scd2", "q_join_asof_tol", "q_dedup_latest")) {
+      val plan = SparkEntry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges == 1,
+        s"$key: expected exactly 1 hash exchange, got $hashExchanges:\n$plan")
+    }
+  }
+
   test("TPC-H shapes: Q21 plans semi+anti joins, Q16 anti join + top-k, Q5 partial agg") {
     val p21 = planOf("q_sql_tpch_q21")
     assert(p21.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p21")
