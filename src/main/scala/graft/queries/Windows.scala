@@ -114,6 +114,22 @@ object Windows extends QueryGroup {
         .orderBy($"c_custkey")
     }),
 
+    // Ratio-to-report: each order's share of its customer's total spend.
+    // The window denominator is the DECIMAL-exact per-customer sum (double
+    // window sums accumulate in engine-specific order — the q_roll_mean
+    // lesson); the per-row quotient then divides identical doubles and
+    // r4 at ≤1 magnitude is far from the 16-digit cliff.
+    "q_win_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      t(s, dir, "orders")
+        .withColumn("tot",
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey",
+                r4($"o_totalprice" / $"tot").as("share"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     "q_win_firstlast" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
@@ -168,6 +184,12 @@ object Windows extends QueryGroup {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_ratio" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY o_custkey) AS DOUBLE), 4) AS share
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_firstlast" ->
       """SELECT DISTINCT user_id,
