@@ -146,14 +146,18 @@ object Geo extends QueryGroup {
         .orderBy($"origin", $"dest")
     }),
 
-    "q_geo_knn" -> ((s, dir) => {
-      import s.implicits._
-      pts(s, dir)
-        .withColumn("dist_km", r3(hv($"lat", $"lon", lit(10.0), lit(20.0))))
-        .select($"event_id", $"dist_km")
-        .orderBy($"dist_km", $"event_id")
-        .limit(5)
-    }),
+    // Exact kNN on the grid index with RING GROWTH (r8) — the full-scan
+    // plan this key declared through r7 is gone: candidates come from the
+    // probe cell's (2r+1)² box starting at r=1, widened until the kth
+    // candidate's distance is certified inside the ring's safe radius (see
+    // [[graft.operators.GridKnn]]), so the key is exact at ANY density —
+    // the certificate, not a measured fixture, carries correctness. Oracle
+    // stays the brute-force full scan: hash equality proves the pruned
+    // search loses no neighbour; GeoSpec additionally plants a sparse
+    // neighborhood that FORCES ring growth and pins exactness there.
+    "q_geo_knn" -> ((s, dir) =>
+      graft.operators.GridKnn.topK(pts(s, dir), pLat = 10.0, pLon = 20.0,
+        cellDeg = 10.0, k = 5)._1),
 
     // Index-backed kNN: the grid layout IS the index. Candidates are
     // restricted to the probe cell's 5×5 (ring=2) 10° neighborhood via a

@@ -27,20 +27,26 @@ object Similarity extends QueryGroup {
               expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
   }
 
-  /** All vector pairs (a < b) with cosine — one broadcast self-join. */
-  private def pairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = vecs(s, dir)
-    val a = e.select($"vec_id".as("va"), $"v".as("av"))
-    val b = e.select($"vec_id".as("vb"), $"v".as("bv"))
-    a.join(broadcast(b), $"va" < $"vb")
-      .withColumn("cos", r4(VectorOps.cosineSim($"av", $"bv")))
-  }
-
   val queries: Map[String, QFn] = Map(
+    // Global top-20 most-similar pairs — the LAST all-pairs plan in the
+    // repo, re-pointed (r8) at the LSH candidate path with the same
+    // "candidates ⊇ truth + exact re-score, oracle unchanged" recipe as
+    // q_dedup_embcos (r6) and q_sim_knn_vec (r7). Candidates come from the
+    // 12-table bucket join at the 1.2 euclidean cut; the exact CosineSim
+    // re-score then ranks them, so the result is IDENTICAL to brute force
+    // as long as candidates contain the true top 20. On unit-norm vectors
+    // the 20th-best pair's cosine stays ≥ 0.43 across SFs ⇒ edist ≤ 1.07,
+    // well inside the 1.2 cut where MlSpec pins candidate recall 1.0 (the
+    // embcos superset property uses the SAME parameters; the cosine-top20
+    // property additionally pins the ordered list against a driver-side
+    // brute force). The plan shuffles only bucket-local pairs — no N²
+    // broadcast self-join survives anywhere in the repo.
     "q_sim_cosine" -> ((s, dir) => {
       import s.implicits._
-      pairs(s, dir)
+      VectorOps.register(s)
+      graft.operators.VectorLSH
+        .candidatesWithVecs(s, t(s, dir, "embeddings"), 1.2, numTables = 12)
+        .withColumn("cos", r4(VectorOps.cosineSim($"v1", $"v2")))
         .select($"va", $"vb", $"cos")
         .orderBy($"cos".desc, $"va", $"vb")
         .limit(20)

@@ -57,23 +57,60 @@ class GeoSpec extends BaseSpec {
     assert(split.contains((500L, 501L, 3L)), "cold-branch pair must survive the union")
   }
 
-  test("grid-pruned kNN is exact: results match full scan, kth inside the safe radius") {
-    // q_geo_knn_grid scores only the probe cell's 3×3 ring; exactness needs
+  test("grid-pruned kNN is exact: both keys match a true full scan, kth inside the safe radius") {
+    // q_geo_knn_grid scores only the probe cell's 5×5 ring; exactness needs
     // the 5th-neighbour distance to stay below the minimum distance from
     // the probe to the ring boundary (anything outside the ring is at
-    // least that far). 0.9 margin covers the meridian cross-track vs
-    // along-parallel approximation.
-    val full = SparkEntry.queries("q_geo_knn")(spark, sf)
+    // least that far). Since r8 q_geo_knn itself rides the ring-growth
+    // search, the full-scan TRUTH is computed here (same derivation as the
+    // oracle SQL) rather than borrowed from a declared key.
+    import org.apache.spark.sql.functions._
+    graft.functions.HaversineDist.register(spark)
+    val full = Tables(spark, sf, "events")
+      .withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
+      .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
+      .withColumn("dist_km", round(graft.functions.HaversineDist.haversineKm(
+        col("lat"), col("lon"), lit(10.0), lit(20.0)), 3))
+      .select(col("event_id"), col("dist_km"))
+      .orderBy(col("dist_km"), col("event_id")).limit(5)
+      .as[(Long, Double)].collect().toList
+    val ringGrown = SparkEntry.queries("q_geo_knn")(spark, sf)
       .as[(Long, Double)].collect().toList
     val pruned = SparkEntry.queries("q_geo_knn_grid")(spark, sf)
       .as[(Long, Double)].collect().toList
+    assert(ringGrown == full, s"ring-grown=$ringGrown full=$full")
     assert(pruned == full, s"pruned=$pruned full=$full")
     val kth = full.last._2
-    val km = graft.functions.HaversineDist.km _
     // ring=2 box: lat ∈ [-10, 40), lon ∈ [0, 50) around probe (10, 20)
-    val safe = Seq(km(10.0, 20.0, -10.0, 20.0), km(10.0, 20.0, 40.0, 20.0),
-                   km(10.0, 20.0, 10.0, 0.0), km(10.0, 20.0, 10.0, 50.0)).min * 0.9
+    val safe = graft.operators.GridKnn.safeRadiusKm(10.0, 20.0, -10.0, 40.0, 0.0, 50.0)
     assert(kth < safe, s"ring=2 unsafe: kth=$kth km but boundary only $safe km away")
+  }
+
+  test("grid kNN ring growth: planted sparse density forces wider rings, result exact") {
+    // Probe (10, 20), cell 10°. Only 4 points live inside ring 1's box —
+    // fewer than k=5, so ring 1 must be rejected on count. Ring 2 contains
+    // a 5th point at (10, 44) whose ~2630 km distance EXCEEDS ring 2's
+    // ~2000 km safe radius — a point just outside the box could still be
+    // closer, so ring 2 must be rejected on the certificate. Ring 3
+    // (safe ≈ 2950 km) certifies. Decoys sit beyond the true top-5 to
+    // prove the certified result matches a driver-side brute force.
+    val pts = Seq(
+      (1L, 11.0, 21.0), (2L, 12.0, 22.0), (3L, 13.0, 19.0), (4L, 9.0, 18.0),
+      (5L, 10.0, 44.0),               // in ring 2, past its safe radius
+      (6L, 10.0, 55.0), (7L, -40.0, 20.0) // decoys: ring 3 / outside it
+    ).toDF("event_id", "lat", "lon")
+    val (df, ring) = graft.operators.GridKnn.topK(pts, 10.0, 20.0, 10.0, k = 5)
+    assert(ring == 3, s"expected the certificate to settle at ring 3, got $ring")
+    val km = graft.functions.HaversineDist.km _
+    val want = Seq((1L, 11.0, 21.0), (2L, 12.0, 22.0), (3L, 13.0, 19.0),
+        (4L, 9.0, 18.0), (5L, 10.0, 44.0), (6L, 10.0, 55.0), (7L, -40.0, 20.0))
+      .map { case (id, la, lo) =>
+        (id, BigDecimal(km(la, lo, 10.0, 20.0))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(5).toList
+    val got = df.as[(Long, Double)].collect().toList
+    assert(got == want, s"certified ring must equal brute force: got=$got want=$want")
   }
 
   test("convoy: triangle-split matches plain on random point clouds") {

@@ -102,6 +102,37 @@ class MlSpec extends BaseSpec {
       s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("cosine top-20 scale path: LSH candidates reproduce the brute-force top-20 exactly") {
+    // q_sim_cosine (r8) rides the same 12-table/1.2-cut LSH candidate set
+    // as q_dedup_embcos; its oracle is still the exact all-pairs SQL. The
+    // embcos property above pins candidate recall 1.0 for cos >= 0.4; this
+    // one (a) checks the OPERATING POINT — the 20th-best pair's cosine must
+    // sit inside that recall-tested region (>= 0.4 ⇔ edist <= 1.0954 <
+    // 1.2) — and (b) pins the declared ordered top-20 list, cosines and
+    // tie-breaks included, against a driver-side brute force. If a new SF /
+    // embedding distribution pushes the 20th pair below 0.4, (a) fails
+    // loudly instead of the key silently drifting from its oracle.
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i); sb += b(i).toDouble * b(i)
+      }
+      BigDecimal(dot / (math.sqrt(sa) * math.sqrt(sb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val truth = (for { (i, vi) <- vecs; (j, vj) <- vecs if i < j }
+      yield (i, j, cos4(vi, vj)))
+      .sortBy { case (i, j, c) => (-c, i, j) }.take(20).toSeq
+    assert(truth.size == 20 && truth.last._3 >= 0.4,
+      s"operating point broken: 20th pair cosine ${truth.last._3} fell below the " +
+        "recall-tested 0.4 region — re-tune numTables/cut before trusting the key")
+    val got = SparkEntry.queries("q_sim_cosine")(spark, sf)
+      .select($"va", $"vb", $"cos").as[(Long, Long, Double)].collect().toSeq
+    assert(got == truth, s"declared top-20 != brute force: got=${got.take(3)}... " +
+      s"want=${truth.take(3)}...")
+  }
+
   test("knn scale path: LSH∪IVF candidates cover the exact top-5; result == brute force") {
     // q_sim_knn_vec now rides candidate generation (16-table LSH buckets ∪
     // 4 IVF-probed cells) + exact cosine re-score; its oracle is still the
