@@ -223,6 +223,94 @@ class PlanSpec extends BaseSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("bucketed entity layout runs the keep-latest window with zero exchanges") {
+    // The OTHER half of the bucketing story: q_dedup_latest's scaladoc
+    // claims that with the table bucketed on the entity key "even the
+    // shuffle disappears" — made a tested fact here. The scan's bucket
+    // layout (HashPartitioning on user_id) satisfies the window's
+    // ClusteredDistribution directly, so the rank-1-per-user plan carries
+    // a Sort but NO Exchange of any kind, and its rows equal the declared
+    // key's (which reads the unbucketed parquet and pays the one shuffle).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_w").toString
+    spark.sql("DROP TABLE IF EXISTS b_events")
+    Tables(spark, sf, "events")
+      .withColumn("ts_us", unix_micros($"ts")).drop("ts")
+      .write.bucketBy(8, "user_id")
+      .option("path", s"$wh/b_events").saveAsTable("b_events")
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+      val q = spark.table("b_events")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_id".as("latest_event"),
+                $"ts_us".as("latest_ts_us"), $"value")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"scan ignored bucket layout:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed keep-latest window must not shuffle at all:\n$plan")
+      val got = q.as[(Long, Long, Long, Double)].collect().toSet
+      val want = SparkEntry.queries("q_dedup_latest")(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == want, s"bucketed plan changed keep-latest rows: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+    spark.sql("DROP TABLE IF EXISTS b_events")
+  }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB star-join lever, with AQE ON (the production setting):
+    // the fact table is partitioned by a dim-derived key (day), the dim
+    // carries a selective attribute filter, and the join key is the
+    // partition column. Spark must inject a dynamicpruning subquery into
+    // the fact scan's PartitionFilters — the fact side reads only the
+    // days the filtered dim selects, a fact the numPartitions metric
+    // proves at runtime. No static predicate on the fact side exists, so
+    // any pruning observed is DPP's.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables(spark, sf, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val allDays = fact.select($"day").distinct().as[Long].collect().sorted
+    assert(allDays.length > 5, s"fixture needs many day partitions, got ${allDays.length}")
+    val pickedDays = allDays.take(3).toSet
+    allDays.map(d => (d, if (pickedDays(d)) "pick" else "other"))
+      .toSeq.toDF("day", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+
+    val q = fact.join(dim.filter($"tag" === "pick"), Seq("day"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val rows = q.collect() // run under AQE — DPP must fire in production config
+    val expected = fact.filter($"day".isin(pickedDays.toSeq: _*))
+      .groupBy($"event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == expected,
+      "DPP must not change the join result")
+
+    // Walk the finalized adaptive plan down to the fact scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val factScan = scans(q.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "day"))
+      .getOrElse(fail("no partitioned fact scan in plan"))
+    assert(factScan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"no dynamicpruning subquery in PartitionFilters: ${factScan.partitionFilters}")
+    val partsRead = factScan.metrics("numPartitions").value
+    assert(partsRead == pickedDays.size,
+      s"DPP should read exactly ${pickedDays.size} day dirs, read $partsRead of ${allDays.length}")
+  }
+
   test("window-family keys are single-shuffle plans") {
     // The "one shuffle per logical step, on the highest-useful-cardinality
     // key" claim, pinned: the change-detection/as-of/latest family must
