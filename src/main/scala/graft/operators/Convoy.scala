@@ -38,10 +38,15 @@ object Convoy {
     * @param minHours minimum distinct co-located hours for a pair
     * @param hotUsers bucket population above which the triangle-split
     *        engages (quadratic work per bucket task caps at ~hotUsers²)
-    * @param groups salt width for split buckets
+    * @param groups salt width for split buckets: 0 (default) = ADAPTIVE,
+    *        g = ceil(bn / hotUsers) per bucket, so each (gi, gj) task holds
+    *        ~(bn/g)² ≈ hotUsers² pairs however large the bucket — a fixed
+    *        width would leave (bn/g)² growing quadratically again past it.
+    *        A positive value forces that fixed width (equality tests sweep
+    *        it against the adaptive and plain paths).
     * @return (u1, u2, n_hours), u1 < u2, ordered */
   def coTravelers(points: DataFrame, cellDeg: Double, minHours: Int,
-                  hotUsers: Int = 10000, groups: Int = 8): DataFrame = {
+                  hotUsers: Int = 10000, groups: Int = 0): DataFrame = {
     val p = points
       .select(col("user_id"), expr("ts_us div 3600000000").as("hb"),
               floor(col("lat") / cellDeg).cast("long").as("cla"),
@@ -59,10 +64,17 @@ object Convoy {
       .filter(col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"), col("hb"))
 
+    // Per-bucket salt width: both sides derive g from the SAME bn, so the
+    // (gi, gj) join keys agree within a bucket by construction. bn >
+    // hotUsers ⇒ g ≥ 2, so a split bucket always actually splits.
+    val gExpr =
+      if (groups > 0) lit(groups.toLong)
+      else ceil(col("bn").cast("double") / hotUsers).cast("long")
     val hot = tagged.filter(col("bn") > hotUsers)
-      .withColumn("gid", pmod(xxhash64(col("user_id")), lit(groups.toLong)))
+      .withColumn("g", gExpr)
+      .withColumn("gid", pmod(xxhash64(col("user_id")), col("g")))
     val left = hot
-      .withColumn("gj", explode(expr(s"sequence(gid, ${groups - 1}L)")))
+      .withColumn("gj", explode(expr("sequence(gid, g - 1L)")))
       .select(col("hb"), col("cla"), col("clo"),
               col("gid").as("gi"), col("gj"), col("user_id").as("ua"))
     val right = hot

@@ -29,9 +29,23 @@ object PageRank {
   /** @param edges DIRECTED (src, dst) edge list, duplicates allowed
     *        (weights by multiplicity); pass both directions for an
     *        undirected graph
+    * @param tol L1 convergence tolerance: the loop ends as soon as
+    *        Σ|rankᵢ − rankᵢ₋₁| < tol (one extra distributed agg per round,
+    *        cheap next to the two keyed joins) — `iterations` stays the
+    *        hard cap. The residual any later iteration could still add is
+    *        ≤ tol·d/(1−d) ≈ 5.7·tol, so the 1e-10 default keeps early-exit
+    *        ranks within 1e-9 of the fixed-cap fixpoint — fast-mixing
+    *        graphs stop in a few rounds instead of burning the cap.
+    *        Pass 0 to disable the check entirely.
     * @return (id, rank) for every vertex appearing in `edges`, Σrank = 1 */
-  def run(spark: SparkSession, edges: DataFrame,
-          damping: Double = 0.85, iterations: Int = 15): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
+          iterations: Int = 15, tol: Double = 1e-10): DataFrame =
+    runCounted(spark, edges, damping, iterations, tol)._1
+
+  /** As [[run]], also returning the number of iterations actually executed
+    * (< `iterations` when the L1 certificate ended the loop early). */
+  def runCounted(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
+                 iterations: Int = 15, tol: Double = 1e-10): (DataFrame, Int) = {
     import spark.implicits._
     val e = edges.select($"src".cast("long"), $"dst".cast("long"))
       .localCheckpoint(eager = true)
@@ -51,7 +65,8 @@ object PageRank {
 
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
       val danglingMass =
         if (hasDangling)
           ranks.join(danglingVerts, Seq("id"), "left_semi")
@@ -62,12 +77,17 @@ object PageRank {
         .join(e, Seq("src"))
         .groupBy($"dst".as("id")).agg(sum($"c").as("in_mass"))
       val base = (1.0 - damping) / n + damping * danglingMass / n
-      ranks = verts.join(contribs, Seq("id"), "left")
+      val next = verts.join(contribs, Seq("id"), "left")
         .select($"id",
           (lit(base) + lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
         .localCheckpoint(eager = true)
+      if (tol > 0)
+        converged = next.join(ranks.select($"id", $"rank".as("prev")), Seq("id"))
+          .agg(coalesce(sum(abs($"rank" - $"prev")), lit(0.0)))
+          .as[Double].head() < tol
+      ranks = next
       i += 1
     }
-    ranks
+    (ranks, i)
   }
 }

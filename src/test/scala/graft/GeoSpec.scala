@@ -52,6 +52,13 @@ class GeoSpec extends BaseSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(split == plain, s"triangle-split changed the result: " +
       s"missing=${(plain.toSet -- split).take(3)} extra=${(split.toSet -- plain).take(3)}")
+    // Adaptive width on the same planted bucket: 150 users past a 50
+    // threshold derives g = 3, again output-identical.
+    val adaptive = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 3,
+        hotUsers = 50)
+      .as[(Long, Long, Long)].collect().toList
+    assert(adaptive == plain, s"adaptive split changed the result: " +
+      s"missing=${(plain.toSet -- adaptive).take(3)} extra=${(adaptive.toSet -- plain).take(3)}")
     assert(split.count { case (u1, _, _) => u1 < 500L } == 150L * 149 / 2,
       "hot bucket must still emit every C(150,2) pair")
     assert(split.contains((500L, 501L, 3L)), "cold-branch pair must survive the union")
@@ -130,7 +137,9 @@ class GeoSpec extends BaseSpec {
     val plain = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 2)
       .as[(Long, Long, Long)].collect().toList
     assert(plain.nonEmpty, "random cloud should produce co-travel pairs")
-    for ((th, g) <- Seq((1, 4), (10, 3), (40, 8))) {
+    // g = 0 is the ADAPTIVE width (ceil(bn / hotUsers) per bucket): th=1
+    // salts every bucket at its own width, th=25 splits only the hot ones.
+    for ((th, g) <- Seq((1, 4), (10, 3), (40, 8), (1, 0), (25, 0))) {
       val split = Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 2,
           hotUsers = th, groups = g)
         .as[(Long, Long, Long)].collect().toList

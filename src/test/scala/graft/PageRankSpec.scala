@@ -49,6 +49,23 @@ class PageRankSpec extends BaseSpec {
     assert(got(2L) > got(1L), s"hub must outrank leaves: $got")
   }
 
+  test("fast-mixing graph exits early, ranks equal the fixed-cap reference") {
+    // A 5-clique (undirected): uniform rank IS the fixpoint, so the first
+    // update leaves ranks unchanged and the L1 certificate must end the
+    // loop immediately — node-wise still within 1e-9 of the 15-iteration
+    // reference (residual bound tol·d/(1−d) ≈ 5.7e-10).
+    val pairs = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val edges = (pairs ++ pairs.map(_.swap))
+    val (df, iters) = PageRank.runCounted(spark, edges.toDF("src", "dst"))
+    assert(iters < 15, s"clique must converge long before the cap, used $iters")
+    val got = df.as[(Long, Double)].collect().toMap
+    val want = reference(edges, 0.85, 15)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"node $v: got $r want ${want(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
+  }
+
   test("m_graph_pagerank returns a full top-10 with positive normalized ranks") {
     val rows = SparkEntry.queries("m_graph_pagerank")(spark, sf)
       .as[(Long, Double)].collect()
