@@ -22,11 +22,12 @@ object AnnIVF {
 
   /** Coarse quantizer memo, keyed on the MEMOIZED table plan (graft.Tables
     * returns one DataFrame object per (session, sfDir, table), so object
-    * identity is the right key): m_sim_ivf and q_sim_knn_vec share one
-    * k-means fit per session/SF instead of refitting per query — the
-    * one-off batch-job framing the scaladoc below describes, made literal. */
-  private val kmMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, DataFrame, Int), (DataFrame, DataFrame)]
+    * identity is the right key — a re-created embeddings DataFrame misses
+    * and refits): m_sim_ivf and q_sim_knn_vec share one k-means fit per
+    * session/SF instead of refitting per query — the one-off batch-job
+    * framing the scaladoc below describes, made literal. Entries are
+    * evicted when the owning session's context ends ([[graft.SessionMemo]]). */
+  private val kmMemo = new graft.SessionMemo[(DataFrame, Int), (DataFrame, DataFrame)]
 
   /** (assigned vectors, probed cells) — the shared coarse-quantizer step:
     * `assigned` = (vec_id, v, cell) for the whole table, `probeCells` =
@@ -37,7 +38,7 @@ object AnnIVF {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
     val (assigned, centroids) =
-      kmMemo.computeIfAbsent((spark, embeddings, nlist), { _ =>
+      kmMemo.getOrCompute(spark, (embeddings, nlist)) {
         val emb = embeddings
           .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
           .withColumn("features", array_to_vector($"embedding"))
@@ -49,7 +50,7 @@ object AnnIVF {
           (i, c.toArray.toSeq)
         }.toSeq.toDF("cell", "cv")
         (asg, cents)
-      })
+      }
 
     val probes = assigned.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"v".as("pv"))

@@ -322,10 +322,16 @@ object Reshape extends QueryGroup {
         .withColumn("prev_type", lag($"event_type", 1).over(w))
         .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
         .withColumn("valid_to", lead($"ts_us", 1).over(w))
+        // event_id joins the ORDER BY (then drops) because (user_id,
+        // valid_from, attr) is not a total order: two surviving change-rows
+        // can share a user's timestamp AND attr (types A,B,A at one ts),
+        // leaving their order engine-dependent — the usual event_id
+        // tie-break discipline, applied pre-projection.
         .select($"user_id", $"event_type".as("attr"),
                 $"ts_us".as("valid_from"), $"valid_to",
-                $"valid_to".isNull.as("is_current"))
-        .orderBy($"user_id", $"valid_from", $"attr")
+                $"valid_to".isNull.as("is_current"), $"event_id")
+        .orderBy($"user_id", $"valid_from", $"attr", $"event_id")
+        .drop("event_id")
     }),
 
     // Time-series resampling with gap fill: regularize the event stream to
@@ -603,7 +609,7 @@ object Reshape extends QueryGroup {
         |    AS valid_to,
         |  (lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
         |    IS NULL) AS is_current
-        |FROM ch ORDER BY user_id, valid_from, attr""".stripMargin,
+        |FROM ch ORDER BY user_id, valid_from, attr, event_id""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

@@ -90,12 +90,12 @@ object TextPipeline extends QueryGroup {
     * q_dedup_cluster and q_dedup_keep are two views of ONE clustering run,
     * so the shingle join + CC contraction executes once per session/SF.
     * The memoized plan ends at CC's final localCheckpoint, so downstream
-    * re-use replays no iteration. */
-  private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    * re-use replays no iteration. Entries evict with the owning session
+    * ([[graft.SessionMemo]] — a stopped session must not stay pinned). */
+  private val clusterMemo = new graft.SessionMemo[String, DataFrame]
 
   private def clusterAssign(s: SparkSession, dir: String): DataFrame =
-    clusterMemo.computeIfAbsent((s, dir), { _ =>
+    clusterMemo.getOrCompute(s, dir) {
       import s.implicits._
       val pairs = jaccardPairs(s, dir, 0.5)
         .select($"d1", $"d2").localCheckpoint(eager = true)
@@ -104,7 +104,7 @@ object TextPipeline extends QueryGroup {
       graft.operators.ConnectedComponents
         .run(s, verts, pairs.select($"d1".as("src"), $"d2".as("dst")))
         .select($"id".as("doc_id"), $"comp")
-    })
+    }
 
   val queries: Map[String, QFn] = Map(
     "q_text_tokens" -> ((s, dir) => {

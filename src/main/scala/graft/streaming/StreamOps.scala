@@ -104,6 +104,12 @@ class FunnelCloseProcessor(dayUs: Long = 86400000000L)
     Long, EvT, (Long, Long, Long, Long, Long, Long)] {
   import org.apache.spark.sql.{Encoders, streaming}
 
+  // Timers are registered in MILLISECONDS at (day+1)*dayUs/1000; expiry
+  // recovers the closed day as expiryMs*1000/dayUs - 1, which is only
+  // exact when dayUs is a multiple of 1000 — a non-divisible dayUs would
+  // truncate the registration and close the WRONG day.
+  require(dayUs % 1000 == 0, s"dayUs must be a multiple of 1000 µs, got $dayUs")
+
   @transient private var buf: streaming.ListState[FunnelEv] = _
 
   override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
@@ -139,6 +145,37 @@ class FunnelCloseProcessor(dayUs: Long = 86400000000L)
       val depth = if (p >= 0) 3L else if (c >= 0) 2L else if (v >= 0) 1L else 0L
       (key, day, depth, v, c, p)
     }
+  }
+}
+
+/** Per-user per-event-type running counts in a `MapState` — the map-valued
+  * state variable of the transformWithState surface (beside the ValueState,
+  * ListState, and timer processors): one state entry per (user, type)
+  * rather than one list per user, so updates touch only the entries the
+  * batch's rows name, and state volume is O(|users| × |types|) independent
+  * of stream length. Emits the updated (user_id, event_type, count) rows
+  * per batch (update mode); counts are batch-order-insensitive (pure
+  * increments commute). */
+class TypeCountsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, String, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var counts: streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "typeCounts", Encoders.STRING, Encoders.scalaLong, streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: streaming.TimerValues): Iterator[(Long, String, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    rows.foreach { e =>
+      val cur = touched.getOrElse(e.event_type,
+        if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L)
+      touched.update(e.event_type, cur + 1L)
+    }
+    touched.foreach { case (t, n) => counts.updateValue(t, n) }
+    touched.iterator.map { case (t, n) => (key, t, n) }
   }
 }
 
@@ -273,6 +310,49 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new FunnelCloseProcessor(),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+  }
+
+  /** Per-user per-event-type running counts via [[TypeCountsProcessor]]'s
+    * MapState (update mode). */
+  def typeCounts(ev: Dataset[Ev]): Dataset[(Long, String, Long)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Stream-stream AS-OF enrichment — the streaming twin of the batch
+    * q_join_asof_tol: each purchase is annotated with the MOST RECENT prior
+    * click by the same user within `tolMin` minutes. Two stateful operators
+    * chained: a watermarked interval join generates the (click, buy)
+    * candidates with bounded two-side state (exactly [[attributionJoin]]'s
+    * bound), then a per-buy max(struct(c_us, click_id)) — grouped on the
+    * buy's 1-minute event-time window so append mode can emit each buy
+    * exactly once, when the watermark proves no older click can still
+    * arrive. The click event-time column is dropped after the join so the
+    * aggregation watermarks on the single remaining time column (Spark
+    * requires an unambiguous event-time lineage through chained stateful
+    * ops). Buys with no prior click in the window do not enrich (inner
+    * semantics — the outer variant composes from attributionJoinOuter the
+    * same way). */
+  def asOfEnrich(clicks: DataFrame, buys: DataFrame, tolMin: Int = 20,
+                 watermark: String = "10 minutes"): DataFrame = {
+    val c = withEventTime(clicks).withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"), col("ts_us").as("c_us"))
+    val b = withEventTime(buys).withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+              col("ts").as("b_ts"), col("ts_us").as("b_us"))
+    c.join(b, col("user_id") === col("b_user") &&
+              col("c_ts") <= col("b_ts") &&
+              col("c_ts") > col("b_ts") - expr(s"INTERVAL $tolMin MINUTES"))
+      .select(col("b_user").as("user_id"), col("buy_id"), col("b_ts"),
+              col("b_us"), col("c_us"), col("click_id"))
+      .groupBy(col("user_id"), col("buy_id"), window(col("b_ts"), "1 minute"))
+      .agg(max(col("b_us")).as("b_us"),
+           max(struct(col("c_us"), col("click_id"))).as("m"))
+      .select(col("user_id"), col("buy_id"), col("b_us"),
+              col("m.click_id").as("asof_click"), col("m.c_us").as("asof_us"))
   }
 
   /** Left-outer variant of [[attributionJoin]]: clicks that see NO purchase

@@ -416,6 +416,96 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("MapState type counts: stream equals batch groupBy, fixed key set stays flat") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val M = 60L * 1000000L
+      val B = 100 * H
+      val types = Seq("view", "click", "purchase")
+      // 12 batches over a FIXED user set: every (user, type) count keeps
+      // rising, but the MapState key space is |users| × |types| — the
+      // plateau must not grow with stream length.
+      val rnd = new scala.util.Random(7)
+      val batches = (0 until 12).map { bi =>
+        (0 until 15).map { i =>
+          ev(bi * 100 + i, B + bi * H + i * M,
+             user = 1L + rnd.nextInt(4), typ = types(rnd.nextInt(3)))
+        }
+      }
+      val input = MemoryStream[Ev]
+      val name = nextName()
+      val q = StreamOps.typeCounts(input.toDS())
+        .toDF("user_id", "event_type", "n")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      val sizes = batches.map { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      }
+      q.stop()
+      assert(sizes.exists(_ > 0), s"no MapState evidence captured: $sizes")
+      assert(sizes.takeRight(3).max <= sizes.slice(4, 8).max,
+        s"MapState grew past the |users|×|types| plateau: $sizes")
+      // Counts are monotone, so the final count per (user, type) is the max
+      // update-mode row — and must equal the batch groupBy on all events.
+      val streamed = spark.table(name)
+        .groupBy($"user_id", $"event_type").agg(max($"n").as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      val batch = spark.createDataset(batches.flatten).toDF()
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
+  test("as-of enrichment: shuffled arrival equals batch, buys pick the latest prior click") {
+    implicit val ctx = spark.sqlContext
+    val M = 60L * 1000000L
+    val B = 100 * H
+    // user 1: clicks at B and B+3min, purchase at B+5min → as-of = B+3min
+    // click; a second purchase at B+40min is past the 20-min tolerance of
+    // BOTH clicks → not enriched. user 2: click AFTER its purchase only →
+    // not enriched. Arrival order is shuffled within each side.
+    val cRows = new scala.util.Random(3).shuffle(Seq(
+      ev(1, B, user = 1), ev(2, B + 3 * M, user = 1),
+      ev(3, B + 10 * M, user = 2)))
+    val bRows = Seq(
+      ev(10, B + 5 * M, user = 1, typ = "purchase"),
+      ev(11, B + 40 * M, user = 1, typ = "purchase"),
+      ev(12, B + 8 * M, user = 2, typ = "purchase"))
+    val clicks = MemoryStream[Ev]; val buys = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.asOfEnrich(clicks.toDF(), buys.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    clicks.addData(cRows: _*); buys.addData(bRows: _*)
+    q.processAllAvailable()
+    // advance both watermarks far enough for joins AND the buy-window agg
+    clicks.addData(ev(4, B + 10 * H, user = 99))
+    buys.addData(ev(13, B + 10 * H, user = 99, typ = "purchase"))
+    q.processAllAvailable()
+    clicks.addData(ev(5, B + 20 * H, user = 99))
+    buys.addData(ev(14, B + 20 * H, user = 99, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name).filter($"user_id" < 99L)
+      .select($"user_id", $"buy_id", $"b_us", $"asof_click", $"asof_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 10L, B + 5 * M, 2L, B + 3 * M)),
+      s"as-of enrichment wrong: $streamed")
+    val batch = StreamOps.asOfEnrich(
+        spark.createDataset(cRows).toDF(), spark.createDataset(bRows).toDF())
+      .select($"user_id", $"buy_id", $"b_us", $"asof_click", $"asof_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("stateful runningState matches batch equivalent across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
