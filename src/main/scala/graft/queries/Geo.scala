@@ -291,6 +291,22 @@ object Geo extends QueryGroup {
         .limit(10)
     }),
 
+    // Degree distribution of the co-traveler graph (minHours ≥ 2): how
+    // many users have k co-travel partners — the mixing-structure summary
+    // an analyst reads before trusting m_graph_pagerank's ranking, and an
+    // ORACLE-BACKED window into the same Convoy bucket-join the rank key
+    // rides. Degrees take one user-keyed hash agg over the pair list; the
+    // histogram agg is |distinct degrees| rows.
+    "q_graph_degree" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Convoy
+        .coTravelers(pts(s, dir), cellDeg = 20.0, minHours = 2)
+      pairs.select($"u1".as("user_id")).unionAll(pairs.select($"u2".as("user_id")))
+        .groupBy($"user_id").agg(count(lit(1)).as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n_users"))
+        .orderBy($"degree")
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of
@@ -424,6 +440,25 @@ object Geo extends QueryGroup {
         |  AND a.user_id < b.user_id
         |GROUP BY u1, u2 HAVING COUNT(DISTINCT a.hb) >= 3
         |ORDER BY u1, u2""".stripMargin),
+
+    "q_graph_degree" -> (ptsCte +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |deg AS (
+        |  SELECT user_id, COUNT(*) AS degree FROM (
+        |    SELECT u1 AS user_id FROM pr UNION ALL SELECT u2 AS user_id FROM pr) x
+        |  GROUP BY user_id)
+        |SELECT degree, COUNT(*) AS n_users
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
 
     "q_traj_sim" -> (ptsCte +
       """,

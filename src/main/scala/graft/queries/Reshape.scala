@@ -118,6 +118,25 @@ object Reshape extends QueryGroup {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
       |LIMIT 20""".stripMargin
 
+  // Q18 (large-volume customer): the GROUP BY + HAVING subquery feeding a
+  // semi join on the big fact's own key, then the three-way join and a
+  // top-100. SUM(l_quantity) is exact in double — the fixture quantities
+  // are integer-valued (checked; the flagship still routes them through
+  // DECIMAL where fractional data is possible). (o_totalprice DESC,
+  // o_orderkey) is a total order.
+  private val tpchQ18 =
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Register every TPC-H view the identical-text queries touch. */
   private def tpchViews(s: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part",
@@ -468,7 +487,41 @@ object Reshape extends QueryGroup {
 
     "q_sql_tpch_q5" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ5) }),
     "q_sql_tpch_q21" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ21) }),
-    "q_sql_tpch_q16" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ16) })
+    "q_sql_tpch_q16" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ16) }),
+    "q_sql_tpch_q18" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ18) }),
+
+    // Linear interpolation over the gap-filled hourly grid: an empty
+    // bucket takes the value on the line between its nearest observed
+    // neighbours (edge gaps clamp to the single available neighbour) —
+    // the repair step before mean-sensitive features, where zero-fill
+    // (q_time_resample) would bias the level. Two window passes over the
+    // SAME global order, on a grid whose size tracks the TIME RANGE (one
+    // row per hour), never the input volume. FP parity: the interpolation
+    // arithmetic runs on sum_value doubles that are already decimal-exact
+    // and identical in both engines.
+    "q_time_interp" -> ((s, dir) => {
+      import s.implicits._
+      val wPrev = Window.orderBy($"bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.orderBy($"bucket_ms")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      resampled(s, dir)
+        .withColumn("v", when($"n_events" > 0, $"sum_value"))
+        .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+        .withColumn("pms",
+          last(when($"v".isNotNull, $"bucket_ms"), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+        .withColumn("nms",
+          first(when($"v".isNotNull, $"bucket_ms"), ignoreNulls = true).over(wNext))
+        .withColumn("interp", r4(
+          when($"v".isNotNull, $"v")
+            .when($"pv".isNull, $"nv")
+            .when($"nv".isNull, $"pv")
+            .otherwise($"pv" + ($"nv" - $"pv") *
+              ($"bucket_ms" - $"pms").cast("double") / ($"nms" - $"pms"))))
+        .select($"bucket_ms", $"n_events", $"interp")
+        .orderBy($"bucket_ms")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -642,6 +695,34 @@ object Reshape extends QueryGroup {
     "q_sql_tpch_q5" -> tpchQ5,
     "q_sql_tpch_q21" -> tpchQ21,
     "q_sql_tpch_q16" -> tpchQ16,
+    "q_sql_tpch_q18" -> tpchQ18,
+
+    "q_time_interp" -> (resampledCte +
+      """,
+        |iv AS (
+        |  SELECT bucket_ms, n_events,
+        |    CASE WHEN n_events > 0 THEN sum_value END AS v
+        |  FROM res),
+        |x AS (
+        |  SELECT bucket_ms, n_events, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket_ms END IGNORE NULLS)
+        |      OVER wp AS pms,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket_ms END IGNORE NULLS)
+        |      OVER wn AS nms
+        |  FROM iv
+        |  WINDOW wp AS (ORDER BY bucket_ms
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (ORDER BY bucket_ms
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT bucket_ms, n_events,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * CAST(bucket_ms - pms AS DOUBLE)
+        |                  / (nms - pms) END, 4) AS interp
+        |FROM x ORDER BY bucket_ms""".stripMargin),
 
     "q_histogram" ->
       s"""SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS bucket_lo,

@@ -134,6 +134,21 @@ object StreamingQueries extends QueryGroup {
              count(lit(1)).as("n_events"),
              r4(dsum($"value", 6)).as("total_value"))
         .orderBy($"user_id")
+    }),
+
+    // Stream-stream AS-OF enrichment, batch-declared: the SAME
+    // StreamOps.asOfEnrich body StreamingSpec drives through MemoryStream
+    // (interval join + per-buy windowed max) — each purchase annotated
+    // with the most recent prior click by the same user within 20 min.
+    // Tie at one c_us breaks by max click_id; oracle mirrors it with a
+    // (c_us DESC, click_id DESC) window rank (the max_by-tie discipline).
+    "q_stream_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").withColumn("ts_us", unix_micros($"ts"))
+      graft.streaming.StreamOps.asOfEnrich(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .orderBy($"buy_id")
     })
   )
 
@@ -211,6 +226,24 @@ object StreamingQueries extends QueryGroup {
          |SELECT user_id, COUNT(*) AS n_pairs, round(${oSum("value", 6)}, 4) AS attr_value
          |FROM c JOIN b USING (user_id)
          |WHERE b_us >= c_us AND b_us < c_us + 1200000000
-         |GROUP BY user_id ORDER BY user_id""".stripMargin
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us
+        |      FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS buy_id, ts_us AS b_us
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT b.user_id, buy_id, b_us, click_id, c_us,
+        |    row_number() OVER (PARTITION BY buy_id
+        |                       ORDER BY c_us DESC, click_id DESC) AS rn
+        |  FROM b JOIN c ON b.user_id = c.user_id
+        |    AND c_us <= b_us AND c_us > b_us - 20 * 60 * 1000000)
+        |SELECT user_id, buy_id, b_us, click_id AS asof_click, c_us AS asof_us
+        |FROM j WHERE rn = 1 ORDER BY buy_id""".stripMargin
   )
 }

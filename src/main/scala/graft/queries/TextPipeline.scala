@@ -325,6 +325,30 @@ object TextPipeline extends QueryGroup {
     // buckets 12/2/2 → 75%/12.5%/12.5%. Content-keyed hashing (not
     // rand()/mod-counter) is what keeps the split stable under re-runs,
     // re-partitioning, and incremental corpus appends at 100 TB.
+    // Stratified corpus sampling: a fixed 20% quota PER LANGUAGE, picked
+    // by content-keyed md5 rank — the language-balance step of a
+    // training-data mix (uniform sampling would inherit the corpus skew).
+    // Deterministic and reproducible (never rand()); unlike q_sample_split
+    // the per-stratum QUOTA depends on the stratum's size, so decisions
+    // legitimately shift as the corpus grows — that is the semantics of
+    // quota sampling, not instability (the fraction-split key keeps the
+    // append-stable contract). One lang-keyed window pass + one hash agg.
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"hk", $"doc_id")
+      t(s, dir, "documents")
+        .withColumn("hk", md5($"doc_id".cast("string")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+        .withColumn("keep", $"rn" <= ceil($"n" * 0.2))
+        .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             count(when($"keep", 1)).as("n_sampled"),
+             sum(when($"keep", $"n_tok")).as("n_tokens_sampled"))
+        .orderBy($"lang")
+    }),
+
     "q_sample_split" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -545,6 +569,22 @@ object TextPipeline extends QueryGroup {
         |  CAST(SUM(CASE WHEN n_tok > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         |FROM d JOIN st USING (lang)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_tok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN rn <= ceil(n * 0.2) THEN 1 END) AS n_sampled,
+        |  CAST(SUM(CASE WHEN rn <= ceil(n * 0.2) THEN n_tok END) AS BIGINT)
+        |    AS n_tokens_sampled
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_sample_split" ->
       """WITH d AS (
