@@ -77,15 +77,22 @@ object PageRank {
         .join(e, Seq("src"))
         .groupBy($"dst".as("id")).agg(sum($"c").as("in_mass"))
       val base = (1.0 - damping) / n + damping * danglingMass / n
+      // prev rides INSIDE the update plan (the id-keyed joins co-partition),
+      // so the L1-delta check is an agg over the already-checkpointed
+      // per-vertex frame — near-free — instead of a separate keyed-join job
+      // per iteration, which would tax graphs that never converge under tol
+      // (contraction is ~damping^k: tol=1e-10 needs ~140 rounds, so a
+      // slow-mixing graph pays the check on every one of its capped rounds).
       val next = verts.join(contribs, Seq("id"), "left")
+        .join(ranks.select($"id", $"rank".as("prev")), Seq("id"))
         .select($"id",
-          (lit(base) + lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
+          (lit(base) + lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"),
+          $"prev")
         .localCheckpoint(eager = true)
       if (tol > 0)
-        converged = next.join(ranks.select($"id", $"rank".as("prev")), Seq("id"))
-          .agg(coalesce(sum(abs($"rank" - $"prev")), lit(0.0)))
+        converged = next.agg(coalesce(sum(abs($"rank" - $"prev")), lit(0.0)))
           .as[Double].head() < tol
-      ranks = next
+      ranks = next.drop("prev")
       i += 1
     }
     (ranks, i)

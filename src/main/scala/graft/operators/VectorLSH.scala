@@ -23,6 +23,16 @@ object VectorLSH {
   val DefaultBucketLen = 2.0
   private val seed = 42L
 
+  /** Verified-candidate memo: q_sim_cosine, q_dedup_embcos, and the MlSpec
+    * recall properties all want the SAME (cut, tables) candidate set over
+    * the Tables-memoized embeddings — one bucket join + exact-distance
+    * verify per session instead of one per caller. The plan ends in a lazy
+    * localCheckpoint, so the first action materializes it and every later
+    * caller reads the cached blocks. Keyed on DataFrame identity; entries
+    * evict with the owning session ([[graft.SessionMemo]]). */
+  private val candMemo =
+    new graft.SessionMemo[(DataFrame, Double, Int, Double), DataFrame]
+
   /** @param numTables OR-amplification width: P(candidate) =
     *        1 − (1 − p₁)^numTables. 4 tables ≈ 0.98 at the d ≈ 1.1 boundary
     *        (the recall-property operating point); callers that need the
@@ -39,7 +49,17 @@ object VectorLSH {
   def candidatesWithVecs(spark: SparkSession, embeddings: DataFrame,
                          maxEuclideanDistance: Double,
                          numTables: Int = DefaultTables,
-                         bucketLen: Double = DefaultBucketLen): DataFrame = {
+                         bucketLen: Double = DefaultBucketLen): DataFrame =
+    candMemo.getOrCompute(spark,
+        (embeddings, maxEuclideanDistance, numTables, bucketLen)) {
+      buildCandidatesWithVecs(spark, embeddings, maxEuclideanDistance,
+        numTables, bucketLen).localCheckpoint(eager = false)
+    }
+
+  private def buildCandidatesWithVecs(spark: SparkSession, embeddings: DataFrame,
+                                      maxEuclideanDistance: Double,
+                                      numTables: Int,
+                                      bucketLen: Double): DataFrame = {
     import spark.implicits._
     // Parameter-specific function name: two candidatePairs calls with
     // different parameters in one session must not overwrite each other's
