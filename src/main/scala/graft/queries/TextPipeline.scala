@@ -325,6 +325,47 @@ object TextPipeline extends QueryGroup {
     // buckets 12/2/2 → 75%/12.5%/12.5%. Content-keyed hashing (not
     // rand()/mod-counter) is what keeps the split stable under re-runs,
     // re-partitioning, and incremental corpus appends at 100 TB.
+    // Benchmark decontamination: which TEST-split docs share ≥3 distinct
+    // 8-gram shingles with any TRAIN doc — the train/eval leakage scan a
+    // training-data pipeline runs before any benchmark number is trusted.
+    // Candidates come from the 8-gram inverted-index join (shuffles on the
+    // shingle key, never doc pairs), with a doc-frequency cap (df ≤ 1000)
+    // dropping boilerplate shingles — a no-op at fixture density but the
+    // guard that bounds hot-shingle fanout at 100 TB, and it is part of the
+    // declared semantics on BOTH engines so parity exercises the code path.
+    // Per-lang: test-doc count, contaminated count, max shared shingles.
+    "q_text_contam" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .withColumn("b", substring(md5($"doc_id".cast("string")), 1, 1))
+        .withColumn("split",
+          when($"b" < "c", "train").when($"b" < "e", "val").otherwise("test"))
+        .withColumn("toks", split($"text", " "))
+      val sh = d.filter(size($"toks") >= 8)
+        .select($"doc_id", $"lang", $"split", explode(expr(
+          "transform(sequence(0, size(toks) - 8), i -> concat_ws(' ', slice(toks, i + 1, 8)))"))
+          .as("sh8"))
+        .distinct()
+      val rare = sh.groupBy($"sh8").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 1000).select($"sh8")
+      val shf = sh.join(rare, Seq("sh8"))
+      val pairs = shf.filter($"split" === "train").select($"doc_id".as("tr"), $"sh8")
+        .join(shf.filter($"split" === "test")
+          .select($"doc_id".as("te"), $"lang", $"sh8"), Seq("sh8"))
+        .groupBy($"te", $"lang", $"tr")
+        .agg(countDistinct($"sh8").as("n_shared"))
+        .filter($"n_shared" >= 3)
+      val contam = pairs.groupBy($"lang")
+        .agg(countDistinct($"te").as("nc"), max($"n_shared").as("ms"))
+      d.filter($"split" === "test").groupBy($"lang")
+        .agg(count(lit(1)).as("n_test_docs"))
+        .join(contam, Seq("lang"), "left")
+        .select($"lang", $"n_test_docs",
+                coalesce($"nc", lit(0L)).as("n_contaminated"),
+                coalesce($"ms", lit(0L)).as("max_shared"))
+        .orderBy($"lang")
+    }),
+
     // Stratified corpus sampling: a fixed 20% quota PER LANGUAGE, picked
     // by content-keyed md5 rank — the language-balance step of a
     // training-data mix (uniform sampling would inherit the corpus skew).
@@ -569,6 +610,37 @@ object TextPipeline extends QueryGroup {
         |  CAST(SUM(CASE WHEN n_tok > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         |FROM d JOIN st USING (lang)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_text_contam" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, split,
+        |    array_to_string(toks[i:i+7], ' ') AS sh8
+        |  FROM d, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+        |  WHERE len(toks) >= 8),
+        |rare AS (SELECT sh8 FROM sh GROUP BY sh8 HAVING COUNT(*) <= 1000),
+        |shf AS (SELECT sh.* FROM sh JOIN rare USING (sh8)),
+        |p AS (
+        |  SELECT te.doc_id AS te, te.lang AS lang, tr.doc_id AS tr,
+        |    COUNT(DISTINCT te.sh8) AS n_shared
+        |  FROM shf tr JOIN shf te ON tr.sh8 = te.sh8
+        |  WHERE tr.split = 'train' AND te.split = 'test'
+        |  GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT te.sh8) >= 3),
+        |c AS (
+        |  SELECT lang, COUNT(DISTINCT te) AS nc, MAX(n_shared) AS ms
+        |  FROM p GROUP BY lang),
+        |tt AS (
+        |  SELECT lang, COUNT(*) AS n_test_docs FROM d
+        |  WHERE split = 'test' GROUP BY lang)
+        |SELECT tt.lang AS lang, n_test_docs,
+        |  CAST(COALESCE(nc, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(COALESCE(ms, 0) AS BIGINT) AS max_shared
+        |FROM tt LEFT JOIN c ON tt.lang = c.lang ORDER BY tt.lang""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH d AS (
