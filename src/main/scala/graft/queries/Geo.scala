@@ -28,6 +28,20 @@ import Q._
   * rounded to integer km/h. */
 object Geo extends QueryGroup {
 
+  /** Co-traveler pair memo: m_graph_pagerank and q_graph_degree read the
+    * SAME coTravelers(cell=20°, minHours=2) pair set — one bucket join per
+    * (session, sfDir, params) behind a lazy checkpoint instead of one per
+    * key ([[graft.SessionMemo]]; keyed by VALUE since each call site builds
+    * a fresh pts() plan, so DataFrame identity would never hit). */
+  private val convoyMemo = new graft.SessionMemo[(String, Double, Int), DataFrame]
+
+  private def coTravelerPairs(s: SparkSession, dir: String,
+                              cellDeg: Double, minHours: Int): DataFrame =
+    convoyMemo.getOrCompute(s, (dir, cellDeg, minHours)) {
+      graft.operators.Convoy.coTravelers(pts(s, dir), cellDeg, minHours)
+        .localCheckpoint(eager = false)
+    }
+
   /** Derived pseudo-coordinates — integer-exact, identical text in SQL. */
   private def withGeo(df: DataFrame): DataFrame = df
     .withColumn("lat", ((col("event_id") * 37L)  % 1700L) / 10.0 - 85.0)
@@ -270,7 +284,7 @@ object Geo extends QueryGroup {
     // Bucket-local self-join; hot-bucket skew story in [[Convoy]]'s
     // scaladoc, pinned by GeoSpec's hot-bucket property.
     "q_traj_convoy" -> ((s, dir) =>
-      graft.operators.Convoy.coTravelers(pts(s, dir), cellDeg = 20.0, minHours = 3)),
+      coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 3)),
 
     // Influence ranking over the co-traveler graph: PageRank on the
     // (minHours ≥ 2) co-travel pairs, top-10 users by rank — the "central
@@ -281,8 +295,7 @@ object Geo extends QueryGroup {
     // driver-side reference iteration plus the Σrank = 1 invariant.
     "m_graph_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val pairs = graft.operators.Convoy
-        .coTravelers(pts(s, dir), cellDeg = 20.0, minHours = 2)
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
       val edges = pairs.select($"u1".as("src"), $"u2".as("dst"))
         .unionAll(pairs.select($"u2".as("src"), $"u1".as("dst")))
       graft.operators.PageRank.run(s, edges)
@@ -299,8 +312,7 @@ object Geo extends QueryGroup {
     // histogram agg is |distinct degrees| rows.
     "q_graph_degree" -> ((s, dir) => {
       import s.implicits._
-      val pairs = graft.operators.Convoy
-        .coTravelers(pts(s, dir), cellDeg = 20.0, minHours = 2)
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
       pairs.select($"u1".as("user_id")).unionAll(pairs.select($"u2".as("user_id")))
         .groupBy($"user_id").agg(count(lit(1)).as("degree"))
         .groupBy($"degree").agg(count(lit(1)).as("n_users"))
