@@ -137,6 +137,80 @@ object Reshape extends QueryGroup {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping): the nation table joined TWICE under
+    * different aliases (supplier's nation vs customer's nation) with a
+    * symmetric two-country predicate. Both nation sides broadcast; the
+    * fact chain shuffles once per equi-key; year comes from l_shipdate.
+    * Revenue goes through DECIMAL per the determinism rules. */
+  private val tpchQ7 =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(CAST(SUM(volume) AS DOUBLE), 4) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+      |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): a share-of-total ratio per
+    * year — numerator and denominator are BOTH exact DECIMAL sums, so the
+    * one double division at the end is bit-deterministic on both engines
+    * (the repo's ratio rule: never divide rounded doubles, divide exact
+    * decimals once). region prunes the customer side; the supplier's
+    * nation is re-joined under a second alias for the share predicate. */
+  private val tpchQ8 =
+    """SELECT o_year,
+      |  round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+      |                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |        / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region   ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |    AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+    * subquery (per-part average quantity) — Catalyst de-correlates it into
+    * an aggregate + join on p_partkey, so at scale it is one extra keyed
+    * shuffle over lineitem, never a per-row re-scan. The threshold compare
+    * is deterministic: quantities are integer-valued doubles, so AVG is
+    * exact-sum/n on both engines. */
+  private val tpchQ17 =
+    """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |        / 7.0, 4) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND p_type = 'SMALL'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
   /** Register every TPC-H view the identical-text queries touch. */
   private def tpchViews(s: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part",
@@ -489,6 +563,9 @@ object Reshape extends QueryGroup {
     "q_sql_tpch_q21" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ21) }),
     "q_sql_tpch_q16" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ16) }),
     "q_sql_tpch_q18" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ18) }),
+    "q_sql_tpch_q7"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ7) }),
+    "q_sql_tpch_q8"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ8) }),
+    "q_sql_tpch_q17" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ17) }),
 
     // Linear interpolation over the gap-filled hourly grid: an empty
     // bucket takes the value on the line between its nearest observed
@@ -696,6 +773,9 @@ object Reshape extends QueryGroup {
     "q_sql_tpch_q21" -> tpchQ21,
     "q_sql_tpch_q16" -> tpchQ16,
     "q_sql_tpch_q18" -> tpchQ18,
+    "q_sql_tpch_q7"  -> tpchQ7,
+    "q_sql_tpch_q8"  -> tpchQ8,
+    "q_sql_tpch_q17" -> tpchQ17,
 
     "q_time_interp" -> (resampledCte +
       """,

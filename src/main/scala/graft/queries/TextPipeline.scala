@@ -446,6 +446,24 @@ object TextPipeline extends QueryGroup {
         .orderBy($"lang", $"pack_id")
     }),
 
+    // RAG-style fixed-window chunking: each document explodes into
+    // overlapping 200-char windows on a 150-char stride (the retrieval
+    // prep step before embedding). `sequence()` + explode keeps the fanout
+    // inside codegen and proportional to text length, never a driver loop;
+    // at 100 TB the op is embarrassingly parallel (no shuffle at all — the
+    // ORDER BY here is only the oracle's determinism contract). Short docs
+    // (≤ window) produce exactly one chunk via the greatest(...,0) clamp.
+    "q_text_chunk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("chunk_id", explode(sequence(lit(0L),
+          greatest(ceil(($"n_chars" - lit(200)) / lit(150.0)), lit(0L)))))
+        .select($"doc_id", $"chunk_id",
+                expr("substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)").as("chunk"))
+        .withColumn("chunk_len", length($"chunk").cast("long"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // Scalable near-dup paths — property-tested vs q_dedup_jaccard truth.
     "m_dedup_minhash" -> ((s, dir) =>
       graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5)),
@@ -680,6 +698,18 @@ object TextPipeline extends QueryGroup {
         |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM cum GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+    "q_text_chunk" ->
+      """SELECT doc_id, chunk_id,
+        |  substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk,
+        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT)
+        |    AS chunk_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      GREATEST(CAST(ceil((n_chars - 200) / 150.0) AS BIGINT), 0))) AS chunk_id
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_dedup_edit" ->
       """WITH d AS (
