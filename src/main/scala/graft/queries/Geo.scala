@@ -319,6 +319,31 @@ object Geo extends QueryGroup {
         .orderBy($"degree")
     }),
 
+    // Triangle count + wedge count of the co-traveler graph — the global
+    // clustering-coefficient numerator/denominator (3T/W), emitted as the
+    // two exact integers so no FP division enters the oracle compare. The
+    // u1 < u2 edge orientation counts each triangle exactly once via the
+    // standard two-hop path (a<b<c) + closing-edge equi-join — never an
+    // all-pairs wedge materialization against unordered edges; wedges are
+    // the integer-exact sum of C(degree, 2). Shares the memoized pair set
+    // with m_graph_pagerank/q_graph_degree. At 100 TB the closing join is
+    // edge-keyed (two-long key) and benefits from degree-orientation: the
+    // a<b<c ordering already bounds fanout by the ordered out-degree.
+    "q_graph_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val e = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+        .select($"u1", $"u2")
+      val paths = e.as("ab").join(e.as("bc"), col("ab.u2") === col("bc.u1"))
+        .select(col("ab.u1").as("a"), col("ab.u2").as("b"), col("bc.u2").as("c"))
+      val tri = paths.join(e.as("ac"),
+        col("a") === col("ac.u1") && col("c") === col("ac.u2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = e.select($"u1".as("u")).unionAll(e.select($"u2".as("u")))
+        .groupBy($"u").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      tri.crossJoin(wedges)
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of
@@ -452,6 +477,29 @@ object Geo extends QueryGroup {
         |  AND a.user_id < b.user_id
         |GROUP BY u1, u2 HAVING COUNT(DISTINCT a.hb) >= 3
         |ORDER BY u1, u2""".stripMargin),
+
+    "q_graph_triangles" -> (ptsCte +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM pr ab JOIN pr bc ON ab.u2 = bc.u1
+        |  JOIN pr ac ON ac.u1 = ab.u1 AND ac.u2 = bc.u2),
+        |deg AS (
+        |  SELECT user_id, COUNT(*) AS d FROM (
+        |    SELECT u1 AS user_id FROM pr UNION ALL SELECT u2 AS user_id FROM pr) x
+        |  GROUP BY user_id),
+        |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_triangles, n_wedges FROM tri, w""".stripMargin),
 
     "q_graph_degree" -> (ptsCte +
       """,

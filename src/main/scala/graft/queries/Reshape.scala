@@ -533,6 +533,26 @@ object Reshape extends QueryGroup {
     // rollup and a ≤4-row depth histogram with integer-exact step-delay
     // sums. Windows are ROWS-framed explicitly so Spark and DuckDB agree
     // on same-timestamp rows (ties broken by event_id in the sort).
+    // Cohort retention: users grouped by their first-activity day, then
+    // distinct active users per (cohort_day, day_offset) — the
+    // product-analytics staple. Two keyed shuffles total: the first-day
+    // aggregate partitions by user_id and the e⋈first join reuses that
+    // partitioning (co-located, no extra exchange); the final
+    // (cohort, offset) hash agg is the second. COUNT(DISTINCT user_id) is
+    // Spark's two-phase distinct — partial de-dup before the shuffle. Day
+    // arithmetic stays in integer ms (the events-ns truncation rule).
+    "q_retention" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .select($"user_id", $"day")
+      val first = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      e.join(first, Seq("user_id"))
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    }),
+
     "q_funnel" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id", $"day").orderBy($"ts_us", $"event_id")
@@ -740,6 +760,17 @@ object Reshape extends QueryGroup {
         |  (lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
         |    IS NULL) AS is_current
         |FROM ch ORDER BY user_id, valid_from, attr, event_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

@@ -340,6 +340,24 @@ class PlanSpec extends BaseSpec {
     assert(p5.contains("partial_"), s"Q5 must keep map-side partial aggregation:\n$p5")
   }
 
+  test("TPC-H Q17 de-correlates the scalar subquery; Q7/Q8 broadcast the dims") {
+    // Q17's per-part average threshold must become an aggregate + equi-join
+    // on the part key (one extra keyed shuffle over lineitem at 100 TB) —
+    // never a per-outer-row re-scan (nested-loop) of the fact table.
+    val p17 = planOf("q_sql_tpch_q17")
+    assert(p17.contains("partial_avg"),
+      s"Q17's correlated AVG must plan as a map-side-partial aggregate:\n$p17")
+    assert(!p17.contains("BroadcastNestedLoopJoin") && !p17.contains("CartesianProduct"),
+      s"Q17 must not re-scan lineitem per row:\n$p17")
+    // Q7 joins nation twice under aliases; both sides (and the other dims)
+    // must broadcast — the fact chain is the only thing that shuffles.
+    val p7 = planOf("q_sql_tpch_q7")
+    assert("BroadcastExchange".r.findAllIn(p7).size >= 2,
+      s"Q7 must broadcast both nation aliases:\n$p7")
+    val p8 = planOf("q_sql_tpch_q8")
+    assert(p8.contains("partial_"), s"Q8 must keep map-side partial aggregation:\n$p8")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // The injected-runtime-filter story at 100 TB: a selective dimension
     // filter (orders with one priority) should not force a full lineitem
