@@ -535,19 +535,20 @@ object Reshape extends QueryGroup {
     // on same-timestamp rows (ties broken by event_id in the sort).
     // Cohort retention: users grouped by their first-activity day, then
     // distinct active users per (cohort_day, day_offset) — the
-    // product-analytics staple. Two keyed shuffles total: the first-day
-    // aggregate partitions by user_id and the e⋈first join reuses that
-    // partitioning (co-located, no extra exchange); the final
-    // (cohort, offset) hash agg is the second. COUNT(DISTINCT user_id) is
-    // Spark's two-phase distinct — partial de-dup before the shuffle. Day
-    // arithmetic stays in integer ms (the events-ns truncation rule).
+    // product-analytics staple. The cohort day is a min-window over the
+    // user partition, NOT a self-join against a first-day aggregate: the
+    // window form scans events once and shuffles once on user_id (the join
+    // form scans twice and shuffles three times — its two exchange
+    // subplans differ, so Catalyst cannot reuse them). The distinct count
+    // then rides Spark's two-phase expansion: partial de-dup on
+    // (cohort, offset, user) before the final hash agg. Day arithmetic
+    // stays in integer ms (the events-ns truncation rule).
     "q_retention" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "events")
+      val wu = Window.partitionBy($"user_id")
+      t(s, dir, "events")
         .withColumn("day", expr("unix_millis(ts) div 86400000"))
-        .select($"user_id", $"day")
-      val first = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-      e.join(first, Seq("user_id"))
+        .withColumn("cohort_day", min($"day").over(wu))
         .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
         .agg(countDistinct($"user_id").as("n_users"))
         .orderBy($"cohort_day", $"day_offset")
