@@ -179,6 +179,59 @@ class TypeCountsProcessor
   }
 }
 
+/** One document entering the streaming near-dup filter. */
+case class DocIn(doc_id: Long, text: String)
+
+/** [[DocIn]] exploded to one row per SimHash band — `bkey` packs
+  * (band index, 16 band bits) into one long so the stream keys state on a
+  * single column, mirroring the batch path's (band, bits) equi-join key. */
+case class BandedDoc(bkey: Long, doc_id: Long, sh: Long)
+
+/** One (doc, fingerprint) bucket entry of [[NearDupProcessor]]. */
+case class SigEntry(doc_id: Long, sh: Long)
+
+/** `StatefulProcessor` behind [[StreamOps.nearDupStream]] — the streaming
+  * ingestion face of SimHash dedup ([[graft.operators.SimHash]]): state is
+  * one ListState bucket per packed (band, bits) key holding the
+  * (doc_id, fingerprint) entries seen in that bucket; an arriving document
+  * emits a candidate pair for every stored entry within `maxHamming`, then
+  * joins the bucket itself. A pair is emitted by whichever member arrives
+  * SECOND, so the unordered (d1 < d2) output set is arrival-order
+  * invariant; a pair whose fingerprints share b matching bands surfaces in
+  * b buckets — callers de-duplicate on (d1, d2) downstream (the semantics
+  * test collects a set). State volume is ≤ 4 entries per document within
+  * the retention window; production deployments bound the window with
+  * `ttlMs` (the streaming twin of the batch hot-shingle df-cap —
+  * "dedup against the last N days", not the unbounded corpus). ttlMs ≤ 0
+  * keeps state forever (the deterministic test configuration). */
+class NearDupProcessor(maxHamming: Int, ttlMs: Long = -1L)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BandedDoc, (Long, Long, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var bucket: streaming.ListState[SigEntry] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+    val ttl = if (ttlMs > 0) streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+              else streaming.TTLConfig.NONE
+    bucket = getHandle.getListState[SigEntry]("bucket", Encoders.product[SigEntry], ttl)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[BandedDoc],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    rows.foreach { r =>
+      bucket.get().foreach { e =>
+        val ham = graft.operators.SimHash.hamming(e.sh, r.sh)
+        if (e.doc_id != r.doc_id && ham <= maxHamming)
+          out += ((math.min(e.doc_id, r.doc_id), math.max(e.doc_id, r.doc_id),
+                   ham.toLong))
+      }
+      bucket.appendValue(SigEntry(r.doc_id, r.sh))
+    }
+    out.iterator
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -318,6 +371,31 @@ object StreamOps {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)
       .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Streaming near-duplicate filter — the ingestion-time dedup gate of a
+    * training-data pipeline: each arriving document is SimHash-fingerprinted
+    * with the [[graft.operators.SimHash.simhash64]] mirror (bit-identical to
+    * the batch 64-column aggregate; tokenized `split(" ", -1)` to match
+    * Spark's `split()` exactly), exploded to its 4 LSH bands, and checked
+    * against the band buckets accumulated in state. Output rows are
+    * (d1, d2, hamming) near-dup candidate pairs, d1 < d2, complete for
+    * Hamming ≤ `maxHamming` ≤ 3 by the same pigeonhole as the batch path.
+    * Keying on the packed (band, bits) long keeps comparison work
+    * bucket-local — the stream shuffles once on the band key, exactly like
+    * the batch equi-join, never all-pairs against the corpus. */
+  def nearDupStream(docs: Dataset[DocIn], maxHamming: Int = 3,
+                    ttlMs: Long = -1L): Dataset[(Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val sh = graft.operators.SimHash.simhash64(d.text.split(" ", -1).toSeq)
+      (0 until 4).map { b =>
+        BandedDoc((b.toLong << 16) | ((sh >>> (b * 16)) & 0xFFFFL), d.doc_id, sh)
+      }
+    }
+      .groupByKey(_.bkey)
+      .transformWithState(new NearDupProcessor(maxHamming, ttlMs),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{Ev, StreamOps}
+import graft.streaming.{DocIn, Ev, StreamOps}
 
 /** SURVEY §2.9/§5.3 — streaming semantics with MemoryStream: batch≡stream
   * for shared bodies, watermark late-drop, session windows, dedup-within-
@@ -504,6 +504,54 @@ class StreamingSpec extends BaseSpec {
       .select($"user_id", $"buy_id", $"b_us", $"asof_click", $"asof_us")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("streaming near-dup filter: shuffled arrival emits exactly the batch SimHash pair set") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 30 distinct word-salad docs + three planted near-dups: an exact
+      // copy (hamming 0) and two one-word edits (small hamming). Truth is
+      // the BATCH SimHash banding path on the same corpus.
+      val vocab = ("scan join agg sort hash table row batch stream state " +
+        "key value window filter part").split(" ")
+      val rnd = new scala.util.Random(7)
+      def mkDoc() = Seq.fill(60)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val base = (0L until 30L).map(i => DocIn(i, mkDoc()))
+      val docs = base ++ Seq(
+        DocIn(100L, base(7).text),
+        DocIn(101L, base(3).text.split(" ").updated(5, "zap").mkString(" ")),
+        DocIn(102L, base(12).text.split(" ").updated(30, "pod").mkString(" ")))
+      val truth = graft.operators.SimHash
+        .nearDupPairs(spark, spark.createDataset(docs).toDF(), 3)
+        .select($"d1", $"d2", $"hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(truth.exists(p => p._1 == 7L && p._2 == 100L && p._3 == 0L),
+        s"planted exact dup missing from batch truth: $truth")
+      val input = MemoryStream[DocIn]
+      val name = nextName()
+      val q = StreamOps.nearDupStream(input.toDS()).toDF("d1", "d2", "hamming")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      // shuffled arrival across 4 micro-batches — pair emission must not
+      // depend on which member of a pair arrives first
+      new scala.util.Random(11).shuffle(docs).grouped(9).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      q.stop()
+      val streamed = spark.table(name).as[(Long, Long, Long)].collect().toSet
+      assert(streamed == truth,
+        s"missing=${(truth -- streamed).take(5)} extra=${(streamed -- truth).take(5)}")
+      assert(stateRows > 0 && stateRows <= 4L * docs.size,
+        s"state must stay within 4 band entries per doc: $stateRows")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
   }
 
   test("stateful runningState matches batch equivalent across batches") {
