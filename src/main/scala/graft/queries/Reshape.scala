@@ -211,6 +211,129 @@ object Reshape extends QueryGroup {
       |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
       |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 
+  /** TPC-H Q4 shape (order priority checking): EXISTS → left-semi join on
+    * the fact's own key; pure integer counts, no FP surface at all. */
+  private val tpchQ4 =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-filter-agg
+    * — no join at all; the predicate must reach the parquet scan. */
+  private val tpchQ6 =
+    """SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+      |  AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item reporting): 4-table join, revenue per
+    * customer over one quarter's returns, top-20. */
+  private val tpchQ10 =
+    """SELECT c_custkey, c_name,
+      |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q12 shape (shipping modes / priority): conditional integer
+    * counts per group — the fixture has no l_shipmode, so l_returnflag
+    * stands in as the mode column with identical query structure. */
+  private val tpchQ12 =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): the LEFT OUTER
+    * join that must keep zero-order customers, then a two-level aggregate
+    * (orders per customer → customers per order-count). Pure integers. */
+  private val tpchQ13 =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): the percent-share ratio — both
+    * sums exact DECIMAL, ONE double division, same ratio rule as Q8. */
+  private val tpchQ14 =
+    """SELECT round(100.0
+      |  * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+      |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+      |  4) AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive brackets): the
+    * OR-of-ANDs join predicate — Catalyst must still push the common
+    * equi-key (partkey) into the join and the residual brackets into a
+    * post-join filter, never a nested loop. */
+  private val tpchQ19 =
+    """SELECT round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE
+      |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |    AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): customers above the
+    * average positive balance with no orders — the anti join + scalar
+    * subquery query. The above-average compare is CROSS-MULTIPLIED
+    * (balance × count > total) so both sides stay exact DECIMAL/BIGINT —
+    * never comparing against a double average whose summation order the
+    * engines could disagree on. The fixture has no c_phone (nation stands
+    * in for the country code) and every customer has orders, so the anti
+    * join excludes URGENT-order customers — same structure, non-vacuous
+    * result. */
+  private val tpchQ22 =
+    """SELECT n_name AS cntry, COUNT(*) AS numcust,
+      |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS totacctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DECIMAL(18,6))
+      |    * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+      |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer
+      |     WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** Register every TPC-H view the identical-text queries touch. */
   private def tpchViews(s: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part",
@@ -587,6 +710,14 @@ object Reshape extends QueryGroup {
     "q_sql_tpch_q7"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ7) }),
     "q_sql_tpch_q8"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ8) }),
     "q_sql_tpch_q17" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ17) }),
+    "q_sql_tpch_q4"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ4) }),
+    "q_sql_tpch_q6"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ6) }),
+    "q_sql_tpch_q10" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ10) }),
+    "q_sql_tpch_q12" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ12) }),
+    "q_sql_tpch_q13" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ13) }),
+    "q_sql_tpch_q14" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ14) }),
+    "q_sql_tpch_q19" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ19) }),
+    "q_sql_tpch_q22" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ22) }),
 
     // Linear interpolation over the gap-filled hourly grid: an empty
     // bucket takes the value on the line between its nearest observed
@@ -808,6 +939,14 @@ object Reshape extends QueryGroup {
     "q_sql_tpch_q7"  -> tpchQ7,
     "q_sql_tpch_q8"  -> tpchQ8,
     "q_sql_tpch_q17" -> tpchQ17,
+    "q_sql_tpch_q4"  -> tpchQ4,
+    "q_sql_tpch_q6"  -> tpchQ6,
+    "q_sql_tpch_q10" -> tpchQ10,
+    "q_sql_tpch_q12" -> tpchQ12,
+    "q_sql_tpch_q13" -> tpchQ13,
+    "q_sql_tpch_q14" -> tpchQ14,
+    "q_sql_tpch_q19" -> tpchQ19,
+    "q_sql_tpch_q22" -> tpchQ22,
 
     "q_time_interp" -> (resampledCte +
       """,

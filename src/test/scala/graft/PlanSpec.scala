@@ -356,6 +356,15 @@ class PlanSpec extends BaseSpec {
       s"Q7 must broadcast both nation aliases:\n$p7")
     val p8 = planOf("q_sql_tpch_q8")
     assert(p8.contains("partial_"), s"Q8 must keep map-side partial aggregation:\n$p8")
+    // Q19's OR-of-ANDs predicate shares the partkey equi-key across all
+    // brackets — Catalyst must extract it into a hash join and leave the
+    // brackets as a residual filter, never fall back to a nested loop.
+    val p19 = planOf("q_sql_tpch_q19")
+    assert(!p19.contains("BroadcastNestedLoopJoin") && !p19.contains("CartesianProduct"),
+      s"Q19 must join on the common partkey, not nested-loop:\n$p19")
+    // Q4's EXISTS is a left-semi join on the fact's own key.
+    val p4 = planOf("q_sql_tpch_q4")
+    assert(p4.contains("LeftSemi"), s"Q4's EXISTS must plan as a semi join:\n$p4")
   }
 
   test("runtime bloom filter prunes the fact side of a selective join") {
