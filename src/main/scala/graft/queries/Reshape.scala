@@ -334,6 +334,124 @@ object Reshape extends QueryGroup {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q1 shape (pricing summary): the canonical wide scan-agg. Sums
+    * route through DECIMAL; the three averages divide an EXACT aggregate
+    * (BIGINT or DECIMAL-cast-DOUBLE numerator) by COUNT(*) — one double
+    * division per group, deterministic on both engines. */
+  private val tpchQ1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+      |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+      |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
+      |  round(CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+      |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    * re-referenced in the outer WHERE — each part keeps only its cheapest
+    * (here: lowest-acctbal, via the lineitem association) EUROPE supplier.
+    * The equality compares a stored double against the MIN of the same
+    * stored values — selection, not arithmetic, so no FP trap. */
+  private val tpchQ2 =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  AND s_acctbal = (
+      |    SELECT MIN(s2.s_acctbal)
+      |    FROM supplier s2
+      |    JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): profit = revenue − cost per
+    * (supplier nation, order year); the fixture has no ps_supplycost, so
+    * cost is the 10%-of-retail proxy — identical query structure. Both
+    * terms are per-row DECIMAL casts (exact subtraction, exact sum). */
+  private val tpchQ9 =
+    """SELECT nation, o_year, round(CAST(SUM(amount) AS DOUBLE), 4) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+      |      - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6)) AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%gear%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-part shipped value from one
+    * nation's suppliers, kept where the part's value exceeds a fixed
+    * fraction of the total — the HAVING-against-scalar-subquery query.
+    * The fraction compare is CROSS-MULTIPLIED (val × 2000 > total) so it
+    * stays in exact DECIMAL, the same rule as Q22. */
+  private val tpchQ11 =
+    """WITH v AS (
+      |  SELECT l_partkey AS partkey,
+      |    SUM(CAST(l_quantity * p_retailprice AS DECIMAL(18,6))) AS val
+      |  FROM lineitem
+      |  JOIN part     ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE n_name LIKE 'NATION_1%'
+      |  GROUP BY l_partkey)
+      |SELECT partkey, round(CAST(val AS DOUBLE), 4) AS val
+      |FROM v
+      |WHERE val * 2000 > (SELECT SUM(val) FROM v)
+      |ORDER BY val DESC, partkey""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): the revenue view + equality against
+    * its own MAX — compared as the UNROUNDED exact DECIMAL sum (rounding
+    * happens only in the projection), so the tie-set is engine-stable. */
+  private val tpchQ15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q20 shape (excess-stock suppliers): the nested-IN chain — a
+    * semi join against a grouped HAVING subquery that itself filters parts
+    * by name pattern (lineitem stands in for partsupp, shipped quantity
+    * for availqty). Integer-exact threshold. */
+  private val tpchQ20 =
+    """SELECT s_name, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(l_quantity) > 150)
+      |ORDER BY s_name, n_name""".stripMargin
+
   /** Register every TPC-H view the identical-text queries touch. */
   private def tpchViews(s: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part",
@@ -718,6 +836,12 @@ object Reshape extends QueryGroup {
     "q_sql_tpch_q14" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ14) }),
     "q_sql_tpch_q19" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ19) }),
     "q_sql_tpch_q22" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ22) }),
+    "q_sql_tpch_q1"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ1) }),
+    "q_sql_tpch_q2"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ2) }),
+    "q_sql_tpch_q9"  -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ9) }),
+    "q_sql_tpch_q11" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ11) }),
+    "q_sql_tpch_q15" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ15) }),
+    "q_sql_tpch_q20" -> ((s, dir) => { tpchViews(s, dir); s.sql(tpchQ20) }),
 
     // Linear interpolation over the gap-filled hourly grid: an empty
     // bucket takes the value on the line between its nearest observed
@@ -947,6 +1071,12 @@ object Reshape extends QueryGroup {
     "q_sql_tpch_q14" -> tpchQ14,
     "q_sql_tpch_q19" -> tpchQ19,
     "q_sql_tpch_q22" -> tpchQ22,
+    "q_sql_tpch_q1"  -> tpchQ1,
+    "q_sql_tpch_q2"  -> tpchQ2,
+    "q_sql_tpch_q9"  -> tpchQ9,
+    "q_sql_tpch_q11" -> tpchQ11,
+    "q_sql_tpch_q15" -> tpchQ15,
+    "q_sql_tpch_q20" -> tpchQ20,
 
     "q_time_interp" -> (resampledCte +
       """,
