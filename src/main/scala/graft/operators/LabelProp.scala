@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (SURVEY §2.10
+  * graph-mining extension, `m_graph_lp`) — the near-linear community
+  * baseline of Raghavan–Albert–Kumara (Phys. Rev. E 76:036106, 2007),
+  * expressed as edge-list joins like [[PageRank]] and
+  * [[ConnectedComponents]] (no GraphX; the join IS the message exchange).
+  *
+  * Each round every vertex adopts the label held by the PLURALITY of its
+  * neighbours, ties broken toward the SMALLEST label. Updates are
+  * synchronous, so the labelling after any fixed number of rounds is a
+  * pure function of the graph — no random visit order — which is what
+  * makes the operator property-testable: LabelPropSpec pins node-wise
+  * equality against an in-memory reference iteration. (The classic
+  * asynchronous variant converges faster but is nondeterministic; the
+  * synchronous form can 2-cycle on bipartite structures, which the fixed
+  * iteration cap bounds.)
+  *
+  * Scale shape per iteration: labels ⋈ edges on src (one keyed shuffle),
+  * then a (dst, label) count aggregate and the per-dst plurality argmax
+  * via max(struct(cnt, −label)) (second keyed shuffle) — the same
+  * two-exchange skeleton as PageRank, on stable keys round to round, with
+  * `localCheckpoint` cutting lineage each iteration. The early exit (no
+  * vertex changed) is a filter-isEmpty over the already-checkpointed
+  * frame — one cheap action per round, the PageRank L1-check pattern.
+  */
+object LabelProp {
+
+  /** @param edges UNDIRECTED adjacency given as directed (src, dst) rows —
+    *        pass each edge in BOTH directions; duplicate rows weight the
+    *        vote by multiplicity
+    * @return (id, label) for every vertex in `edges`; vertices sharing a
+    *         label are one community */
+  def run(spark: SparkSession, edges: DataFrame, iterations: Int = 10): DataFrame =
+    runCounted(spark, edges, iterations)._1
+
+  /** As [[run]], also returning the number of rounds actually executed
+    * (< `iterations` when the labelling reached a fixpoint early). */
+  def runCounted(spark: SparkSession, edges: DataFrame,
+                 iterations: Int = 10): (DataFrame, Int) = {
+    import spark.implicits._
+    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .localCheckpoint(eager = true)
+    val verts = e.select($"src".as("id")).unionAll(e.select($"dst".as("id")))
+      .distinct().localCheckpoint(eager = true)
+
+    var labels = verts.withColumn("label", $"id")
+    var i = 0
+    var stable = false
+    while (i < iterations && !stable) {
+      val votes = labels.select($"id".as("src"), $"label")
+        .join(e, Seq("src"))
+        .groupBy($"dst".as("id"), $"label")
+        .agg(count(lit(1)).as("cnt"))
+      // plurality with min-label ties: max over (cnt, −label)
+      val winner = votes.groupBy($"id")
+        .agg(max(struct($"cnt", (-$"label").as("neg"))).as("w"))
+        .select($"id", (-$"w.neg").as("new_label"))
+      val next = labels.join(winner, Seq("id"), "left")
+        .select($"id", coalesce($"new_label", $"label").as("label"),
+                ($"label" =!= coalesce($"new_label", $"label")).as("changed"))
+        .localCheckpoint(eager = true)
+      stable = next.filter($"changed").isEmpty
+      labels = next.drop("changed")
+      i += 1
+    }
+    (labels, i)
+  }
+}

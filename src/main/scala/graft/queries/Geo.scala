@@ -344,6 +344,23 @@ object Geo extends QueryGroup {
       tri.crossJoin(wedges)
     }),
 
+    // Community structure of the co-traveler graph via synchronous label
+    // propagation — property-tested (LabelPropSpec: node-wise ≡ in-memory
+    // reference, planted two-clique separation). Output is the community
+    // SIZE histogram (size, n_communities) — the shape an analyst reads —
+    // so the data-dependent label ids never enter the contract. Shares the
+    // memoized pair set with PageRank/degree/triangles.
+    "m_graph_lp" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      val edges = pairs.select($"u1".as("src"), $"u2".as("dst"))
+        .unionAll(pairs.select($"u2".as("src"), $"u1".as("dst")))
+      graft.operators.LabelProp.run(s, edges)
+        .groupBy($"label").agg(count(lit(1)).as("size"))
+        .groupBy($"size").agg(count(lit(1)).as("n_communities"))
+        .orderBy($"size")
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of
