@@ -295,6 +295,32 @@ object TextPipeline extends QueryGroup {
         .orderBy($"lang")
     }),
 
+    // Corpus novelty: per-doc fraction of its distinct 3-gram shingles
+    // FIRST seen in that doc (first = min doc_id, i.e. ingestion order) —
+    // the "how much of this doc is new text" signal that separates
+    // original content from copy-heavy tail during corpus triage. The
+    // first-occurrence table is a shingle-keyed min aggregate (inverted
+    // index, never doc pairs); the join back is equi-keyed on shingle and
+    // the final agg on doc_id — two content-keyed shuffles total at any
+    // scale. novelty = one per-row long/long division (deterministic both
+    // engines), never an average of doubles.
+    "q_text_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val sh = t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .as("shingle"))
+      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", round($"n_novel" / $"n_shingles", 4))
+        .orderBy($"doc_id")
+    }),
+
     // C4-style percentile-band length filter: per-lang exact P05/P95 of the
     // token count, then classify every doc as below/inside/above the band —
     // the outlier-length cut of a corpus-cleaning pass. Thresholds are
@@ -611,6 +637,25 @@ object TextPipeline extends QueryGroup {
          |  round(MAX(rep), 4) AS max_rep,
          |  CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM d),
+        |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+        |SELECT sh.doc_id,
+        |  COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |        / COUNT(*), 4) AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY sh.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
 
     "q_text_pfilter" ->
       """WITH d AS (
