@@ -70,6 +70,37 @@ class SourcesSpec extends BaseSpec {
     assert(a == b)
   }
 
+  test("binaryFile source ingests raw media bytes with per-file metadata") {
+    // The multimodal ingest seam (SURVEY §2.11): raw image/audio blobs
+    // enter as whole files via the binaryFile source — (path, time, length,
+    // content) per file — and flow straight into the binary-column pipeline
+    // that graft/multimodal processes (no codec involved at ingest).
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
+                       "b.img" -> Array[Byte](9, 8, 7, 6, 5))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(name), bytes)
+    }
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    assert(files.columns.sorted.sameElements(
+      Array("content", "length", "modificationTime", "path")))
+    val got = files
+      .select(element_at(split($"path", "/"), -1).as("name"), $"length", $"content")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .toMap
+    assert(got.keySet == payloads.keySet)
+    payloads.foreach { case (name, bytes) =>
+      assert(got(name) == (bytes.length.toLong, bytes.toSeq),
+        s"$name content/length mismatch: ${got(name)}")
+    }
+    // pathGlobFilter prunes at the LISTING, before any bytes are read —
+    // the 100 TB lever for mixed-media directories.
+    val filtered = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "a.*").load(dir.toString)
+    assert(filtered.count() == 1)
+  }
+
   test("partitioned parquet write prunes at the partition level on read") {
     // Hive-style partition layout is the physical backbone of the 100 TB
     // design (SURVEY §4): a predicate on the partition column must turn
