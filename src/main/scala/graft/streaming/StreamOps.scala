@@ -232,6 +232,57 @@ class NearDupProcessor(maxHamming: Int, ttlMs: Long = -1L)
   }
 }
 
+/** One (group, term) arrival of the streaming heavy-hitters sketch. */
+case class TermRow(lang: String, term: String)
+
+/** `StatefulProcessor` behind [[StreamOps.heavyHittersStream]] — the
+  * streaming face of the Misra-Gries sketch
+  * ([[graft.functions.MgBuffer]], the batch TypedImperativeAggregate's
+  * buffer reused verbatim): per group key, a MapState holds the ≤ k
+  * counters and a ValueState the exact absorbed decrement weight
+  * (`dropped`) plus the processed-row count. Each batch folds its rows
+  * into the sketch sequentially — classical MG, so the certified bounds
+  * est ≤ true ≤ est + max_err hold under ANY arrival order even though
+  * the estimates themselves are order-dependent. State is ≤ k counters +
+  * one meta entry per group REGARDLESS of vocabulary size — the whole
+  * point at 100 TB: an exact streaming top-terms would grow state with
+  * every distinct term ever seen.
+  *
+  * Emission (update mode): the full current sketch per touched group per
+  * batch, each row carrying `processed` (monotone per group) so consumers
+  * — and the semantics test — can select the latest emission without a
+  * batch id. */
+class MgStreamProcessor(k: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, TermRow, (String, String, Long, Long, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var counters: streaming.MapState[String, Long] = _
+  @transient private var meta: streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+    counters = getHandle.getMapState[String, Long](
+      "mg", Encoders.STRING, Encoders.scalaLong, streaming.TTLConfig.NONE)
+    meta = getHandle.getValueState[(Long, Long)](
+      "mgMeta", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[TermRow],
+      timerValues: streaming.TimerValues): Iterator[(String, String, Long, Long, Long)] = {
+    val buf = new graft.functions.MgBuffer(k)
+    counters.iterator().foreach { p => buf.counters.update(p._1, p._2) }
+    val (dropped0, processed0) = Option(meta.get()).getOrElse((0L, 0L))
+    buf.dropped = dropped0
+    var n = processed0
+    rows.foreach { r => buf.offer(r.term); n += 1 }
+    counters.clear()
+    buf.counters.foreach { case (t, c) => counters.updateValue(t, c) }
+    meta.update((buf.dropped, n))
+    buf.sortedDesc.iterator.map { case (t, est) => (key, t, est, buf.dropped, n) }
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -371,6 +422,18 @@ object StreamOps {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)
       .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Streaming Misra-Gries heavy hitters — certified-bound frequent terms
+    * over an unbounded vocabulary with FIXED per-group state; see
+    * [[MgStreamProcessor]]. The batch twin is the `MgTopTerms`
+    * TypedImperativeAggregate (`m_text_heavyhitters`). */
+  def heavyHittersStream(terms: Dataset[TermRow], k: Int = 20)
+      : Dataset[(String, String, Long, Long, Long)] = {
+    import terms.sparkSession.implicits._
+    terms.groupByKey(_.lang)
+      .transformWithState(new MgStreamProcessor(k),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 

@@ -554,6 +554,60 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming MG heavy hitters: certified bounds hold under shuffled arrival, state stays fixed") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // zipf-ish term stream over 2 groups: term i appears ~600/i times —
+      // heavy head, long tail, vocabulary (60 terms/group) > k (8)
+      val terms = for {
+        lang <- Seq("en", "de"); i <- 1 to 60; _ <- 1 to (600 / i)
+      } yield graft.streaming.TermRow(lang, f"$lang%s_t$i%02d")
+      val stream = new scala.util.Random(5).shuffle(terms)
+      val exact = terms.groupBy(identity).map { case (t, xs) => (t.lang, t.term) -> xs.size.toLong }
+      val k = 8
+      val input = MemoryStream[graft.streaming.TermRow]
+      val name = nextName()
+      val q = StreamOps.heavyHittersStream(input.toDS(), k)
+        .toDF("lang", "term", "est", "max_err", "processed")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      stream.grouped(2500).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      q.stop()
+      // latest emission per group = rows at that group's max processed count
+      val all = spark.table(name)
+        .as[(String, String, Long, Long, Long)].collect()
+      val finalRows = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val last = rows.map(_._5).max; rows.filter(_._5 == last).toSeq
+      }
+      assert(finalRows.nonEmpty && finalRows.map(_._1).toSet == Set("en", "de"))
+      finalRows.foreach { case (lang, term, est, err, _) =>
+        val truth = exact((lang, term))
+        assert(est <= truth && truth <= est + err,
+          s"$lang/$term: certified bound violated: est=$est err=$err true=$truth")
+      }
+      // completeness: every term more frequent than the absorbed decrement
+      // weight is guaranteed present in the sketch
+      Seq("en", "de").foreach { lang =>
+        val err = finalRows.filter(_._1 == lang).map(_._4).max
+        val present = finalRows.filter(_._1 == lang).map(_._2).toSet
+        exact.collect { case ((l, t), c) if l == lang && c > err => t }.foreach { t =>
+          assert(present(t), s"$lang/$t (true=${exact((lang, t))} > D=$err) missing")
+        }
+      }
+      // fixed state: ≤ k counters + 1 meta row per group, never vocabulary-sized
+      assert(stateRows > 0 && stateRows <= 2L * (k + 1),
+        s"MG state must stay ≤ k+1 rows per group: $stateRows")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("stateful runningState matches batch equivalent across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
