@@ -22,6 +22,28 @@ class PlanSpec extends BaseSpec {
            !read.contains("l_discount"), s"unpruned column leaked into scan: $read")
   }
 
+  test("nested schema pruning reads only the referenced struct subfield") {
+    // The struct-heavy-parquet lever at 100 TB: multimodal metadata rides
+    // as nested structs, and a query touching meta.width must NOT drag the
+    // (multi-KB) payload sibling through the scan. Spark's nested schema
+    // pruning rewrites the ReadSchema to the referenced leaf only.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested").toString
+    spark.range(200)
+      .select($"id",
+        struct($"id".cast("int").as("width"), ($"id" * 2).cast("int").as("height"),
+               lpad(lit("x"), 1000, "x").as("payload")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select($"id", $"meta.width")
+    val plan = q.queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("width"), s"pruned nested schema lost the leaf: $read")
+    assert(!read.contains("payload"),
+      s"payload sibling leaked into the nested scan: $read")
+    assert(q.agg(sum($"width")).as[Long].head() == (0L until 200L).sum)
+  }
+
   test("q_filter_pred pushes its predicates into the parquet scan") {
     val p = planOf("q_filter_pred")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
