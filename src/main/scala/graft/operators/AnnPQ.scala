@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (SURVEY §2.11 extension, `m_sim_pq`) — the
+  * third approximate-similarity family beside random-projection LSH
+  * ([[VectorLSH]]) and the IVF coarse quantizer ([[AnnIVF]]), after
+  * Jégou–Douze–Schmid, "Product Quantization for Nearest Neighbor
+  * Search" (IEEE TPAMI 33(1), 2011).
+  *
+  * The D-dim vector splits into `m` subspaces of D/m dims; each subspace
+  * gets its own `ksub`-centroid k-means codebook, and every vector is
+  * stored as m SMALL CODES (m bytes at ksub ≤ 256) — a 64-float embedding
+  * compresses 64× while distances stay computable from the codes alone.
+  * A query ranks by the asymmetric distance (ADC): per subspace, the
+  * squared distance from the query sub-vector to EACH centroid is
+  * precomputed into an m × ksub lookup table, and a database vector's
+  * approximate distance is the sum of m table lookups — no full-vector
+  * arithmetic anywhere in the scan.
+  *
+  * Scale design: the codebooks (m × ksub × D/m doubles) and per-probe
+  * lookup tables (|probes| × m × ksub rows) broadcast everywhere; the
+  * database side touches only (vec_id, code) — at 100 TB that is the
+  * whole point: the ADC ranking scans a table 64× smaller than the
+  * vectors, and only the `rerank` survivors per probe read their full
+  * vectors for the exact cosine re-rank. The ADC sort key is rounded to
+  * 9 decimals so the 4-term double sum's shuffle-order noise (~1e-16)
+  * cannot flip candidate ranks run to run.
+  *
+  * Property-tested (MlSpec): mean recall@5 of the PQ-then-exact pipeline
+  * against the brute-force top-5, plus the compression invariant (codes
+  * in [0, ksub), exactly m of them).
+  */
+object AnnPQ {
+
+  /** Codes + codebooks memo — one fit per (session, table, m, ksub); keyed
+    * on the Tables-memoized DataFrame object like [[AnnIVF]]'s kmMemo,
+    * evicted on session end. */
+  private val pqMemo =
+    new graft.SessionMemo[(DataFrame, Int, Int), (DataFrame, Array[Array[Array[Double]]])]
+
+  /** Fit the m per-subspace codebooks and encode every vector.
+    * @return (codes, codebooks): codes = (vec_id, v ARRAY<DOUBLE>,
+    *         code ARRAY<INT> length m), codebooks(j)(c) = centroid c of
+    *         subspace j (length D/m) */
+  def fitEncode(spark: SparkSession, embeddings: DataFrame, m: Int, ksub: Int)
+      : (DataFrame, Array[Array[Array[Double]]]) =
+    pqMemo.getOrCompute(spark, (embeddings, m, ksub)) {
+      import spark.implicits._
+      val dim = embeddings.select(size($"embedding")).as[Int].head()
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      val sub = dim / m
+      val emb = embeddings
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .localCheckpoint(eager = false)
+      val books = new Array[Array[Array[Double]]](m)
+      var codes = emb.select($"vec_id", $"v")
+      for (j <- 0 until m) {
+        val s = emb.withColumn("features",
+          array_to_vector(expr(s"slice(embedding, ${j * sub + 1}, $sub)")))
+        val km = new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(20)
+          .setInitMode("random").fit(s)
+        books(j) = km.clusterCenters.map(_.toArray)
+        codes = codes.join(
+          km.transform(s).select($"vec_id", $"prediction".as(s"c$j")), Seq("vec_id"))
+      }
+      val enc = codes
+        .withColumn("code", array((0 until m).map(j => col(s"c$j")): _*))
+        .select($"vec_id", $"v", $"code")
+        .localCheckpoint(eager = false)
+      (enc, books)
+    }
+
+  /** Top-k cosine neighbours per probe: ADC ranking over the codes keeps
+    * `rerank` candidates, exact [[graft.functions.CosineSim]] re-ranks. */
+  def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
+           k: Int, m: Int = 4, ksub: Int = 16, rerank: Int = 50): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    val (codes, books) = fitEncode(spark, embeddings, m, ksub)
+    val sub = books(0)(0).length
+
+    // Per-probe ADC lookup tables, computed from the collected probe
+    // vectors (|probes| is query-sized, never data-sized) and broadcast.
+    val probeVecs = codes.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+    val dt = for {
+      (pid, pv) <- probeVecs.toSeq
+      j <- 0 until m
+      c <- 0 until ksub
+    } yield {
+      var d = 0.0
+      var t = 0
+      while (t < sub) {
+        val diff = pv(j * sub + t) - books(j)(c)(t); d += diff * diff; t += 1
+      }
+      (pid, j, c, d)
+    }
+    val dtDf = dt.toDF("probe_id", "j", "c", "d")
+
+    val adc = codes.select($"vec_id", posexplode($"code").as(Seq("j", "c")))
+      .join(broadcast(dtDf), Seq("j", "c"))
+      .filter($"vec_id" =!= $"probe_id")
+      .groupBy($"probe_id", $"vec_id")
+      .agg(sum($"d").as("adc"))
+    val wa = Window.partitionBy($"probe_id").orderBy(round($"adc", 9), $"vec_id")
+    val cands = adc.withColumn("rn", row_number().over(wa))
+      .filter($"rn" <= rerank)
+      .select($"probe_id", $"vec_id")
+
+    val probes = codes.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val wk = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    cands.join(codes.select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", expr("cosine_sim(v, pv)"))
+      .withColumn("rn", row_number().over(wk)).filter($"rn" <= k)
+      .select($"probe_id", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"probe_id", $"rn")
+  }
+}

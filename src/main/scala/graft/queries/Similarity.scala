@@ -189,7 +189,11 @@ object Similarity extends QueryGroup {
 
     "m_sim_ivf" -> ((s, dir) =>
       graft.operators.AnnIVF.topK(s, t(s, dir, "embeddings"),
-        probeIds = (0L until 10L), k = 5, nlist = 16, nprobe = 4))
+        probeIds = (0L until 10L), k = 5, nlist = 16, nprobe = 4)),
+
+    "m_sim_pq" -> ((s, dir) =>
+      graft.operators.AnnPQ.topK(s, t(s, dir, "embeddings"),
+        probeIds = (0L until 10L), k = 5, m = 8, ksub = 32, rerank = 50))
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnIVF, MinHashDedup, SimHash, VectorLSH}
+import graft.operators.{AnnIVF, AnnPQ, MinHashDedup, SimHash, VectorLSH}
 
 /** SURVEY §5.3 — recall/quality properties of the approximate operators
   * against their exact-truth contract queries, at sf0.001. */
@@ -184,6 +184,28 @@ class MlSpec extends BaseSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall@5 $mean")
+  }
+
+  test("PQ ANN recall@5 >= 0.5 vs exact kNN; codes are m small ints") {
+    val exact = SparkEntry.queries("q_sim_knn_vec")(spark, sf)
+      .select($"probe_id", $"neighbor").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = AnnPQ.topK(spark, emb, (0L until 10L), k = 5,
+        m = 8, ksub = 32, rerank = 50)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, t) =>
+      t.count(approx.getOrElse(p, Set.empty)).toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean PQ recall@5 $mean")
+    // compression invariant: every vector encodes to exactly m codes, each
+    // inside its ksub-entry codebook — the 64-float → 8-code contract
+    val (codes, books) = AnnPQ.fitEncode(spark, emb, 8, 32)
+    assert(books.length == 8 && books.forall(_.length == 32))
+    val bad = codes.filter(size($"code") =!= 8 ||
+        exists($"code", c => c < 0 || c >= 32)).count()
+    assert(bad == 0, s"$bad vectors encode outside the m=8/ksub=32 codebook")
   }
 
   test("GK quantile sketch stays within rank-error bounds of exact percentiles") {
