@@ -44,6 +44,8 @@ object Bench {
     // already warmed, and a one-off scheduler stall can't masquerade as a
     // regression. A failed run is -1 and never the reported min unless both
     // attempts fail.
+    val samples = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val iters = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -52,6 +54,12 @@ object Bench {
       }
       val a = once()
       val b = once()
+      samples(name) = (a, b)
+      // Executed-round counts for the iterative graph keys (set by the run
+      // the min came from or its twin — both run the same fixed-cap loop),
+      // so a slow sample is attributable to rounds × actions, not guessed.
+      if (name == "m_graph_pagerank") iters(name) = graft.operators.PageRank.lastIterations
+      if (name == "m_graph_lp") iters(name) = graft.operators.LabelProp.lastIterations
       val best =
         if (a < 0) b
         else if (b < 0) a
@@ -81,8 +89,19 @@ object Bench {
     chunks.zipWithIndex.reverse.foreach { case (chunk, ci) =>
       val qs = chunk.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"queries","part":${ci + 1},"of":${chunks.size},"unit":"sec","queries":$qs}""")
+      println(s"""{"metric":"queries","part":${ci + 1},"of":${chunks.size},"unit":"sec","sf":"$sfDir","queries":$qs}""")
     }
+    // Attribution lines (verdict r8 ask #3), printed LAST-but-one so any
+    // tail capture keeps them: both raw samples for the 10 slowest keys —
+    // "both runs slow" (plan cost) vs "one stall" (host noise) is readable
+    // directly — plus executed-round counts for the iterative graph keys.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, _) =>
+        val (a, b) = samples(k); "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"samples","unit":"sec","sf":"$sfDir","slowest10_ab":$slowest}""")
+    val itLine = iters.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"iterations","sf":"$sfDir","rounds":$itLine}""")
     println(totalLine)
     spark.stop()
   }

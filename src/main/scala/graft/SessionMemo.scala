@@ -10,22 +10,53 @@ import org.apache.spark.sql.SparkSession
   * would pin the SparkSession, its DataFrame plans, and their
   * localCheckpoint blocks for the JVM lifetime.
   *
+  * Concurrency: the compute runs OUTSIDE the map's bin locks. Entries are
+  * `putIfAbsent`-published lazy holders, so `f` (which runs Spark jobs —
+  * k-means fits, checkpoint materialization) synchronizes only on its own
+  * holder: two threads racing the SAME key block on one compute, threads
+  * on different keys never serialize, and a compute that recursively
+  * memoizes a DIFFERENT key just nests (same-key recursion would
+  * self-deadlock — don't). The old `computeIfAbsent` form held a
+  * ConcurrentHashMap bin lock across whole Spark jobs, serializing
+  * unrelated keys that hashed to the same bin and throwing
+  * IllegalStateException on any recursive use.
+  *
+  * Lifecycle: `SparkContext` stop evicts every session sharing it (the
+  * ApplicationEnd listener). Sessions created via `newSession`/
+  * `cloneSession` share one context and have no end-of-life event of
+  * their own, so a long-lived context that churns through child sessions
+  * should call [[evict]] on each child when done with it — entries hold
+  * DataFrames that reference their session, so GC alone cannot reclaim
+  * them while the memo is reachable.
+  *
   * Callers must pass the [[Tables]]-memoized DataFrame (or another
   * object-identity-stable key component): the memo keys on identity, so a
   * re-created logical plan misses and recomputes. */
 class SessionMemo[K, V] {
-  private val m = new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), V]
+  private final class Holder(f: () => V) { lazy val value: V = f() }
+  private val m = new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), Holder]
   private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   def getOrCompute(spark: SparkSession, key: K)(f: => V): V = {
     if (hooked.add(spark))
       spark.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
-          m.keySet.removeIf(_._1 eq spark)
-          hooked.remove(spark)
-        }
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          evict(spark)
       })
-    m.computeIfAbsent((spark, key), _ => f)
+    val fresh = new Holder(() => f)
+    val holder = m.putIfAbsent((spark, key), fresh) match {
+      case null => fresh
+      case prev => prev
+    }
+    holder.value
+  }
+
+  /** Drop every entry owned by `spark`. Runs automatically at context
+    * stop; call directly when discarding a `newSession` child sharing a
+    * still-live context. */
+  def evict(spark: SparkSession): Unit = {
+    m.keySet.removeIf(_._1 eq spark)
+    hooked.remove(spark)
   }
 
   /** Visible for tests: live entry count for one session. */

@@ -22,25 +22,34 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: labels ⋈ edges on src (one keyed shuffle),
   * then a (dst, label) count aggregate and the per-dst plurality argmax
   * via max(struct(cnt, −label)) (second keyed shuffle) — the same
-  * two-exchange skeleton as PageRank, on stable keys round to round, with
-  * `localCheckpoint` cutting lineage each iteration. The early exit (no
-  * vertex changed) is a filter-isEmpty over the already-checkpointed
-  * frame — one cheap action per round, the PageRank L1-check pattern.
+  * two-exchange skeleton as PageRank, on stable keys round to round.
+  * Driver actions follow PageRank's amortized cadence: non-cadence rounds
+  * mark a LAZY `localCheckpoint` and chain; every `checkEvery` rounds one
+  * eager materialize runs, then the fixpoint probe (filter-isEmpty on the
+  * round's `changed` flags) over the cached frame. A round with zero
+  * changes is a fixpoint of the synchronous update, so probing only every
+  * few rounds never misses convergence — it just runs up to checkEvery−1
+  * identity rounds past it, which leave labels untouched.
   */
 object LabelProp {
+
+  /** Rounds executed by the most recent [[runCounted]] on this JVM —
+    * read by `graft.Bench`'s note line. Diagnostic only. */
+  @volatile var lastIterations: Int = -1
 
   /** @param edges UNDIRECTED adjacency given as directed (src, dst) rows —
     *        pass each edge in BOTH directions; duplicate rows weight the
     *        vote by multiplicity
     * @return (id, label) for every vertex in `edges`; vertices sharing a
     *         label are one community */
-  def run(spark: SparkSession, edges: DataFrame, iterations: Int = 10): DataFrame =
-    runCounted(spark, edges, iterations)._1
+  def run(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
+          checkEvery: Int = 3): DataFrame =
+    runCounted(spark, edges, iterations, checkEvery)._1
 
   /** As [[run]], also returning the number of rounds actually executed
     * (< `iterations` when the labelling reached a fixpoint early). */
   def runCounted(spark: SparkSession, edges: DataFrame,
-                 iterations: Int = 10): (DataFrame, Int) = {
+                 iterations: Int = 10, checkEvery: Int = 3): (DataFrame, Int) = {
     import spark.implicits._
     val e = edges.select($"src".cast("long"), $"dst".cast("long"))
       .localCheckpoint(eager = true)
@@ -59,14 +68,17 @@ object LabelProp {
       val winner = votes.groupBy($"id")
         .agg(max(struct($"cnt", (-$"label").as("neg"))).as("w"))
         .select($"id", (-$"w.neg").as("new_label"))
+      i += 1
+      val cadence = i % checkEvery == 0 || i == iterations
       val next = labels.join(winner, Seq("id"), "left")
         .select($"id", coalesce($"new_label", $"label").as("label"),
                 ($"label" =!= coalesce($"new_label", $"label")).as("changed"))
-        .localCheckpoint(eager = true)
-      stable = next.filter($"changed").isEmpty
+        .localCheckpoint(eager = cadence)
+      if (cadence && i < iterations)
+        stable = next.filter($"changed").isEmpty
       labels = next.drop("changed")
-      i += 1
     }
+    lastIterations = i
     (labels, i)
   }
 }

@@ -120,6 +120,80 @@ class GeoSpec extends BaseSpec {
     assert(got == want, s"certified ring must equal brute force: got=$got want=$want")
   }
 
+  private def bruteKnn(pts: Seq[(Long, Double, Double)], pLat: Double,
+                       pLon: Double, k: Int): List[(Long, Double)] = {
+    val km = graft.functions.HaversineDist.km _
+    pts.map { case (id, la, lo) =>
+      (id, BigDecimal(km(la, lo, pLat, pLon))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }.take(k).toList
+  }
+
+  test("grid kNN near the antimeridian: wrapped box finds cross-dateline points") {
+    // Probe at (0, 179): the true nearest neighbours sit at lon −179.5 /
+    // −178.8, STORED on the other side of ±180°. The naive [lonLo, lonHi)
+    // box (lonHi up to 181+) can never match lon = −179.5, so this is the
+    // exact failure ADVICE r8 flagged; the wrapped two-range disjunction
+    // must surface them AND the certificate must still certify the ring.
+    val pts = Seq(
+      (1L, 0.0, -179.5), (2L, 0.5, -178.8),          // across the dateline
+      (3L, 0.0, 178.2), (4L, -0.7, 179.4),            // same side as probe
+      (5L, 0.2, -178.1),                              // across, a bit farther
+      (6L, 0.0, 170.0), (7L, 5.0, -175.0), (8L, -30.0, 179.0) // decoys
+    ).toDF("event_id", "lat", "lon")
+    val (df, ring) = graft.operators.GridKnn.topK(pts, 0.0, 179.0, 1.0, k = 5)
+    val got = df.as[(Long, Double)].collect().toList
+    val want = bruteKnn(Seq(
+      (1L, 0.0, -179.5), (2L, 0.5, -178.8), (3L, 0.0, 178.2), (4L, -0.7, 179.4),
+      (5L, 0.2, -178.1), (6L, 0.0, 170.0), (7L, 5.0, -175.0), (8L, -30.0, 179.0)),
+      0.0, 179.0, 5)
+    assert(got == want, s"dateline top-5 must equal brute force: got=$got want=$want")
+    assert(got.map(_._1).toSet.intersect(Set(1L, 2L, 5L)).size == 3,
+      s"cross-dateline points must be in the top-5: $got")
+    assert(ring < 20, s"certificate must fire, not the fallback: ring=$ring")
+  }
+
+  test("grid kNN at a pole: lat-band predicate keeps all longitudes reachable") {
+    // Probe at (89.5, 0), cell 1°: ring boxes instantly cross the north
+    // pole. Points at wildly different longitudes are all within ~150 km of
+    // the probe near the pole; the pole-aware predicate must drop the lon
+    // constraint (and the certificate must ignore the swallowed edges) so
+    // none of them is missed.
+    val pts = Seq(
+      (1L, 89.6, 180.0 - 1e-9), (2L, 89.4, -90.0), (3L, 89.8, 90.0),
+      (4L, 89.2, 10.0), (5L, 88.9, -170.0),
+      (6L, 60.0, 0.0), (7L, 20.0, 100.0) // decoys far south
+    ).toDF("event_id", "lat", "lon")
+    val (df, ring) = graft.operators.GridKnn.topK(pts, 89.5, 0.0, 1.0, k = 5)
+    val got = df.as[(Long, Double)].collect().toList
+    val want = bruteKnn(Seq(
+      (1L, 89.6, 180.0 - 1e-9), (2L, 89.4, -90.0), (3L, 89.8, 90.0),
+      (4L, 89.2, 10.0), (5L, 88.9, -170.0), (6L, 60.0, 0.0), (7L, 20.0, 100.0)),
+      89.5, 0.0, 5)
+    assert(got == want, s"polar top-5 must equal brute force: got=$got want=$want")
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L), s"all near-pole points: $got")
+    assert(ring < 20, s"certificate must fire, not the fallback: ring=$ring")
+  }
+
+  test("grid kNN ring-budget exhaustion falls back to the exact FULL scan") {
+    // cell 0.001° and maxRing 3 ⇒ the widest box spans < 0.01°, holding
+    // only the probe-adjacent point — fewer than k, so no certificate can
+    // fire. The fallback must return brute-force truth (box filter
+    // DROPPED), not a silently-truncated boxed result (ADVICE r8).
+    val pts = Seq(
+      (1L, 10.0001, 20.0001), (2L, 11.0, 21.0), (3L, 12.0, 19.0),
+      (4L, 9.0, 18.0), (5L, 40.0, 120.0)
+    ).toDF("event_id", "lat", "lon")
+    val (df, ring) = graft.operators.GridKnn.topK(
+      pts, 10.0, 20.0, cellDeg = 0.001, k = 4, maxRing = 3)
+    assert(ring == 3, s"budget must exhaust at maxRing, got $ring")
+    val got = df.as[(Long, Double)].collect().toList
+    val want = bruteKnn(Seq(
+      (1L, 10.0001, 20.0001), (2L, 11.0, 21.0), (3L, 12.0, 19.0),
+      (4L, 9.0, 18.0), (5L, 40.0, 120.0)), 10.0, 20.0, 4)
+    assert(got == want, s"fallback must be the exact full scan: got=$got want=$want")
+  }
+
   test("convoy: triangle-split matches plain on random point clouds") {
     // Beyond the planted-bucket case: random data with mixed densities,
     // several thresholds/group widths — the split must be output-identical
