@@ -54,16 +54,32 @@ object AnnPQ {
       val dim = embeddings.select(size($"embedding")).as[Int].head()
       require(dim % m == 0, s"dim $dim must divide into $m subspaces")
       val sub = dim / m
+      // UNIT-NORMALIZE before fitting/encoding: the ADC ranks by L2 over
+      // codes, the re-rank scores cosine — on the unit sphere the two
+      // orders agree (‖a−b‖² = 2 − 2·cos), so normalization is what makes
+      // the ADC candidate list actually chase the re-rank's metric.
+      // Cosine itself is scale-invariant, so `v` stays valid for the exact
+      // re-rank; the 1e-12 floor only guards an (undefined-cosine) zero
+      // vector from poisoning its own codes with NaN.
       val emb = embeddings
-        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("raw", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm",
+          expr("greatest(sqrt(aggregate(raw, 0.0D, (a, x) -> a + x * x)), 1e-12)"))
+        .withColumn("v", expr("transform(raw, x -> x / nrm)"))
+        .select($"vec_id", $"v")
         .localCheckpoint(eager = false)
       val books = new Array[Array[Array[Double]]](m)
       var codes = emb.select($"vec_id", $"v")
       for (j <- 0 until m) {
         val s = emb.withColumn("features",
-          array_to_vector(expr(s"slice(embedding, ${j * sub + 1}, $sub)")))
+          array_to_vector(expr(s"slice(v, ${j * sub + 1}, $sub)")))
         val km = new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(20)
           .setInitMode("random").fit(s)
+        // KMeans may return FEWER than ksub centroids when a subspace has
+        // low sub-vector diversity; the codebook is whatever came back and
+        // every later loop runs over books(j).indices — never 0 until ksub
+        // (the old form indexed past the fitted count and threw at query
+        // time on small tables).
         books(j) = km.clusterCenters.map(_.toArray)
         codes = codes.join(
           km.transform(s).select($"vec_id", $"prediction".as(s"c$j")), Seq("vec_id"))
@@ -91,7 +107,7 @@ object AnnPQ {
     val dt = for {
       (pid, pv) <- probeVecs.toSeq
       j <- 0 until m
-      c <- 0 until ksub
+      c <- books(j).indices // fitted count, which may be < ksub
     } yield {
       var d = 0.0
       var t = 0

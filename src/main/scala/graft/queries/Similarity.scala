@@ -27,7 +27,41 @@ object Similarity extends QueryGroup {
               expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
   }
 
+  /** Struct-native media parquet, one write per (session, sf): the
+    * [[graft.multimodal.Multimodal.attachMedia]] frame — opaque `media`
+    * bytes + typed `meta` struct — materialized to parquet and READ BACK,
+    * so `q_meta_stats` exercises a genuine nested-column scan (ReadSchema
+    * pruned to the referenced `meta` leaves; the multi-KB `media` sibling
+    * never enters the scan — PlanSpec asserts both on the declared key). */
+  private val mediaMemo = new graft.SessionMemo[DataFrame, String]
+  def mediaParquet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = mediaMemo.getOrCompute(s, docs) {
+      val p = java.nio.file.Files.createTempDirectory("graft_media").toString
+      graft.multimodal.Multimodal.attachMedia(docs)
+        .write.mode("overwrite").parquet(s"$p/media.parquet")
+      s"$p/media.parquet"
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, QFn] = Map(
+    // Nested-struct aggregate over PARQUET-NATIVE structs (r9, verdict ask
+    // #7): group/aggregate on `meta.kind`/`meta.width`/`meta.height`
+    // leaves of the struct-typed media table. Exact integer sums — no FP
+    // parity surface; the oracle derives the same kind/width/height from
+    // the flat documents source (attachMedia is deterministic in doc_id
+    // and n_chars), so the DuckDB gate checks the values END-TO-END while
+    // the Spark side proves the nested scan path.
+    "q_meta_stats" -> ((s, dir) => {
+      import s.implicits._
+      mediaParquet(s, dir)
+        .groupBy($"meta.kind".as("kind"))
+        .agg(count(lit(1)).as("n_media"),
+             sum($"meta.width").as("total_width"),
+             sum($"meta.height").as("total_height"))
+        .orderBy($"kind")
+    }),
     // Global top-20 most-similar pairs — the LAST all-pairs plan in the
     // repo, re-pointed (r8) at the LSH candidate path with the same
     // "candidates ⊇ truth + exact re-score, oracle unchanged" recipe as
@@ -193,7 +227,7 @@ object Similarity extends QueryGroup {
 
     "m_sim_pq" -> ((s, dir) =>
       graft.operators.AnnPQ.topK(s, t(s, dir, "embeddings"),
-        probeIds = (0L until 10L), k = 5, m = 8, ksub = 32, rerank = 50))
+        probeIds = (0L until 10L), k = 5, m = 8, ksub = 32, rerank = 150))
   )
 
   val oracle: Map[String, String] = Map(
@@ -235,6 +269,17 @@ object Similarity extends QueryGroup {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
         |ORDER BY va, vb""".stripMargin,
+
+    // Mirrors attachMedia's deterministic derivation: kind from doc_id % 3,
+    // width/height from n_chars mod the fake raster bounds. Sums CAST to
+    // BIGINT (DuckDB SUM(BIGINT) is HUGEINT — the q12 dtype trap).
+    "q_meta_stats" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  COUNT(*) AS n_media,
+        |  CAST(SUM(n_chars % 640) AS BIGINT) AS total_width,
+        |  CAST(SUM(n_chars % 480) AS BIGINT) AS total_height
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multimodal" ->
       """WITH joined AS (

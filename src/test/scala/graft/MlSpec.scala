@@ -186,19 +186,23 @@ class MlSpec extends BaseSpec {
     assert(mean >= 0.5, s"mean recall@5 $mean")
   }
 
-  test("PQ ANN recall@5 >= 0.5 vs exact kNN; codes are m small ints") {
+  test("PQ ANN recall@5 >= 0.9 vs exact kNN; codes are m small ints") {
     val exact = SparkEntry.queries("q_sim_knn_vec")(spark, sf)
       .select($"probe_id", $"neighbor").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val approx = AnnPQ.topK(spark, emb, (0L until 10L), k = 5,
-        m = 8, ksub = 32, rerank = 50)
+        m = 8, ksub = 32, rerank = 150)
       .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (p, t) =>
       t.count(approx.getOrElse(p, Set.empty)).toDouble / t.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, s"mean PQ recall@5 $mean")
+    // r9: bar moved 0.5 -> 0.9 (verdict ask #4) after aligning the ADC
+    // metric with the re-rank (unit-normalized codebooks): a tuned PQ at
+    // the declared operating point (m=8, ksub=32, rerank=150) must place
+    // ~all true top-5 in the reranked set, not merely beat a coin flip.
+    assert(mean >= 0.9, s"mean PQ recall@5 $mean")
     // compression invariant: every vector encodes to exactly m codes, each
     // inside its ksub-entry codebook — the 64-float → 8-code contract
     val (codes, books) = AnnPQ.fitEncode(spark, emb, 8, 32)

