@@ -227,7 +227,16 @@ object Similarity extends QueryGroup {
 
     "m_sim_pq" -> ((s, dir) =>
       graft.operators.AnnPQ.topK(s, t(s, dir, "embeddings"),
-        probeIds = (0L until 10L), k = 5, m = 8, ksub = 32, rerank = 150))
+        probeIds = (0L until 10L), k = 5, m = 8, ksub = 32, rerank = 150)),
+
+    // IVFADC (r9): inverted file + residual-PQ ADC — the composed
+    // Jégou §IV system ([[graft.operators.AnnIvfPq]]). Property-tested
+    // (MlSpec recall@5 ≥ 0.9 at this operating point + layout invariant);
+    // no SQL oracle (two nested k-means fits have no DuckDB analog).
+    "m_sim_ivfpq" -> ((s, dir) =>
+      graft.operators.AnnIvfPq.topK(s, t(s, dir, "embeddings"),
+        probeIds = (0L until 10L), k = 5, nlist = 16, nprobe = 10,
+        m = 8, ksub = 32, rerank = 150))
   )
 
   val oracle: Map[String, String] = Map(

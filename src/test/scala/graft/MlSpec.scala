@@ -212,6 +212,34 @@ class MlSpec extends BaseSpec {
     assert(bad == 0, s"$bad vectors encode outside the m=8/ksub=32 codebook")
   }
 
+  test("IVFADC recall@5 >= 0.9 vs exact kNN; one cell + m codes per vector") {
+    // The composed system must hold the SAME bar as plain PQ even though
+    // its candidates come from nprobe/nlist of the table: residual
+    // encoding buys back what cell pruning costs. Recall here is bounded
+    // above by cell-probing recall, so a failure isolates to either the
+    // probe list (raise nprobe) or the residual books (check the fit).
+    val exact = SparkEntry.queries("q_sim_knn_vec")(spark, sf)
+      .select($"probe_id", $"neighbor").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = graft.operators.AnnIvfPq.topK(spark, emb, (0L until 10L),
+        k = 5, nlist = 16, nprobe = 10, m = 8, ksub = 32, rerank = 150)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, t) =>
+      t.count(approx.getOrElse(p, Set.empty)).toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean IVFADC recall@5 $mean")
+    // layout invariant: every vector sits in exactly one coarse cell and
+    // carries exactly m codes inside the fitted residual books
+    val (codes, cents, books) = graft.operators.AnnIvfPq.fitEncode(spark, emb, 16, 8, 32)
+    assert(cents.length == 16 && books.length == 8)
+    val maxCode = books.map(_.length).max
+    val bad = codes.filter($"cell" < 0 || $"cell" >= 16 ||
+        size($"code") =!= 8 || exists($"code", c => c < 0 || c >= maxCode)).count()
+    assert(bad == 0, s"$bad vectors break the IVFADC layout invariant")
+  }
+
   test("GK quantile sketch stays within rank-error bounds of exact percentiles") {
     // percentile_approx(accuracy=10000) guarantees rank error ≤ 1e-4;
     // asserting against the exact quantiles at ±0.01 rank leaves two

@@ -66,6 +66,49 @@ class PageRankSpec extends BaseSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
   }
 
+  test("amortized cadence: cadence-3 launches strictly fewer jobs than per-round") {
+    // The r8 driver bench showed per-round blocking actions, not shuffle
+    // volume, dominating under host contention (26.5 s for a ~4 s plan).
+    // Absolute job counts are polluted by broadcast-collect and AQE-stage
+    // jobs, so the tested fact is RELATIVE: the same 9-round capped run on
+    // the same graph must launch measurably fewer jobs at checkEvery=3
+    // than at checkEvery=1 (≡ the old every-round shape) — the 6 skipped
+    // eager-checkpoint actions, give or take async-listener slack.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)) // 4-cycle
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    def settled(): Int = { // listener events are async: poll to a plateau
+      var last = -1
+      var cur = jobs.get()
+      var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur; cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    def measure(checkEvery: Int): Int = {
+      jobs.set(0)
+      val (df, iters) = PageRank.runCounted(spark, edges, iterations = 9,
+        tol = 0, checkEvery = checkEvery)
+      df.count() // materialize the final (already-checkpointed) frame
+      assert(iters == 9)
+      settled()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val perRound = measure(1)
+      val cadenced = measure(3)
+      assert(cadenced <= perRound - 4,
+        s"cadence-3 run launched $cadenced jobs vs $perRound per-round — " +
+        "the amortization is not reducing blocking actions")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("m_graph_pagerank returns a full top-10 with positive normalized ranks") {
     val rows = SparkEntry.queries("m_graph_pagerank")(spark, sf)
       .as[(Long, Double)].collect()
