@@ -178,6 +178,25 @@ object Aggregates extends QueryGroup {
         .select($"o_orderpriority", $"m.o_orderstatus".as("mode_status"),
                 $"m.cnt".as("mode_n"), $"n_orders")
         .orderBy($"o_orderpriority")
+    }),
+
+    // Filtered aggregates (r9) — ANSI FILTER-clause semantics as
+    // conditional aggregation: one scan computes several
+    // differently-predicated measures (the report-query staple that
+    // otherwise becomes N self-joins). `count(when(...))` / a CASE inside
+    // dsum ride the same single hash agg; NULL-on-false keeps the decimal
+    // sums exact over just the matching rows.
+    "q_agg_filtered" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+             count(when($"l_quantity" > 25, 1)).as("n_bulk"),
+             count(when($"l_returnflag" === "R", 1)).as("n_returned"),
+             r4(dsum(when($"l_discount" > 0.05, $"l_extendedprice")))
+               .as("disc_revenue"),
+             r4(dsum(when($"l_tax" === 0.0, $"l_quantity"))).as("untaxed_qty"))
+        .orderBy($"l_linestatus")
     })
   )
 
@@ -287,6 +306,17 @@ object Aggregates extends QueryGroup {
         |  FROM c)
         |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_n,
         |  CAST(n_orders AS BIGINT) AS n_orders
-        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_filtered" ->
+      s"""SELECT l_linestatus,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+         |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+         |  round(${oSum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END")},
+         |        4) AS disc_revenue,
+         |  round(${oSum("CASE WHEN l_tax = 0.0 THEN l_quantity END")},
+         |        4) AS untaxed_qty
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   )
 }

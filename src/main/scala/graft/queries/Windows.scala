@@ -141,6 +141,24 @@ object Windows extends QueryGroup {
                 last($"event_type").over(w).as("last_type"))
         .distinct()
         .orderBy($"user_id")
+    }),
+
+    // Distribution-family windows (r9): ntile quartiles + percent_rank +
+    // cume_dist per order priority — the "where does this order sit in
+    // its class" analytics. The window ORDER is made total (price, key),
+    // so rank is unique and percent_rank/cume_dist are the same integer
+    // ratios in both engines — identical double division, round(6) only
+    // guards display. Partitioned on o_orderpriority: one keyed shuffle.
+    "q_win_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey",
+                ntile(4).over(w).cast("long").as("quartile"),
+                round(percent_rank().over(w), 6).as("pr"),
+                round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
     })
   )
 
@@ -198,6 +216,15 @@ object Windows extends QueryGroup {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_win_distribution" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
   )
 }

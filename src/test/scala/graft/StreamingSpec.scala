@@ -480,6 +480,62 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("timer restart recovery: an open session's timer fires after the restart, once") {
+    // The OTHER recovery surface beside value state: event-time TIMERS.
+    // A session left open before the stop (timer registered, nothing
+    // emitted) must close exactly once AFTER the restart, when the
+    // restored watermark passes its restored timer — proving the timer
+    // registry, the open-session state, and the watermark all came back
+    // from the checkpoint. A further watermark advance must not re-emit.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val M = 60L * 1000000L
+      val B = 100 * H
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_timer_ckpt").toString
+      val input = MemoryStream[Ev]
+      val seen = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long, Long)]
+      @volatile var phase = 1
+      def start() = StreamOps.sessionClose(input.toDF())
+        .toDF("user_id", "n_events", "first_us", "last_us")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select($"user_id", $"n_events", $"first_us", $"last_us")
+            .as[(Long, Long, Long, Long)].collect()
+          seen.synchronized { rows.foreach(r => seen += ((phase, r._1, r._2, r._3, r._4))) }
+          ()
+        }
+        .start()
+
+      val q1 = start()
+      input.addData(ev(1, B, user = 1), ev(2, B + 5 * M, user = 1))
+      q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+      assert(seen.synchronized(seen.isEmpty),
+        s"session closed before the gap elapsed: ${seen.toList}")
+
+      phase = 2
+      val q2 = start()
+      // watermark jumps past user 1's (restored) close timer...
+      input.addData(ev(3, B + 2 * H, user = 99))
+      q2.processAllAvailable()
+      // ...and a second advance must not re-fire it
+      input.addData(ev(4, B + 4 * H, user = 98))
+      q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+      val user1 = seen.synchronized(seen.toList).filter(_._2 == 1L)
+      assert(user1 == List((2, 1L, 2L, B, B + 5 * M)),
+        s"user 1 must close exactly once, post-restart, with pre-stop state: $user1")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("MapState type counts: stream equals batch groupBy, fixed key set stays flat") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
