@@ -150,6 +150,40 @@ object TextPipeline extends QueryGroup {
         .orderBy($"n_docs_top".desc, $"term")
     }),
 
+    // BM25 ranked retrieval (r9): top-20 docs for a fixed 3-term query —
+    // the scoring function of every lexical retrieval stage (Robertson-
+    // Spärck Jones). Every factor derives from integers (tf, df, dl,
+    // n_docs, sum_dl), so the per-row double expression is deterministic
+    // and written IDENTICALLY in both engines (same literals, same
+    // parenthesization — k1=1.2, b=0.75 appear as 2.2/1.2/0.25/0.75);
+    // the ≤3-term per-doc sum goes through DECIMAL like every double sum
+    // (ln parity with DuckDB at round(6) has held since the tfidf key).
+    // Plan: tf/df only over the 3 query terms (filter BEFORE the agg),
+    // dl one doc-keyed agg, stats broadcast — never a corpus-wide score.
+    "q_text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qterms = Seq("spark", "join", "data")
+      val tok = tokens(s, dir)
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val qtok = tok.filter($"term".isin(qterms: _*))
+      val tf = qtok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = qtok.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+        .withColumn("bm25",
+          log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+            ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) *
+              ($"dl" / (($"sum_dl" * 1.0) / $"n_docs")))))
+      scored.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+             round(dsum($"bm25", 10), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    }),
+
     "q_text_langstats" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -536,6 +570,25 @@ object TextPipeline extends QueryGroup {
         |  FROM scored)
         |SELECT term, COUNT(*) AS n_docs_top FROM top WHERE rn = 1
         |GROUP BY term ORDER BY n_docs_top DESC, term""".stripMargin,
+
+    "q_text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |qt AS (SELECT doc_id, term FROM tok WHERE term IN ('spark', 'join', 'data')),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM qt) d GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * (dl / ((sum_dl * 1.0) / n_docs)))) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  round(CAST(SUM(CAST((bm25) AS DECIMAL(18,10))) AS DOUBLE), 6) AS score
+        |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_text_langstats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
