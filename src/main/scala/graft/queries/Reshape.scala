@@ -562,6 +562,31 @@ object Reshape extends QueryGroup {
         .orderBy($"user_id")
     }),
 
+    // Gaps-and-islands: maximal runs of the SAME event_type per user in
+    // time order (the run-length shape — repeated telemetry states, retry
+    // storms, quality streaks). Island id = rn_user − rn_user_type, the
+    // classic rank difference: constant within a run, distinct across
+    // runs of the same type. ONE user_id shuffle serves both windows
+    // (hash(user_id) already clusters (user_id, event_type)) and both
+    // downstream hash aggregates — no further exchange until the
+    // presentation sort. Window orders carry event_id so same-µs rows
+    // rank identically in both engines.
+    "q_events_streak" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wt = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_us", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+                unix_micros($"ts").as("ts_us"))
+        .withColumn("isl", row_number().over(w) - row_number().over(wt))
+        .groupBy($"user_id", $"event_type", $"isl")
+        .agg(count(lit(1)).as("len"))
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n_streaks"), max($"len").as("max_streak"))
+        .orderBy($"user_id", $"event_type")
+    }),
+
     // Skew-salted join: the fact side's hot keys are spread across nSalt
     // shuffle partitions by a deterministic salt; the dim side is exploded
     // nSalt× so every (key, salt) bucket still finds its match. Result is
@@ -990,6 +1015,26 @@ object Reshape extends QueryGroup {
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(MAX(span_us) AS BIGINT) AS max_span_us
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_streak" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts_us, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts_us, event_id) AS isl
+        |  FROM ev),
+        |runs AS (
+        |  SELECT user_id, event_type, isl, COUNT(*) AS len
+        |  FROM marked GROUP BY user_id, event_type, isl)
+        |SELECT user_id, event_type, COUNT(*) AS n_streaks,
+        |  MAX(len) AS max_streak
+        |FROM runs GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_join_salted" ->
       s"""SELECT o_orderpriority,

@@ -16,6 +16,11 @@ import Q._
   * 4-band blocking), both property-tested against the exact truth. */
 object TextPipeline extends QueryGroup {
 
+  /** Fixed CMS probe vocabulary — the terms the corpus keys already use
+    * (BM25 query + quality stopwords). */
+  private[graft] val cmsQueryTerms =
+    Seq("spark", "join", "data", "select", "table", "row")
+
   /** (doc_id, term) token stream — the shared substrate. */
   private def tokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -134,6 +139,25 @@ object TextPipeline extends QueryGroup {
         .limit(20)
     }),
 
+    // Count-min point queries (r9): the overestimate-side twin of
+    // m_text_heavyhitters — MG brackets true counts from below, CMS from
+    // above (true ≤ est ≤ true + εN w.h.p.), both with FIXED per-group
+    // state through partial aggregation. The query-term list is the fixed
+    // vocabulary the corpus keys already probe (BM25/quality terms), baked
+    // at registration; est is order-independent (increment + element-wise
+    // sum are commutative), so the output is bit-stable under ANY
+    // partitioning — FunctionsSpec pins that plus the bounds vs exact.
+    "m_text_countmin" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.CmsCounts.register(s, depth = 4, width = 512,
+        queryTerms = cmsQueryTerms)
+      tokens(s, dir)
+        .agg(call_function("cms_counts", $"term").as("sk"))
+        .select(explode($"sk").as("e"))
+        .select($"e.term", $"e.est", $"e.n")
+        .orderBy($"term")
+    }),
+
     "q_text_tfidf" -> ((s, dir) => {
       import s.implicits._
       val tok = tokens(s, dir)
@@ -181,6 +205,42 @@ object TextPipeline extends QueryGroup {
         .agg(count(lit(1)).as("n_terms"),
              round(dsum($"bm25", 10), 6).as("score"))
         .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    }),
+
+    // Bigram language-model quality scoring (r9): the perplexity-filter
+    // stage of a training-data pipeline (CCNet-style — score every document
+    // under a corpus-trained LM; the tail of the score distribution is
+    // boilerplate/garbled text). Model: add-one-smoothed bigram LM trained
+    // on the corpus itself — lp(w1,w2) = ln((c2(w1,w2)+1) / (c1(w1)+V))
+    // with c1 counting w1 as a bigram PREFIX (so Σ_w2 p(w2|w1) = 1) and V
+    // the corpus vocabulary; doc score = mean lp over its bigram
+    // occurrences; output = the 20 most-surprising docs (lowest mean lp).
+    // Determinism: every model input is an exact integer (c2, c1, V), the
+    // per-bigram double is ONE expression rounded to 6 (the tfidf
+    // ln-parity discipline), and the per-doc mean routes through DECIMAL.
+    // Plan/scale: two content-keyed shuffles train the model (bigram,
+    // prefix), the scoring join shuffles on the bigram key, V broadcast —
+    // model tables stay distributed, no all-pairs, no driver state.
+    "q_text_lmscore" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val vocab = tokens(s, dir).agg(countDistinct($"term").as("v"))
+      big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", round(log(($"c2" + 1.0) / ($"c1" + $"v")), 6))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             r4(dsum($"lp", 6) / count(lit(1))).as("avg_lp"))
+        .orderBy($"avg_lp".asc, $"doc_id")
         .limit(20)
     }),
 
@@ -589,6 +649,27 @@ object TextPipeline extends QueryGroup {
         |SELECT doc_id, COUNT(*) AS n_terms,
         |  round(CAST(SUM(CAST((bm25) AS DECIMAL(18,10))) AS DOUBLE), 6) AS score
         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_text_lmscore" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |big AS (
+         |  SELECT doc_id,
+         |    unnest(toks[1:len(toks) - 1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM tt),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+         |vocab AS (
+         |  SELECT COUNT(DISTINCT term) AS v
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u),
+         |lp AS (
+         |  SELECT big.doc_id, round(ln((c2 + 1.0) / (c1 + v)), 6) AS lp
+         |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  round(${oSum("lp", 6)} / COUNT(*), 4) AS avg_lp
+         |FROM lp GROUP BY doc_id ORDER BY avg_lp ASC, doc_id LIMIT 20""".stripMargin,
 
     "q_text_langstats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,

@@ -116,6 +116,65 @@ class FunctionsSpec extends BaseSpec {
         s"dominant term $topTerm (n=$topN, D=$err) missing from sketch output")
   }
 
+  test("count-min buffer: overestimate-only, bounded, merge = concatenation") {
+    val freq = (1 to 60).map(i => s"t$i" -> (600 / i).toLong).toMap
+    val stream = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(freq.toSeq.flatMap { case (t, n) => Seq.fill(n.toInt)(t) })
+    val depth = 4; val width = 512
+    // split like two partial aggregations, then merge
+    val (s1, s2) = stream.splitAt(stream.size / 3)
+    val (a, b) = (new graft.functions.CmsBuffer(depth, width),
+                  new graft.functions.CmsBuffer(depth, width))
+    s1.foreach(a.add); s2.foreach(b.add)
+    a.absorb(b)
+    // merged state must equal the single-pass state exactly (element-wise
+    // sums commute) — the order-independence MG cannot offer
+    val one = new graft.functions.CmsBuffer(depth, width)
+    stream.foreach(one.add)
+    assert(a.cells.sameElements(one.cells) && a.n == one.n)
+    val n = stream.size.toLong
+    val eps = math.E / width
+    freq.foreach { case (t, true_) =>
+      val e = a.estimate(t)
+      assert(e >= true_, s"$t: CMS must never underestimate (est $e < true $true_)")
+      assert(e <= true_ + (eps * n).ceil.toLong,
+        s"$t: est $e exceeds true $true_ + eps*N bound on this fixture")
+    }
+  }
+
+  test("m_text_countmin estimates bracket exact counts and are partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = SparkEntry.queries("m_text_countmin")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).toSeq ==
+      graft.queries.TextPipeline.cmsQueryTerms.sorted)
+    val nTotal = got.head._3
+    assert(nTotal == exact.values.sum, "sketch N must be the exact stream size")
+    val eps = math.E / 512
+    got.foreach { case (t, est, n) =>
+      val true_ = exact.getOrElse(t, 0L)
+      assert(true_ <= est, s"$t: CMS underestimated ($est < $true_)")
+      assert(est <= true_ + (eps * n).ceil.toLong,
+        s"$t: est=$est true=$true_ outside the eps*N envelope")
+    }
+    // order-independence: a different partitioning yields identical estimates
+    graft.functions.CmsCounts.register(spark, 4, 512,
+      graft.queries.TextPipeline.cmsQueryTerms)
+    val re = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .repartition(17, $"term")
+      .agg(call_function("cms_counts", $"term").as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.term", $"e.est", $"e.n")
+      .as[(String, Long, Long)].collect()
+    assert(re.sortBy(_._1).sameElements(got.sortBy(_._1)),
+      "CMS estimates must be bit-identical under any partitioning")
+  }
+
   test("simhash64 is deterministic and locality-sensitive") {
     val a = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
     val b = SimHash.simhash64(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
