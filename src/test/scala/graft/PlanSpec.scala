@@ -431,6 +431,50 @@ class PlanSpec extends BaseSpec {
     }
   }
 
+  test("q_events_streak is a single-shuffle plan: both windows + both aggs reuse hash(user_id)") {
+    // The gaps-and-islands claim pinned as plan shape: the user_id window,
+    // the (user_id, event_type) window, the island aggregate, and the
+    // final (user, type) aggregate must all ride ONE hash exchange —
+    // hash(user_id) satisfies every later clustering requirement. A
+    // refactor that reorders the windows or groups by a non-prefix key
+    // would add a second exchange and still pass value checks.
+    val plan = SparkEntry.queries("q_events_streak")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"q_events_streak: expected exactly 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
+  test("q_text_lmscore: only the vocab scalar is hint-broadcast; model joins degrade to shuffles") {
+    // At fixture scale the optimizer rightly auto-broadcasts the small
+    // c2/c1 model tables — that is stats-driven and reverses itself at
+    // corpus scale. What must hold at ANY scale is the explicit part:
+    // V (one row) carries the only broadcast() HINT, and with
+    // auto-broadcast off (large-stats stand-in) the model joins fall back
+    // to content-keyed shuffles instead of an OOM-bound forced broadcast.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = SparkEntry.queries("q_text_lmscore")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+      assert(broadcasts == 1,
+        s"q_text_lmscore: expected exactly 1 broadcast (the hinted vocab scalar), got $broadcasts:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2,
+        s"q_text_lmscore: model joins must shuffle on content keys:\n$plan")
+    }
+  }
+
+  test("m_text_countmin carries partial aggregation: sketches merge map-side") {
+    // The fixed-state claim: the CMS aggregate must plan partial + final
+    // (ObjectHashAggregate pairs), so each map task ships ONE depth×width
+    // buffer, never raw terms, through the single-partition exchange.
+    val plan = SparkEntry.queries("m_text_countmin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"m_text_countmin: expected partial+final ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_cms_counts") || plan.contains("cms_counts"),
+      s"m_text_countmin: cms_counts aggregate missing from plan:\n$plan")
+  }
+
   test("TPC-H shapes: Q21 plans semi+anti joins, Q16 anti join + top-k, Q5 partial agg") {
     val p21 = planOf("q_sql_tpch_q21")
     assert(p21.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p21")
