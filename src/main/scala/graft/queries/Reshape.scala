@@ -760,6 +760,33 @@ object Reshape extends QueryGroup {
         .orderBy($"event_type")
     }),
 
+    // Robust outliers via median/MAD — the heavy-tail-safe twin of
+    // q_anomaly_zscore (one wild value drags the mean AND the sd, masking
+    // itself; a median moves by at most one rank). Two exact-median passes
+    // with the ≤|types| stats rows broadcast back between them — the
+    // events scan is never reshuffled. Both medians are round(6)-pinned
+    // BEFORE re-entering arithmetic: interpolated middles may differ in
+    // the last ulp between engines' sort/average paths, so the deviation
+    // and the 3·1.4826·mad fence are built from bit-identical inputs (the
+    // ln-parity discipline applied to medians).
+    "q_anomaly_mad" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(round(median($"value"), 6).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs($"value" - $"med"))
+      val mad = dev.groupBy($"event_type")
+        .agg(round(median($"adev"), 6).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(when($"adev" > lit(3.0) * lit(1.4826) * $"mad", 1L).otherwise(0L))
+               .as("n_outliers"),
+             r4(min($"med")).as("med"), r4(min($"mad")).as("mad"))
+        .orderBy($"event_type")
+    }),
+
     // Weighted dataset mixture: per-source keep rates (25% for even
     // sources, 75% for odd) applied via an md5 two-nibble threshold on
     // (source, doc_id) — the deterministic downsampling step that rebalances
@@ -946,6 +973,26 @@ object Reshape extends QueryGroup {
          |  round(MIN(mean), 4) AS mean, round(MIN(sd), 4) AS sd
          |FROM events e JOIN x USING (event_type)
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // quantile_cont (NOT DuckDB's median: on DECIMAL inputs it returns the
+    // lower middle, not the interpolation Spark's median computes).
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * x.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(MIN(d.med), 4) AS med, round(MIN(x.mad), 4) AS mad
+        |FROM dev d JOIN mad x USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_mix_sources" ->
       """WITH d AS (

@@ -58,6 +58,39 @@ object SortsSets extends QueryGroup {
                 $"p.id".as("o_orderkey"), $"p.score".as("o_totalprice"))
         .orderBy($"o_custkey", $"rn")
     }),
+    // Skyline / pareto frontier (minimize p_retailprice, maximize p_size)
+    // via a SEGMENTED PREFIX SCAN — never the quadratic dominance join the
+    // oracle uses. Stage 1 collapses parts onto distinct price points (one
+    // hash agg). Stage 2 builds the dominance test from two monotone
+    // running maxima: a per-bucket summary (≤ |price range|/100 rows)
+    // whose global prefix-max orders BUCKETS ONLY before broadcasting
+    // back, plus a per-bucket window that runs parallel across buckets. A
+    // point survives iff its size beats every size at a strictly lower
+    // price — i.e. max(prefix max of earlier buckets, running max within
+    // its bucket). The data-sized side sees exactly one hash shuffle on
+    // price and one bucket-local window; nothing data-sized is ever
+    // globally ordered, so the plan survives a 100× price-point blowup.
+    "q_skyline" -> ((s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "part")
+        .groupBy($"p_retailprice")
+        .agg(max($"p_size").as("best_size"), count(lit(1)).as("n_parts"))
+        .withColumn("bucket", floor($"p_retailprice" / 100.0))
+      val wb = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = pts.groupBy($"bucket").agg(max($"best_size").as("bucket_max"))
+        .withColumn("before_bucket", max($"bucket_max").over(wb))
+        .select($"bucket", $"before_bucket")
+      val wp = Window.partitionBy($"bucket").orderBy($"p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.join(broadcast(prefix), Seq("bucket"))
+        .withColumn("dom", greatest(
+          coalesce(max($"best_size").over(wp), lit(Int.MinValue)),
+          coalesce($"before_bucket", lit(Int.MinValue))))
+        .filter($"best_size" > $"dom")
+        .select($"p_retailprice", $"best_size", $"n_parts")
+        .orderBy($"p_retailprice")
+    }),
+
     "q_set_union" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders")
@@ -113,6 +146,19 @@ object SortsSets extends QueryGroup {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // The oracle is the textbook quadratic NOT EXISTS dominance — an
+    // INDEPENDENT formulation of the frontier, so a prefix-scan bug
+    // (bucket boundary off-by-one, tie mishandling) cannot self-confirm.
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice, MAX(p_size) AS best_size, COUNT(*) AS n_parts
+        |  FROM part GROUP BY p_retailprice)
+        |SELECT p_retailprice, best_size, n_parts FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.p_retailprice < p.p_retailprice AND q.best_size >= p.best_size)
+        |ORDER BY p_retailprice""".stripMargin,
 
     "q_set_union" ->
       """SELECT 'union_distinct' AS mode, COUNT(*) AS n FROM (

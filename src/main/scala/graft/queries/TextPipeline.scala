@@ -522,6 +522,32 @@ object TextPipeline extends QueryGroup {
         .orderBy($"split", $"lang")
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    // IPL 2006): each doc draws priority ln(u)/w; keeping the k LARGEST
+    // priorities is distribution-identical to k sequential weighted draws
+    // without replacement. u derives from the doc's md5 (content-keyed,
+    // never rand(): reruns and appends leave survivors' priorities
+    // untouched — the q_sample_split stability contract), w = n_chars, so
+    // long docs win proportionally to length. Determinism chain:
+    // u = (h32+1)/2^32 is EXACT in both engines (integer numerator,
+    // power-of-two divisor), ln(u) is the one libm call — round(6) per the
+    // ln-parity discipline — and dividing those bit-identical operands by
+    // the integer weight is IEEE-deterministic again, so even the ORDER BY
+    // on priority agrees across engines. Plans as TakeOrderedAndProject:
+    // per-partition k-heaps, k rows to the driver, no global sort.
+    "q_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("h32",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long"))
+        .withColumn("priority",
+          round(log(($"h32" + 1L) / lit(4294967296.0)), 6) /
+            greatest($"n_chars", lit(1L)))
+        .select($"doc_id", $"lang", $"n_chars", $"priority")
+        .orderBy($"priority".desc, $"doc_id")
+        .limit(25)
+    }),
+
     // Fuzzy dedup by edit distance with prefix blocking: candidate pairs
     // share an 8-char normalized prefix (the standard blocking key —
     // pairs differing inside the prefix are out of scope by design), then
@@ -543,6 +569,33 @@ object TextPipeline extends QueryGroup {
         .withColumn("ed", levenshtein($"a.t", $"b.t").cast("long"))
         .filter($"ed" <= 5)
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"ed")
+        .orderBy($"d1", $"d2")
+    }),
+
+    // Fuzzy dedup by Jaro-Winkler similarity — the prefix-weighted matcher
+    // record-linkage pipelines prefer over raw edit distance (typos cluster
+    // at word ends; shared prefixes are strong identity evidence). Spark
+    // ships no jaro function, so this key runs the codegen'd
+    // JaroWinklerSim Catalyst expression (functions/JaroWinkler.scala)
+    // against DuckDB's INDEPENDENTLY implemented jaro_winkler_similarity —
+    // the oracle exercises the expression's full semantics (match window,
+    // transpositions, 0.7 boost gate, prefix cap), not a same-formula echo.
+    // Same prefix-8 blocking discipline as q_dedup_edit: the join shuffles
+    // on the block key only, the O(|a|·|b|) scorer runs on candidate pairs
+    // only — never all pairs. Scores round(6)-pinned BEFORE the ≥ 0.9
+    // threshold so last-ulp arithmetic differences cannot flip a pair.
+    "q_dedup_jaro" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.JaroWinklerSim.register(s)
+      val d = t(s, dir, "documents")
+        .select($"doc_id", substring(lower(trim($"text")), 1, 80).as("t"))
+        .withColumn("p", substring($"t", 1, 8))
+      d.as("a").join(d.as("b"), Seq("p"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .withColumn("jw",
+          round(graft.functions.JaroWinklerSim.jaroWinkler($"a.t", $"b.t"), 6))
+        .filter($"jw" >= 0.9)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"jw")
         .orderBy($"d1", $"d2")
     }),
 
@@ -855,6 +908,17 @@ object TextPipeline extends QueryGroup {
         |    AS n_tokens_sampled
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      AS h32
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  round(ln((h32 + 1) / 4294967296.0), 6) / GREATEST(n_chars, 1)
+        |    AS priority
+        |FROM d ORDER BY priority DESC, doc_id LIMIT 25""".stripMargin,
+
     "q_sample_split" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -899,6 +963,20 @@ object TextPipeline extends QueryGroup {
         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS ed
         |FROM p a JOIN p b ON a.p = b.p AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.t, b.t) <= 5
+        |ORDER BY d1, d2""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity is an independent implementation of
+    // the same Winkler-1990 semantics the Catalyst expression pins
+    // (probed: ''↔'' → 0, boost gated at jaro > 0.7, prefix cap 4).
+    "q_dedup_jaro" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 80) AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, t, substr(t, 1, 8) AS p FROM d)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  round(jaro_winkler_similarity(a.t, b.t), 6) AS jw
+        |FROM p a JOIN p b ON a.p = b.p AND a.doc_id < b.doc_id
+        |WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= 0.9
         |ORDER BY d1, d2""".stripMargin
   )
 }

@@ -184,4 +184,48 @@ class FunctionsSpec extends BaseSpec {
     assert(SimHash.hamming(a, near) < SimHash.hamming(a, far),
       s"near=${SimHash.hamming(a, near)} far=${SimHash.hamming(a, far)}")
   }
+
+  test("jaro_winkler expression: values pinned to the independent oracle") {
+    import graft.functions.JaroWinklerSim
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinklerSim.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    // Every expected value below was probed from DuckDB's independently
+    // implemented jaro_winkler_similarity (the q_dedup_jaro oracle).
+    val pinned = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111),   // one transposition
+      ("DIXON", "DICKSONX", 0.8133333333),  // unequal lengths
+      ("JELLYFISH", "SMELLYFISH", 0.8962962963),
+      ("CRATE", "TRACE", 0.7333333333),     // jaro > 0.7 but zero prefix
+      ("ab1234", "ab9999", 0.5555555556),   // boost GATED: jaro ≤ 0.7
+      ("abcd12", "abcd99", 0.8666666667),   // prefix cap 4 engaged
+      ("xy", "xz", 0.6666666667),           // short, below boost gate
+      ("ppppa", "ppppb", 0.92),
+      ("a", "ab", 0.85),                    // window clamp at tiny lengths
+      ("abc", "abc", 1.0), ("a", "a", 1.0))
+    pinned.foreach { case (a, b, want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-9, s"jw($a,$b)=${jw(a, b)} want $want")
+    }
+    // DuckDB edge semantics: empty string scores 0 against everything
+    // (including itself); disjoint and fully-transposed-at-window-0 pairs 0.
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("abc", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0 && jw("a", "b") == 0.0)
+    // symmetry over a spread of shapes
+    for ((a, b, _) <- pinned) assert(jw(a, b) == jw(b, a), s"asym $a $b")
+  }
+
+  test("jaro_winkler registered for SQL and codegen path ≡ interpreted") {
+    import graft.functions.JaroWinklerSim
+    JaroWinklerSim.register(spark)
+    val got = spark.sql(
+      "SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 6) AS jw").as[Double].head()
+    assert(got == 0.961111, s"sql path got $got")
+    // through a DataFrame column (whole-stage codegen) with null propagation
+    val rows = Seq(("DwAyNE", Some("DuANE")), ("x", None))
+      .toDF("a", "b")
+      .select(JaroWinklerSim.jaroWinkler($"a", $"b").as("jw"))
+      .collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.84) < 1e-9, s"got ${rows(0)}")
+    assert(rows(1).isNullAt(0), "null input must yield null")
+  }
 }
