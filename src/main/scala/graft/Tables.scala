@@ -27,12 +27,27 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.computeIfAbsent((spark, sfDir, name), { _ =>
       if (name == "events") {
-        // Spark 4 rejects parquet TIMESTAMP(NANOS) unless read as raw Long.
-        // ns div 1000 → µs timestamp == DuckDB's truncation of the same file,
-        // so both engines see identical µs values (SURVEY §1.2 pitfall).
+        // The generator has shipped `ts` three ways across rounds — parquet
+        // TIMESTAMP(NANOS) (Spark 4 rejects it unless read as raw Long via
+        // nanosAsLong), native timestamp[us] (reads as TIMESTAMP_NTZ), and
+        // plain TIMESTAMP — so the loader dispatches on the file's actual
+        // type instead of assuming one layout. Every branch lands on the
+        // same contract the 30+ events consumers rely on: `ts` is a µs
+        // TimestampType whose unix_micros equal DuckDB's epoch_us over the
+        // same file (oracle side: epoch_us(CAST(ts AS TIMESTAMP)) truncates
+        // ns and no-ops on µs, so one SQL text covers all layouts).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // NTZ→TIMESTAMP cast interprets the naive value in the session zone;
+        // UTC makes it epoch-preserving, matching DuckDB's naive epoch_us.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => raw
+        }
       } else {
         spark.read.parquet(s"$sfDir/$name.parquet")
       }

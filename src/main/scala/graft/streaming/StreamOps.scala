@@ -533,12 +533,18 @@ object StreamOps {
               coalesce(col("segment"), lit("unknown")).as("segment"))
 
   /** Streaming source over a parquet events directory (library surface;
-    * tests use MemoryStream instead). The raw schema carries ts as Long ns
-    * (nanosAsLong), converted here to the µs timestamp the bodies expect. */
+    * tests use MemoryStream instead). Schema-adaptive like [[graft.Tables]]:
+    * ts may be raw Long ns (nanosAsLong era), TIMESTAMP_NTZ (timestamp[us]
+    * files), or TIMESTAMP — all normalized to a µs-epoch `ts_us` long. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(raw).parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    val src = spark.readStream.schema(raw).parquet(s"$dir/events.parquet")
+    val tsUs = raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    src.withColumn("ts_us", tsUs).drop("ts")
   }
 }
