@@ -367,6 +367,49 @@ object TextPipeline extends QueryGroup {
         .orderBy($"lang")
     }),
 
+    // Cross-doc repeated-SPAN coverage — the token-granular approximation
+    // of exact-substring dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better", ACL 2022): per doc, the fraction of
+    // its TOKENS covered by some 5-gram that also occurs in another doc.
+    // Positional 5-grams (posexplode keeps i) → doc-frequency inverted
+    // index (df ≥ 2 = cross-doc; within-doc repetition is q_text_repetition's
+    // signal, deliberately excluded) → union-of-intervals coverage per doc
+    // via one ordered window: each dup position contributes
+    // min(5, i − prev_i) tokens, so overlapping spans never double-count.
+    // Shuffles: shingle-keyed agg + join (inverted index, never doc
+    // pairs), then one doc_id window + one source hash-agg — all
+    // content-keyed, the same 100 TB shape as novelty/contam. dup_frac is
+    // exact long/long division, identical both engines, so the ≥ 0.3
+    // flagging threshold cannot flap.
+    "q_dedup_substring" -> ((s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 5)
+      val pos = tt.select($"doc_id", posexplode(expr(
+        "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"))
+        .as(Seq("i", "sh5")))
+      val dup = pos.groupBy($"sh5")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 2).select($"sh5")
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      val cov = pos.join(dup, Seq("sh5"))
+        .withColumn("prev", lag($"i", 1).over(w))
+        .withColumn("covered",
+          when($"prev".isNull, lit(5)).otherwise(least(lit(5), $"i" - $"prev")))
+        .groupBy($"doc_id").agg(sum($"covered").cast("long").as("dup_tokens"))
+      tt.select($"doc_id", $"source", size($"toks").cast("long").as("n_tok"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("dup_tokens", coalesce($"dup_tokens", lit(0L)))
+        .withColumn("dup_frac", $"dup_tokens" / $"n_tok")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when($"dup_frac" >= 0.3, 1L).otherwise(0L)).as("n_flagged"),
+             sum($"dup_tokens").as("dup_tokens"),
+             r4(davg($"dup_frac", 6)).as("avg_dup_frac"))
+        .orderBy($"source")
+    }),
+
     // Gopher-style repetition signal: per-doc duplicate-3-gram fraction
     // (1 − distinct/total shingles), aggregated per language. One pass, no
     // join: the per-row HOFs stay in whole-stage codegen and the only
@@ -520,6 +563,29 @@ object TextPipeline extends QueryGroup {
         .groupBy($"split", $"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
         .orderBy($"split", $"lang")
+    }),
+
+    // Per-domain cap (the host/source frequency cap of CCNet/GPT-3-style
+    // corpus curation): keep at most 10 docs per source, chosen by
+    // content-keyed rank (md5(doc_id), doc_id) — never rand(), so reruns,
+    // repartitions, and corpus appends keep the same survivors (appends
+    // can only displace from rank 10 down, same contract as
+    // q_sample_split). One source-keyed shuffle for the rank window; the
+    // per-lang rollup of kept docs crosses the capping key so the result
+    // reflects the kept SET, not just per-source counts. At 100 TB the cap
+    // is the defense against a single crawling artifact (one host, one
+    // boilerplate template) dominating the training mix.
+    "q_cap_domain" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+        .withColumn("hk", md5($"doc_id".cast("string")))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("tokens_kept"))
+        .orderBy($"lang")
     }),
 
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
@@ -907,6 +973,45 @@ object TextPipeline extends QueryGroup {
         |  CAST(SUM(CASE WHEN rn <= ceil(n * 0.2) THEN n_tok END) AS BIGINT)
         |    AS n_tokens_sampled
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_cap_domain" ->
+      """WITH d AS (
+        |  SELECT lang, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk, doc_id
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+        |FROM r WHERE rn <= 10 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_substring" -> (
+      """WITH tt AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |pos AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS sh5
+        |  FROM tt, LATERAL unnest(generate_series(1, len(toks) - 4)) AS g(i)),
+        |dup AS (SELECT sh5 FROM pos GROUP BY sh5 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lag(i) OVER w IS NULL THEN 5
+        |         ELSE LEAST(5, i - lag(i) OVER w) END AS covered
+        |  FROM (SELECT pos.doc_id, pos.i FROM pos JOIN dup USING (sh5))
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |dc AS (SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+        |       FROM cov GROUP BY doc_id),
+        |j AS (
+        |  SELECT tt.source, CAST(len(tt.toks) AS BIGINT) AS n_tok,
+        |    COALESCE(dc.dup_tokens, 0) AS dup_tokens,
+        |    COALESCE(dc.dup_tokens, 0) / CAST(len(tt.toks) AS BIGINT) AS dup_frac
+        |  FROM tt LEFT JOIN dc USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN dup_frac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+        |  round(""".stripMargin + Q.oAvg("dup_frac", 6) + """, 4) AS avg_dup_frac
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
 
     "q_sample_weighted" ->
       """WITH d AS (
