@@ -101,6 +101,27 @@ object Joins extends QueryGroup {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // Runtime bloom-filter semi-join reduction (operators/BloomSemiJoin):
+    // a ~27-byte/key Bloom built over the urgent orders' keys pre-filters
+    // the lineitem SCAN with a codegen'd bloom_might_contain predicate
+    // before the exact semi join removes the false positives — result ≡
+    // plain semi join at any fpp (no false negatives; PlanSpec asserts
+    // both the equivalence and that the predicate sits under the join).
+    // At 100 TB the fact rows that die at the scan never enter the join
+    // shuffle — the explicit form of Spark's InjectRuntimeFilter, as a
+    // reusable library surface.
+    "q_join_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val urgent = t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      graft.operators.BloomSemiJoin
+        .semi(s, t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+             r4(dsum($"l_extendedprice")).as("sum_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Band join: equi key + range residual — stays a hash join with filter.
     "q_join_theta" -> ((s, dir) => {
       import s.implicits._
@@ -228,6 +249,15 @@ object Joins extends QueryGroup {
       """SELECT r_name, n_name, concat_ws('-', r_name, n_name) AS label
         |FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_bloom" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  round(${oSum("l_extendedprice")}, 4) AS sum_price
+         |FROM lineitem
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_orderkey = l_orderkey
+         |                AND o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_theta" ->
       s"""SELECT p_brand, COUNT(*) AS n_items, round(${oSum("l_extendedprice")}, 4) AS sum_price

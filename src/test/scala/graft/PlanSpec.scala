@@ -681,6 +681,43 @@ class PlanSpec extends BaseSpec {
       s"bit-vote aggregate sits outside codegen:\n${aggs.mkString("\n")}")
   }
 
+  test("bloom semi-join reduction: predicate under the join, result exact, fpp bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val urgent = Tables(spark, sf, "orders").filter($"o_orderpriority" === "1-URGENT")
+    val li = Tables(spark, sf, "lineitem")
+    val reduced = graft.operators.BloomSemiJoin
+      .semi(spark, li, "l_orderkey", urgent, "o_orderkey")
+      .select($"l_orderkey", $"l_linenumber")
+    // 1. The bloom predicate must sit in a Filter BELOW the semi join —
+    //    that placement is the whole point (fact rows die pre-shuffle).
+    val plan = reduced.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("SemiJoin") || l.contains("Semi"))
+    val bloomIdx = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(joinIdx >= 0, s"no semi join in plan:\n$plan")
+    assert(bloomIdx > joinIdx,
+      s"bloom predicate not under the semi join (join@$joinIdx, bloom@$bloomIdx):\n$plan")
+    // 2. Exact equivalence with the plain semi join at the row-set level —
+    //    bloom false positives must all die in the verifying join.
+    val plain = li.join(urgent.select($"o_orderkey".as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      .select($"l_orderkey", $"l_linenumber")
+    assert(reduced.exceptAll(plain).isEmpty && plain.exceptAll(reduced).isEmpty,
+      "bloom-reduced semi join diverges from the plain semi join")
+    // 3. The probe-only path (no verifying join) keeps every true match and
+    //    admits few false positives: measured fpp must stay near the 1%
+    //    target (×10 slack — the guarantee is probabilistic).
+    val trueKeys = plain.select($"l_orderkey").distinct().count()
+    val probed = graft.operators.BloomSemiJoin
+      .probeOnly(spark, li, "l_orderkey", urgent, "o_orderkey")
+      .select($"l_orderkey").distinct().count()
+    val allKeys = li.select($"l_orderkey").distinct().count()
+    assert(probed >= trueKeys, "bloom dropped a true match (false negative!)")
+    val fp = (probed - trueKeys).toDouble / math.max(1, allKeys - trueKeys)
+    assert(fp <= 0.1, f"measured fpp $fp%.4f exceeds 10× the 0.01 target")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // CosineSim / HaversineDist / BrpBuckets implement doGenCode — the
     // queries that use them must show WholeStageCodegen spans, not
