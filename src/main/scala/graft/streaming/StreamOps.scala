@@ -283,6 +283,63 @@ class MgStreamProcessor(k: Int)
   }
 }
 
+/** One (group, value) observation for [[GkQuantileProcessor]]. */
+case class ValRow(grp: String, value: Double)
+
+/** `StatefulProcessor` behind [[StreamOps.quantileStream]] — the streaming
+  * face of the GK quantile sketch ([[graft.functions.GkSummary]]); the
+  * batch twin is `percentile_approx` (`m_agg_quantile`), Spark's mergeable
+  * GK path. Per group key, a ListState holds the summary's (v, g, Δ)
+  * tuples in value order and a ValueState the observation count; each
+  * batch rebuilds the summary (a stored summary IS a valid summary),
+  * folds the batch's rows through classical GK insertion+compression, and
+  * stores it back. State is O((1/ε)·log(εn)) tuples per group — never the
+  * value multiset, which is what an exact streaming percentile would keep
+  * and the whole point at 100 TB ingest rates.
+  *
+  * The rank-error contract est ∈ [φn − εn, φn + εn] holds under ANY
+  * arrival order (GK makes no order assumption), so shuffled-arrival
+  * streams give different summaries but the same certified bounds —
+  * the same shape of guarantee the streaming MG processor pins.
+  *
+  * Emission (update mode): one row per touched group per batch with the
+  * current p50/p95 estimates, `processed` (monotone per group — consumers
+  * select the latest emission without a batch id) and the live tuple
+  * count (the state-bound observable the semantics test asserts on). */
+class GkQuantileProcessor(eps: Double)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, ValRow, (String, Double, Double, Long, Int)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var tuples: streaming.ListState[(Double, Long, Long)] = _
+  @transient private var count: streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+    tuples = getHandle.getListState[(Double, Long, Long)](
+      "gk", Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong),
+      streaming.TTLConfig.NONE)
+    count = getHandle.getValueState[Long](
+      "gkN", Encoders.scalaLong, streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[ValRow],
+      timerValues: streaming.TimerValues): Iterator[(String, Double, Double, Long, Int)] = {
+    val s = new graft.functions.GkSummary(eps)
+    tuples.get().foreach { case (v, g, d) => s.vs += v; s.gs += g; s.ds += d }
+    s.n = Option(count.get()).getOrElse(0L)
+    rows.foreach(r => s.insert(r.value))
+    s.compress()
+    tuples.clear()
+    var i = 0
+    while (i < s.tupleCount) {
+      tuples.appendValue((s.vs(i), s.gs(i), s.ds(i)))
+      i += 1
+    }
+    count.update(s.n)
+    Iterator.single((key, s.query(0.5), s.query(0.95), s.n, s.tupleCount))
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -434,6 +491,18 @@ object StreamOps {
     import terms.sparkSession.implicits._
     terms.groupByKey(_.lang)
       .transformWithState(new MgStreamProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Streaming GK quantiles — certified ±εn rank-error percentiles over an
+    * unbounded value stream with O((1/ε)·log(εn)) per-group state; see
+    * [[GkQuantileProcessor]]. The batch twin is `percentile_approx`
+    * (`m_agg_quantile`). */
+  def quantileStream(values: Dataset[ValRow], eps: Double = 0.01)
+      : Dataset[(String, Double, Double, Long, Int)] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_.grp)
+      .transformWithState(new GkQuantileProcessor(eps),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 

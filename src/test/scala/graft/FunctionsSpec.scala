@@ -228,4 +228,35 @@ class FunctionsSpec extends BaseSpec {
     assert(math.abs(rows(0).getDouble(0) - 0.84) < 1e-9, s"got ${rows(0)}")
     assert(rows(1).isNullAt(0), "null input must yield null")
   }
+
+  test("GK summary: rank error ≤ εn on adversarial orders, state stays logarithmic") {
+    val eps = 0.01
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    // three arrival orders that break naive samplers: sorted (worst case for
+    // reservoir-style), reverse-sorted, and shuffled heavy-tail values
+    val base = Array.tabulate(n)(i => math.pow(rnd.nextDouble(), 3) * 1e6)
+    val orders = Seq(
+      "sorted"   -> base.sorted,
+      "reversed" -> base.sorted.reverse,
+      "shuffled" -> rnd.shuffle(base.toSeq).toArray)
+    for ((label, xs) <- orders) {
+      val s = new graft.functions.GkSummary(eps)
+      xs.foreach(s.insert)
+      val sorted = base.sorted
+      for (phi <- Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99)) {
+        val est = s.query(phi)
+        // true rank of the estimate (values ≤ est) must sit within εn of φn
+        val rank = sorted.count(_ <= est).toDouble
+        assert(math.abs(rank - phi * n) <= eps * n + 1,
+          s"$label φ=$phi: est=$est rank=$rank outside ±εn of ${phi * n}")
+      }
+      // space: the band-free GK stays well under the value count; the
+      // practical envelope (11/(2ε))·log2(2εn+1) holds with big margin
+      val bound = (11.0 / (2 * eps)) * (math.log(2 * eps * n + 1) / math.log(2))
+      assert(s.tupleCount <= bound,
+        s"$label: ${s.tupleCount} tuples exceeds the GK space envelope $bound")
+      assert(s.tupleCount < n / 10, s"$label: summary is not sublinear (${s.tupleCount})")
+    }
+  }
 }

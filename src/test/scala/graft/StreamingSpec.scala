@@ -728,6 +728,51 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming GK quantiles: rank bounds hold under shuffled arrival, state stays sublinear") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val eps = 0.02
+      val rnd = new scala.util.Random(11)
+      // two groups with very different shapes: uniform vs cubed heavy-tail
+      val rows =
+        (1 to 8000).map(_ => graft.streaming.ValRow("uni", rnd.nextDouble() * 1000)) ++
+        (1 to 8000).map(_ => graft.streaming.ValRow("pow", math.pow(rnd.nextDouble(), 3) * 1e6))
+      val stream = rnd.shuffle(rows)
+      val input = MemoryStream[graft.streaming.ValRow]
+      val name = nextName()
+      val q = StreamOps.quantileStream(input.toDS(), eps)
+        .toDF("grp", "p50", "p95", "processed", "tuples")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      stream.grouped(3000).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table(name)
+        .as[(String, Double, Double, Long, Int)].collect()
+      val finalRows = all.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._4) }.toSeq
+      assert(finalRows.map(_._1).toSet == Set("uni", "pow"))
+      val exact = rows.groupBy(_.grp).map { case (g, rs) =>
+        g -> rs.map(_.value).sorted.toArray }
+      finalRows.foreach { case (g, p50, p95, n, tuples) =>
+        assert(n == 8000L, s"$g processed $n of 8000")
+        val sorted = exact(g)
+        for ((phi, est) <- Seq(0.5 -> p50, 0.95 -> p95)) {
+          val rank = sorted.count(_ <= est).toDouble
+          assert(math.abs(rank - phi * n) <= eps * n + 1,
+            s"$g φ=$phi: est=$est rank=$rank outside ±εn of ${phi * n}")
+        }
+        // state bound: tuples per group stay far below the 8000 values an
+        // exact streaming percentile would have to keep
+        assert(tuples < 800, s"$g summary not sublinear: $tuples tuples")
+      }
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("stateful runningState matches batch equivalent across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
