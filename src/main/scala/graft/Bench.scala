@@ -47,11 +47,22 @@ object Bench {
     // attempts fail.
     val samples = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val iters = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // First exception message per failed key: a -1.000 entry alone cost a
+    // round of diagnosis (BENCH_r09 — the events ts layout change failed 33
+    // keys with no visible cause); the errors line makes the tail
+    // self-explaining.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case scala.util.control.NonFatal(_) => -1.0 }
+        catch { case scala.util.control.NonFatal(e) =>
+          errors.getOrElseUpdate(name, {
+            val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            m.replaceAll("[\\s\"\\\\]+", " ").trim.take(160)
+          })
+          -1.0
+        }
       }
       val a = once()
       val b = once()
@@ -69,7 +80,9 @@ object Bench {
     }
     // Locale-pinned: a comma decimal separator would corrupt the JSON.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Failed keys report -1 individually; the total sums successful runs
+    // only (a -1 contribution would understate the real wall time).
+    val total = results.values.filter(_ >= 0).sum
     // The driver captures only the TAIL of stdout (BENCH_r02 lost the head
     // of a single long line; BENCH_r07's 117-key map lost ~32 entries the
     // same way). So: short total line first, then the per-query map as
@@ -103,6 +116,15 @@ object Bench {
     println(s"""{"metric":"samples","unit":"sec","sf":"$sfDir","slowest10_ab":$slowest}""")
     val itLine = iters.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"iterations","sf":"$sfDir","rounds":$itLine}""")
+    if (errors.nonEmpty) {
+      // ≤10 keys, messages already whitespace/quote-scrubbed above; printed
+      // in the always-captured tail region so a failed key is attributable
+      // from the bench artifact alone.
+      val errLine = errors.take(10)
+        .map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"errors","failed":${errors.size},"first10":$errLine}""")
+    }
     println(totalLine)
     spark.stop()
   }
