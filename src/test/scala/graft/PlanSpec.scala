@@ -445,6 +445,36 @@ class PlanSpec extends BaseSpec {
       s"q_events_streak: expected exactly 1 hash exchange, got $hashExchanges:\n$plan")
   }
 
+  test("q_cap_domain rides one source-keyed window exchange into the lang agg") {
+    // The capping rank must shuffle ONCE on the capping key (source); the
+    // only other hash exchange is the final lang rollup. A refactor that
+    // re-sorts globally or re-shuffles between rank and filter would add
+    // exchanges and still pass value checks.
+    val plan = SparkEntry.queries("q_cap_domain")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 2,
+      s"q_cap_domain: expected 2 hash exchanges (source window + lang agg), got $hashExchanges:\n$plan")
+    // The rank-≤-10 filter must push into a partial WindowGroupLimit: each
+    // map task ships at most 10 rows per source into the window shuffle —
+    // the property that makes a per-domain cap cheap at 100 TB.
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"q_cap_domain: cap not pushed map-side as a partial WindowGroupLimit:\n$plan")
+  }
+
+  test("q_dedup_substring joins on the shingle key only — no pair explosion, no nested loop") {
+    // The inverted-index claim as plan shape: every join is an equi hash
+    // or sort-merge join (shingle / doc_id keys); a naive all-pairs span
+    // comparison would surface as CartesianProduct/BroadcastNestedLoop.
+    val plan = SparkEntry.queries("q_dedup_substring")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_dedup_substring: pairwise join leaked into the plan:\n$plan")
+    assert(plan.contains("posexplode") || plan.contains("Generate"),
+      s"q_dedup_substring: positional shingle generator missing:\n$plan")
+  }
+
   test("q_text_lmscore: only the vocab scalar is hint-broadcast; model joins degrade to shuffles") {
     // At fixture scale the optimizer rightly auto-broadcasts the small
     // c2/c1 model tables — that is stats-driven and reverses itself at
