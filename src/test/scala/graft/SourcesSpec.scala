@@ -119,6 +119,36 @@ class SourcesSpec extends BaseSpec {
     assert(back.count() == expected)
   }
 
+  test("sized parquet sink: file count tracks the target size, data survives") {
+    // The small-files guard: halving targetBytes must not decrease the
+    // planned file count, tiny targets must split the write, huge targets
+    // must collapse it to one file — and the bytes that land must read
+    // back identical regardless of sizing.
+    val docs = Tables(spark, sf, "documents")
+    val nBig = graft.operators.SizedWrite.plannedFileCount(docs, 1L << 30)
+    assert(nBig == 1, s"1 GiB target on a fixture table must plan 1 file, got $nBig")
+    // Targets scale off the planner's own estimate so the test holds at any
+    // fixture size: a target of (estimated disk bytes / 4) must plan ≥ 4
+    // files, and halving it can only increase the count.
+    val estDisk = (BigDecimal(docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+      / graft.operators.SizedWrite.DefaultCompressionRatio).toLong
+    val target = math.max(1L, estDisk / 4)
+    val nSmall = graft.operators.SizedWrite.plannedFileCount(docs, target)
+    assert(nSmall >= 4, s"quarter-size target must split ≥4 ways, got $nSmall")
+    val nSmaller = graft.operators.SizedWrite.plannedFileCount(docs, math.max(1L, target / 2))
+    assert(nSmaller >= nSmall, "halving the target cannot reduce the file count")
+    val dir = Files.createTempDirectory("graft_sized").toString
+    val used = graft.operators.SizedWrite.parquet(docs.toDF(), s"$dir/docs", target)
+    assert(used == nSmall)
+    val files = new java.io.File(s"$dir/docs").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == used, s"expected $used part files, found $files")
+    val back = spark.read.parquet(s"$dir/docs")
+    assert(back.count() == docs.count())
+    assert(back.select($"doc_id").as[Long].collect().sorted.toSeq ==
+           docs.select($"doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, old rows read null") {
     // The data-lake reality at 100 TB: a column added mid-corpus must not
     // force a rewrite — mergeSchema unions the footers and back-fills null.
