@@ -728,6 +728,45 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming HLL distinct counts: arrival-order-invariant, equal to batch, near exact") {
+    // The fourth sketch of the family (MG/CMS/GK/HLL): approx_count_distinct
+    // carries an HLL++ buffer through the state store. HLL union is
+    // commutative and associative, so ANY batch split of ANY arrival order
+    // must produce the BIT-SAME estimate as one batch pass — pinned here by
+    // equality against the batch twin, plus the usual accuracy envelope.
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    // per type: overlapping user populations with different cardinalities
+    val rows = Seq("view" -> 2000, "click" -> 700, "purchase" -> 150).flatMap {
+      case (t, users) => (1 to 6000).map { _ =>
+        ev(rnd.nextLong().abs, rnd.nextLong().abs % H, rnd.nextInt(users).toLong, t)
+      }
+    }
+    val stream = rnd.shuffle(rows)
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = input.toDS().toDF()
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    stream.grouped(4500).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table(name)
+      .as[(String, Long)].collect().toMap
+    val batch = rows.toDF()
+      .groupBy($"event_type").agg(approx_count_distinct($"user_id").as("a"))
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(_.event_type)
+      .map { case (t, rs) => t -> rs.map(_.user_id).distinct.size.toLong }
+    assert(streamed.keySet == Set("view", "click", "purchase"))
+    streamed.foreach { case (t, est) =>
+      assert(est == batch(t),
+        s"$t: streamed HLL $est != batch HLL ${batch(t)} — merge not order-invariant?")
+      val err = math.abs(est - exact(t)).toDouble / exact(t)
+      assert(err < 0.05, s"$t: HLL est $est vs exact ${exact(t)} — ${err * 100}%")
+    }
+  }
+
   test("streaming GK quantiles: rank bounds hold under shuffled arrival, state stays sublinear") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
