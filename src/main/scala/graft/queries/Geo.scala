@@ -361,6 +361,24 @@ object Geo extends QueryGroup {
         .orderBy($"size")
     }),
 
+    // Multi-source BFS hop distances from the 3 smallest vertex ids of the
+    // co-traveler graph — the reachability/radius primitive (how far does
+    // influence spread from a seed set) beside PageRank/LP/triangles/CC.
+    // Output is the (dist, n_users) layer histogram within 8 hops; seeds
+    // are content-determined (smallest ids), so both engines pick the same
+    // set with no driver-side choice. Oracle: recursive CTE over the same
+    // pair edges, MIN(d) per vertex — hop distance by construction.
+    "q_graph_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      val verts = pairs.select($"u1".as("id")).unionAll(pairs.select($"u2".as("id")))
+        .distinct()
+      val seeds = verts.orderBy($"id").limit(3)
+      graft.operators.Bfs.run(s, pairs.select($"u1", $"u2"), seeds, maxHops = 8)
+        .groupBy($"dist").agg(count(lit(1)).as("n_users"))
+        .orderBy($"dist")
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of
@@ -536,6 +554,33 @@ object Geo extends QueryGroup {
         |  GROUP BY user_id)
         |SELECT degree, COUNT(*) AS n_users
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
+
+    "q_graph_bfs" -> (ptsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |verts AS (
+        |  SELECT DISTINCT u AS id FROM (
+        |    SELECT u1 AS u FROM pr UNION ALL SELECT u2 FROM pr) x),
+        |seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),
+        |sym AS (SELECT u1 AS src, u2 AS dst FROM pr
+        |        UNION ALL SELECT u2, u1 FROM pr),
+        |walk(id, d) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.id
+        |  WHERE w.d < 8),
+        |dist AS (SELECT id, MIN(d) AS dist FROM walk GROUP BY id)
+        |SELECT dist, COUNT(*) AS n_users
+        |FROM dist GROUP BY dist ORDER BY dist""".stripMargin),
 
     "q_traj_sim" -> (ptsCte +
       """,

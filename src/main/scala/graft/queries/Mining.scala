@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.10/§2.11b adjunct — classical data-mining shapes over the
+  * fixture tables: market-basket co-occurrence (A-priori) and first-order
+  * sequence transitions (Markov matrix). Both are pure content-keyed
+  * shuffle plans with exact-integer cores, so DuckDB oracles them at hash
+  * parity.
+  */
+object Mining extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    // Frequent part PAIRS across order baskets (support ≥ 3) with lift —
+    // the association-rule mining step (Agrawal & Srikant, VLDB 1994).
+    // The A-priori pruning is REAL, not narration: items below the pair
+    // support threshold cannot appear in a frequent pair (monotonicity),
+    // so they are dropped BEFORE the self-join — at 100 TB that turns the
+    // basket self-join from |items|² fanout into fanout over the frequent
+    // subset only. The join itself is orderkey-equi (fanout bounded by
+    // C(basket, 2), never cross-order), then a pair-key hash agg. Lift =
+    // n_pair·N / (n_p1·n_p2): exact integer numerator/denominator, ONE
+    // double division both engines — deterministic, round(4) belt only.
+    "q_mine_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val minSup = 3L
+      val items = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val isup = items.groupBy($"l_partkey").agg(count(lit(1)).as("sup"))
+      val frequent = items
+        .join(isup.filter($"sup" >= minSup).select($"l_partkey"), Seq("l_partkey"))
+      val pairs = frequent.as("a")
+        .join(frequent.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= minSup)
+      val nOrders = items.select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_total"))
+      pairs
+        .join(isup.select($"l_partkey".as("p1"), $"sup".as("s1")), Seq("p1"))
+        .join(isup.select($"l_partkey".as("p2"), $"sup".as("s2")), Seq("p2"))
+        .crossJoin(broadcast(nOrders))
+        .select($"p1", $"p2", $"n_orders",
+          round(($"n_orders" * $"n_total") / ($"s1" * $"s2"), 4).as("lift"))
+        .orderBy($"p1", $"p2")
+    }),
+
+    // First-order event-type transition matrix per user sequence (the
+    // Markov-chain summary of behavioral telemetry): per (current, next)
+    // type, the transition count and probability. One user-keyed window
+    // shuffle (lead over the per-user timeline) + one pair hash-agg; the
+    // probability is n/row-total — exact long/long division after a
+    // type-keyed window sum, deterministic in both engines.
+    "q_mine_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wt = Window.partitionBy($"event_type")
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round($"n" / sum($"n").over(wt), 6))
+        .orderBy($"event_type", $"next_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_mine_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |isup AS (
+        |  SELECT l_partkey, COUNT(*) AS sup FROM items GROUP BY l_partkey),
+        |frequent AS (
+        |  SELECT items.* FROM items JOIN isup USING (l_partkey) WHERE sup >= 3),
+        |pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+        |  FROM frequent a JOIN frequent b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM items)
+        |SELECT p1, p2, n_orders,
+        |  round((n_orders * n_total) / (s1.sup * s2.sup), 4) AS lift
+        |FROM pr
+        |JOIN isup s1 ON s1.l_partkey = p1
+        |JOIN isup s2 ON s2.l_partkey = p2
+        |CROSS JOIN n
+        |ORDER BY p1, p2""".stripMargin,
+
+    "q_mine_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+        |  FROM e),
+        |c AS (
+        |  SELECT event_type, next_type, COUNT(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(n / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin
+  )
+}
