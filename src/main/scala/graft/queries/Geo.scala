@@ -379,6 +379,24 @@ object Geo extends QueryGroup {
         .orderBy($"dist")
     }),
 
+    // Connected components of the co-traveler graph, declared directly:
+    // component-size histogram (size, n_components). CC was previously
+    // keyed only through its dedup-clustering consumer (q_dedup_cluster);
+    // this key puts the operator itself through the oracle gate on a graph
+    // with different density. Same alternating-star contraction + bounded
+    // local endgame; oracle = recursive min-label reachability fixpoint.
+    "q_graph_cc" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      val verts = pairs.select($"u1".as("id")).unionAll(pairs.select($"u2".as("id")))
+        .distinct()
+      graft.operators.ConnectedComponents
+        .run(s, verts, pairs.select($"u1".as("src"), $"u2".as("dst")))
+        .groupBy($"comp").agg(count(lit(1)).as("size"))
+        .groupBy($"size").agg(count(lit(1)).as("n_components"))
+        .orderBy($"size")
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of
@@ -581,6 +599,31 @@ object Geo extends QueryGroup {
         |dist AS (SELECT id, MIN(d) AS dist FROM walk GROUP BY id)
         |SELECT dist, COUNT(*) AS n_users
         |FROM dist GROUP BY dist ORDER BY dist""".stripMargin),
+
+    "q_graph_cc" -> (ptsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |sym AS (SELECT u1 AS u, u2 AS v FROM pr
+        |        UNION ALL SELECT u2, u1 FROM pr),
+        |walk(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+        |assign AS (
+        |  SELECT u AS id, CAST(least(u, MIN(v)) AS BIGINT) AS comp
+        |  FROM walk GROUP BY u),
+        |sizes AS (SELECT comp, COUNT(*) AS size FROM assign GROUP BY comp)
+        |SELECT size, COUNT(*) AS n_components
+        |FROM sizes GROUP BY size ORDER BY size""".stripMargin),
 
     "q_traj_sim" -> (ptsCte +
       """,

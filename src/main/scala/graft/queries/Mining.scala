@@ -49,6 +49,35 @@ object Mining extends QueryGroup {
         .orderBy($"p1", $"p2")
     }),
 
+    // Referential-integrity audit across the star schema — the data-quality
+    // gate a pipeline runs before trusting joins: per FK relationship, fact
+    // row count and orphan count (fact keys with no dim match). One
+    // left-join + conditional count per relationship — the anti-join
+    // expressed as a null-flag aggregate so rows and orphans come from ONE
+    // pass; dim sides auto-broadcast when small, degrade to keyed shuffles
+    // at scale. Zero orphans on healthy data is the point: the key proves
+    // the CHECK is cheap, and the count columns make any breakage visible.
+    "q_audit_fk" -> ((s, dir) => {
+      import s.implicits._
+      def audit(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+                dim: org.apache.spark.sql.DataFrame, pk: String) =
+        fact.select(col(fk).as("k"))
+          .join(dim.select(col(pk).as("k")).distinct().withColumn("hit", lit(1)),
+            Seq("k"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+               sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("relationship"), $"n_rows", $"n_orphans")
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val p = t(s, dir, "part")
+      audit("customer->nation", c, "c_nationkey", n, "n_nationkey")
+        .unionAll(audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionAll(audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(audit("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+        .orderBy($"relationship")
+    }),
+
     // First-order event-type transition matrix per user sequence (the
     // Markov-chain summary of behavioral telemetry): per (current, next)
     // type, the transition count and probability. One user-keyed window
@@ -91,6 +120,29 @@ object Mining extends QueryGroup {
         |JOIN isup s2 ON s2.l_partkey = p2
         |CROSS JOIN n
         |ORDER BY p1, p2""".stripMargin,
+
+    "q_audit_fk" ->
+      """WITH a AS (
+        |  SELECT 'customer->nation' AS relationship, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem->part', COUNT(*),
+        |    CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', COUNT(*),
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'supplier->nation', COUNT(*),
+        |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT * FROM a ORDER BY relationship""".stripMargin,
 
     "q_mine_transitions" ->
       """WITH e AS (
