@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Bfs
+
+/** Direct coverage of frontier-synchronous BFS against an in-memory
+  * reference: hop minimality on random graphs, multi-seed minimum-distance
+  * semantics, unreachability, and the maxHops truncation contract. */
+class BfsSpec extends BaseSpec {
+  import spark.implicits._
+
+  private def dists(es: Seq[(Long, Long)], seeds: Seq[Long],
+                    maxHops: Int = 8): Map[Long, Int] =
+    Bfs.run(spark, es.toDF("u1", "u2"), seeds.toDF("id"), maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  /** Queue BFS reference over the symmetric adjacency. */
+  private def reference(es: Seq[(Long, Long)], seeds: Seq[Long],
+                        maxHops: Int): Map[Long, Int] = {
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0): _*)
+    var frontier = seeds
+    var d = 0
+    while (frontier.nonEmpty && d < maxHops) {
+      d += 1
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(dist(_) = d)
+    }
+    dist.toMap
+  }
+
+  test("hop distances match queue BFS on random graphs, multi-seed takes the min") {
+    val rnd = new scala.util.Random(17L)
+    for (trial <- 1 to 3) {
+      val n = 80
+      val es = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val seeds = Seq.fill(3)(rnd.nextInt(n).toLong).distinct
+      val got = dists(es, seeds)
+      val exp = reference(es, seeds, 8)
+      assert(got == exp, s"trial $trial: $got vs $exp")
+    }
+  }
+
+  test("chain: layers count up from the seed; unreachable component absent") {
+    // 0-1-2-...-9 chain plus a disjoint pair (100, 101)
+    val es = (0L until 9L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val got = dists(es, Seq(0L), maxHops = 20)
+    assert((0L to 9L).forall(i => got(i) == i.toInt), s"chain layers wrong: $got")
+    assert(!got.contains(100L) && !got.contains(101L),
+      "unreachable component must not appear")
+  }
+
+  test("maxHops truncates the expansion, distances within the cap unchanged") {
+    val es = (0L until 9L).map(i => (i, i + 1))
+    val got = dists(es, Seq(0L), maxHops = 3)
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3),
+      s"cap=3 must keep exactly layers 0..3: $got")
+  }
+
+  test("seed inside a cycle: both directions explored, min distance wins") {
+    // 6-cycle from vertex 0: dist(3) = 3 via either arc, dist(5) = 1
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L))
+    val got = dists(es, Seq(0L))
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 1), got.toString)
+  }
+}
