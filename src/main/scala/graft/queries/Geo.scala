@@ -304,6 +304,28 @@ object Geo extends QueryGroup {
         .limit(10)
     }),
 
+    // Personalized PageRank from the 3 smallest vertex ids (random walk
+    // with restart, Jeh & Widom WWW'03) — "who is close to THESE users",
+    // the recommendation twin of the global ranking above. Same rounding/
+    // tie discipline; unreachable vertices hold exactly zero mass and are
+    // filtered so the top-10 is meaningful on sparse graphs. No SQL oracle
+    // (iterative damped ranking); PprSpec pins node-wise equality to a
+    // driver-side reference, Σrank = 1, zero-mass unreachability, and
+    // seed-locality vs global PageRank.
+    "m_graph_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      val edges = pairs.select($"u1".as("src"), $"u2".as("dst"))
+        .unionAll(pairs.select($"u2".as("src"), $"u1".as("dst")))
+      val seeds = pairs.select($"u1".as("id")).unionAll(pairs.select($"u2".as("id")))
+        .distinct().orderBy($"id").limit(3)
+      graft.operators.Ppr.run(s, edges, seeds, iterations = 10)
+        .filter($"rank" > 0.0)
+        .select($"id".as("user_id"), round($"rank", 6).as("rank"))
+        .orderBy($"rank".desc, $"user_id")
+        .limit(10)
+    }),
+
     // Degree distribution of the co-traveler graph (minHours ≥ 2): how
     // many users have k co-travel partners — the mixing-structure summary
     // an analyst reads before trusting m_graph_pagerank's ranking, and an
@@ -395,6 +417,39 @@ object Geo extends QueryGroup {
         .groupBy($"comp").agg(count(lit(1)).as("size"))
         .groupBy($"size").agg(count(lit(1)).as("n_components"))
         .orderBy($"size")
+    }),
+
+    // Link prediction on the co-traveler graph (Liben-Nowell & Kleinberg,
+    // CIKM 2003): for NON-adjacent pairs with ≥1 common neighbor, the
+    // common-neighbor count and Adamic-Adar score Σ 1/ln(deg(z)) — "who
+    // will co-travel next". Two-hop equi-join through the shared neighbor
+    // (the inverted-index shape again: shuffles on vertex keys, fanout
+    // bounded by Σ C(deg,2), never all pairs), minus existing edges via
+    // anti-join. deg(z) ≥ 2 by construction (z touches both endpoints), so
+    // ln is never 0. ln-parity discipline: per-z term rounded 6, summed
+    // through DECIMAL; order by (cn desc, u, v) is aa-independent and
+    // fully deterministic. Top-20 plans as TakeOrderedAndProject.
+    "q_graph_linkpred" -> ((s, dir) => {
+      import s.implicits._
+      val pr = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+        .select($"u1", $"u2")
+      val sym = pr.select($"u1".as("u"), $"u2".as("v"))
+        .unionAll(pr.select($"u2".as("u"), $"u1".as("v")))
+      val deg = sym.groupBy($"u".as("z")).agg(count(lit(1)).as("deg"))
+      val hops = sym.as("a").join(sym.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"), col("a.v").as("z"))
+        .filter($"u" < $"v")
+      val nonEdges = hops.join(pr,
+          hops("u") === pr("u1") && hops("v") === pr("u2"), "left_anti")
+      nonEdges.join(deg, Seq("z"))
+        .withColumn("term", round(lit(1.0) / log($"deg"), 6))
+        .groupBy($"u", $"v")
+        .agg(count(lit(1)).as("cn"),
+             sum($"term".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+               .cast("double").as("aa"))
+        .filter($"cn" >= 1)
+        .orderBy($"cn".desc, $"u", $"v")
+        .limit(20)
     }),
 
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
@@ -624,6 +679,36 @@ object Geo extends QueryGroup {
         |sizes AS (SELECT comp, COUNT(*) AS size FROM assign GROUP BY comp)
         |SELECT size, COUNT(*) AS n_components
         |FROM sizes GROUP BY size ORDER BY size""".stripMargin),
+
+    "q_graph_linkpred" -> (ptsCte +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |sym AS (SELECT u1 AS u, u2 AS v FROM pr
+        |        UNION ALL SELECT u2, u1 FROM pr),
+        |deg AS (SELECT u AS z, COUNT(*) AS deg FROM sym GROUP BY u),
+        |hops AS (
+        |  SELECT a.u AS u, b.v AS v, a.v AS z
+        |  FROM sym a JOIN sym b ON a.v = b.u
+        |  WHERE a.u < b.v),
+        |ne AS (
+        |  SELECT h.* FROM hops h
+        |  WHERE NOT EXISTS (SELECT 1 FROM pr WHERE u1 = h.u AND u2 = h.v)),
+        |scored AS (
+        |  SELECT u, v, COUNT(*) AS cn,
+        |    CAST(SUM(CAST(round(1.0 / ln(deg), 6) AS DECIMAL(18,6))) AS DOUBLE) AS aa
+        |  FROM ne JOIN deg USING (z)
+        |  GROUP BY u, v HAVING COUNT(*) >= 1)
+        |SELECT u, v, cn, aa FROM scored
+        |ORDER BY cn DESC, u, v LIMIT 20""".stripMargin),
 
     "q_traj_sim" -> (ptsCte +
       """,
