@@ -72,6 +72,7 @@ object Bench {
       // so a slow sample is attributable to rounds × actions, not guessed.
       if (name == "m_graph_pagerank") iters(name) = graft.operators.PageRank.lastIterations
       if (name == "m_graph_lp") iters(name) = graft.operators.LabelProp.lastIterations
+      if (name == "m_graph_ppr") iters(name) = graft.operators.Ppr.lastIterations
       val best =
         if (a < 0) b
         else if (b < 0) a
