@@ -475,6 +475,31 @@ class PlanSpec extends BaseSpec {
       s"q_dedup_substring: positional shingle generator missing:\n$plan")
   }
 
+  test("mining and link-prediction joins stay equi-keyed: no cartesian, top-k stays a heap") {
+    // The inverted-index/basket claims as plan shape: every join in the
+    // basket self-join, the two-hop neighbor join, and the FK audit must
+    // be an equi hash/sort-merge join — a naive formulation would surface
+    // as CartesianProduct/BroadcastNestedLoop. q_graph_linkpred's top-20
+    // must additionally plan as TakeOrderedAndProject, not a global sort.
+    // q_mine_pairs carries exactly ONE nested-loop join by design: the
+    // broadcast of the one-row N_orders scalar (same pattern as
+    // q_text_lmscore's vocab scalar) — anything beyond that is a leak.
+    for ((key, allowedBnlj) <- Seq("q_mine_pairs" -> 1, "q_graph_linkpred" -> 0,
+                                   "q_audit_fk" -> 0)) {
+      val plan = SparkEntry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$key: cartesian product leaked into the plan:\n$plan")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= allowedBnlj,
+        s"$key: $bnlj nested-loop joins (allowed $allowedBnlj):\n$plan")
+    }
+    val lp = SparkEntry.queries("q_graph_linkpred")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(lp.contains("TakeOrderedAndProject"),
+      s"q_graph_linkpred: top-20 must be a per-partition heap:\n$lp")
+  }
+
   test("q_text_lmscore: only the vocab scalar is hint-broadcast; model joins degrade to shuffles") {
     // At fixture scale the optimizer rightly auto-broadcasts the small
     // c2/c1 model tables — that is stats-driven and reverses itself at
