@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-core extraction (Seidman, Social Networks 1983): iteratively peel
+  * vertices of degree < k until the remaining subgraph is stable — the
+  * densest-region primitive beside the suite's PageRank/LP/BFS/CC/link
+  * prediction. The k-core is where communities, spam farms, and convoy
+  * cores live; degree alone can't find it (a high-degree hub whose
+  * neighbors are all leaves survives a degree filter but not the 2-core).
+  *
+  * Each round is two degree-filter semi-joins over the shrinking edge
+  * list — vertex-keyed shuffles only, the peeling equivalent of the CC
+  * contraction loop. The edge set shrinks MONOTONICALLY, so fixpoint
+  * detection is an edge-count equality on cadence rounds (one driver
+  * action per `checkEvery`, the PageRank/LabelProp discipline); a late
+  * exit re-runs cheap no-op joins, never changes the result. Rounds are
+  * bounded by the peeling depth (≤ vertex count; in practice a handful).
+  */
+object KCore {
+  @volatile var lastIterations: Int = -1
+
+  /** @param edges undirected pair list (u1, u2), each pair once
+    * @return (id) — vertices of the k-core */
+  def coreMembers(spark: SparkSession, edges: DataFrame, k: Int,
+                  maxIter: Int = 25, checkEvery: Int = 2): DataFrame = {
+    import spark.implicits._
+    var e = edges.select($"u1".as("src"), $"u2".as("dst"))
+      .unionAll(edges.select($"u2".as("src"), $"u1".as("dst")))
+      .localCheckpoint(eager = true)
+    var prevEdges = e.count()
+    var i = 0
+    var done = prevEdges == 0
+    while (i < maxIter && !done) {
+      i += 1
+      val cadence = i % checkEvery == 0 || i == maxIter
+      val keep = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"id")
+      val next = e
+        .join(keep.select($"id".as("src")), Seq("src"), "left_semi")
+        .join(keep.select($"id".as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(eager = cadence)
+      if (cadence) {
+        val n = next.count()
+        done = n == prevEdges || n == 0
+        prevEdges = n
+      }
+      e = next
+    }
+    lastIterations = i
+    e.select($"src".as("id")).distinct()
+  }
+}

@@ -452,6 +452,26 @@ object Geo extends QueryGroup {
         .limit(20)
     }),
 
+    // k-core sizes of the co-traveler graph (Seidman 1983): vertices
+    // surviving iterative degree-< k peeling, for k = 2 and 3 — the
+    // dense-region summary a degree filter gets wrong (a hub whose
+    // neighbors are all leaves has high degree but no 2-core membership).
+    // No SQL oracle (iterative peeling has no recursive-CTE analog —
+    // the fixpoint is over aggregates, not reachability); KCoreSpec pins
+    // reference peeling, core nesting, internal-degree ≥ k, and the
+    // hub-vs-core distinction.
+    "m_graph_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+        .select($"u1", $"u2")
+      Seq(2, 3).map { k =>
+        graft.operators.KCore.coreMembers(s, pairs, k)
+          .agg(count(lit(1)).as("n_vertices"))
+          .select(lit(k).as("k"), $"n_vertices")
+      }.reduce(_ unionAll _)
+        .orderBy($"k")
+    }),
+
     // Property-tested (DbscanSpec): exact match vs in-memory DBSCAN.
     // (ε=1.0°, minPts=5) picked off the measured degree distribution of the
     // derived lattice at bench density: mean ε-degree ≈ 4.9 → ~63% of

@@ -12,6 +12,35 @@ import Q._
   */
 object Mining extends QueryGroup {
 
+  /** Shared basket substrate: (item supports, frequent pairs with support
+    * ≥ 3). Memoized per (session, sfDir) — q_mine_pairs and q_mine_rules
+    * are two views of ONE A-priori run, same discipline as the dedup
+    * cluster and co-traveler memos. */
+  private val basketMemo =
+    new graft.SessionMemo[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  private val MinSup = 3L
+
+  private def basket(s: org.apache.spark.sql.SparkSession, dir: String) =
+    basketMemo.getOrCompute(s, dir) {
+      import s.implicits._
+      val items = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val isup = items.groupBy($"l_partkey").agg(count(lit(1)).as("sup"))
+        .localCheckpoint(eager = false)
+      val frequent = items
+        .join(isup.filter($"sup" >= MinSup).select($"l_partkey"), Seq("l_partkey"))
+      val pairs = frequent.as("a")
+        .join(frequent.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= MinSup)
+        .localCheckpoint(eager = false)
+      (isup, pairs)
+    }
+
   val queries: Map[String, QFn] = Map(
     // Frequent part PAIRS across order baskets (support ≥ 3) with lift —
     // the association-rule mining step (Agrawal & Srikant, VLDB 1994).
@@ -25,20 +54,9 @@ object Mining extends QueryGroup {
     // double division both engines — deterministic, round(4) belt only.
     "q_mine_pairs" -> ((s, dir) => {
       import s.implicits._
-      val minSup = 3L
-      val items = t(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct()
-      val isup = items.groupBy($"l_partkey").agg(count(lit(1)).as("sup"))
-      val frequent = items
-        .join(isup.filter($"sup" >= minSup).select($"l_partkey"), Seq("l_partkey"))
-      val pairs = frequent.as("a")
-        .join(frequent.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter($"n_orders" >= minSup)
-      val nOrders = items.select($"l_orderkey").distinct()
+      val (isup, pairs) = basket(s, dir)
+      val nOrders = t(s, dir, "lineitem")
+        .select($"l_orderkey").distinct()
         .agg(count(lit(1)).as("n_total"))
       pairs
         .join(isup.select($"l_partkey".as("p1"), $"sup".as("s1")), Seq("p1"))
@@ -47,6 +65,25 @@ object Mining extends QueryGroup {
         .select($"p1", $"p2", $"n_orders",
           round(($"n_orders" * $"n_total") / ($"s1" * $"s2"), 4).as("lift"))
         .orderBy($"p1", $"p2")
+    }),
+
+    // Directional association rules from the same A-priori run (the
+    // confidence step completing q_mine_pairs): each frequent pair yields
+    // both rules, conf(a→c) = n_pair / support(a). Shares the memoized
+    // basket substrate — one pair join per session. Top-20 by confidence:
+    // conf is ONE exact long/long division, so both engines compute the
+    // identical double and even the ORDER BY agrees (the q_sample_weighted
+    // precedent); ties break on (antecedent, consequent).
+    "q_mine_rules" -> ((s, dir) => {
+      import s.implicits._
+      val (isup, pairs) = basket(s, dir)
+      val rules = pairs.select($"p1".as("antecedent"), $"p2".as("consequent"), $"n_orders")
+        .unionAll(pairs.select($"p2".as("antecedent"), $"p1".as("consequent"), $"n_orders"))
+      rules.join(isup.select($"l_partkey".as("antecedent"), $"sup"), Seq("antecedent"))
+        .select($"antecedent", $"consequent", $"n_orders",
+          round($"n_orders" / $"sup", 6).as("conf"))
+        .orderBy($"conf".desc, $"antecedent", $"consequent")
+        .limit(20)
     }),
 
     // Referential-integrity audit across the star schema — the data-quality
@@ -120,6 +157,26 @@ object Mining extends QueryGroup {
         |JOIN isup s2 ON s2.l_partkey = p2
         |CROSS JOIN n
         |ORDER BY p1, p2""".stripMargin,
+
+    "q_mine_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |isup AS (
+        |  SELECT l_partkey, COUNT(*) AS sup FROM items GROUP BY l_partkey),
+        |frequent AS (
+        |  SELECT items.* FROM items JOIN isup USING (l_partkey) WHERE sup >= 3),
+        |pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+        |  FROM frequent a JOIN frequent b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |rules AS (
+        |  SELECT p1 AS antecedent, p2 AS consequent, n_orders FROM pr
+        |  UNION ALL SELECT p2, p1, n_orders FROM pr)
+        |SELECT antecedent, consequent, n_orders,
+        |  round(n_orders / s.sup, 6) AS conf
+        |FROM rules JOIN isup s ON s.l_partkey = antecedent
+        |ORDER BY conf DESC, antecedent, consequent LIMIT 20""".stripMargin,
 
     "q_audit_fk" ->
       """WITH a AS (
