@@ -812,6 +812,61 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("GK quantile restart recovery: summary tuples survive the checkpoint, bounds still hold") {
+    // ListState recovery for the sketch processor: stop mid-stream,
+    // restart from the same checkpointLocation, feed the remainder — the
+    // final estimate must satisfy the ±εn rank bound over the WHOLE
+    // stream (a rebuilt-from-scratch summary would only know the second
+    // half and miss the true median by far more than εn).
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val eps = 0.02
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_gk_ckpt").toString
+      val rnd = new scala.util.Random(19)
+      // first half low values, second half high — losing the first half
+      // would shift the median estimate into the high band
+      val lowHalf  = (1 to 4000).map(_ => graft.streaming.ValRow("g", rnd.nextDouble() * 100))
+      val highHalf = (1 to 4000).map(_ => graft.streaming.ValRow("g", 900 + rnd.nextDouble() * 100))
+      val input = MemoryStream[graft.streaming.ValRow]
+      // foreachBatch is the recoverable-sink seam (the memory sink rejects
+      // checkpoint recovery by design)
+      val seen = scala.collection.mutable.ListBuffer.empty[(String, Double, Double, Long, Int)]
+      def start() = StreamOps.quantileStream(input.toDS(), eps)
+        .toDF("grp", "p50", "p95", "processed", "tuples")
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.as[(String, Double, Double, Long, Int)].collect()
+          seen.synchronized { seen ++= rows }
+          ()
+        }
+        .start()
+
+      val q1 = start()
+      input.addData(lowHalf: _*)
+      q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+
+      val q2 = start()
+      input.addData(highHalf: _*)
+      q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+      val (_, p50, _, n, _) = seen.synchronized { seen.toList }.maxBy(_._4)
+      assert(n == 8000L, s"state lost across restart: processed $n of 8000")
+      val sorted = (lowHalf ++ highHalf).map(_.value).sorted.toArray
+      val rank = sorted.count(_ <= p50).toDouble
+      assert(math.abs(rank - 0.5 * 8000) <= eps * 8000 + 1,
+        s"post-restart median $p50 at rank $rank violates the ±εn bound " +
+          "— first-half summary not recovered?")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("stateful runningState matches batch equivalent across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
