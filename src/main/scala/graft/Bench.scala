@@ -73,6 +73,8 @@ object Bench {
       if (name == "m_graph_pagerank") iters(name) = graft.operators.PageRank.lastIterations
       if (name == "m_graph_lp") iters(name) = graft.operators.LabelProp.lastIterations
       if (name == "m_graph_ppr") iters(name) = graft.operators.Ppr.lastIterations
+      if (name == "m_graph_kcore") iters(name) = graft.operators.KCore.lastIterations
+      if (name == "q_graph_bfs") iters(name) = graft.operators.Bfs.lastIterations
       val best =
         if (a < 0) b
         else if (b < 0) a

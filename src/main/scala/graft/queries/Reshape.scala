@@ -562,6 +562,28 @@ object Reshape extends QueryGroup {
         .orderBy($"user_id")
     }),
 
+    // The NATIVE session_window operator (the same physical machinery
+    // Structured Streaming's session windows use), exercised in batch
+    // through the hash gate. Boundary semantics differ from the
+    // gaps-and-islands formulation above by ONE comparison: session_window
+    // spans [start, last + gap), so an event at EXACTLY prev + gap opens a
+    // new session (islands' `diff > gap` keeps it) — the oracle mirrors
+    // that with `>=`, pinning the operator's actual contract rather than
+    // assuming the two formulations agree. Output is integer-exact
+    // (counts + µs spans from window bounds).
+    "q_sessionize_native" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"user_id", $"ts")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+             (unix_micros($"w.end") - unix_micros($"w.start")).as("win_us"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"),
+             max($"win_us").as("max_win_us"))
+        .orderBy($"user_id")
+    }),
+
     // Gaps-and-islands: maximal runs of the SAME event_type per user in
     // time order (the run-length shape — repeated telemetry states, retry
     // storms, quality streaks). Island id = rn_user − rn_user_type, the
@@ -1061,6 +1083,28 @@ object Reshape extends QueryGroup {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(MAX(span_us) AS BIGINT) AS max_span_us
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sessionize_native" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s2 AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT user_id, sid, COUNT(*) AS n,
+        |    MAX(ts_us) - MIN(ts_us) + 1800000000 AS win_us
+        |  FROM s2 GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(MAX(win_us) AS BIGINT) AS max_win_us
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_streak" ->
