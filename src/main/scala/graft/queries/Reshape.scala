@@ -547,6 +547,31 @@ object Reshape extends QueryGroup {
         .orderBy($"col")
     }),
 
+    // Day-of-week seasonal index per event type (the seasonality profile
+    // read before detrending/anomaly thresholds): per (type, dow), event
+    // count, decimal-exact mean value, and the ratio to the type's overall
+    // mean. dow is CALENDAR-FREE integer arithmetic — (epoch_days + 4) % 7,
+    // 0 = Sunday — because Spark's dayofweek and DuckDB's extract(dow)
+    // disagree on numbering and tz handling; identical integer text on
+    // both engines removes the whole class. idx divides two decimal-routed
+    // doubles computed identically, so round(4) is belt only. One scan,
+    // two hash aggregates, a broadcast-sized per-type join.
+    "q_time_seasonal" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", $"value",
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+      val per = ev.groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("n"), davg($"value", 6).as("dow_avg"))
+      val tot = ev.groupBy($"event_type")
+        .agg(davg($"value", 6).as("all_avg"))
+      per.join(broadcast(tot), Seq("event_type"))
+        .select($"event_type", $"dow", $"n",
+          round($"dow_avg", 4).as("avg_val"),
+          round($"dow_avg" / $"all_avg", 4).as("idx"))
+        .orderBy($"event_type", $"dow")
+    }),
+
     // Batch sessionization: 30-minute inactivity gap, per-user session
     // stats. Single user_id shuffle feeds windows and both aggregates.
     "q_sessionize" -> ((s, dir) => {
@@ -1084,6 +1109,23 @@ object Reshape extends QueryGroup {
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(MAX(span_us) AS BIGINT) AS max_span_us
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_time_seasonal" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, value,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow
+         |  FROM events),
+         |per AS (
+         |  SELECT event_type, dow, COUNT(*) AS n,
+         |    ${Q.oAvg("value", 6)} AS dow_avg
+         |  FROM ev GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type AS et, ${Q.oAvg("value", 6)} AS all_avg
+         |  FROM ev GROUP BY 1)
+         |SELECT event_type, dow, n, round(dow_avg, 4) AS avg_val,
+         |  round(dow_avg / all_avg, 4) AS idx
+         |FROM per JOIN tot ON per.event_type = tot.et
+         |ORDER BY event_type, dow""".stripMargin,
 
     "q_sessionize_native" ->
       """WITH ev AS (
