@@ -29,9 +29,9 @@ object TextPipeline extends QueryGroup {
   }
 
   /** Distinct 3-gram token shingles per doc (docs with ≥3 tokens). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents")
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
@@ -39,6 +39,9 @@ object TextPipeline extends QueryGroup {
         .as("s"))
       .distinct()
   }
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(t(s, dir, "documents"))
 
   private val shinglesCte =
     """WITH tt AS (
@@ -50,12 +53,30 @@ object TextPipeline extends QueryGroup {
       |            for i in range(1, len(toks) - 1)]) AS s
       |  FROM tt)""".stripMargin
 
-  /** Exact shingle-Jaccard pairs (d1 < d2, jaccard ≥ minJ) — the shared
-    * substrate of the near-dup truth query and the dedup-clustering step.
-    * Shuffles on the shingle key (the inverted-index join), never all pairs. */
-  private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
-    import s.implicits._
-    val sh = shingles(s, dir)
+  /** Document-frequency cap on the Jaccard shingle universe. A shingle in
+    * more than this many documents is boilerplate ("all rights reserved"):
+    * the inverted-index self-join fans out Σ_s df(s)² candidates, so one
+    * hot shingle makes candidate generation quadratic in corpus size at
+    * 100 TB. Dropping capped shingles from the universe (numerator AND
+    * denominator, so Jaccard stays internally consistent) is lossless for
+    * high-Jaccard pairs at sane caps and is DECLARED SEMANTICS mirrored
+    * verbatim in the oracle CTE — the same discipline q_text_contam
+    * already uses — so parity exercises the capped path. A no-op at
+    * fixture density (max df ≈ tens), a hard fanout bound at scale. */
+  private[graft] val jaccardMaxDf = 1000L
+
+  /** Exact shingle-Jaccard pairs (d1 < d2, jaccard ≥ minJ) over the
+    * df-capped shingle universe — the shared substrate of the near-dup
+    * truth query and the dedup-clustering step. Shuffles on the shingle
+    * key (the inverted-index join), never all pairs; [[jaccardMaxDf]]
+    * bounds the per-shingle fanout. */
+  private[graft] def jaccardPairsFrom(
+      docs: DataFrame, minJ: Double, maxDf: Long = jaccardMaxDf): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh0 = shinglesOf(docs)
+    val rare = sh0.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"s")
+    val sh = sh0.join(rare, Seq("s"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("s"))
       .filter($"a.doc_id" < $"b.doc_id")
@@ -69,15 +90,23 @@ object TextPipeline extends QueryGroup {
       .select($"d1", $"d2", $"jaccard")
   }
 
-  /** Oracle-side mirror of [[jaccardPairs]]: appends sizes/inter/pairs CTEs
-    * to [[shinglesCte]]. */
+  private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame =
+    jaccardPairsFrom(t(s, dir, "documents"), minJ)
+
+  /** Oracle-side mirror of [[jaccardPairsFrom]]: appends the df-cap +
+    * sizes/inter/pairs CTEs to [[shinglesCte]]. The `shdf`/`shf` CTEs are
+    * the SQL twin of the [[jaccardMaxDf]] guard — both engines compute
+    * Jaccard over the identical capped universe. */
   private def jaccardPairsCte(minJ: Double): String =
     shinglesCte +
       s""",
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |shdf AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+         |shf AS (SELECT sh.doc_id, sh.s FROM sh
+         |        JOIN shdf ON shdf.s = sh.s WHERE shdf.df <= $jaccardMaxDf),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
-         |  FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id
+         |  FROM shf a JOIN shf b ON a.s = b.s WHERE a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |pairs AS (
          |  SELECT d1, d2, round(ni * 1.0 / (s1.n + s2.n - ni), 4) AS jaccard
@@ -332,7 +361,9 @@ object TextPipeline extends QueryGroup {
         .orderBy($"mode", $"h")
     }),
 
-    // Exact 3-gram-shingle Jaccard ≥ 0.8 — ground truth for MinHash/SimHash.
+    // Exact 3-gram-shingle Jaccard ≥ 0.8 over the df-capped shingle
+    // universe (jaccardMaxDf, declared on both engines) — ground truth for
+    // MinHash/SimHash.
     "q_dedup_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.8).orderBy(col("d1"), col("d2"))),
 

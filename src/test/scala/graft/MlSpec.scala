@@ -42,6 +42,33 @@ class MlSpec extends BaseSpec {
       s"decoys share no shingles and must not pair up; got $got")
   }
 
+  test("jaccard df-cap: planted boilerplate shingle does not blow up candidates") {
+    // 40 docs share ONE boilerplate 3-gram ("all rights reserved") and are
+    // otherwise disjoint — without a df cap the inverted-index self-join
+    // fans out 40·39/2 = 780 candidate pairs from that single hot shingle
+    // (the Σ df² term that goes quadratic at 100 TB). With the cap below
+    // the boilerplate's df, the hot shingle leaves the declared universe:
+    // the only surviving pair is the genuine near-dup, whose Jaccard over
+    // rare shingles is unchanged. minJ = 0 so the assert sees candidate
+    // fanout itself, not the post-filter.
+    import graft.queries.TextPipeline
+    val boiler = "all rights reserved"
+    val uniq = (1L to 40L).map(i =>
+      i -> (s"$boiler " + (1 to 10).map(j => s"u${i}x$j").mkString(" ")))
+    val base = "shared tokens here " + (1 to 9).map(j => s"n$j").mkString(" ")
+    val docs = (uniq :+ (100L -> base) :+ (101L -> (base + " tail")))
+      .toDF("doc_id", "text")
+    val uncapped = TextPipeline.jaccardPairsFrom(docs, 0.0, maxDf = 10000L)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1,
+      s"sanity: uncapped fanout should be 781 pairs, got ${uncapped.size}")
+    val capped = TextPipeline.jaccardPairsFrom(docs, 0.0, maxDf = 5L)
+      .select($"d1", $"d2", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)),
+      s"capped candidates must be exactly the true near-dup; got ${capped.toSeq}")
+    assert(capped.head._3 > 0.9, s"near-dup Jaccard unchanged by the cap: ${capped.head._3}")
+  }
+
   test("SimHash banding finds exactly the brute-force Hamming<=3 pairs") {
     // split(" ", -1) matches Spark's split() semantics (trailing empties
     // kept) so the driver-side reference tokenizes exactly like the plan.
