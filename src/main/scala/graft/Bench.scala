@@ -59,7 +59,9 @@ object Bench {
         catch { case scala.util.control.NonFatal(e) =>
           errors.getOrElseUpdate(name, {
             val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-            m.replaceAll("[\\s\"\\\\]+", " ").trim.take(160)
+            // scrub whitespace, quotes, backslashes AND control chars —
+            // a stray 0x01 byte in an exception message must not corrupt the JSON
+            m.replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
           })
           -1.0
         }
@@ -67,14 +69,12 @@ object Bench {
       val a = once()
       val b = once()
       samples(name) = (a, b)
-      // Executed-round counts for the iterative graph keys (set by the run
-      // the min came from or its twin — both run the same fixed-cap loop),
-      // so a slow sample is attributable to rounds × actions, not guessed.
-      if (name == "m_graph_pagerank") iters(name) = graft.operators.PageRank.lastIterations
-      if (name == "m_graph_lp") iters(name) = graft.operators.LabelProp.lastIterations
-      if (name == "m_graph_ppr") iters(name) = graft.operators.Ppr.lastIterations
-      if (name == "m_graph_kcore") iters(name) = graft.operators.KCore.lastIterations
-      if (name == "q_graph_bfs") iters(name) = graft.operators.Bfs.lastIterations
+      // Executed-round counts for the iterative keys (set by the run the
+      // min came from or its twin — both run the same fixed-cap loop), so
+      // a slow sample is attributable to rounds × actions, not guessed.
+      // Bindings self-register at query-group init (LastIterations) — a
+      // new iterative operator gets its line without editing Bench.
+      graft.operators.LastIterations.get(name).foreach(iters(name) = _)
       val best =
         if (a < 0) b
         else if (b < 0) a

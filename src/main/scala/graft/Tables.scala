@@ -39,7 +39,14 @@ object Tables {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // NTZ→TIMESTAMP cast interprets the naive value in the session zone;
         // UTC makes it epoch-preserving, matching DuckDB's naive epoch_us.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        // ASSERT rather than set: every entry point (Verify, Bench, the
+        // test session, GoldenGen) pins UTC at session construction, and a
+        // table load silently mutating session config would change the
+        // behavior of unrelated tz-sensitive expressions mid-session
+        // depending on whether/when events was first touched.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events loader requires spark.sql.session.timeZone=UTC (pin it " +
+            "at session construction); refusing to mutate session config")
         val raw = spark.read.parquet(s"$sfDir/events.parquet")
         raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>

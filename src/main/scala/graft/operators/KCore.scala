@@ -16,15 +16,22 @@ import org.apache.spark.sql.functions._
   * detection is an edge-count equality on cadence rounds (one driver
   * action per `checkEvery`, the PageRank/LabelProp discipline); a late
   * exit re-runs cheap no-op joins, never changes the result. Rounds are
-  * bounded by the peeling depth (≤ vertex count; in practice a handful).
+  * bounded by the peeling depth — O(|V|) in the worst case (k=2 on a long
+  * path peels one layer per round), so exhausting `maxIter` before the
+  * fixpoint is a REAL possibility on chain-like graphs. Returning the
+  * partially-peeled edge set then would be a silent superset of the
+  * k-core, so non-convergence THROWS instead (the final round is always a
+  * cadence round, so the exit state is never stale).
   */
 object KCore {
   @volatile var lastIterations: Int = -1
 
   /** @param edges undirected pair list (u1, u2), each pair once
-    * @return (id) — vertices of the k-core */
+    * @return (id) — vertices of the k-core
+    * @throws IllegalStateException if the peeling fixpoint is not reached
+    *         within `maxIter` rounds (raise `maxIter` for deep graphs) */
   def coreMembers(spark: SparkSession, edges: DataFrame, k: Int,
-                  maxIter: Int = 25, checkEvery: Int = 2): DataFrame = {
+                  maxIter: Int = 50, checkEvery: Int = 2): DataFrame = {
     import spark.implicits._
     var e = edges.select($"u1".as("src"), $"u2".as("dst"))
       .unionAll(edges.select($"u2".as("src"), $"u1".as("dst")))
@@ -49,6 +56,11 @@ object KCore {
       e = next
     }
     lastIterations = i
+    if (!done)
+      throw new IllegalStateException(
+        s"k-core peeling did not reach its fixpoint in $maxIter rounds " +
+          s"($prevEdges directed edges still shrinking) — the partial edge " +
+          s"set is a superset of the $k-core; raise maxIter")
     e.select($"src".as("id")).distinct()
   }
 }

@@ -28,6 +28,18 @@ import Q._
   * rounded to integer km/h. */
 object Geo extends QueryGroup {
 
+  // Executed-round attribution for Bench's iterations line: the binding
+  // lives HERE, next to the key declarations, so adding an iterative key
+  // never requires a Bench edit (operators/LastIterations).
+  locally {
+    import graft.operators.LastIterations.register
+    register("m_graph_pagerank")(graft.operators.PageRank.lastIterations)
+    register("m_graph_lp")(graft.operators.LabelProp.lastIterations)
+    register("m_graph_ppr")(graft.operators.Ppr.lastIterations)
+    register("m_graph_kcore")(graft.operators.KCore.lastIterations)
+    register("q_graph_bfs")(graft.operators.Bfs.lastIterations)
+  }
+
   /** Co-traveler pair memo: m_graph_pagerank and q_graph_degree read the
     * SAME coTravelers(cell=20°, minHours=2) pair set — one bucket join per
     * (session, sfDir, params) behind a lazy checkpoint instead of one per

@@ -65,4 +65,18 @@ class KCoreSpec extends BaseSpec {
     assert(core(Seq((1L, 2L), (2L, 3L)), 2).isEmpty) // path has no 2-core
     assert(core(Seq.empty, 2).isEmpty)
   }
+
+  test("exhausting maxIter before the fixpoint throws, never a silent superset") {
+    // k=2 peeling on a long path removes one layer (two endpoints) per
+    // round — peeling depth ~n/2, far past a 3-round cap. The old behavior
+    // returned the partially-peeled (wrong, superset) vertex set.
+    val path = (0L until 30L).sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val ex = intercept[IllegalStateException] {
+      KCore.coreMembers(spark, path.toDF("u1", "u2"), 2, maxIter = 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+    // the same graph converges (to the empty 2-core) under the default cap
+    assert(core(path, 2).isEmpty)
+  }
 }

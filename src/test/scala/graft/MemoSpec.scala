@@ -53,4 +53,17 @@ class MemoSpec extends BaseSpec {
     assert(memo.sizeFor(spark) == 0)
     assert(memo.getOrCompute(spark, "k") { calls += 1; calls } == 2)
   }
+
+  test("every iterative key self-registers its round counter for Bench") {
+    // Bench attributes slow iterative keys via LastIterations; the
+    // bindings register at query-group init, which SparkEntry.queries
+    // forces — exactly the order Bench observes them in.
+    assert(SparkEntry.queries.nonEmpty)
+    val keys = graft.operators.LastIterations.registeredKeys
+    for (k <- Seq("m_graph_pagerank", "m_graph_lp", "m_graph_ppr",
+                  "m_graph_kcore", "q_graph_bfs"))
+      assert(keys.contains(k), s"iterative key $k lost its Bench attribution")
+    // unregistered keys and never-run counters read as None, not a sentinel
+    assert(graft.operators.LastIterations.get("q_scan_count").isEmpty)
+  }
 }

@@ -773,6 +773,28 @@ class PlanSpec extends BaseSpec {
     assert(fp <= 0.1, f"measured fpp $fp%.4f exceeds 10× the 0.01 target")
   }
 
+  test("bloom memo hits across freshly-constructed value-equal build plans") {
+    // q_join_bloom rebuilds the urgent-orders filter per invocation; the
+    // memo keys on the CANONICALIZED build plan, so fresh-but-equal plans
+    // must share one entry (one build aggregate, one bloom_mc_N temp
+    // function) instead of leaking an entry + registration per call.
+    import org.apache.spark.sql.functions.col
+    val li = Tables(spark, sf, "lineitem")
+    def urgent() = Tables(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val before = graft.operators.BloomSemiJoin.memoSizeFor(spark)
+    graft.operators.BloomSemiJoin
+      .semi(spark, li, "l_orderkey", urgent(), "o_orderkey").count()
+    val after1 = graft.operators.BloomSemiJoin.memoSizeFor(spark)
+    graft.operators.BloomSemiJoin
+      .semi(spark, li, "l_orderkey", urgent(), "o_orderkey").count()
+    val after2 = graft.operators.BloomSemiJoin.memoSizeFor(spark)
+    assert(after1 - before <= 1, s"first call added ${after1 - before} entries")
+    assert(after2 == after1,
+      s"second call with a fresh value-equal build plan missed the memo " +
+        s"($after1 -> $after2 entries)")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // CosineSim / HaversineDist / BrpBuckets implement doGenCode — the
     // queries that use them must show WholeStageCodegen spans, not
