@@ -216,6 +216,53 @@ object Geo extends QueryGroup {
         .limit(5)
     }),
 
+    // Two-relation ε-distance spatial join (the STARK join surface that
+    // was missing beside the SELF-join forms: convoy, DBSCAN candidates):
+    // event points ⋈ depot points (a second, differently-derived point
+    // set from orders) within 200 km. Candidates come from 4° grid-cell
+    // buckets — the depot side (small) explodes its 3×3 cell neighborhood
+    // and the join is a pure EQUI-join on (cell_lat, cell_lon), never a
+    // cartesian/BNL (PlanSpec asserts); exact haversine then verifies.
+    // Correctness of the bucket scheme: both relations carry a declared
+    // |lat| ≤ 60° service-area filter, so cos(lat) ≥ 0.5 and a 200 km
+    // pair is ≤ 1.80° apart in lat and ≤ 3.61° in lon — strictly inside
+    // one 4° cell step in each axis. Lon cells live on a mod-90 ring so
+    // antimeridian-adjacent pairs (Δlon ≈ 360°, true distance small —
+    // haversine wraps correctly) stay candidates. At 100 TB both sides
+    // shuffle on the cell key only (here the depot side broadcasts); the
+    // oracle is the full O(n·m) exact distance join, so hash equality
+    // proves the pruned candidate set loses no pair.
+    "q_geo_join" -> ((s, dir) => {
+      import s.implicits._
+      HaversineDist.register(s)
+      val cell = 4.0
+      val ev = withGeo(t(s, dir, "events"))
+        .filter($"lat".between(-60.0, 60.0))
+        .select($"event_id", $"user_id", $"lat", $"lon",
+          floor($"lat" / cell).cast("long").as("cla"),
+          floor(($"lon" + 180.0) / cell).cast("long").as("clo"))
+      val dep = t(s, dir, "orders")
+        .filter($"o_orderkey" % 101 === 7)
+        .select($"o_orderkey".as("depot_id"),
+          ((($"o_orderkey" * 59L) % 1700L) / 10.0 - 85.0).as("d_lat"),
+          ((($"o_orderkey" * 211L) % 3600L) / 10.0 - 180.0).as("d_lon"))
+        .filter($"d_lat".between(-60.0, 60.0))
+      val cand = dep
+        .withColumn("dla", explode(array((-1 to 1).map(lit): _*)))
+        .withColumn("dlo", explode(array((-1 to 1).map(lit): _*)))
+        .select($"depot_id", $"d_lat", $"d_lon",
+          (floor($"d_lat" / cell).cast("long") + $"dla").as("cla"),
+          pmod(floor(($"d_lon" + 180.0) / cell).cast("long") + $"dlo", lit(90L)).as("clo"))
+      ev.join(cand, Seq("cla", "clo"))
+        .withColumn("km", hv($"d_lat", $"d_lon", $"lat", $"lon"))
+        .filter($"km" < 200.0)
+        .groupBy($"depot_id")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct($"user_id").as("n_users"),
+             r3(min($"km")).as("min_km"))
+        .orderBy($"depot_id")
+    }),
+
     "q_traj_speed" -> ((s, dir) => {
       import s.implicits._
       val seg = segments(s, dir)
@@ -558,6 +605,28 @@ object Geo extends QueryGroup {
          |SELECT event_id,
          |  round(${HaversineDist.oracleSql("lat", "lon", "10.0", "20.0")}, 3) AS dist_km
          |FROM pts ORDER BY dist_km, event_id LIMIT 5""".stripMargin),
+
+    // Deliberately the FULL exact distance join (no grid): hash equality
+    // proves the 3×3 cell-bucket candidate generation loses no pair.
+    "q_geo_join" -> (ptsCte +
+      s""",
+         |evf AS (SELECT event_id, user_id, lat, lon FROM pts
+         |        WHERE lat BETWEEN -60.0 AND 60.0),
+         |dep AS (
+         |  SELECT o_orderkey AS depot_id,
+         |    ((o_orderkey * 59) % 1700) / 10.0 - 85.0 AS d_lat,
+         |    ((o_orderkey * 211) % 3600) / 10.0 - 180.0 AS d_lon
+         |  FROM orders WHERE o_orderkey % 101 = 7),
+         |depf AS (SELECT * FROM dep WHERE d_lat BETWEEN -60.0 AND 60.0),
+         |pairs AS (
+         |  SELECT depot_id, user_id,
+         |    ${HaversineDist.oracleSql("d_lat", "d_lon", "lat", "lon")} AS km
+         |  FROM depf CROSS JOIN evf
+         |  WHERE ${HaversineDist.oracleSql("d_lat", "d_lon", "lat", "lon")} < 200.0)
+         |SELECT depot_id, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  round(MIN(km), 3) AS min_km
+         |FROM pairs GROUP BY depot_id ORDER BY depot_id""".stripMargin),
 
     "q_geo_od" -> (ptsCte +
       """,

@@ -773,6 +773,21 @@ class PlanSpec extends BaseSpec {
     assert(fp <= 0.1, f"measured fpp $fp%.4f exceeds 10× the 0.01 target")
   }
 
+  test("q_geo_join: equi-join on cell buckets, never cartesian/BNL") {
+    // The two-relation ε-distance join must reach the exact verify through
+    // hash-joinable (cell_lat, cell_lon) candidate buckets — a
+    // BroadcastNestedLoopJoin or CartesianProduct here means the grid
+    // scheme degenerated to all-pairs, the one shape that cannot scale.
+    val df = SparkEntry.queries("q_geo_join")(spark, sf)
+    assert(df.count() > 0, "fixture should produce at least one depot match")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ε-distance join degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+      s"expected a hash/merge equi-join on the cell keys:\n$p")
+  }
+
   test("bloom memo hits across freshly-constructed value-equal build plans") {
     // q_join_bloom rebuilds the urgent-orders filter per invocation; the
     // memo keys on the CANONICALIZED build plan, so fresh-but-equal plans
