@@ -12,15 +12,27 @@ import Q._
   */
 object Mining extends QueryGroup {
 
-  /** Shared basket substrate: (item supports, frequent pairs with support
-    * ≥ 3). Memoized per (session, sfDir) — q_mine_pairs and q_mine_rules
-    * are two views of ONE A-priori run, same discipline as the dedup
-    * cluster and co-traveler memos. */
-  private val basketMemo =
-    new graft.SessionMemo[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  /** Shared basket substrate: (item supports, item-pruned baskets,
+    * frequent pairs with support ≥ 3). Memoized per (session, sfDir) —
+    * q_mine_pairs, q_mine_rules, and q_mine_triples are three views of
+    * ONE A-priori run, same discipline as the dedup cluster and
+    * co-traveler memos. */
+  private val basketMemo = new graft.SessionMemo[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+     org.apache.spark.sql.DataFrame)]
 
+  /** Pair/rule support bar (declared in their oracles). */
   private val MinSup = 3L
 
+  /** Triple support bar — lower than the pair bar because triple support
+    * decays with basket sparsity (TPC-H baskets are near-random parts). */
+  private val TriMinSup = 2L
+
+  /** The substrate is computed at the LOWEST consumer bar (TriMinSup):
+    * item pruning never changes co-occurrence COUNTS, only drops items
+    * that cannot reach the bar, so q_mine_pairs/rules recover their ≥
+    * MinSup semantics with a post-filter on the aggregated pair counts —
+    * identical results, one shared run. */
   private def basket(s: org.apache.spark.sql.SparkSession, dir: String) =
     basketMemo.getOrCompute(s, dir) {
       import s.implicits._
@@ -29,16 +41,17 @@ object Mining extends QueryGroup {
       val isup = items.groupBy($"l_partkey").agg(count(lit(1)).as("sup"))
         .localCheckpoint(eager = false)
       val frequent = items
-        .join(isup.filter($"sup" >= MinSup).select($"l_partkey"), Seq("l_partkey"))
+        .join(isup.filter($"sup" >= TriMinSup).select($"l_partkey"), Seq("l_partkey"))
+        .localCheckpoint(eager = false)
       val pairs = frequent.as("a")
         .join(frequent.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
         .agg(count(lit(1)).as("n_orders"))
-        .filter($"n_orders" >= MinSup)
+        .filter($"n_orders" >= TriMinSup)
         .localCheckpoint(eager = false)
-      (isup, pairs)
+      (isup, frequent, pairs)
     }
 
   val queries: Map[String, QFn] = Map(
@@ -54,7 +67,8 @@ object Mining extends QueryGroup {
     // double division both engines — deterministic, round(4) belt only.
     "q_mine_pairs" -> ((s, dir) => {
       import s.implicits._
-      val (isup, pairs) = basket(s, dir)
+      val (isup, _, pairs2) = basket(s, dir)
+      val pairs = pairs2.filter($"n_orders" >= MinSup)
       val nOrders = t(s, dir, "lineitem")
         .select($"l_orderkey").distinct()
         .agg(count(lit(1)).as("n_total"))
@@ -76,7 +90,8 @@ object Mining extends QueryGroup {
     // precedent); ties break on (antecedent, consequent).
     "q_mine_rules" -> ((s, dir) => {
       import s.implicits._
-      val (isup, pairs) = basket(s, dir)
+      val (isup, _, pairs2) = basket(s, dir)
+      val pairs = pairs2.filter($"n_orders" >= MinSup)
       val rules = pairs.select($"p1".as("antecedent"), $"p2".as("consequent"), $"n_orders")
         .unionAll(pairs.select($"p2".as("antecedent"), $"p1".as("consequent"), $"n_orders"))
       rules.join(isup.select($"l_partkey".as("antecedent"), $"sup"), Seq("antecedent"))
@@ -84,6 +99,56 @@ object Mining extends QueryGroup {
           round($"n_orders" / $"sup", 6).as("conf"))
         .orderBy($"conf".desc, $"antecedent", $"consequent")
         .limit(20)
+    }),
+
+    // Frequent part TRIPLES — the variable-length A-priori level the
+    // pair/rule keys stopped short of (Agrawal & Srikant's candidate
+    // generation, one level up, on the SAME memoized substrate: no second
+    // lineitem scan). The pruning is the real algorithm, applied twice:
+    // (1) per-basket pairs are semi-joined against the FREQUENT-PAIR set
+    // before the third item extends them, and (2) extended triples keep
+    // only those whose (p2,p3) and (p1,p3) sub-pairs are also frequent —
+    // monotonicity says neither prune can change the support-≥3 result,
+    // but at 100 TB they turn the 3-way basket fanout C(basket,3) into
+    // fanout over frequent-pair extensions only. All joins are
+    // orderkey-equi or pair-key semi (never cross-basket); lift vs
+    // independence = n·N²/(s1·s2·s3) — exact integer numerator and
+    // denominator, ONE double division, round(4) belt. Support bar is
+    // TriMinSup (2): triple support decays with basket sparsity, and the
+    // sub-pair prune set must share that bar (pruning against the ≥3 pair
+    // set would NOT be monotone-safe for support-2 triples).
+    "q_mine_triples" -> ((s, dir) => {
+      import s.implicits._
+      val (isup, frequent, pairs) = basket(s, dir)
+      val fp = pairs.select($"p1", $"p2")
+      val nOrders = t(s, dir, "lineitem")
+        .select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_total"))
+      val basketPairs = frequent.as("a")
+        .join(frequent.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ok"),
+                col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .join(fp, Seq("p1", "p2"), "left_semi")
+      val tri = basketPairs
+        .join(frequent.as("c"),
+          $"ok" === col("c.l_orderkey") && col("c.l_partkey") > $"p2")
+        .select($"p1", $"p2", col("c.l_partkey").as("p3"))
+        .join(fp.select($"p1".as("p2"), $"p2".as("p3")), Seq("p2", "p3"), "left_semi")
+        .join(fp.select($"p1", $"p2".as("p3")), Seq("p1", "p3"), "left_semi")
+        .groupBy($"p1", $"p2", $"p3")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= TriMinSup)
+      tri
+        .join(isup.select($"l_partkey".as("p1"), $"sup".as("s1")), Seq("p1"))
+        .join(isup.select($"l_partkey".as("p2"), $"sup".as("s2")), Seq("p2"))
+        .join(isup.select($"l_partkey".as("p3"), $"sup".as("s3")), Seq("p3"))
+        .crossJoin(broadcast(nOrders))
+        .select($"p1", $"p2", $"p3", $"n_orders",
+          round(($"n_orders" * $"n_total" * $"n_total") / ($"s1" * $"s2" * $"s3"), 4)
+            .as("lift"))
+        .orderBy($"p1", $"p2", $"p3")
     }),
 
     // Referential-integrity audit across the star schema — the data-quality
@@ -177,6 +242,48 @@ object Mining extends QueryGroup {
         |  round(n_orders / s.sup, 6) AS conf
         |FROM rules JOIN isup s ON s.l_partkey = antecedent
         |ORDER BY conf DESC, antecedent, consequent LIMIT 20""".stripMargin,
+
+    // Mirrors the Spark plan's double prune (no-ops on the RESULT by
+    // A-priori monotonicity, declared on both engines so parity exercises
+    // the pruned path end to end). All bars are TriMinSup = 2.
+    "q_mine_triples" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |isup AS (
+        |  SELECT l_partkey, COUNT(*) AS sup FROM items GROUP BY l_partkey),
+        |frequent AS (
+        |  SELECT items.* FROM items JOIN isup USING (l_partkey) WHERE sup >= 2),
+        |pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+        |  FROM frequent a JOIN frequent b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bp AS (
+        |  SELECT a.l_orderkey AS ok, a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM frequent a JOIN frequent b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE EXISTS (SELECT 1 FROM pr WHERE pr.p1 = a.l_partkey
+        |                AND pr.p2 = b.l_partkey)),
+        |tri0 AS (
+        |  SELECT bp.p1, bp.p2, c.l_partkey AS p3
+        |  FROM bp JOIN frequent c
+        |    ON bp.ok = c.l_orderkey AND c.l_partkey > bp.p2
+        |  WHERE EXISTS (SELECT 1 FROM pr WHERE pr.p1 = bp.p2
+        |                AND pr.p2 = c.l_partkey)
+        |    AND EXISTS (SELECT 1 FROM pr WHERE pr.p1 = bp.p1
+        |                AND pr.p2 = c.l_partkey)),
+        |tri AS (
+        |  SELECT p1, p2, p3, COUNT(*) AS n_orders
+        |  FROM tri0 GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM items)
+        |SELECT p1, p2, p3, n_orders,
+        |  round((n_orders * n_total * n_total) / (s1.sup * s2.sup * s3.sup), 4) AS lift
+        |FROM tri
+        |JOIN isup s1 ON s1.l_partkey = p1
+        |JOIN isup s2 ON s2.l_partkey = p2
+        |JOIN isup s3 ON s3.l_partkey = p3
+        |CROSS JOIN n
+        |ORDER BY p1, p2, p3""".stripMargin,
 
     "q_audit_fk" ->
       """WITH a AS (
