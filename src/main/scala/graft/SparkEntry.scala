@@ -8,7 +8,7 @@ object SparkEntry {
   /** All contract query groups (SURVEY §2). */
   private def groups: Seq[QueryGroup] = Seq(
     Scans, Filters, Joins, Aggregates, Windows, SortsSets, Scalars,
-    StreamingQueries, Geo, TextPipeline, Similarity, Custom, Reshape, Mining
+    StreamingQueries, Geo, TextPipeline, Similarity, Custom, Reshape, Mining, Ml
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

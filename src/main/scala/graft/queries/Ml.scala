@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.10 adjunct — the SUPERVISED quadrant of the MLlib mandate
+  * (BASELINE.json's "MLlib + spatial extensions"): a classifier and a
+  * regressor as declared keys beside the existing clustering (m_kmeans,
+  * m_dbscan). Both follow the q_sample_split discipline — the train/test
+  * membership is content-keyed md5 hashing, never rand(), so the split is
+  * stable under re-runs, re-partitioning, and corpus appends — and both
+  * are fixed-hyperparameter, deterministic fits (MLlib L-BFGS/WLS over
+  * treeAggregate partials; MlModelSpec pins run-to-run stability and the
+  * quality floors). No SQL oracle by design (DuckDB fits no models) →
+  * rows-only check + the named properties.
+  *
+  * 100 TB shape: MLlib's L-BFGS/OWL-QN drivers are one treeAggregate per
+  * iteration over the training partitions — gradient partials combine
+  * map-side exactly like partial aggregation; nothing driver-sized except
+  * the (features+1)·classes coefficient matrix. Scoring is a broadcast of
+  * those coefficients into a per-row codegen'd transform.
+  */
+object Ml extends QueryGroup {
+
+  /** Content-keyed 75/25 split: first hex nibble of md5(id) < 'c' → train
+    * (12 of 16 nibbles), else test — the q_sample_split contract. */
+  private def withSplit(df: org.apache.spark.sql.DataFrame, idCol: String) =
+    df.withColumn("split",
+      when(substring(md5(col(idCol).cast("string")), 1, 1) < "c", "train")
+        .otherwise("test"))
+
+  val queries: Map[String, QFn] = Map(
+    // Binary logistic regression over events with a PLANTED noisy-linear
+    // target — declared honestly: the fixture's natural labels
+    // (embeddings.label, documents.lang) carry NO held-out signal
+    // (measured: test accuracy ≈ max-class chance; token and vector
+    // distributions are uniform across classes by construction), so a
+    // classifier key on them would assert nothing. Instead the target is
+    // y = [0.8·x1 − 0.6·x2 + 0.5·noise > 0] where x1, x2 are the derived
+    // geo features (lat/85, lon/180) and noise is a withheld, integer-
+    // exact hash term — the learner sees only (x1, x2) and must recover
+    // the planted direction from ~12% Bayes-noise-flipped labels. That
+    // makes the held-out accuracy floor a REAL learning property (a
+    // broken fit or a leaked split shows up immediately), while the key
+    // itself exercises the full supervised pipeline: content-keyed split,
+    // distributed L-BFGS fit, broadcast scoring, per-split evaluation.
+    "m_ml_logreg" -> ((s, dir) => {
+      import s.implicits._
+      val d = withSplit(t(s, dir, "events"), "event_id")
+        .withColumn("x1", ((($"event_id" * 37L) % 1700L) / 10.0 - 85.0) / 85.0)
+        .withColumn("x2", ((($"event_id" * 131L) % 3600L) / 10.0 - 180.0) / 180.0)
+        .withColumn("noise", (($"event_id" * 9973L) % 2001L) / 1000.0 - 1.0)
+        .withColumn("label",
+          when(lit(0.8) * $"x1" - lit(0.6) * $"x2" + lit(0.5) * $"noise" > 0, 1.0)
+            .otherwise(0.0))
+        .withColumn("features", array_to_vector(array($"x1", $"x2")))
+      val model = new LogisticRegression().setMaxIter(50).setRegParam(0.0)
+        .fit(d.filter($"split" === "train"))
+      model.transform(d)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"prediction" === $"label", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", round($"n_correct" / $"n", 4))
+        .orderBy($"split")
+    }),
+
+    // Linear regression on a REAL fixture relationship (not planted):
+    // documents.n_chars from [whitespace token count, within-doc distinct
+    // token count] — n_chars is tokens × (avg token length + 1) − 1, so a
+    // linear fit on token counts explains most of the variance and the
+    // held-out R² floor is a meaningful learning check, not a tautology.
+    // Output: per-split n / rmse / r2 (r2 = 1 − mse/var(y), computed on
+    // each split's own variance).
+    "m_ml_linreg" -> ((s, dir) => {
+      import s.implicits._
+      val d = withSplit(t(s, dir, "documents"), "doc_id")
+        .withColumn("n_tok", size(split($"text", " ")).cast("double"))
+        .withColumn("n_uniq", size(array_distinct(split($"text", " "))).cast("double"))
+        .withColumn("features", array_to_vector(array($"n_tok", $"n_uniq")))
+        .withColumn("label", $"n_chars".cast("double"))
+      val model = new LinearRegression().setMaxIter(50).setRegParam(0.0)
+        .fit(d.filter($"split" === "train"))
+      model.transform(d)
+        .withColumn("err2", pow($"label" - $"prediction", 2))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             round(sqrt(avg($"err2")), 4).as("rmse"),
+             round(lit(1.0) - avg($"err2") / var_pop($"label"), 4).as("r2"))
+        .orderBy($"split")
+    })
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the supervised MLlib keys (SURVEY §2.10 adjunct):
+  * run-to-run stability (deterministic fits — the m_kmeans discipline),
+  * held-out quality floors with measured headroom (logreg test accuracy
+  * 0.83 observed at sf0.001 vs the ~0.88 Bayes rate of the planted 12%
+  * label noise; linreg test R² 0.995 observed), planted-direction
+  * recovery, and the content-keyed split discipline. */
+class MlModelSpec extends BaseSpec {
+  import spark.implicits._
+
+  private def logreg() = SparkEntry.queries("m_ml_logreg")(spark, sf)
+    .as[(String, Long, Long, Double)].collect().toList
+
+  private def linreg() = SparkEntry.queries("m_ml_linreg")(spark, sf)
+    .as[(String, Long, Double, Double)].collect().toList
+
+  test("logreg: stable across runs, held-out accuracy near the Bayes rate") {
+    val r1 = logreg()
+    assert(r1 == logreg(), "same data + hyperparameters must refit identically")
+    val byCase = r1.map(r => r._1 -> r).toMap
+    val (_, nTest, _, accTest) = byCase("test")
+    val (_, nTrain, _, accTrain) = byCase("train")
+    // content-keyed md5 split: 12/16 nibbles → expect ~75% train
+    val frac = nTrain.toDouble / (nTrain + nTest)
+    assert(frac > 0.65 && frac < 0.85, s"train fraction $frac drifted from 3/4")
+    // planted margin with 12% Bayes-flipped labels: a working fit sits
+    // near 0.88; chance is ~0.5 and a leaked split would show ~1.0
+    assert(accTest >= 0.78, s"held-out accuracy $accTest below floor")
+    assert(accTest <= 0.95, s"held-out accuracy $accTest above the Bayes " +
+      "rate — label noise leaked into the features?")
+    assert(accTrain >= 0.78, s"train accuracy $accTrain below floor")
+  }
+
+  test("logreg recovers the planted coefficient direction (+x1, -x2)") {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = Tables(spark, sf, "events")
+      .withColumn("split",
+        when(substring(md5($"event_id".cast("string")), 1, 1) < "c", "train")
+          .otherwise("test"))
+      .withColumn("x1", ((($"event_id" * 37L) % 1700L) / 10.0 - 85.0) / 85.0)
+      .withColumn("x2", ((($"event_id" * 131L) % 3600L) / 10.0 - 180.0) / 180.0)
+      .withColumn("noise", (($"event_id" * 9973L) % 2001L) / 1000.0 - 1.0)
+      .withColumn("label",
+        when(lit(0.8) * $"x1" - lit(0.6) * $"x2" + lit(0.5) * $"noise" > 0, 1.0)
+          .otherwise(0.0))
+      .withColumn("features", array_to_vector(array($"x1", $"x2")))
+    val m = new LogisticRegression().setMaxIter(50).setRegParam(0.0)
+      .fit(d.filter($"split" === "train"))
+    val c = m.coefficients
+    assert(c(0) > 0 && c(1) < 0, s"recovered direction $c, want (+, -)")
+    // the planted ratio |c1/c2| = 0.8/0.6; the fit should land near it
+    val ratio = math.abs(c(0) / c(1))
+    assert(ratio > 0.9 && ratio < 2.0,
+      s"coefficient ratio $ratio far from the planted 1.33")
+  }
+
+  test("linreg: stable across runs, held-out R2 floor on the real n_chars relation") {
+    val r1 = linreg()
+    assert(r1 == linreg(), "same data + hyperparameters must refit identically")
+    val byCase = r1.map(r => r._1 -> r).toMap
+    val (_, _, rmseTest, r2Test) = byCase("test")
+    assert(r2Test >= 0.95, s"held-out R2 $r2Test below floor (observed 0.995)")
+    assert(rmseTest < 30.0, s"held-out rmse $rmseTest out of band")
+    val (_, _, _, r2Train) = byCase("train")
+    assert(r2Train >= 0.95, s"train R2 $r2Train below floor")
+  }
+}
