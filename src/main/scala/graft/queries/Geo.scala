@@ -38,6 +38,7 @@ object Geo extends QueryGroup {
     register("m_graph_ppr")(graft.operators.Ppr.lastIterations)
     register("m_graph_kcore")(graft.operators.KCore.lastIterations)
     register("q_graph_bfs")(graft.operators.Bfs.lastIterations)
+    register("m_graph_sssp")(graft.operators.Sssp.lastIterations)
   }
 
   /** Co-traveler pair memo: m_graph_pagerank and q_graph_degree read the
@@ -458,6 +459,36 @@ object Geo extends QueryGroup {
       graft.operators.Bfs.run(s, pairs.select($"u1", $"u2"), seeds, maxHops = 8)
         .groupBy($"dist").agg(count(lit(1)).as("n_users"))
         .orderBy($"dist")
+    }),
+
+    // Weighted single-source shortest paths over the co-traveler graph —
+    // the distance-weighted twin of q_graph_bfs (hop counts treat a
+    // 100-shared-hour tie and a 2-hour tie alike; SSSP does not). Edge
+    // weight = 1/n_hours, so strongly co-traveling users are CLOSE and
+    // the shortest path is the most-plausible association chain — the
+    // "how tightly is this user linked to the hub" query of a telemetry
+    // miner. Source = smallest vertex id (content-determined, no driver
+    // choice); output is the reachable-distance histogram at 1e-2
+    // resolution. Distances are BIT-deterministic (each path's length
+    // accumulates left-to-right in relaxation order and min over paths is
+    // order-independent — no shuffle-order sum anywhere), so the
+    // bucketing is presentation, not a noise belt. No SQL oracle
+    // (iterative relaxation); SsspSpec pins node-wise equality to a
+    // driver-side Dijkstra on random weighted graphs plus the
+    // non-convergence throw. Shares the memoized pair set; rounds emit
+    // through LastIterations.
+    "m_graph_sssp" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      val edges = pairs
+        .select($"u1".as("src"), $"u2".as("dst"), (lit(1.0) / $"n_hours").as("w"))
+        .unionAll(pairs
+          .select($"u2".as("src"), $"u1".as("dst"), (lit(1.0) / $"n_hours").as("w")))
+      val source = edges.agg(min(least($"src", $"dst"))).as[Long].head()
+      graft.operators.Sssp.run(s, edges, source)
+        .groupBy(round($"d", 2).as("dist_bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"dist_bucket")
     }),
 
     // Connected components of the co-traveler graph, declared directly:
