@@ -607,7 +607,10 @@ object StreamOps {
     * files), or TIMESTAMP — all normalized to a µs-epoch `ts_us` long. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // same contract as graft.Tables: assert, never mutate session config
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "eventStream requires spark.sql.session.timeZone=UTC (pin it at " +
+        "session construction); refusing to mutate session config")
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(raw).parquet(s"$dir/events.parquet")
     val tsUs = raw("ts").dataType match {
@@ -616,4 +619,38 @@ object StreamOps {
     }
     src.withColumn("ts_us", tsUs).drop("ts")
   }
+
+  // ---- transactional sink pattern ------------------------------------------
+
+  /** Idempotent batch commit for the exactly-once parquet sink: batch
+    * `batchId` lands in its OWN `batch_id=N` partition directory with
+    * overwrite semantics, so a REPLAYED batch (failure after write,
+    * before the checkpoint commit — the at-least-once window every
+    * foreachBatch sink lives in) rewrites the same directory instead of
+    * appending duplicates. Partitioning BY the batch id is what turns
+    * overwrite into a per-batch transaction on a plain parquet target (no
+    * table format needed); readers see the target as one
+    * partition-discovered parquet table. Exposed separately from
+    * [[exactlyOnceParquet]] so tests can drive the replay path directly. */
+  def commitBatch(batch: DataFrame, targetDir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$targetDir/batch_id=$batchId")
+
+  /** Exactly-once streaming parquet sink: Structured Streaming guarantees
+    * batchId is REPLAYED with identical contents after a failure, and
+    * [[commitBatch]] makes re-committing a batchId a no-op overwrite —
+    * together that upgrades foreachBatch's at-least-once delivery to
+    * exactly-once results in the target. The checkpoint carries the
+    * source offsets; the batch_id partition column carries the commit
+    * ledger (auditable: SELECT DISTINCT batch_id = committed batches). */
+  def exactlyOnceParquet(stream: DataFrame, targetDir: String,
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        commitBatch(batch.toDF(), targetDir, batchId)
+      }
+      .start()
 }

@@ -884,4 +884,34 @@ class StreamingSpec extends BaseSpec {
       .as[(String, Double, Long)].collect().head
     assert(last == ("purchase", 10.0, 3L), s"state after two batches: $last")
   }
+
+  test("exactly-once parquet sink: replayed batch produces no duplicates") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_txsink").toString
+    val target = s"$base/target"; val chk = s"$base/chk"
+    val input = MemoryStream[Ev]
+    val q = StreamOps.exactlyOnceParquet(
+      input.toDF().select($"event_id", $"ts_us", $"user_id", $"value"),
+      target, chk)
+    input.addData(ev(1, 1000000), ev(2, 2000000))
+    q.processAllAvailable()
+    input.addData(ev(3, 3000000))
+    q.processAllAvailable(); q.stop()
+    def ids() = spark.read.parquet(target)
+      .select($"event_id").as[Long].collect().sorted.toList
+    assert(ids() == List(1L, 2L, 3L), s"two clean batches: ${ids()}")
+    // simulate the at-least-once failure window: batch 1 replays with
+    // identical contents (Structured Streaming's replay contract) AFTER
+    // its original write already landed — the commit must be a no-op
+    // overwrite of the same batch_id partition, never an append
+    val replay = Seq(ev(3, 3000000)).toDF()
+      .select($"event_id", $"ts_us", $"user_id", $"value")
+    StreamOps.commitBatch(replay, target, 1L)
+    assert(ids() == List(1L, 2L, 3L), s"replayed batch duplicated rows: ${ids()}")
+    // the batch_id partition column is the auditable commit ledger
+    val committed = spark.read.parquet(target)
+      .select($"batch_id").distinct().as[Long].collect().sorted.toList
+    assert(committed == List(0L, 1L), s"commit ledger: $committed")
+    assert(spark.read.parquet(target).count() == 3L)
+  }
 }
