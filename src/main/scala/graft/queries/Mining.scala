@@ -180,6 +180,35 @@ object Mining extends QueryGroup {
         .orderBy($"relationship")
     }),
 
+    // Frequent itemsets of EVERY length via MLlib FP-Growth (Han et al.
+    // SIGMOD 2000) — the pattern-growth twin of the A-priori keys, from a
+    // different algorithm family: no candidate generation at all, two
+    // scans building per-partition conditional FP-trees inside MLlib's
+    // parallel PFP partitioning (Li et al. RecSys 2008). Declared output
+    // is the per-size itemset histogram (size, n_itemsets, total_freq) at
+    // support ≥ 2, which MUST agree with the join-based pair/triple keys
+    // — MiningSpec pins exact itemset-level equality for sizes 2 and 3
+    // against a driver brute force, making the two independent mining
+    // paths each other's oracle. No SQL oracle (DuckDB has no FP-Growth;
+    // the equality property is stronger).
+    "m_mine_fpgrowth" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.fpm.FPGrowth
+      val baskets = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
+      val n = baskets.count()
+      val model = new FPGrowth().setItemsCol("items")
+        .setMinSupport(2.0 / n).setMinConfidence(0.5)
+        .fit(baskets)
+      model.freqItemsets
+        .withColumn("sz", size($"items"))
+        .filter($"sz" >= 2)
+        .groupBy($"sz".as("size"))
+        .agg(count(lit(1)).as("n_itemsets"), sum($"freq").as("total_freq"))
+        .orderBy($"size")
+    }),
+
     // First-order event-type transition matrix per user sequence (the
     // Markov-chain summary of behavioral telemetry): per (current, next)
     // type, the transition count and probability. One user-keyed window

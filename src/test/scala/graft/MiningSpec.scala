@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-family validation of the basket-mining keys: MLlib FP-Growth
+  * (pattern growth, no candidate generation) must produce EXACTLY the
+  * itemsets the join-based A-priori keys and a driver brute force find —
+  * two independent algorithms acting as each other's oracle. */
+class MiningSpec extends BaseSpec {
+  import spark.implicits._
+
+  /** Driver-side brute force: all ≥2-support itemsets of sizes 2 and 3. */
+  private def brute(): (Map[(Long, Long), Long], Map[(Long, Long, Long), Long]) = {
+    val baskets = Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val p2 = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    val p3 = scala.collection.mutable.Map[(Long, Long, Long), Long]().withDefaultValue(0L)
+    for (items <- baskets.values; i <- items.indices; j <- i + 1 until items.size) {
+      p2((items(i), items(j))) += 1
+      for (k <- j + 1 until items.size) p3((items(i), items(j), items(k))) += 1
+    }
+    (p2.filter(_._2 >= 2).toMap, p3.filter(_._2 >= 2).toMap)
+  }
+
+  test("FP-Growth itemsets == driver brute force for sizes 2 and 3") {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
+    val n = baskets.count()
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport(2.0 / n).setMinConfidence(0.5).fit(baskets)
+    val got = model.freqItemsets.select($"items", $"freq")
+      .as[(Seq[Long], Long)].collect()
+    val got2 = got.filter(_._1.size == 2)
+      .map { case (is, f) => (is.sorted: @unchecked) match {
+        case Seq(a, b) => (a, b) -> f } }.toMap
+    val got3 = got.filter(_._1.size == 3)
+      .map { case (is, f) => (is.sorted: @unchecked) match {
+        case Seq(a, b, c) => (a, b, c) -> f } }.toMap
+    val (want2, want3) = brute()
+    assert(got2 == want2,
+      s"size-2 diff: extra=${(got2.keySet -- want2.keySet).take(3)} " +
+        s"missing=${(want2.keySet -- got2.keySet).take(3)}")
+    assert(got3 == want3,
+      s"size-3 diff: extra=${(got3.keySet -- want3.keySet).take(3)} " +
+        s"missing=${(want3.keySet -- got3.keySet).take(3)}")
+  }
+
+  test("declared histogram key agrees with brute-force itemset counts") {
+    val rows = SparkEntry.queries("m_mine_fpgrowth")(spark, sf)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (want2, want3) = brute()
+    assert(rows.get(2).map(_._1).getOrElse(0L) == want2.size.toLong)
+    assert(rows.get(2).map(_._2).getOrElse(0L) == want2.values.sum)
+    assert(rows.get(3).map(_._1).getOrElse(0L) == want3.size.toLong)
+    assert(rows.get(3).map(_._2).getOrElse(0L) == want3.values.sum)
+  }
+
+  test("A-priori triple key == brute force triples at its declared bar") {
+    // the join-based q_mine_triples (support >= 2, sf fixture) must carry
+    // exactly the brute-force triple set with exact counts
+    val got = SparkEntry.queries("q_mine_triples")(spark, sf)
+      .select($"p1", $"p2", $"p3", $"n_orders")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val (_, want3) = brute()
+    assert(got == want3,
+      s"extra=${(got.keySet -- want3.keySet).take(3)} " +
+        s"missing=${(want3.keySet -- got.keySet).take(3)}")
+  }
+}
