@@ -194,6 +194,14 @@ object Mining extends QueryGroup {
     "m_mine_fpgrowth" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.ml.fpm.FPGrowth
+      // Plan note: PFP's standard preprocessing (drop items below the
+      // support bar before tree building) is lossless for the declared
+      // sizes ≥ 2 output — but at this fixture's minCount = 2 virtually
+      // every item qualifies (avg item support ~30 at sf0.1), so the
+      // prune removes nothing and its extra basket-side shuffle measurably
+      // costs (~+40% A/B-timed). Apply it when the item universe is
+      // long-tailed and the bar is fractional (the web-corpus case); here
+      // the minimal plan is the right one.
       val baskets = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey").distinct()
         .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
