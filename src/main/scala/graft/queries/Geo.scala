@@ -235,28 +235,16 @@ object Geo extends QueryGroup {
     // proves the pruned candidate set loses no pair.
     "q_geo_join" -> ((s, dir) => {
       import s.implicits._
-      HaversineDist.register(s)
-      val cell = 4.0
       val ev = withGeo(t(s, dir, "events"))
-        .filter($"lat".between(-60.0, 60.0))
-        .select($"event_id", $"user_id", $"lat", $"lon",
-          floor($"lat" / cell).cast("long").as("cla"),
-          floor(($"lon" + 180.0) / cell).cast("long").as("clo"))
+        .select($"event_id", $"user_id", $"lat", $"lon")
       val dep = t(s, dir, "orders")
         .filter($"o_orderkey" % 101 === 7)
         .select($"o_orderkey".as("depot_id"),
           ((($"o_orderkey" * 59L) % 1700L) / 10.0 - 85.0).as("d_lat"),
           ((($"o_orderkey" * 211L) % 3600L) / 10.0 - 180.0).as("d_lon"))
-        .filter($"d_lat".between(-60.0, 60.0))
-      val cand = dep
-        .withColumn("dla", explode(array((-1 to 1).map(lit): _*)))
-        .withColumn("dlo", explode(array((-1 to 1).map(lit): _*)))
-        .select($"depot_id", $"d_lat", $"d_lon",
-          (floor($"d_lat" / cell).cast("long") + $"dla").as("cla"),
-          pmod(floor(($"d_lon" + 180.0) / cell).cast("long") + $"dlo", lit(90L)).as("clo"))
-      ev.join(cand, Seq("cla", "clo"))
-        .withColumn("km", hv($"d_lat", $"d_lon", $"lat", $"lon"))
-        .filter($"km" < 200.0)
+      graft.operators.DistanceJoin
+        .within(ev, "lat", "lon", dep, "d_lat", "d_lon",
+          epsKm = 200.0, cellDeg = 4.0, maxAbsLat = 60.0)
         .groupBy($"depot_id")
         .agg(count(lit(1)).as("n_events"),
              countDistinct($"user_id").as("n_users"),

@@ -238,4 +238,41 @@ class GeoSpec extends BaseSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(got == List((1L, 2L, 3L)), s"expected only (1,2,3): $got")
   }
+
+  test("DistanceJoin: planted pairs — antimeridian wrap, cell-boundary, just-outside") {
+    import graft.operators.DistanceJoin
+    val left = Seq(
+      (1L, 10.0, 179.9),   // pairs with depot 100 ACROSS the antimeridian
+      (2L, 50.0, 4.01),    // pairs with depot 101 across a 4° cell boundary
+      (3L, 10.0, 30.0),    // depot 102 sits ~222 km away — outside 200 km
+      (4L, 70.0, 10.0)     // outside the |lat| ≤ 60 service area: excluded
+    ).toDF("id", "lat", "lon")
+    val right = Seq(
+      (100L, 10.0, -179.9), // Δlon = 359.8° in coordinates, ~22 km on earth
+      (101L, 50.0, 3.99),
+      (102L, 12.0, 30.0),   // 2° of latitude = ~222 km from point 3
+      (103L, 70.0, 10.01)   // would trivially pair with 4 — both excluded
+    ).toDF("rid", "rlat", "rlon")
+    val got = DistanceJoin.within(left, "lat", "lon", right, "rlat", "rlon",
+        epsKm = 200.0, cellDeg = 4.0, maxAbsLat = 60.0)
+      .select($"id", $"rid", $"km").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(got == Set((1L, 100L), (2L, 101L)),
+      s"planted pairs: want wrap + boundary only, got $got")
+  }
+
+  test("DistanceJoin: misconfiguration throws instead of silently missing pairs") {
+    val df = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    val r = Seq((2L, 0.0, 0.0)).toDF("rid", "rlat", "rlon")
+    // 500 km needs ~4.5° of latitude — a 4° cell cannot certify the 3×3
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.DistanceJoin.within(df, "lat", "lon", r, "rlat", "rlon",
+        epsKm = 500.0, cellDeg = 4.0, maxAbsLat = 60.0)
+    }
+    assert(ex.getMessage.contains("neighborhood"))
+    // same ε is fine with a big enough cell
+    val ok = graft.operators.DistanceJoin.within(df, "lat", "lon", r, "rlat", "rlon",
+      epsKm = 500.0, cellDeg = 10.0, maxAbsLat = 60.0)
+    assert(ok.count() == 1)
+  }
 }
