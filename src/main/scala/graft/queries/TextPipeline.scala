@@ -65,18 +65,21 @@ object TextPipeline extends QueryGroup {
     * fixture density (max df ≈ tens), a hard fanout bound at scale. */
   private[graft] val jaccardMaxDf = 1000L
 
-  /** Exact shingle-Jaccard pairs (d1 < d2, jaccard ≥ minJ) over the
-    * df-capped shingle universe — the shared substrate of the near-dup
+  /** df-cap applied to a (doc_id, s) shingle stream. */
+  private def capShingles(sh0: DataFrame, maxDf: Long): DataFrame = {
+    import sh0.sparkSession.implicits._
+    val rare = sh0.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"s")
+    sh0.join(rare, Seq("s"))
+  }
+
+  /** Exact shingle-Jaccard pairs (d1 < d2, jaccard ≥ minJ) over a
+    * df-capped shingle stream — the shared substrate of the near-dup
     * truth query and the dedup-clustering step. Shuffles on the shingle
     * key (the inverted-index join), never all pairs; [[jaccardMaxDf]]
     * bounds the per-shingle fanout. */
-  private[graft] def jaccardPairsFrom(
-      docs: DataFrame, minJ: Double, maxDf: Long = jaccardMaxDf): DataFrame = {
-    import docs.sparkSession.implicits._
-    val sh0 = shinglesOf(docs)
-    val rare = sh0.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf).select($"s")
-    val sh = sh0.join(rare, Seq("s"))
+  private def pairsFromShingles(sh: DataFrame, minJ: Double): DataFrame = {
+    import sh.sparkSession.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("s"))
       .filter($"a.doc_id" < $"b.doc_id")
@@ -90,8 +93,23 @@ object TextPipeline extends QueryGroup {
       .select($"d1", $"d2", $"jaccard")
   }
 
+  /** Standalone form over an explicit documents frame (tests plant
+    * boilerplate through this). */
+  private[graft] def jaccardPairsFrom(
+      docs: DataFrame, minJ: Double, maxDf: Long = jaccardMaxDf): DataFrame =
+    pairsFromShingles(capShingles(shinglesOf(docs), maxDf), minJ)
+
+  /** Capped-shingle substrate memo: q_dedup_jaccard (minJ 0.8) and the
+    * cluster memo (minJ 0.5) read the SAME capped stream, so the
+    * scan + distinct + df-agg + cap-join executes once per (session, SF)
+    * behind a lazy checkpoint — the [[graft.Tables]] discipline. */
+  private val shingleMemo = new graft.SessionMemo[String, DataFrame]
+
   private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame =
-    jaccardPairsFrom(t(s, dir, "documents"), minJ)
+    pairsFromShingles(
+      shingleMemo.getOrCompute(s, dir) {
+        capShingles(shingles(s, dir), jaccardMaxDf).localCheckpoint(eager = false)
+      }, minJ)
 
   /** Oracle-side mirror of [[jaccardPairsFrom]]: appends the df-cap +
     * sizes/inter/pairs CTEs to [[shinglesCte]]. The `shdf`/`shf` CTEs are
