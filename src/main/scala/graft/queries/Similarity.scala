@@ -172,6 +172,34 @@ object Similarity extends QueryGroup {
         .orderBy($"lang")
     }),
 
+    // Container-format metadata sniffing over binary media blobs — REAL
+    // header parsing (PNG/JPEG/GIF/WAV per their published layouts, no
+    // codec libs needed), the validate/route-by-dimensions step a media
+    // pipeline runs WITHOUT decoding. Blobs are synthesized with genuine
+    // container headers carrying integer-exact planted values, so the
+    // ORACLE recomputes those values arithmetically — hash equality
+    // proves the assemble-per-spec → parse-per-spec byte round-trip
+    // recovers every width/height/sample-rate exactly. The Dataset.map is
+    // the legitimate decoder seam (binary → JVM parse), embarrassingly
+    // parallel, zero shuffle before the final format hash-agg; sniffing
+    // never throws on malformed bytes (MultimodalSpec pins that plus
+    // parsing of real-world reference headers).
+    "q_media_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val m = graft.multimodal.Multimodal
+            .sniffMeta(graft.multimodal.Multimodal.syntheticBlob(id))
+          (id, m.format, m.width.toLong, m.height.toLong, m.sample_rate.toLong)
+        }
+        .toDF("doc_id", "format", "width", "height", "sample_rate")
+      parsed.groupBy($"format")
+        .agg(count(lit(1)).as("n_blobs"),
+             max($"width").as("max_w"), max($"height").as("max_h"),
+             max($"sample_rate").as("max_rate"))
+        .orderBy($"format")
+    }),
+
     // Per-label embedding centroids (head dims) + mean L2 norm: the
     // cluster-summary aggregate of an embedding pipeline. Per-row norm is
     // a sequential left-to-right fold (`aggregate` HOF — same order as
@@ -331,6 +359,22 @@ object Similarity extends QueryGroup {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  COUNT(DISTINCT sha256(text)) AS n_distinct_blobs
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Recomputes the PLANTED values arithmetically (no byte parsing in
+    // SQL) — equality proves the Spark side's header round-trip is exact.
+    "q_media_sniff" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |                    WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+        |    CASE WHEN doc_id % 4 <= 2 THEN doc_id % 640 + 1 ELSE 0 END AS width,
+        |    CASE WHEN doc_id % 4 <= 2 THEN doc_id % 480 + 1 ELSE 0 END AS height,
+        |    CASE WHEN doc_id % 4 = 3 THEN 8000 + doc_id % 40000 ELSE 0 END AS sample_rate
+        |  FROM documents)
+        |SELECT format, COUNT(*) AS n_blobs,
+        |  MAX(width) AS max_w, MAX(height) AS max_h,
+        |  MAX(sample_rate) AS max_rate
+        |FROM m GROUP BY format ORDER BY format""".stripMargin
   )
 }
