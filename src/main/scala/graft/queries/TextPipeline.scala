@@ -463,6 +463,43 @@ object TextPipeline extends QueryGroup {
     // (1 − distinct/total shingles), aggregated per language. One pass, no
     // join: the per-row HOFs stay in whole-stage codegen and the only
     // shuffle is the final lang hash-agg.
+    // Compression-ratio quality signal (the Gopher/RefinedWeb-era filter:
+    // highly compressible text is repetitive boilerplate; barely
+    // compressible text is noise/encoded junk) — REAL DEFLATE via
+    // java.util.zip, no external deps. mapPartitions amortizes one
+    // Deflater (native zlib context) across the partition — the same
+    // init-once-per-batch seam as the multimodal decoder — and the op is
+    // embarrassingly parallel: zero shuffle before the source hash-agg.
+    // No SQL oracle (DuckDB exposes no deflate) → rows-only check +
+    // FunctionsSpec properties: determinism across runs, repetitive ≪
+    // random ratio separation, ratio bounds.
+    "q_text_compress" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+        .mapPartitions { it =>
+          val deflater = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, src, text) =>
+            deflater.reset()
+            val in = text.getBytes("UTF-8")
+            deflater.setInput(in)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, src, in.length.toLong, n)
+          }
+        }
+        .toDF("doc_id", "source", "n_raw", "n_deflate")
+      scored
+        .withColumn("ratio", $"n_deflate" / $"n_raw")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             r4(davg($"ratio", 6)).as("avg_ratio"),
+             sum(when($"ratio" < 0.35, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy($"source")
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")

@@ -259,4 +259,35 @@ class FunctionsSpec extends BaseSpec {
       assert(s.tupleCount < n / 10, s"$label: summary is not sublinear (${s.tupleCount})")
     }
   }
+
+  test("compression-ratio signal: separation, bounds, and run determinism") {
+    // the signal itself: DEFLATE separates repetitive boilerplate from
+    // high-entropy text by a wide margin
+    def ratio(s: String): Double = {
+      val d = new java.util.zip.Deflater(6)
+      val in = s.getBytes("UTF-8")
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / in.length
+    }
+    val repetitive = ratio("all rights reserved " * 100)
+    val rnd = new scala.util.Random(7L)
+    val random = ratio(Seq.fill(400)(rnd.alphanumeric.take(6).mkString).mkString(" "))
+    assert(repetitive < 0.05, s"boilerplate should compress hard: $repetitive")
+    assert(random > 0.5, s"high-entropy text should not: $random")
+    // the declared key: stable across runs, sane bounds, full coverage
+    import org.apache.spark.sql.Row
+    def run() = SparkEntry.queries("q_text_compress")(spark, sf).collect().toList
+    val r1 = run()
+    assert(r1 == run(), "same corpus must score identically")
+    val total = r1.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables(spark, sf, "documents").count())
+    r1.foreach { case row =>
+      val avg = row.getAs[Double]("avg_ratio")
+      assert(avg > 0.0 && avg < 1.2, s"ratio out of band: $row")
+    }
+  }
 }
