@@ -57,11 +57,13 @@ object Mining extends QueryGroup {
   val queries: Map[String, QFn] = Map(
     // Frequent part PAIRS across order baskets (support ≥ 3) with lift —
     // the association-rule mining step (Agrawal & Srikant, VLDB 1994).
-    // The A-priori pruning is REAL, not narration: items below the pair
-    // support threshold cannot appear in a frequent pair (monotonicity),
-    // so they are dropped BEFORE the self-join — at 100 TB that turns the
-    // basket self-join from |items|² fanout into fanout over the frequent
-    // subset only. The join itself is orderkey-equi (fanout bounded by
+    // The A-priori pruning is REAL, not narration: items below the
+    // substrate's support bar cannot appear in a frequent pair
+    // (monotonicity), so they are dropped BEFORE the self-join — at
+    // 100 TB that turns the basket self-join from |items|² fanout into
+    // fanout over the frequent subset only; the declared ≥ MinSup pair
+    // bar is recovered by a post-filter on the aggregated counts (see
+    // basket()). The join itself is orderkey-equi (fanout bounded by
     // C(basket, 2), never cross-order), then a pair-key hash agg. Lift =
     // n_pair·N / (n_p1·n_p2): exact integer numerator/denominator, ONE
     // double division both engines — deterministic, round(4) belt only.
