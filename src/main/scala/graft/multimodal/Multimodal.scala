@@ -127,7 +127,9 @@ object Multimodal {
         SniffedMeta("png", be32(b, 16), be32(b, 20), 0)
       else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
         var i = 2
-        while (i + 9 < b.length) {
+        // <= : a prefix ending exactly after the SOF width bytes (i+8)
+        // must still parse — media pipelines sniff fixed-length prefixes
+        while (i + 9 <= b.length) {
           if ((b(i) & 0xff) != 0xff) return SniffedMeta("unknown", 0, 0, 0)
           val marker = b(i + 1) & 0xff
           if (marker >= 0xc0 && marker <= 0xcf &&
@@ -145,6 +147,9 @@ object Multimodal {
           val sz = le32(b, i + 4)
           if (ascii(i, "fmt ") && i + 16 <= b.length)
             return SniffedMeta("wav", 0, 0, le32(b, i + 12))
+          // a corrupt negative chunk size would make the increment ≤ 0
+          // and loop forever — malformed blobs must CLASSIFY, never hang
+          if (sz < 0) return SniffedMeta("unknown", 0, 0, 0)
           i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
         }
         SniffedMeta("unknown", 0, 0, 0)

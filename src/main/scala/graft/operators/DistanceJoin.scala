@@ -53,7 +53,14 @@ object DistanceJoin {
       f"epsKm=$epsKm%.1f spans $latStepDeg%.2f° lat / $lonStepDeg%.2f° lon at " +
         f"|lat| ≤ $maxAbsLat%.0f° — exceeds cellDeg=$cellDeg%.1f, the 3×3 " +
         "neighborhood would miss pairs; raise cellDeg or lower maxAbsLat")
-    val nLonCells = math.ceil(360.0 / cellDeg).toLong
+    // the lon ring is modular, so cellDeg must tile 360° exactly — with a
+    // remainder the LAST ring cell is narrower than cellDeg and the step
+    // bound above no longer implies ±1-cell adjacency across the seam
+    require(math.abs(360.0 / cellDeg - math.round(360.0 / cellDeg)) < 1e-9,
+      f"cellDeg=$cellDeg%.2f does not divide 360° — the modular longitude " +
+        "ring would have one narrow seam cell and pairs crossing it could " +
+        "be silently missed; pick a divisor of 360 (e.g. 2, 4, 5, 6, 10)")
+    val nLonCells = math.round(360.0 / cellDeg)
     graft.functions.HaversineDist.register(left.sparkSession)
 
     def latCell(c: Column): Column = floor(c / cellDeg).cast("long")

@@ -204,9 +204,13 @@ object Mining extends QueryGroup {
       // costs (~+40% A/B-timed). Apply it when the item universe is
       // long-tailed and the bar is fractional (the web-corpus case); here
       // the minimal plan is the right one.
+      // eager checkpoint: the count below plus FPGrowth.fit's two passes
+      // would otherwise re-run the scan + distinct + collect_set shuffle
+      // three times (MLlib warns "input is not cached" for exactly this)
       val baskets = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey").distinct()
         .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
+        .localCheckpoint(eager = true)
       val n = baskets.count()
       val model = new FPGrowth().setItemsCol("items")
         .setMinSupport(2.0 / n).setMinConfidence(0.5)

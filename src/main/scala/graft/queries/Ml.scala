@@ -32,6 +32,23 @@ object Ml extends QueryGroup {
       when(substring(md5(col(idCol).cast("string")), 1, 1) < "c", "train")
         .otherwise("test"))
 
+  /** The m_ml_logreg training frame — split, derived (x1, x2) features,
+    * withheld noise term, planted noisy-linear label. Shared with
+    * MlModelSpec's direction-recovery test so the test can never drift
+    * onto a stale private copy of the plant. */
+  private[graft] def logregFrame(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    withSplit(t(s, dir, "events"), "event_id")
+      .withColumn("x1", ((($"event_id" * 37L) % 1700L) / 10.0 - 85.0) / 85.0)
+      .withColumn("x2", ((($"event_id" * 131L) % 3600L) / 10.0 - 180.0) / 180.0)
+      .withColumn("noise", (($"event_id" * 9973L) % 2001L) / 1000.0 - 1.0)
+      .withColumn("label",
+        when(lit(0.8) * $"x1" - lit(0.6) * $"x2" + lit(0.5) * $"noise" > 0, 1.0)
+          .otherwise(0.0))
+      .withColumn("features", array_to_vector(array($"x1", $"x2")))
+  }
+
   val queries: Map[String, QFn] = Map(
     // Binary logistic regression over events with a PLANTED noisy-linear
     // target — declared honestly: the fixture's natural labels
@@ -49,14 +66,7 @@ object Ml extends QueryGroup {
     // distributed L-BFGS fit, broadcast scoring, per-split evaluation.
     "m_ml_logreg" -> ((s, dir) => {
       import s.implicits._
-      val d = withSplit(t(s, dir, "events"), "event_id")
-        .withColumn("x1", ((($"event_id" * 37L) % 1700L) / 10.0 - 85.0) / 85.0)
-        .withColumn("x2", ((($"event_id" * 131L) % 3600L) / 10.0 - 180.0) / 180.0)
-        .withColumn("noise", (($"event_id" * 9973L) % 2001L) / 1000.0 - 1.0)
-        .withColumn("label",
-          when(lit(0.8) * $"x1" - lit(0.6) * $"x2" + lit(0.5) * $"noise" > 0, 1.0)
-            .otherwise(0.0))
-        .withColumn("features", array_to_vector(array($"x1", $"x2")))
+      val d = logregFrame(s, dir)
       val model = new LogisticRegression().setMaxIter(50).setRegParam(0.0)
         .fit(d.filter($"split" === "train"))
       model.transform(d)

@@ -488,6 +488,12 @@ object TextPipeline extends QueryGroup {
             var n = 0L
             while (!deflater.finished()) n += deflater.deflate(buf)
             (id, src, in.length.toLong, n)
+          } ++ {
+            // release the native zlib context when the partition drains
+            // (GC cleaners are too late on large-heap executors); the
+            // by-name ++ operand evaluates only after `it` is exhausted
+            deflater.end()
+            Iterator.empty
           }
         }
         .toDF("doc_id", "source", "n_raw", "n_deflate")

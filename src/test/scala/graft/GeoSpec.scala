@@ -274,5 +274,14 @@ class GeoSpec extends BaseSpec {
     val ok = graft.operators.DistanceJoin.within(df, "lat", "lon", r, "rlat", "rlon",
       epsKm = 500.0, cellDeg = 10.0, maxAbsLat = 60.0)
     assert(ok.count() == 1)
+    // a cellDeg that does not tile 360° leaves a narrow seam cell on the
+    // modular lon ring — the 3×3 adjacency proof breaks there, so the
+    // operator must refuse (7° passes both step bounds for eps=340 yet
+    // cell 51 would span only 3°)
+    val seam = intercept[IllegalArgumentException] {
+      graft.operators.DistanceJoin.within(df, "lat", "lon", r, "rlat", "rlon",
+        epsKm = 340.0, cellDeg = 7.0, maxAbsLat = 60.0)
+    }
+    assert(seam.getMessage.contains("divide"))
   }
 }

@@ -36,18 +36,9 @@ class MlModelSpec extends BaseSpec {
 
   test("logreg recovers the planted coefficient direction (+x1, -x2)") {
     import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.functions.array_to_vector
-    val d = Tables(spark, sf, "events")
-      .withColumn("split",
-        when(substring(md5($"event_id".cast("string")), 1, 1) < "c", "train")
-          .otherwise("test"))
-      .withColumn("x1", ((($"event_id" * 37L) % 1700L) / 10.0 - 85.0) / 85.0)
-      .withColumn("x2", ((($"event_id" * 131L) % 3600L) / 10.0 - 180.0) / 180.0)
-      .withColumn("noise", (($"event_id" * 9973L) % 2001L) / 1000.0 - 1.0)
-      .withColumn("label",
-        when(lit(0.8) * $"x1" - lit(0.6) * $"x2" + lit(0.5) * $"noise" > 0, 1.0)
-          .otherwise(0.0))
-      .withColumn("features", array_to_vector(array($"x1", $"x2")))
+    // the SAME frame builder the declared key uses — the test can never
+    // drift onto a stale private copy of the plant
+    val d = graft.queries.Ml.logregFrame(spark, sf)
     val m = new LogisticRegression().setMaxIter(50).setRegParam(0.0)
       .fit(d.filter($"split" === "train"))
     val c = m.coefficients

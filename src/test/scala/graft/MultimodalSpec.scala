@@ -74,9 +74,21 @@ class MultimodalSpec extends BaseSpec {
       // JPEG SOI then garbage (no valid marker)
       Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x42),
       // RIFF but not WAVE
-      "RIFFxxxxAVI LIST".getBytes)
+      "RIFFxxxxAVI LIST".getBytes,
+      // RIFF/WAVE with a CORRUPT NEGATIVE chunk size — the chunk-walk
+      // increment would be 0 without the guard (hang, not a throw)
+      "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes ++
+        "datb".getBytes ++ Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
     for (c <- cases)
       assert(Multimodal.sniffMeta(c).format == "unknown", c.mkString(","))
+  }
+
+  test("sniffMeta parses a fixed-length JPEG prefix ending exactly at the SOF width") {
+    // media pipelines sniff bounded prefixes; a buffer that ends
+    // immediately after the SOF0 dimension bytes must still parse
+    val prefix = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc0.toByte, 0x00, 0x0b, 8, 0x00, 0xf0.toByte, 0x01, 0x40)
+    assert(Multimodal.sniffMeta(prefix) == Multimodal.SniffedMeta("jpeg", 320, 240, 0))
   }
 
   test("synthetic blobs round-trip their planted metadata through the parser") {
