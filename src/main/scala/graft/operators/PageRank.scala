@@ -40,7 +40,11 @@ object PageRank {
 
   /** @param edges DIRECTED (src, dst) edge list, duplicates allowed
     *        (weights by multiplicity); pass both directions for an
-    *        undirected graph
+    *        undirected graph. With `weighted = true` the list must also
+    *        carry a positive `w` column and each vertex's rank splits
+    *        across its out-edges ∝ w/Σw (the classic weighted PageRank)
+    *        instead of uniformly — the unweighted path is exactly the
+    *        weighted one with w ≡ 1, and PageRankSpec pins that identity.
     * @param tol L1 convergence tolerance, checked every `checkEvery`
     *        rounds: the loop ends once Σ|rankᵢ − rankᵢ₋₁| < tol (an agg
     *        over the just-checkpointed per-vertex frame — near-free next
@@ -59,21 +63,27 @@ object PageRank {
     * @return (id, rank) for every vertex appearing in `edges`, Σrank = 1 */
   def run(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
           iterations: Int = 15, tol: Double = 1e-7,
-          checkEvery: Int = 3): DataFrame =
-    runCounted(spark, edges, damping, iterations, tol, checkEvery)._1
+          checkEvery: Int = 3, weighted: Boolean = false): DataFrame =
+    runCounted(spark, edges, damping, iterations, tol, checkEvery, weighted)._1
 
   /** As [[run]], also returning the number of iterations actually executed
     * (< `iterations` when the L1 certificate ended the loop early). */
   def runCounted(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
                  iterations: Int = 15, tol: Double = 1e-7,
-                 checkEvery: Int = 3): (DataFrame, Int) = {
+                 checkEvery: Int = 3, weighted: Boolean = false): (DataFrame, Int) = {
     import spark.implicits._
-    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+    val e = (if (weighted)
+        edges.select($"src".cast("long"), $"dst".cast("long"), $"w".cast("double"))
+      else
+        edges.select($"src".cast("long"), $"dst".cast("long"), lit(1.0).as("w")))
       .localCheckpoint(eager = true)
     val verts = e.select($"src".as("id")).unionAll(e.select($"dst".as("id")))
       .distinct().localCheckpoint(eager = true)
     val n = verts.count().toDouble
-    val outDeg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+    // out-"degree" = Σw per src — with w ≡ 1 this IS the edge count, so
+    // the unweighted semantics are unchanged bit-for-bit in structure
+    // (sum of 1.0s is exact in doubles up to 2^53 edges per vertex)
+    val outDeg = e.groupBy($"src".as("id")).agg(sum($"w").as("deg"))
 
     // Dangling vertex SET is iteration-invariant — compute it once. The
     // common undirected case (co-travel graph: every vertex has out-edges)
@@ -97,7 +107,7 @@ object PageRank {
       val contribs = ranks.join(outDeg, Seq("id"))
         .select($"id".as("src"), ($"rank" / $"deg").as("c"))
         .join(e, Seq("src"))
-        .groupBy($"dst".as("id")).agg(sum($"c").as("in_mass"))
+        .groupBy($"dst".as("id")).agg(sum($"c" * $"w").as("in_mass"))
       val base = (1.0 - damping) / n + damping * danglingMass / n
       i += 1
       val cadence = i % checkEvery == 0 || i == iterations

@@ -34,6 +34,7 @@ object Geo extends QueryGroup {
   locally {
     import graft.operators.LastIterations.register
     register("m_graph_pagerank")(graft.operators.PageRank.lastIterations)
+    register("m_graph_wpagerank")(graft.operators.PageRank.lastIterations)
     register("m_graph_lp")(graft.operators.LabelProp.lastIterations)
     register("m_graph_ppr")(graft.operators.Ppr.lastIterations)
     register("m_graph_kcore")(graft.operators.KCore.lastIterations)
@@ -347,6 +348,29 @@ object Geo extends QueryGroup {
       val edges = pairs.select($"u1".as("src"), $"u2".as("dst"))
         .unionAll(pairs.select($"u2".as("src"), $"u1".as("dst")))
       graft.operators.PageRank.run(s, edges)
+        .select($"id".as("user_id"), round($"rank", 6).as("rank"))
+        .orderBy($"rank".desc, $"user_id")
+        .limit(10)
+    }),
+
+    // WEIGHTED PageRank: influence flows ∝ co-travel intensity (rank
+    // splits across a user's ties by shared-hours weight, not uniformly)
+    // — the strong-tie centrality twin of m_graph_pagerank, and the
+    // natural companion to m_graph_sssp's 1/hours distances. A user
+    // bridging many weak ties ranks lower here than in the unweighted
+    // key; a member of a tight convoy ranks higher. Same loop, same
+    // cadence discipline (the `weighted` flag only changes the out-mass
+    // denominator to Σw and the contribution to c·w); PageRankSpec pins
+    // the weighted reference AND that w ≡ 1 reproduces the unweighted
+    // ranking exactly. No SQL oracle (iterative damped ranking).
+    "m_graph_wpagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      val edges = pairs
+        .select($"u1".as("src"), $"u2".as("dst"), $"n_hours".cast("double").as("w"))
+        .unionAll(pairs
+          .select($"u2".as("src"), $"u1".as("dst"), $"n_hours".cast("double").as("w")))
+      graft.operators.PageRank.run(s, edges, weighted = true)
         .select($"id".as("user_id"), round($"rank", 6).as("rank"))
         .orderBy($"rank".desc, $"user_id")
         .limit(10)

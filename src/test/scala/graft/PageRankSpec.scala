@@ -38,6 +38,55 @@ class PageRankSpec extends BaseSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
   }
 
+  /** Reference WEIGHTED iteration: rank splits ∝ w/Σw out-weights. */
+  private def referenceW(edges: Seq[(Long, Long, Double)], d: Double, iters: Int)
+      : Map[Long, Double] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = verts.size.toDouble
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dangling = verts.filterNot(outW.contains).map(rank).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => rank(s) / outW(s) * w }.sum).toMap
+      val base = (1 - d) / n + d * dangling / n
+      rank = verts.map(v => v -> (base + d * in.getOrElse(v, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("weighted ranks equal the weighted reference; heavy ties attract rank") {
+    // hub 1 points at 2 (weight 9) and 3 (weight 1) — 2 must absorb 9×
+    // the split mass; plus a weighted cycle and a dangling sink
+    val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 2.0),
+                    (3L, 1L, 0.5), (2L, 4L, 1.0))
+    val got = PageRank.run(spark, edges.toDF("src", "dst", "w"), weighted = true)
+      .as[(Long, Double)].collect().toMap
+    val want = referenceW(edges, 0.85, 15)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"node $v: got $r want ${want(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
+    assert(got(2L) > got(3L), s"the weight-9 neighbor must outrank the weight-1: $got")
+  }
+
+  test("weighted with w ≡ 1 is the unweighted ranking exactly") {
+    val rnd = new scala.util.Random(41L)
+    val pairs = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val unw = PageRank.run(spark, pairs.toDF("src", "dst"))
+      .as[(Long, Double)].collect().toMap
+    val w1 = PageRank.run(spark,
+        pairs.map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "w"),
+        weighted = true)
+      .as[(Long, Double)].collect().toMap
+    assert(unw.keySet == w1.keySet)
+    unw.foreach { case (v, r) =>
+      assert(math.abs(r - w1(v)) < 1e-12, s"node $v: $r vs ${w1(v)}")
+    }
+  }
+
   test("undirected symmetric nodes tie exactly after rounding; hubs outrank leaves") {
     // path 1-2-3 (undirected): leaves 1 and 3 are symmetric twins.
     val pairs = Seq((1L, 2L), (2L, 3L))
