@@ -773,6 +773,46 @@ class PlanSpec extends BaseSpec {
     assert(fp <= 0.1, f"measured fpp $fp%.4f exceeds 10× the 0.01 target")
   }
 
+  test("shuffle budget: flagship plans keep their minimal exchange counts") {
+    // "Minimize shuffles" as an enforced regression guard, not prose: the
+    // exchange count of each flagship plan is pinned at its minimal value
+    // (counted through AQE's QueryStage wrapping, broadcast exchanges
+    // excluded — a broadcast is the shuffle we AVOIDED). A refactor that
+    // sneaks in an extra repartition/sort/agg exchange fails here with
+    // the plan attached.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def countShuffles(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val into = p match {
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case q: QueryStageExec => countShuffles(q.plan)
+        case _ => p.children.map(countShuffles).sum
+      }
+      self + into
+    }
+    val budget = Map(
+      "q_scan_project" -> 1, // global sort only
+      "q_filter_pred" -> 1, // agg/sort
+      "q_agg_pricing" -> 2, // hash agg + global sort
+      "q_join_broadcast" -> 2, // agg + sort; the JOIN itself moves no fact rows
+      "q_win_rank" -> 2, // window partition + final sort
+      "q_geo_grid" -> 1, // cell agg; top-20 is TakeOrdered, no sort exchange
+      "q_topk" -> 1, // custkey agg; TakeOrdered
+      "q_topk_heap" -> 2, // heap agg + output sort (bounded state, not a window sort)
+      "q_geo_join" -> 3, // cell-bucket equi-join rides a BROADCAST; distinct-agg + sort
+      "q_text_tokens" -> 2) // term agg with distinct doc_id (two-phase)
+    for ((key, want) <- budget) {
+      val df = SparkEntry.queries(key)(spark, sf)
+      df.collect()
+      val got = countShuffles(df.queryExecution.executedPlan)
+      assert(got == want,
+        s"$key: $got shuffle exchanges, pinned $want —\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("q_geo_join: equi-join on cell buckets, never cartesian/BNL") {
     // The two-relation ε-distance join must reach the exact verify through
     // hash-joinable (cell_lat, cell_lon) candidate buckets — a
