@@ -8,7 +8,8 @@ object SparkEntry {
   /** All contract query groups (SURVEY §2). */
   private def groups: Seq[QueryGroup] = Seq(
     Scans, Filters, Joins, Aggregates, Windows, SortsSets, Scalars,
-    StreamingQueries, Geo, TextPipeline, Similarity, Custom, Reshape, Mining, Ml
+    StreamingQueries, Geo, TextPipeline, Similarity, Custom, Reshape, Mining,
+    Ml, Timeseries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

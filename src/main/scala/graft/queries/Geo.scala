@@ -80,6 +80,29 @@ object Geo extends QueryGroup {
       .withColumn("seg_km", hv(col("plat"), col("plon"), col("lat"), col("lon")))
       .withColumn("dt_us", col("ts_us") - col("pts_us"))
 
+  /** Convex CCW pentagon for q_geo_polygon, as (lon, lat) vertices — all
+    * integral so every edge delta is an exact double literal. Both the
+    * Spark predicate and the oracle SQL are generated from THIS list, so
+    * the two engines can never drift onto different geometries. */
+  private val polygonVerts: Seq[(Double, Double)] =
+    Seq((-60.0, -35.0), (45.0, -50.0), (95.0, 10.0), (20.0, 55.0), (-75.0, 30.0))
+
+  /** Edges as (x1, y1, dx, dy) with the wrap-around edge included. */
+  private val polygonEdges: Seq[(Double, Double, Double, Double)] =
+    polygonVerts.zip(polygonVerts.tail :+ polygonVerts.head).map {
+      case ((x1, y1), (x2, y2)) => (x1, y1, x2 - x1, y2 - y1)
+    }
+  private val polyLonMin = polygonVerts.map(_._1).min
+  private val polyLonMax = polygonVerts.map(_._1).max
+  private val polyLatMin = polygonVerts.map(_._2).min
+  private val polyLatMax = polygonVerts.map(_._2).max
+
+  /** Oracle mirror of the half-plane conjunction, identical literals. */
+  private val polygonSqlPred: String =
+    polygonEdges.map { case (x1, y1, dx, dy) =>
+      f"($dx%.1f * (lat - ($y1%.1f)) - $dy%.1f * (lon - ($x1%.1f)) >= 0.0)"
+    }.mkString("\n    AND ")
+
   // ---- oracle-side shared SQL ----------------------------------------------
 
   private val ptsCte =
@@ -125,6 +148,33 @@ object Geo extends QueryGroup {
         .filter($"lat".between(-30.0, 30.0) && $"lon".between(-90.0, 90.0))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_inside"))
+        .orderBy($"event_type")
+    }),
+
+    // Point-in-polygon containment (STARK `contains` with a real geometry,
+    // not just the axis-aligned bbox): a convex CCW pentagon tested by the
+    // half-plane cross-product conjunction — inside ⟺ the point sits on
+    // the left of every edge. Both engines evaluate the SAME expression
+    // tree over the same derived doubles (edge deltas are integral, so the
+    // literals are exact), making the per-row verdict bit-deterministic.
+    // The sargable bbox conjunct runs FIRST: at 100 TB with stored
+    // coordinates it reaches the parquet scan as a min/max-prunable range
+    // predicate and the 10-flop exact test only touches bbox survivors.
+    // Convex-only is a declared bound — a concave polygon decomposes into
+    // convex pieces OR'd together with the same per-piece plan.
+    "q_geo_polygon" -> ((s, dir) => {
+      import s.implicits._
+      val inPoly = polygonEdges.map { case (x1, y1, dx, dy) =>
+        (lit(dx) * ($"lat" - lit(y1)) - lit(dy) * ($"lon" - lit(x1))) >= 0.0
+      }.reduce(_ && _)
+      pts(s, dir)
+        .filter($"lon".between(polyLonMin, polyLonMax) &&
+                $"lat".between(polyLatMin, polyLatMax))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_bbox"),
+             sum(when(inPoly, 1L).otherwise(0L)).as("n_inside"))
+        .withColumn("inside_frac",
+          round($"n_inside".cast("double") / $"n_bbox".cast("double"), 4))
         .orderBy($"event_type")
     }),
 
@@ -619,6 +669,19 @@ object Geo extends QueryGroup {
         |FROM pts
         |WHERE lat BETWEEN -30.0 AND 30.0 AND lon BETWEEN -90.0 AND 90.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "q_geo_polygon" -> (ptsCte +
+      f"""
+         |SELECT event_type, COUNT(*) AS n_bbox,
+         |  CAST(SUM(CASE WHEN $polygonSqlPred%s
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+         |  round(CAST(SUM(CASE WHEN $polygonSqlPred%s
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         |    AS inside_frac
+         |FROM pts
+         |WHERE lon BETWEEN $polyLonMin%.1f AND $polyLonMax%.1f
+         |  AND lat BETWEEN $polyLatMin%.1f AND $polyLatMax%.1f
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "q_geo_radius" -> (ptsCte +
       s"""

@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.sql.functions._
 import Q._
@@ -99,6 +100,91 @@ object Ml extends QueryGroup {
         .agg(count(lit(1)).as("n"),
              round(sqrt(avg($"err2")), 4).as("rmse"),
              round(lit(1.0) - avg($"err2") / var_pop($"label"), 4).as("r2"))
+        .orderBy($"split")
+    }),
+
+    // Gradient-boosted trees on the SAME planted target as m_ml_logreg —
+    // the tree-ensemble family beside the linear one. The planted boundary
+    // is linear, so GBT must approximate it with axis-aligned splits: a
+    // working fit lands a bit below the linear model's ceiling but far
+    // above chance, which MlModelSpec pins as the floor. No row/feature
+    // subsampling (MLlib defaults: subsamplingRate 1.0, featureSubsetStrategy
+    // "all" for GBT), so the fit is deterministic given the fixture's
+    // stable parquet partitioning; the seed only feeds the (unused)
+    // sampling path. 100 TB shape: each boosting round is one distributed
+    // histogram aggregation per tree level (treeAggregate partials, like
+    // the linear models' gradient); scoring broadcasts the tree ensemble
+    // into a per-row transform.
+    "m_ml_gbt" -> ((s, dir) => {
+      import s.implicits._
+      val d = logregFrame(s, dir)
+      val model = new GBTClassifier()
+        .setMaxIter(10).setMaxDepth(3).setStepSize(0.3).setSeed(42L)
+        .fit(d.filter($"split" === "train"))
+      model.transform(d)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"prediction" === $"label", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", round($"n_correct" / $"n", 4))
+        .orderBy($"split")
+    }),
+
+    // Collaborative filtering via ALS — the recommender quadrant of the
+    // MLlib mandate. Ratings are (customer, part) pairs from
+    // lineitem ⋈ orders with a PLANTED rank-1 interaction
+    // r(c,p) = a_c · b_p + 0.1·noise (a, b integer-exact hash features in
+    // [1, 1.9]) — declared honestly for the same reason as m_ml_logreg:
+    // TPC-H order composition is random, so natural quantities carry no
+    // latent structure and an ALS fit on them would assert nothing. A
+    // rank-4 factorization must recover the planted rank-1 surface from
+    // 75% of the cells; MlModelSpec pins held-out RMSE ≪ the
+    // global-mean baseline. 100 TB shape: ALS is the canonical
+    // block-partitioned alternating solver — each half-iteration joins
+    // ratings (partitioned by user, then by item) against the opposite
+    // factor blocks; nothing driver-sized but the rank-4 factors here.
+    "m_ml_als" -> ((s, dir) => {
+      import s.implicits._
+      // nnz bound: the solver runs on an ITEM shard sized to a fixed
+      // ~100k-cell budget — modulus 1 (everything) until the interaction
+      // matrix outgrows the budget, then every m-th item WITH its full
+      // rating column. Sharding by item keeps item factors well-determined
+      // at any modulus (a uniform CELL sample was measured to starve both
+      // sides to ~3 ratings each and the fit diverged); thinning along one
+      // dimension (shard + ensemble the shards) is also the honest 100 TB
+      // pattern. The sizing count runs on the checkpointed frame the
+      // solver reuses, so it adds no second scan of the join.
+      val cells = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+              $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".cast("int").as("c"), $"l_partkey".cast("int").as("p"))
+        .distinct()
+        .localCheckpoint(false)
+      val modulus = math.max(1L, cells.count() / 100000L)
+      val ratings = cells
+        .filter(pmod($"p", lit(modulus)) === 0)
+        .withColumn("a", lit(1.0) + (($"c" * 13) % 10).cast("double") / 10.0)
+        .withColumn("b", lit(1.0) + (($"p" * 17) % 10).cast("double") / 10.0)
+        .withColumn("noise",
+          (($"c" * 31L + $"p" * 47L) % 2001L).cast("double") / 1000.0 - 1.0)
+        .withColumn("rating", ($"a" * $"b" + lit(0.1) * $"noise").cast("float"))
+        .withColumn("split",
+          when(substring(md5(concat($"c".cast("string"), lit(":"),
+                                    $"p".cast("string"))), 1, 1) < "c",
+               "train").otherwise("test"))
+      val train = ratings.filter($"split" === "train")
+      val model = new ALS()
+        .setUserCol("c").setItemCol("p").setRatingCol("rating")
+        .setRank(4).setMaxIter(8).setRegParam(0.05).setSeed(42L)
+        .setColdStartStrategy("drop")
+      val fitted = model.fit(train)
+      val mean = train.agg(avg($"rating")).first().getDouble(0)
+      fitted.transform(ratings)
+        .withColumn("err2", pow($"rating" - $"prediction", 2))
+        .withColumn("berr2", pow($"rating" - lit(mean), 2))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             round(sqrt(avg($"err2")), 4).as("rmse"),
+             round(sqrt(avg($"berr2")), 4).as("rmse_baseline"))
         .orderBy($"split")
     })
   )

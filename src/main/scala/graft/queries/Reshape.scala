@@ -463,7 +463,7 @@ object Reshape extends QueryGroup {
     * hour-bucket hash agg + a `sequence()` grid exploded from ONE bounds
     * row, left-joined so empty hours appear as zeros. Grid size tracks the
     * time range, never input volume. Shared by q_time_resample/q_roll_mean. */
-  private def resampled(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def resampled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val agg = t(s, dir, "events")
       .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
@@ -478,7 +478,7 @@ object Reshape extends QueryGroup {
   }
 
   /** Oracle-side mirror of [[resampled]] (CTEs ending in `res`). */
-  private val resampledCte =
+  private[queries] val resampledCte =
     s"""WITH ev AS (
        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h, value
        |  FROM events),
@@ -834,6 +834,34 @@ object Reshape extends QueryGroup {
         .orderBy($"event_type")
     }),
 
+    // Winsorization: clip telemetry values at the per-type exact p05/p95
+    // before aggregation — the outlier guard a training pipeline applies
+    // ahead of normalization (clipping, unlike dropping, keeps row counts
+    // and downstream joins intact). Same two-pass shape as q_anomaly_mad:
+    // one percentile agg, its ≤|types| rows broadcast back onto the fact
+    // scan (never reshuffled). Fences are round(6)-pinned BEFORE clamping
+    // so both engines clamp at bit-identical cut points; the clipped mean
+    // is decimal-routed. At 100 TB the exact percentile becomes
+    // percentile_approx/GK (m_agg_quantile IS that path) — kept exact here
+    // because the oracle compares exact values.
+    "q_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_type", $"value")
+      val qs = ev.groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.05)"), 6).as("p05"),
+             round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      ev.join(broadcast(qs), Seq("event_type"))
+        .withColumn("clipped", least(greatest($"value", $"p05"), $"p95"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"value" < $"p05", 1L).otherwise(0L)).as("n_clip_lo"),
+             sum(when($"value" > $"p95", 1L).otherwise(0L)).as("n_clip_hi"),
+             r4(davg($"value", 6)).as("mean_raw"),
+             r4(davg($"clipped", 6)).as("mean_winsor"),
+             r4(min($"p05")).as("p05"), r4(min($"p95")).as("p95"))
+        .orderBy($"event_type")
+    }),
+
     // Weighted dataset mixture: per-source keep rates (25% for even
     // sources, 75% for odd) applied via an md5 two-nibble threshold on
     // (source, doc_id) — the deterministic downsampling step that rebalances
@@ -1040,6 +1068,26 @@ object Reshape extends QueryGroup {
         |  round(MIN(d.med), 4) AS med, round(MIN(x.mad), 4) AS mad
         |FROM dev d JOIN mad x USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH qs AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(CAST(value AS DOUBLE), 0.05), 6) AS p05,
+        |    round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.event_type, e.value, q.p05, q.p95,
+        |    least(greatest(e.value, q.p05), q.p95) AS clipped
+        |  FROM events e JOIN qs q USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 4)
+        |    AS mean_raw,
+        |  round(CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) / COUNT(clipped), 4)
+        |    AS mean_winsor,
+        |  round(MIN(p05), 4) AS p05, round(MIN(p95), 4) AS p95
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_mix_sources" ->
       """WITH d AS (

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.11b adjunct — time-series diagnostics over the gap-filled
+  * hourly grid ([[Reshape.resampled]]): autocorrelation, exponential
+  * recency weighting, and CUSUM changepoint scan. These are the
+  * series-level health checks an analyst runs BEFORE trusting the
+  * seasonal/anomaly keys (q_time_seasonal, q_anomaly_*): is the series
+  * self-correlated at short lags, what is its recency-weighted level, and
+  * where does its mean most plausibly shift.
+  *
+  * Scale + parity design shared by all three keys:
+  *  - Series length is bounded by the TIME RANGE (one row per hour /
+  *    per (type, hour)), never by input volume — the same argument as
+  *    q_roll_mean: a century of data is under a million grid rows, so the
+  *    single global-order window pass is safe at any corpus size. The only
+  *    data-sized job is the hour-bucket hash aggregate inside the shared
+  *    substrate, which partial-aggregates map-side.
+  *  - Every statistic is computed in INTEGER arithmetic (counts, their
+  *    products, and power-of-two weights are all exact in BIGINT) up to a
+  *    final division/sqrt over identical operands — so both engines round
+  *    the same doubles and hash parity is structural, not probabilistic.
+  *    At fixture magnitudes (≤ ~1e4 grid rows × ≤ ~1e6 events/hour) every
+  *    intermediate stays far below 2^53; the margin is asserted by the
+  *    magnitude guard in ReshapeSpec rather than assumed.
+  */
+object Timeseries extends QueryGroup {
+
+  val queries: Map[String, QFn] = Map(
+    // Autocorrelation of the hourly event-count series at lags 1..3 — the
+    // "is there short-range structure" diagnostic (an ACF near zero says
+    // the hourly counts are noise; a decaying positive ACF says load
+    // clusters). Pearson r over (x_t, x_{t-L}) pairs from the gap-filled
+    // grid, computed from the five integer power sums so the only
+    // floating-point ops are one division and two sqrts over bit-identical
+    // BIGINT-exact operands. One window pass builds all three lags; the
+    // explode is 3 rows per grid row — still time-bounded.
+    "q_time_acf" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"bucket_ms")
+      val lagged = Reshape.resampled(s, dir)
+        .select($"bucket_ms", $"n_events".as("x"))
+        .withColumn("l1", lag($"x", 1).over(w))
+        .withColumn("l2", lag($"x", 2).over(w))
+        .withColumn("l3", lag($"x", 3).over(w))
+      val pairs = lagged
+        .select(explode(array(
+          struct(lit(1).as("lg"), $"x", $"l1".as("y")),
+          struct(lit(2).as("lg"), $"x", $"l2".as("y")),
+          struct(lit(3).as("lg"), $"x", $"l3".as("y")))).as("p"))
+        .select($"p.lg".as("lag"), $"p.x".as("x"), $"p.y".as("y"))
+        .filter($"y".isNotNull)
+      pairs.groupBy($"lag")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum($"x").as("sx"), sum($"y").as("sy"),
+             sum($"x" * $"y").as("sxy"),
+             sum($"x" * $"x").as("sxx"),
+             sum($"y" * $"y").as("syy"))
+        .withColumn("num", $"n_pairs" * $"sxy" - $"sx" * $"sy")
+        .withColumn("d1", $"n_pairs" * $"sxx" - $"sx" * $"sx")
+        .withColumn("d2", $"n_pairs" * $"syy" - $"sy" * $"sy")
+        .select($"lag", $"n_pairs",
+          when($"d1" > 0 && $"d2" > 0,
+            round($"num".cast("double") /
+              (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))), 4))
+            .as("acf"))
+        .orderBy($"lag")
+    }),
+
+    // Recency-weighted daily activity level, α = 1/2: within each UTC day
+    // the hourly counts are combined with weights (1/2)^(23−hour) — the
+    // end-of-day EWMA state of the classic recursive smoother, written in
+    // closed form. α = 1/2 is chosen deliberately: the weights are exact
+    // powers of two, so Σ x·2^h and Σ 2^h are BIGINT-exact and the single
+    // final division is over identical operands in both engines (a generic
+    // α would stack libm pow() ulps across 24 terms). Partial first/last
+    // days normalize by the weights actually present. One hash aggregate
+    // over the grid — no window needed.
+    "q_time_ewma" -> ((s, dir) => {
+      import s.implicits._
+      Reshape.resampled(s, dir)
+        .withColumn("day_ms", expr("(bucket_ms div 86400000) * 86400000"))
+        .withColumn("wt", expr(
+          "cast(pow(2.0d, (bucket_ms div 3600000) % 24) as bigint)"))
+        .groupBy($"day_ms")
+        .agg(sum($"n_events").as("n_events"),
+             sum($"n_events" * $"wt").as("wnum"),
+             sum($"wt").as("wden"))
+        .select($"day_ms", $"n_events",
+          round($"wnum".cast("double") / $"wden".cast("double"), 4)
+            .as("ewma_level"))
+        .orderBy($"day_ms")
+    }),
+
+    // CUSUM changepoint scan per event type: over the type's hourly-count
+    // series (observed buckets, ts-ordered), the cumulative deviation from
+    // the series mean S_t = Σ_{i≤t} (x_i − x̄) peaks where the mean most
+    // plausibly shifts. To stay integer-exact the scan uses the scaled
+    // form S'_t = T·cum_t − t·total (≡ T·S_t): argmax |S'_t| is the same
+    // bucket and |S'|/T recovers |S| for the report. The argmax tie-break
+    // is (deviation desc, earliest t) via the repo's max(struct(...))
+    // idiom — deterministic in both engines. One hash agg + one per-type
+    // window pass + one per-type reduce; series length per type is
+    // time-bounded as above.
+    "q_time_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val byHour = t(s, dir, "events")
+        .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
+        .groupBy($"event_type", $"h")
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy($"event_type").orderBy($"h")
+      val wAll = Window.partitionBy($"event_type")
+      byHour
+        .withColumn("tt", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum($"c").over(wOrd))
+        .withColumn("bign", count(lit(1)).over(wAll))
+        .withColumn("total", sum($"c").over(wAll))
+        .withColumn("dev", abs($"bign" * $"cum" - $"tt" * $"total"))
+        .groupBy($"event_type")
+        .agg(max($"bign").as("n_hours"),
+             max($"total").as("n_events"),
+             max(struct($"dev", (-$"tt").as("negt"), $"h")).as("top"))
+        .select($"event_type", $"n_hours", $"n_events",
+          $"top.h".as("cp_ms"),
+          round($"top.dev".cast("double") / $"n_hours".cast("double"), 4)
+            .as("max_dev"))
+        .orderBy($"event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_time_acf" -> (Reshape.resampledCte +
+      """,
+        |lagged AS (
+        |  SELECT n_events AS x,
+        |    lag(n_events, 1) OVER (ORDER BY bucket_ms) AS l1,
+        |    lag(n_events, 2) OVER (ORDER BY bucket_ms) AS l2,
+        |    lag(n_events, 3) OVER (ORDER BY bucket_ms) AS l3
+        |  FROM res),
+        |pairs AS (
+        |  SELECT 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2 AS lag, x, l2 AS y FROM lagged WHERE l2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 3 AS lag, x, l3 AS y FROM lagged WHERE l3 IS NOT NULL),
+        |st AS (
+        |  SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |       THEN round(CAST(num AS DOUBLE) /
+        |                  (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 4)
+        |  END AS acf
+        |FROM (
+        |  SELECT lag, n_pairs,
+        |    n_pairs * sxy - sx * sy AS num,
+        |    n_pairs * sxx - sx * sx AS d1,
+        |    n_pairs * syy - sy * sy AS d2
+        |  FROM st)
+        |ORDER BY lag""".stripMargin),
+
+    "q_time_ewma" -> (Reshape.resampledCte +
+      """
+        |SELECT day_ms, CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(n_events * wt) AS DOUBLE) /
+        |        CAST(SUM(wt) AS DOUBLE), 4) AS ewma_level
+        |FROM (
+        |  SELECT (bucket_ms // 86400000) * 86400000 AS day_ms, n_events,
+        |    CAST(power(2.0, (bucket_ms // 3600000) % 24) AS BIGINT) AS wt
+        |  FROM res)
+        |GROUP BY day_ms
+        |ORDER BY day_ms""".stripMargin),
+
+    "q_time_cusum" ->
+      """WITH byhour AS (
+        |  SELECT event_type,
+        |    (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY event_type, h),
+        |scan AS (
+        |  SELECT event_type, h,
+        |    CAST(row_number() OVER wo AS BIGINT) AS tt,
+        |    SUM(c) OVER wo AS cum,
+        |    COUNT(*) OVER wa AS bign,
+        |    SUM(c) OVER wa AS total
+        |  FROM byhour
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY event_type)),
+        |dev AS (
+        |  SELECT event_type, h, tt, bign, total,
+        |    abs(bign * cum - tt * total) AS dev
+        |  FROM scan),
+        |best AS (
+        |  SELECT event_type, CAST(bign AS BIGINT) AS n_hours,
+        |    CAST(total AS BIGINT) AS n_events, h AS cp_ms,
+        |    round(CAST(dev AS DOUBLE) / CAST(bign AS DOUBLE), 4) AS max_dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY dev DESC, tt ASC) AS rk
+        |  FROM dev)
+        |SELECT event_type, n_hours, n_events, cp_ms, max_dev
+        |FROM best WHERE rk = 1
+        |ORDER BY event_type""".stripMargin
+  )
+}

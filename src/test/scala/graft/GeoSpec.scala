@@ -284,4 +284,49 @@ class GeoSpec extends BaseSpec {
     }
     assert(seam.getMessage.contains("divide"))
   }
+
+  test("q_geo_polygon equals an independent driver ray-free half-plane recount") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // The pentagon re-declared HERE from the published coordinates — an
+    // independent copy, so a drifted literal in the query or oracle breaks
+    // this test rather than passing parity by construction.
+    val verts = Vector((-60.0, -35.0), (45.0, -50.0), (95.0, 10.0),
+                       (20.0, 55.0), (-75.0, 30.0)) // (lon, lat), CCW
+    // sanity: strictly convex and counterclockwise
+    verts.indices.foreach { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % 5)
+      val (x3, y3) = verts((i + 2) % 5)
+      val cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+      assert(cross > 0, s"vertex $i breaks CCW convexity")
+    }
+    def inside(lon: Double, lat: Double): Boolean =
+      verts.indices.forall { i =>
+        val (x1, y1) = verts(i)
+        val (x2, y2) = verts((i + 1) % 5)
+        (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0
+      }
+    // spot geometry: centroid in, far corners out, a vertex on the boundary in
+    assert(inside(5.0, 2.0) && !inside(-179.0, 80.0) && !inside(100.0, -60.0))
+    assert(inside(-60.0, -35.0), "boundary (vertex) is inclusive")
+
+    val pts = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        (expr("(event_id * 37) % 1700") / 10.0 - 85.0).as("lat"),
+        (expr("(event_id * 131) % 3600") / 10.0 - 180.0).as("lon"))
+      .as[(String, Double, Double)].collect()
+    val lonMin = verts.map(_._1).min; val lonMax = verts.map(_._1).max
+    val latMin = verts.map(_._2).min; val latMax = verts.map(_._2).max
+    val expected = pts
+      .filter(p => p._3 >= lonMin && p._3 <= lonMax && p._2 >= latMin && p._2 <= latMax)
+      .groupBy(_._1).map { case (tpe, rows) =>
+        (tpe, rows.length.toLong, rows.count(p => inside(p._3, p._2)).toLong)
+      }.toList.sortBy(_._1)
+    val got = SparkEntry.queries("q_geo_polygon")(spark, sf)
+      .select(col("event_type"), col("n_bbox"), col("n_inside"))
+      .as[(String, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "fixture must land points inside the pentagon")
+    assert(got.exists(r => r._3 < r._2), "bbox must not equal the pentagon")
+  }
 }

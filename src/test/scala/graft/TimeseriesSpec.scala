@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent driver-side recomputation of the time-series diagnostic
+  * keys (q_time_acf / q_time_ewma / q_time_cusum) — the SsspSpec
+  * discipline: the spec rebuilds the hourly grid from the raw parquet
+  * with its own arithmetic (BigInt power sums, Scala sort + scan) and
+  * requires exact equality with the declared keys, so a regression in
+  * either the substrate or the statistics shows up as a value diff, not
+  * just an oracle hash drift at the next round. */
+class TimeseriesSpec extends BaseSpec {
+  import spark.implicits._
+
+  private def rnd4(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Gap-filled hourly counts recomputed independently of Reshape.resampled. */
+  private lazy val grid: Vector[(Long, Long)] = {
+    val counts = Tables(spark, sf, "events")
+      .select((expr("unix_millis(ts) div 3600000") * 3600000L).as("h"))
+      .groupBy($"h").count().as[(Long, Long)].collect().toMap
+    val lo = counts.keys.min
+    val hi = counts.keys.max
+    (lo to hi by 3600000L).map(h => h -> counts.getOrElse(h, 0L)).toVector
+  }
+
+  test("q_time_acf equals a BigInt-exact driver recomputation; pair counts track grid length") {
+    val got = SparkEntry.queries("q_time_acf")(spark, sf)
+      .as[(Int, Long, Option[Double])].collect().toList.sortBy(_._1)
+    assert(got.map(_._1) == List(1, 2, 3))
+    val xs = grid.map(_._2)
+    got.foreach { case (lag, nPairs, acf) =>
+      assert(nPairs == xs.length - lag,
+        s"lag $lag: expected ${xs.length - lag} pairs over the gap-filled grid")
+      val pairs = xs.drop(lag).zip(xs.dropRight(lag)) // (x_t, x_{t-lag})
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      val expected =
+        if (d1 > 0 && d2 > 0)
+          Some(rnd4(num.toDouble / (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble))))
+        else None
+      assert(acf == expected, s"lag $lag: got $acf want $expected")
+    }
+  }
+
+  test("q_time_ewma equals the closed-form power-of-two weighting, day by day") {
+    val got = SparkEntry.queries("q_time_ewma")(spark, sf)
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+    val byDay = grid.groupBy { case (h, _) => h / 86400000L * 86400000L }
+    val expected = byDay.toList.sortBy(_._1).map { case (day, rows) =>
+      val num = rows.map { case (h, c) => BigInt(c) << ((h / 3600000L) % 24).toInt }.sum
+      val den = rows.map { case (h, _) => BigInt(1) << ((h / 3600000L) % 24).toInt }.sum
+      (day, rows.map(_._2).sum, rnd4(num.toDouble / den.toDouble))
+    }
+    assert(got == expected)
+    // α=1/2 semantics: the weighted level of a full day equals the state of
+    // the textbook adjust-normalized recursive smoother after its 24 hours
+    byDay.find(_._2.length == 24).foreach { case (day, rows) =>
+      val (numR, denR) = rows.sortBy(_._1).foldLeft((0.0, 0.0)) {
+        case ((nAcc, dAcc), (_, c)) => (nAcc / 2 + c, dAcc / 2 + 1.0)
+      }
+      val rec = rnd4(numR / denR)
+      val closed = got.find(_._1 == day).get._3
+      assert(math.abs(rec - closed) <= 1e-4,
+        s"recursive EWMA $rec != closed form $closed for day $day")
+    }
+  }
+
+  test("q_time_cusum equals a driver scan; a planted mean shift is located exactly") {
+    val got = SparkEntry.queries("q_time_cusum")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    val perType = Tables(spark, sf, "events")
+      .select($"event_type", (expr("unix_millis(ts) div 3600000") * 3600000L).as("h"))
+      .groupBy($"event_type", $"h").count().as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    val expected = perType.toList.sortBy(_._1).map { case (tpe, rows) =>
+      val series = rows.map(r => (r._2, r._3)).sortBy(_._1).toVector
+      val bigT = BigInt(series.length)
+      val total = series.map(r => BigInt(r._2)).sum
+      var cum = BigInt(0)
+      val devs = series.zipWithIndex.map { case ((h, c), i) =>
+        cum += c
+        ((bigT * cum - BigInt(i + 1) * total).abs, i + 1, h)
+      }
+      val best = devs.minBy { case (dev, t, _) => (-dev, t) } // max dev, earliest t
+      (tpe, series.length.toLong, total.toLong, best._3,
+        rnd4(best._1.toDouble / series.length))
+    }
+    assert(got == expected)
+
+    // Planted shift: flat 10/hour for 50 hours then 30/hour for 50 hours —
+    // the scaled CUSUM scan must peak exactly at the boundary bucket.
+    val planted = (0 until 50).map(h => (h.toLong, 10L)) ++
+      (50 until 100).map(h => (h.toLong, 30L))
+    val bigT = BigInt(100)
+    val tot = BigInt(planted.map(_._2).sum)
+    var c2 = BigInt(0)
+    val scan = planted.zipWithIndex.map { case ((h, c), i) =>
+      c2 += c; ((bigT * c2 - BigInt(i + 1) * tot).abs, i + 1, h)
+    }
+    val peak = scan.maxBy(_._1)
+    assert(peak._3 == 49L, s"CUSUM peak at hour ${peak._3}, want 49 (last pre-shift)")
+  }
+}
