@@ -488,6 +488,38 @@ object Geo extends QueryGroup {
       tri.crossJoin(wedges)
     }),
 
+    // Local clustering coefficient distribution — how clique-like each
+    // user's neighborhood is (the transitivity profile an analyst reads
+    // beside the degree histogram): per node, triangles/wedges, bucketed
+    // at 0.1. Same two-join triangle plan as q_graph_triangles (shared
+    // memoized pair set; triples explode to their three corners for the
+    // per-node count). Parity is structural: t and d(d−1)/2 are integers,
+    // the coefficient one exact division, the avg decimal-routed. At
+    // 100 TB the a<b<c orientation already sends each triangle through
+    // the join once, and the per-node rollup is a key-sized hash agg.
+    "q_graph_clustcoef" -> ((s, dir) => {
+      import s.implicits._
+      val e = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+        .select($"u1", $"u2")
+      val paths = e.as("ab").join(e.as("bc"), col("ab.u2") === col("bc.u1"))
+        .select(col("ab.u1").as("a"), col("ab.u2").as("b"), col("bc.u2").as("c"))
+      val triNodes = paths.join(e.as("ac"),
+        col("a") === col("ac.u1") && col("c") === col("ac.u2"))
+        .select(explode(array($"a", $"b", $"c")).as("u"))
+        .groupBy($"u").agg(count(lit(1)).as("t"))
+      val deg = e.select($"u1".as("u")).unionAll(e.select($"u2".as("u")))
+        .groupBy($"u").agg(count(lit(1)).as("d"))
+      deg.filter($"d" >= 2)
+        .join(triNodes, Seq("u"), "left")
+        .withColumn("t", coalesce($"t", lit(0L)))
+        .withColumn("coef", $"t".cast("double") /
+          expr("d * (d - 1) div 2").cast("double"))
+        .withColumn("bucket", floor($"coef" * 10).cast("int"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_nodes"), r4(davg($"coef", 6)).as("avg_coef"))
+        .orderBy($"bucket")
+    }),
+
     // Community structure of the co-traveler graph via synchronous label
     // propagation — property-tested (LabelPropSpec: node-wise ≡ in-memory
     // reference, planted two-clique separation). Output is the community
@@ -815,6 +847,43 @@ object Geo extends QueryGroup {
         |  GROUP BY user_id),
         |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
         |SELECT n_triangles, n_wedges FROM tri, w""".stripMargin),
+
+    "q_graph_clustcoef" -> (ptsCte +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |tn AS (
+        |  SELECT u, COUNT(*) AS t FROM (
+        |    SELECT ab.u1 AS u FROM pr ab JOIN pr bc ON ab.u2 = bc.u1
+        |      JOIN pr ac ON ac.u1 = ab.u1 AND ac.u2 = bc.u2
+        |    UNION ALL
+        |    SELECT ab.u2 FROM pr ab JOIN pr bc ON ab.u2 = bc.u1
+        |      JOIN pr ac ON ac.u1 = ab.u1 AND ac.u2 = bc.u2
+        |    UNION ALL
+        |    SELECT bc.u2 FROM pr ab JOIN pr bc ON ab.u2 = bc.u1
+        |      JOIN pr ac ON ac.u1 = ab.u1 AND ac.u2 = bc.u2) x
+        |  GROUP BY u),
+        |deg AS (
+        |  SELECT user_id AS u, COUNT(*) AS d FROM (
+        |    SELECT u1 AS user_id FROM pr UNION ALL SELECT u2 AS user_id FROM pr) x
+        |  GROUP BY user_id),
+        |co AS (
+        |  SELECT deg.u, CAST(COALESCE(tn.t, 0) AS DOUBLE) /
+        |    CAST(deg.d * (deg.d - 1) // 2 AS DOUBLE) AS coef
+        |  FROM deg LEFT JOIN tn ON deg.u = tn.u
+        |  WHERE deg.d >= 2)
+        |SELECT CAST(FLOOR(coef * 10) AS INT) AS bucket, COUNT(*) AS n_nodes,
+        |  round(CAST(SUM(CAST(coef AS DECIMAL(18,6))) AS DOUBLE) / COUNT(coef), 4)
+        |    AS avg_coef
+        |FROM co GROUP BY bucket ORDER BY bucket""".stripMargin),
 
     "q_graph_degree" -> (ptsCte +
       """,

@@ -462,6 +462,31 @@ class PlanSpec extends BaseSpec {
       s"q_cap_domain: cap not pushed map-side as a partial WindowGroupLimit:\n$plan")
   }
 
+  test("round-11 additions hold their pinned exchange budgets") {
+    // Same discipline as the flagship pins: the plan shape IS the 100 TB
+    // contract. acf/ewma ride ONE hour hash-agg + the declared
+    // time-bounded single-partition window/bounds step (grid rows are one
+    // per hour — never data-sized); cusum is the (type,h) agg + the
+    // type-window exchange; polygon is a pure scan-side predicate into one
+    // agg; winsorize is the two type-keyed aggs with the fence row set
+    // BROADCAST back (the fact scan must never reshuffle).
+    def shape(key: String): (Int, Int, Boolean) = {
+      val plan = SparkEntry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$key: nested-loop join leaked into the plan:\n$plan")
+      ("Exchange hashpartitioning".r.findAllIn(plan).size,
+       "Exchange SinglePartition".r.findAllIn(plan).size,
+       plan.contains("BroadcastHashJoin"))
+    }
+    assert(shape("q_time_acf") == ((1, 1, true)))
+    assert(shape("q_time_ewma") == ((1, 1, true)))
+    assert(shape("q_time_cusum") == ((2, 0, false)))
+    assert(shape("q_geo_polygon") == ((1, 0, false)))
+    assert(shape("q_winsorize") == ((2, 0, true)))
+  }
+
   test("q_dedup_substring joins on the shingle key only — no pair explosion, no nested loop") {
     // The inverted-index claim as plan shape: every join is an equi hash
     // or sort-merge join (shingle / doc_id keys); a naive all-pairs span
