@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.sql.functions._
@@ -186,6 +186,40 @@ object Ml extends QueryGroup {
              round(sqrt(avg($"err2")), 4).as("rmse"),
              round(sqrt(avg($"berr2")), 4).as("rmse_baseline"))
         .orderBy($"split")
+    }),
+
+    // Dimensionality reduction — PCA over the 64-dim embedding table: the
+    // top-5 principal components' explained-variance ratios PLUS the
+    // distributed per-component variance of the actual projections, so the
+    // key exercises both halves (fit: one treeAggregate builds the 64×64
+    // Gram/covariance — partial-aggregation scale shape, nothing
+    // driver-sized but the matrix itself; transform: broadcast the 64×5
+    // basis into a per-row projection). The projection variance must
+    // reproduce eigenvalue/total — MlModelSpec pins that identity plus
+    // basis orthonormality and equality with a driver eigendecomposition.
+    // evr is round(6): the Gram's double partials carry partition-order
+    // ulps (~1e-15), far below the reported precision.
+    "m_ml_pca" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "embeddings")
+        .withColumn("features", array_to_vector($"embedding"))
+      val model = new org.apache.spark.ml.feature.PCA()
+        .setInputCol("features").setOutputCol("pc").setK(5).fit(d)
+      val evr = model.explainedVariance.toArray
+      val proj = model.transform(d)
+        .select(posexplode(vector_to_array($"pc")).as(Seq("component", "x")))
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n"),
+             // var_samp: MLlib's covariance (and so its eigenvalues) is
+             // the 1/(n−1) estimator — the identity proj_var = evr·total
+             // holds exactly only with the matching normalizer
+             round(var_samp($"x"), 4).as("proj_var"))
+      val evrDf = evr.toSeq.zipWithIndex
+        .map { case (v, i) => (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toDF("component", "evr")
+      proj.join(broadcast(evrDf), Seq("component"))
+        .select($"component", $"n", $"evr", $"proj_var")
+        .orderBy($"component")
     })
   )
 

@@ -82,6 +82,53 @@ class MlModelSpec extends BaseSpec {
     assert(rmseTrain < 0.35, s"train rmse $rmseTrain out of band")
   }
 
+  private def pca() = SparkEntry.queries("m_ml_pca")(spark, sf)
+    .as[(Int, Long, Double, Double)].collect().toList.sortBy(_._1)
+
+  test("pca: evr descending, projections reproduce the eigenvalues, basis orthonormal, ≡ driver eigen") {
+    val r1 = pca()
+    assert(r1 == pca(), "same data must decompose identically in-session")
+    assert(r1.map(_._1) == List(0, 1, 2, 3, 4))
+    val evrs = r1.map(_._3)
+    assert(evrs == evrs.sorted.reverse, s"evr must be non-increasing: $evrs")
+    assert(evrs.forall(v => v > 0 && v < 1) && evrs.sum < 1.0)
+
+    // driver-side reference: sample covariance eigenvalues via breeze
+    val rows = Tables(spark, sf, "embeddings")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val n = rows.length; val dim = rows.head.length
+    val mean = Array.tabulate(dim)(j => rows.map(_(j)).sum / n)
+    val cov = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / (n - 1)
+    }
+    val eig = breeze.linalg.eigSym(cov)
+    val evals = eig.eigenvalues.toArray.sorted.reverse
+    val total = evals.sum
+    r1.foreach { case (k, cnt, evr, projVar) =>
+      assert(cnt == n.toLong)
+      // MLlib's evr vs the driver eigendecomposition of the same covariance
+      assert(math.abs(evr - evals(k) / total) < 1e-4,
+        s"component $k: evr $evr vs driver ${evals(k) / total}")
+      // the DISTRIBUTED projection variance must reproduce the eigenvalue
+      assert(math.abs(projVar - evals(k)) < 1e-3,
+        s"component $k: projection variance $projVar vs eigenvalue ${evals(k)}")
+    }
+
+    // basis orthonormality (the 64×5 loading matrix the transform broadcasts)
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = Tables(spark, sf, "embeddings")
+      .withColumn("features", array_to_vector($"embedding"))
+    val m = new PCA().setInputCol("features").setOutputCol("pc").setK(5).fit(d)
+    val pc = m.pc
+    for (a <- 0 until 5; b <- a until 5) {
+      val dot = (0 until pc.numRows).map(i => pc(i, a) * pc(i, b)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"pc($a)·pc($b) = $dot, want $want")
+    }
+  }
+
   test("linreg: stable across runs, held-out R2 floor on the real n_chars relation") {
     val r1 = linreg()
     assert(r1 == linreg(), "same data + hyperparameters must refit identically")
