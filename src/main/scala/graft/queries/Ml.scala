@@ -129,8 +129,9 @@ object Ml extends QueryGroup {
         .orderBy($"split")
     }),
 
-    // Collaborative filtering via ALS — the recommender quadrant of the
-    // MLlib mandate. Ratings are (customer, part) pairs from
+    // Collaborative filtering via ALS (Koren/Bell/Volinsky IEEE Computer
+    // 2009; Spark's block solver after Zhou et al. AAIM 2008) — the
+    // recommender quadrant of the MLlib mandate. Ratings are (customer, part) pairs from
     // lineitem ⋈ orders with a PLANTED rank-1 interaction
     // r(c,p) = a_c · b_p + 0.1·noise (a, b integer-exact hash features in
     // [1, 1.9]) — declared honestly for the same reason as m_ml_logreg:

@@ -6,7 +6,9 @@ import Q._
 
 /** SURVEY §2.11b adjunct — time-series diagnostics over the gap-filled
   * hourly grid ([[Reshape.resampled]]): autocorrelation, exponential
-  * recency weighting, and CUSUM changepoint scan. These are the
+  * recency weighting, and CUSUM changepoint scan (Page, Biometrika 1954 —
+  * the classic cumulative-sum mean-shift detector, here in its scaled
+  * integer form). These are the
   * series-level health checks an analyst runs BEFORE trusting the
   * seasonal/anomaly keys (q_time_seasonal, q_anomaly_*): is the series
   * self-correlated at short lags, what is its recency-weighted level, and
