@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** SURVEY §2.11b adjunct — time-series diagnostics over the gap-filled
@@ -97,6 +98,39 @@ object Timeseries extends QueryGroup {
         .orderBy($"day_ms")
     }),
 
+    // Classical additive decomposition x = trend + seasonal + residual
+    // over the hourly grid — the STL-lite every time-series analysis opens
+    // with: trend = trailing 24-bucket mean, seasonal = per-hour-of-day
+    // mean of the detrended series, residual = the rest; reported as the
+    // 24-row seasonal profile with per-slot residual sum of squares (a
+    // small RSS says trend+daily-shape explain the series). Parity chain:
+    // the trend is an exact-BIGINT window sum divided by the frame count
+    // (identical doubles), detrended values go through the DECIMAL cast
+    // (midpoints unreachable — the dsum argument), and the seasonal means
+    // are round(6)-pinned BEFORE the residual subtraction (the
+    // q_anomaly_mad discipline). Same single time-bounded window pass as
+    // q_roll_mean plus two hash aggs over 24-row keys.
+    "q_time_decomp" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"bucket_ms").rowsBetween(-23, Window.currentRow)
+      val base = Reshape.resampled(s, dir)
+        .withColumn("trend",
+          sum($"n_events").over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("detr", $"n_events".cast("double") - $"trend")
+        .withColumn("h24", expr("(bucket_ms div 3600000) % 24"))
+      val seas = base.groupBy($"h24")
+        .agg(round(sum($"detr".cast(DecimalType(18, 6))).cast("double") /
+               count(lit(1)), 6).as("seasonal"))
+      base.join(broadcast(seas), Seq("h24"))
+        .withColumn("resid", $"detr" - $"seasonal")
+        .groupBy($"h24")
+        .agg(count(lit(1)).as("n"),
+             round(min($"seasonal"), 4).as("seasonal"),
+             round(sum(($"resid" * $"resid").cast(DecimalType(18, 8)))
+               .cast("double"), 4).as("rss"))
+        .orderBy($"h24")
+    }),
+
     // CUSUM changepoint scan per event type: over the type's hourly-count
     // series (observed buckets, ts-ordered), the cumulative deviation from
     // the series mean S_t = Σ_{i≤t} (x_i − x̄) peaks where the mean most
@@ -177,6 +211,28 @@ object Timeseries extends QueryGroup {
         |  FROM res)
         |GROUP BY day_ms
         |ORDER BY day_ms""".stripMargin),
+
+    "q_time_decomp" -> (Reshape.resampledCte +
+      """,
+        |base AS (
+        |  SELECT bucket_ms, n_events,
+        |    (bucket_ms // 3600000) % 24 AS h24,
+        |    CAST(SUM(n_events) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS trend
+        |  FROM res
+        |  WINDOW w AS (ORDER BY bucket_ms
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT h24, CAST(n_events AS DOUBLE) - trend AS detr FROM base),
+        |seas AS (
+        |  SELECT h24,
+        |    round(CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |      AS seasonal
+        |  FROM d GROUP BY h24)
+        |SELECT d.h24, COUNT(*) AS n, round(MIN(s.seasonal), 4) AS seasonal,
+        |  round(CAST(SUM(CAST((d.detr - s.seasonal) * (d.detr - s.seasonal)
+        |                      AS DECIMAL(18,8))) AS DOUBLE), 4) AS rss
+        |FROM d JOIN seas s ON d.h24 = s.h24
+        |GROUP BY d.h24 ORDER BY d.h24""".stripMargin),
 
     "q_time_cusum" ->
       """WITH byhour AS (

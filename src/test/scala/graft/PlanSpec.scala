@@ -482,6 +482,9 @@ class PlanSpec extends BaseSpec {
     }
     assert(shape("q_time_acf") == ((1, 1, true)))
     assert(shape("q_time_ewma") == ((1, 1, true)))
+    // decomp adds the h24 aggs (2 hash) atop the substrate's bounds agg
+    // AND the global-order trend window (2 time-bounded singles)
+    assert(shape("q_time_decomp") == ((2, 2, true)))
     assert(shape("q_time_cusum") == ((2, 0, false)))
     assert(shape("q_geo_polygon") == ((1, 0, false)))
     assert(shape("q_winsorize") == ((2, 0, true)))

@@ -74,6 +74,37 @@ class TimeseriesSpec extends BaseSpec {
     }
   }
 
+  test("q_time_decomp equals a driver recompute mirroring every pin point") {
+    val got = SparkEntry.queries("q_time_decomp")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toList.sortBy(_._1)
+    val xs = grid.map(_._2)
+    // trend/detr with the key's exact arithmetic (BIGINT window sum / count)
+    val detr = xs.indices.map { i =>
+      val lo = math.max(0, i - 23)
+      val s = (lo to i).map(xs).sum
+      xs(i).toDouble - s.toDouble / (i - lo + 1)
+    }
+    def dec6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    def dec8(x: Double) =
+      new java.math.BigDecimal(x).setScale(8, java.math.RoundingMode.HALF_UP)
+    def rnd6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val byHour = detr.indices.groupBy(i => (grid(i)._1 / 3600000L) % 24)
+    val expected = byHour.toList.sortBy(_._1).map { case (h, idxs) =>
+      // seasonal = round(decimalSum(detr) / n, 6); report r4 of it
+      val seasonal = rnd6(
+        idxs.map(i => dec6(detr(i))).reduce(_ add _).doubleValue / idxs.length)
+      val rss = idxs.map { i =>
+        val r = detr(i) - seasonal; dec8(r * r)
+      }.reduce(_ add _).doubleValue
+      (h, idxs.length.toLong, rnd4(seasonal), rnd4(rss))
+    }
+    assert(got == expected)
+    assert(got.map(_._1) == (0L to 23L).toList,
+      "every hour-of-day slot must be populated by the gap-filled grid")
+  }
+
   test("q_time_cusum equals a driver scan; a planted mean shift is located exactly") {
     val got = SparkEntry.queries("q_time_cusum")(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect().toList.sortBy(_._1)
