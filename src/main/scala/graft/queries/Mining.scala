@@ -223,6 +223,39 @@ object Mining extends QueryGroup {
         .orderBy($"size")
     }),
 
+    // Frequent SEQUENTIAL patterns via MLlib PrefixSpan (Pei et al. ICDE
+    // 2001) — ordered behavior motifs, the dimension the itemset keys
+    // cannot see (q_mine_transitions is its first-order special case; a
+    // length-3 pattern is a second-order path with gaps allowed). Input:
+    // per-(user, day) event-type sequences in (ts, event_id) order —
+    // day-scoped so sequences stay ~10 events and pattern support is
+    // informative rather than saturated. Declared output: the per-length
+    // frequent-pattern histogram at support ≥ 5% of sequences, length
+    // ≤ 3 (5-symbol alphabet bounds the universe at 155 — the cap is a
+    // declared semantic, not a truncation). MiningSpec pins exact
+    // (pattern, freq) set equality against a driver subsequence scan.
+    // Scale: projection-database growth is per-sequence-length, and the
+    // day scoping bounds that by construction; the sequence build is one
+    // (user, day) hash-agg over the fact scan.
+    "m_mine_prefixspan" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.fpm.PrefixSpan
+      val seqs = t(s, dir, "events")
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .groupBy($"user_id", $"day")
+        .agg(sort_array(collect_list(
+          struct($"ts", $"event_id", $"event_type"))).as("evs"))
+        .select(expr("transform(evs, e -> array(e.event_type))").as("sequence"))
+        .localCheckpoint(eager = true)
+      val ps = new PrefixSpan()
+        .setSequenceCol("sequence").setMinSupport(0.05).setMaxPatternLength(3)
+      ps.findFrequentSequentialPatterns(seqs)
+        .withColumn("len", size($"sequence"))
+        .groupBy($"len")
+        .agg(count(lit(1)).as("n_patterns"), sum($"freq").as("total_freq"))
+        .orderBy($"len")
+    }),
+
     // First-order event-type transition matrix per user sequence (the
     // Markov-chain summary of behavioral telemetry): per (current, next)
     // type, the transition count and probability. One user-keyed window

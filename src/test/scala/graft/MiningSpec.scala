@@ -71,4 +71,62 @@ class MiningSpec extends BaseSpec {
       s"extra=${(got.keySet -- want3.keySet).take(3)} " +
         s"missing=${(want3.keySet -- got.keySet).take(3)}")
   }
+
+  test("PrefixSpan sequential patterns == driver subsequence scan, lengths 1-3") {
+    // rebuild the per-(user, day) sequences independently and count every
+    // candidate pattern over the 5-symbol alphabet by an ordered-
+    // subsequence scan; PrefixSpan (singleton itemsets in, so patterns
+    // are plain ordered subsequences) must emit EXACTLY the candidates at
+    // minCount = ceil(0.1 · nSeqs), with exact frequencies
+    import org.apache.spark.sql.functions.{col, expr}
+    val seqs = Tables(spark, sf, "events")
+      .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      .select($"user_id", $"day", $"ts", $"event_id", $"event_type")
+      .as[(Long, Long, java.sql.Timestamp, Long, String)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (_, rows) => rows.sortBy(r => (r._3.getTime, r._4)).map(_._5).toVector }
+      .toVector
+    val alphabet = seqs.flatten.distinct.sorted
+    assert(alphabet.size == 5)
+    def isSubseq(pat: Vector[String], seq: Vector[String]): Boolean = {
+      var i = 0
+      seq.foreach { s => if (i < pat.length && s == pat(i)) i += 1 }
+      i == pat.length
+    }
+    val minCount = math.ceil(0.05 * seqs.size).toLong
+    val candidates =
+      alphabet.map(Vector(_)) ++
+      (for (a <- alphabet; b <- alphabet) yield Vector(a, b)) ++
+      (for (a <- alphabet; b <- alphabet; c <- alphabet) yield Vector(a, b, c))
+    val want = candidates
+      .map(p => p -> seqs.count(isSubseq(p, _)).toLong)
+      .filter(_._2 >= minCount).toMap
+    val ml = {
+      import org.apache.spark.ml.fpm.PrefixSpan
+      val sdf = Tables(spark, sf, "events")
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .groupBy($"user_id", $"day")
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct($"ts", $"event_id", $"event_type"))).as("evs"))
+        .select(expr("transform(evs, e -> array(e.event_type))").as("sequence"))
+      new PrefixSpan().setSequenceCol("sequence")
+        .setMinSupport(0.05).setMaxPatternLength(3)
+        .findFrequentSequentialPatterns(sdf)
+        .select(expr("transform(sequence, x -> x[0])").as("flat"), col("freq"))
+        .as[(Seq[String], Long)].collect()
+        .map(r => r._1.toVector -> r._2).toMap
+    }
+    assert(ml == want,
+      s"extra=${(ml.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- ml.keySet).take(3)}")
+    // and the declared histogram key reflects the same pattern universe
+    val hist = SparkEntry.queries("m_mine_prefixspan")(spark, sf)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (1 to 3).foreach { len =>
+      val ofLen = want.filter(_._1.length == len)
+      assert(hist.get(len).map(_._1).getOrElse(0L) == ofLen.size.toLong)
+      assert(hist.get(len).map(_._2).getOrElse(0L) == ofLen.values.sum)
+    }
+  }
 }
