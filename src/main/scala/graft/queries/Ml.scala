@@ -50,6 +50,25 @@ object Ml extends QueryGroup {
       .withColumn("features", array_to_vector(array($"x1", $"x2")))
   }
 
+  /** The m_ml_isotonic training frame: x = value, y = the planted
+    * noisy-monotone indicator. Shared with MlModelSpec's PAVA equality
+    * test (the logregFrame discipline). */
+  private[graft] def isotonicFrame(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("x", $"value")
+      // thresholds sized to the fixture's value distribution (bulk below
+      // ~330, median near 100): the ±75 noise band around the 100 cut
+      // keeps a wide mixed region, so the monotone curve is a real ramp,
+      // not a separable step
+      .withColumn("noise",
+        (conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 150L).cast("double") - 75.0)
+      .withColumn("y", when($"x" + $"noise" > 100.0, 1.0).otherwise(0.0))
+      .select($"x", $"y")
+  }
+
   val queries: Map[String, QFn] = Map(
     // Binary logistic regression over events with a PLANTED noisy-linear
     // target — declared honestly: the fixture's natural labels
@@ -187,6 +206,30 @@ object Ml extends QueryGroup {
              round(sqrt(avg($"err2")), 4).as("rmse"),
              round(sqrt(avg($"berr2")), 4).as("rmse_baseline"))
         .orderBy($"split")
+    }),
+
+    // Isotonic regression (pool-adjacent-violators; Barlow et al. 1972) —
+    // the score-calibration quadrant: map a raw score to a monotone
+    // probability, the step between a ranking model and a usable
+    // threshold. Declared planted target: y = [value + U(−250,250) > 500]
+    // with content-keyed hash noise, so P(y=1 | value) rises monotonically
+    // and the isotonic fit must recover that curve (a logistic fit would
+    // force a parametric shape; PAVA finds the free-form monotone MLE).
+    // Output: n / model boundary count / decimal-routed calibration MSE /
+    // a monotonicity flag recomputed from the fitted values. MlModelSpec
+    // pins prediction-level equality with a driver PAVA. 100 TB shape:
+    // MLlib pools per-partition then merges boundary runs — the classic
+    // mergeable-summary pattern; scoring broadcasts the boundary arrays.
+    "m_ml_isotonic" -> ((s, dir) => {
+      import s.implicits._
+      val d = isotonicFrame(s, dir)
+      val model = new org.apache.spark.ml.regression.IsotonicRegression()
+        .setFeaturesCol("x").setLabelCol("y").fit(d)
+      model.transform(d)
+        .agg(count(lit(1)).as("n"),
+             lit(model.boundaries.size).as("n_boundaries"),
+             r4(davg(($"y" - $"prediction") * ($"y" - $"prediction"), 8))
+               .as("mse"))
     }),
 
     // Dimensionality reduction — PCA over the 64-dim embedding table: the

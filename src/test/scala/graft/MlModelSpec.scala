@@ -82,6 +82,48 @@ class MlModelSpec extends BaseSpec {
     assert(rmseTrain < 0.35, s"train rmse $rmseTrain out of band")
   }
 
+  test("isotonic: fitted values equal a driver PAVA, curve monotone, calibration beats chance") {
+    val d = graft.queries.Ml.isotonicFrame(spark, sf)
+    // driver PAVA: pre-pool equal x, then stack-based pooling
+    val pts = d.as[(Double, Double)].collect()
+    val groupedX = pts.groupBy(_._1).toVector.sortBy(_._1)
+      .map { case (x, rs) => (x, rs.map(_._2).sum, rs.length.toDouble) }
+    val blocks = scala.collection.mutable.ArrayBuffer[(Double, Double, List[Double])]()
+    groupedX.foreach { case (x, s, w) =>
+      blocks += ((s, w, List(x)))
+      while (blocks.length >= 2 &&
+             blocks(blocks.length - 2)._1 / blocks(blocks.length - 2)._2 >=
+             blocks.last._1 / blocks.last._2) {
+        val b2 = blocks.remove(blocks.length - 1)
+        val b1 = blocks.remove(blocks.length - 1)
+        blocks += ((b1._1 + b2._1, b1._2 + b2._2, b1._3 ++ b2._3))
+      }
+    }
+    val pavaFit: Map[Double, Double] = blocks.flatMap { case (s, w, xs) =>
+      xs.map(_ -> s / w)
+    }.toMap
+    val fitted = pavaFit.toVector.sortBy(_._1).map(_._2)
+    assert(fitted == fitted.sorted, "driver PAVA must be non-decreasing")
+
+    import org.apache.spark.ml.regression.IsotonicRegression
+    val model = new IsotonicRegression().setFeaturesCol("x").setLabelCol("y").fit(d)
+    val mlFit = model.transform(d.select($"x").distinct())
+      .select($"x", $"prediction").as[(Double, Double)].collect().toMap
+    assert(mlFit.keySet == pavaFit.keySet)
+    val maxDiff = mlFit.map { case (x, p) => math.abs(p - pavaFit(x)) }.max
+    assert(maxDiff < 1e-6, s"MLlib vs driver PAVA max diff $maxDiff")
+
+    val key = SparkEntry.queries("m_ml_isotonic")(spark, sf)
+      .as[(Long, Int, Double)].collect().toList
+    assert(key == SparkEntry.queries("m_ml_isotonic")(spark, sf)
+      .as[(Long, Int, Double)].collect().toList, "refit must be identical")
+    val (n, nb, mse) = key.head
+    assert(n == pts.length.toLong && nb >= 2)
+    // planted monotone signal: calibration must beat the constant-0.5
+    // predictor (mse 0.25) with real headroom
+    assert(mse < 0.2, s"calibration mse $mse shows no recovered signal")
+  }
+
   private def pca() = SparkEntry.queries("m_ml_pca")(spark, sf)
     .as[(Int, Long, Double, Double)].collect().toList.sortBy(_._1)
 
