@@ -80,6 +80,24 @@ object Geo extends QueryGroup {
       .withColumn("seg_km", hv(col("plat"), col("plon"), col("lat"), col("lon")))
       .withColumn("dt_us", col("ts_us") - col("pts_us"))
 
+  /** Shared triangle machinery over the memoized co-traveler pair set:
+    * (closed a<b<c triangle triples, endpoint-union degree frame) — one
+    * definition for q_graph_triangles AND q_graph_clustcoef, so a fix to
+    * the orientation or the pair substrate can never desynchronize the
+    * two keys' graphs. */
+  private def triangleFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      .select(col("u1"), col("u2"))
+    val paths = e.as("ab").join(e.as("bc"), col("ab.u2") === col("bc.u1"))
+      .select(col("ab.u1").as("a"), col("ab.u2").as("b"), col("bc.u2").as("c"))
+    val tri = paths.join(e.as("ac"),
+      col("a") === col("ac.u1") && col("c") === col("ac.u2"))
+      .select(col("a"), col("b"), col("c"))
+    val deg = e.select(col("u1").as("u")).unionAll(e.select(col("u2").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    (tri, deg)
+  }
+
   /** Convex CCW pentagon for q_geo_polygon, as (lon, lat) vertices — all
     * integral so every edge delta is an exact double literal. Both the
     * Spark predicate and the oracle SQL are generated from THIS list, so
@@ -475,17 +493,9 @@ object Geo extends QueryGroup {
     // a<b<c ordering already bounds fanout by the ordered out-degree.
     "q_graph_triangles" -> ((s, dir) => {
       import s.implicits._
-      val e = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
-        .select($"u1", $"u2")
-      val paths = e.as("ab").join(e.as("bc"), col("ab.u2") === col("bc.u1"))
-        .select(col("ab.u1").as("a"), col("ab.u2").as("b"), col("bc.u2").as("c"))
-      val tri = paths.join(e.as("ac"),
-        col("a") === col("ac.u1") && col("c") === col("ac.u2"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val deg = e.select($"u1".as("u")).unionAll(e.select($"u2".as("u")))
-        .groupBy($"u").agg(count(lit(1)).as("d"))
+      val (tri, deg) = triangleFrames(s, dir)
       val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      tri.crossJoin(wedges)
+      tri.agg(count(lit(1)).as("n_triangles")).crossJoin(wedges)
     }),
 
     // Local clustering coefficient distribution — how clique-like each
@@ -499,16 +509,10 @@ object Geo extends QueryGroup {
     // the join once, and the per-node rollup is a key-sized hash agg.
     "q_graph_clustcoef" -> ((s, dir) => {
       import s.implicits._
-      val e = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
-        .select($"u1", $"u2")
-      val paths = e.as("ab").join(e.as("bc"), col("ab.u2") === col("bc.u1"))
-        .select(col("ab.u1").as("a"), col("ab.u2").as("b"), col("bc.u2").as("c"))
-      val triNodes = paths.join(e.as("ac"),
-        col("a") === col("ac.u1") && col("c") === col("ac.u2"))
+      val (tri, deg) = triangleFrames(s, dir)
+      val triNodes = tri
         .select(explode(array($"a", $"b", $"c")).as("u"))
         .groupBy($"u").agg(count(lit(1)).as("t"))
-      val deg = e.select($"u1".as("u")).unionAll(e.select($"u2".as("u")))
-        .groupBy($"u").agg(count(lit(1)).as("d"))
       deg.filter($"d" >= 2)
         .join(triNodes, Seq("u"), "left")
         .withColumn("t", coalesce($"t", lit(0L)))

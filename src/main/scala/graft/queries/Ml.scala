@@ -211,7 +211,8 @@ object Ml extends QueryGroup {
     // Isotonic regression (pool-adjacent-violators; Barlow et al. 1972) —
     // the score-calibration quadrant: map a raw score to a monotone
     // probability, the step between a ranking model and a usable
-    // threshold. Declared planted target: y = [value + U(−250,250) > 500]
+    // threshold. Declared planted target: y = [value + U(−75,75) > 100]
+    // (band sized to the fixture's value distribution — see isotonicFrame)
     // with content-keyed hash noise, so P(y=1 | value) rises monotonically
     // and the isotonic fit must recover that curve (a logistic fit would
     // force a parametric shape; PAVA finds the free-form monotone MLE).

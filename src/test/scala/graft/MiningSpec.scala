@@ -77,14 +77,17 @@ class MiningSpec extends BaseSpec {
     // candidate pattern over the 5-symbol alphabet by an ordered-
     // subsequence scan; PrefixSpan (singleton itemsets in, so patterns
     // are plain ordered subsequences) must emit EXACTLY the candidates at
-    // minCount = ceil(0.1 · nSeqs), with exact frequencies
+    // minCount = ceil(0.05 · nSeqs), with exact frequencies
     import org.apache.spark.sql.functions.{col, expr}
+    // order by full microsecond ts (not Timestamp.getTime — ms-truncated),
+    // mirroring the key's sort_array(struct(ts, ...)) exactly
     val seqs = Tables(spark, sf, "events")
       .withColumn("day", expr("unix_millis(ts) div 86400000"))
-      .select($"user_id", $"day", $"ts", $"event_id", $"event_type")
-      .as[(Long, Long, java.sql.Timestamp, Long, String)].collect()
+      .select($"user_id", $"day", expr("unix_micros(ts)").as("us"),
+              $"event_id", $"event_type")
+      .as[(Long, Long, Long, Long, String)].collect()
       .groupBy(r => (r._1, r._2))
-      .map { case (_, rows) => rows.sortBy(r => (r._3.getTime, r._4)).map(_._5).toVector }
+      .map { case (_, rows) => rows.sortBy(r => (r._3, r._4)).map(_._5).toVector }
       .toVector
     val alphabet = seqs.flatten.distinct.sorted
     assert(alphabet.size == 5)
