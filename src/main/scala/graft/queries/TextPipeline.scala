@@ -680,6 +680,51 @@ object TextPipeline extends QueryGroup {
         .orderBy($"lang")
     }),
 
+    // The END-TO-END curation pipeline as ONE declarative plan — the
+    // composition story behind the per-stage keys: exact dedup (keep the
+    // min doc_id per content hash) → per-source cap ≤ 10 (content-keyed
+    // rank) → per-lang P05..P95 length band (percentiles computed on the
+    // CAPPED corpus — pipeline order is a declared semantic) → 12/2/2
+    // hash split → per-(split, lang) doc/token rollup. Every stage is the
+    // established discipline of its standalone key, so Catalyst sees one
+    // plan: two window passes (hash-partitioned on content hash, then
+    // source), one percentile agg broadcast back, one final rollup — at
+    // 100 TB the corpus shuffles exactly twice before the ≤30-row output.
+    // COMPOSITION LESSON (found by this key's own sf0.1 run): the cap
+    // rank and the split MUST use independently-salted hashes. Ranking by
+    // the split hash keeps exactly the docs with the SMALLEST md5 per
+    // source, and at scale the 10 smallest of thousands all start with
+    // '0' — every survivor lands in 'train' and val/test are EMPTY. Each
+    // hash is fine alone (q_cap_domain, q_sample_split); composed
+    // unsalted they collude. Salting the rank key ("cap:" prefix)
+    // restores split independence.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val wDup = Window.partitionBy($"h").orderBy($"doc_id")
+      val wSrc = Window.partitionBy($"source").orderBy($"rk", $"doc_id")
+      val surv = t(s, dir, "documents")
+        .withColumn("h", sha2(lower(trim($"text")), 256))
+        .withColumn("rdup", row_number().over(wDup))
+        .filter($"rdup" === 1)
+        .withColumn("hk", md5($"doc_id".cast("string")))
+        .withColumn("rk", md5(concat(lit("cap:"), $"doc_id".cast("string"))))
+        .withColumn("rsrc", row_number().over(wSrc))
+        .filter($"rsrc" <= 10)
+        .withColumn("n_tok", size(split($"text", " ")).cast("double"))
+      val st = surv.groupBy($"lang")
+        .agg(r4(percentile($"n_tok", lit(0.05))).as("p05"),
+             r4(percentile($"n_tok", lit(0.95))).as("p95"))
+      surv.join(broadcast(st), Seq("lang"))
+        .filter($"n_tok" >= $"p05" && $"n_tok" <= $"p95")
+        .withColumn("split",
+          when(substring($"hk", 1, 1) < "c", "train")
+            .when(substring($"hk", 1, 1) < "e", "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_tok".cast("long")).as("n_tokens"))
+        .orderBy($"split", $"lang")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
     // IPL 2006): each doc draws priority ln(u)/w; keeping the k LARGEST
     // priorities is distribution-identical to k sequential weighted draws
@@ -1001,6 +1046,38 @@ object TextPipeline extends QueryGroup {
         |FROM sh JOIN f USING (shingle)
         |GROUP BY sh.doc_id
         |ORDER BY sh.doc_id""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text, lang, source,
+        |    row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+        |                       ORDER BY doc_id) AS rdup
+        |  FROM documents),
+        |cap AS (
+        |  SELECT doc_id, text, lang, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+        |                                doc_id) AS rsrc
+        |  FROM dd WHERE rdup = 1),
+        |surv AS (
+        |  SELECT lang, hk,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |  FROM cap WHERE rsrc <= 10),
+        |st AS (
+        |  SELECT lang,
+        |    round(quantile_cont(n_tok, 0.05), 4) AS p05,
+        |    round(quantile_cont(n_tok, 0.95), 4) AS p95
+        |  FROM surv GROUP BY lang)
+        |SELECT
+        |  CASE WHEN substr(hk, 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(hk, 1, 1) < 'e' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  s.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens
+        |FROM surv s JOIN st USING (lang)
+        |WHERE n_tok >= p05 AND n_tok <= p95
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_text_pfilter" ->
       """WITH d AS (
