@@ -164,6 +164,57 @@ object Timeseries extends QueryGroup {
           round($"top.dev".cast("double") / $"n_hours".cast("double"), 4)
             .as("max_dev"))
         .orderBy($"event_type")
+    }),
+
+    // Lagged cross-correlation between the hourly click and purchase
+    // count series — the lead-lag diagnostic (does click volume LEAD
+    // purchase volume?): Pearson r of (clickₜ, purchaseₜ₊L) for L = 0..3
+    // over the gap-filled hourly grid (both series 0 on empty hours, the
+    // q_time_resample convention). Same parity/scale design as
+    // q_time_acf: one hour-bucket hash aggregate is the only data-sized
+    // job; the grid join, the single ordered window pass, and the 4-lag
+    // explode are all time-bounded; each r comes from five BIGINT-exact
+    // power sums with one division and two sqrts over identical operands.
+    "q_time_xcorr" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "events")
+        .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
+        .groupBy($"h")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+             sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select(explode(expr("sequence(lo, hi, 3600000)")).as("h"))
+      val ser = grid.join(agg, Seq("h"), "left")
+        .select($"h", coalesce($"x", lit(0L)).as("x"),
+                coalesce($"y", lit(0L)).as("y"))
+      val w = Window.orderBy($"h")
+      val lagged = ser
+        .withColumn("y1", lead($"y", 1).over(w))
+        .withColumn("y2", lead($"y", 2).over(w))
+        .withColumn("y3", lead($"y", 3).over(w))
+      val pairs = lagged
+        .select(explode(array(
+          struct(lit(0).as("lg"), $"x", $"y".as("yy")),
+          struct(lit(1).as("lg"), $"x", $"y1".as("yy")),
+          struct(lit(2).as("lg"), $"x", $"y2".as("yy")),
+          struct(lit(3).as("lg"), $"x", $"y3".as("yy")))).as("p"))
+        .select($"p.lg".as("lag"), $"p.x".as("x"), $"p.yy".as("y"))
+        .filter($"y".isNotNull)
+      pairs.groupBy($"lag")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum($"x").as("sx"), sum($"y").as("sy"),
+             sum($"x" * $"y").as("sxy"),
+             sum($"x" * $"x").as("sxx"),
+             sum($"y" * $"y").as("syy"))
+        .withColumn("num", $"n_pairs" * $"sxy" - $"sx" * $"sy")
+        .withColumn("d1", $"n_pairs" * $"sxx" - $"sx" * $"sx")
+        .withColumn("d2", $"n_pairs" * $"syy" - $"sy" * $"sy")
+        .select($"lag", $"n_pairs",
+          when($"d1" > 0 && $"d2" > 0,
+            round($"num".cast("double") /
+              (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))), 4))
+            .as("xcorr"))
+        .orderBy($"lag")
     })
   )
 
@@ -263,6 +314,51 @@ object Timeseries extends QueryGroup {
         |  FROM dev)
         |SELECT event_type, n_hours, n_events, cp_ms, max_dev
         |FROM best WHERE rk = 1
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q_time_xcorr" ->
+      """WITH agg AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT MIN(h) FROM agg), (SELECT MAX(h) FROM agg),
+        |    3600000)) AS h),
+        |ser AS (
+        |  SELECT grid.h, COALESCE(agg.x, 0) AS x, COALESCE(agg.y, 0) AS y
+        |  FROM grid LEFT JOIN agg ON grid.h = agg.h),
+        |lagged AS (
+        |  SELECT x, y,
+        |    lead(y, 1) OVER (ORDER BY h) AS y1,
+        |    lead(y, 2) OVER (ORDER BY h) AS y2,
+        |    lead(y, 3) OVER (ORDER BY h) AS y3
+        |  FROM ser),
+        |pairs AS (
+        |  SELECT 0 AS lag, x, y FROM lagged
+        |  UNION ALL
+        |  SELECT 1, x, y1 FROM lagged WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 3, x, y3 FROM lagged WHERE y3 IS NOT NULL),
+        |st AS (
+        |  SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |       THEN round(CAST(num AS DOUBLE) /
+        |                  (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 4)
+        |  END AS xcorr
+        |FROM (
+        |  SELECT lag, n_pairs,
+        |    n_pairs * sxy - sx * sy AS num,
+        |    n_pairs * sxx - sx * sx AS d1,
+        |    n_pairs * syy - sy * sy AS d2
+        |  FROM st)
+        |ORDER BY lag""".stripMargin
   )
 }

@@ -140,4 +140,39 @@ class TimeseriesSpec extends BaseSpec {
     val peak = scan.maxBy(_._1)
     assert(peak._3 == 49L, s"CUSUM peak at hour ${peak._3}, want 49 (last pre-shift)")
   }
+
+  test("q_time_xcorr equals a BigInt-exact driver recomputation over the two series") {
+    val got = SparkEntry.queries("q_time_xcorr")(spark, sf)
+      .as[(Int, Long, Option[Double])].collect().toList.sortBy(_._1)
+    assert(got.map(_._1) == List(0, 1, 2, 3))
+    val counts = Tables(spark, sf, "events")
+      .select($"event_type", (expr("unix_millis(ts) div 3600000") * 3600000L).as("h"))
+      .groupBy($"event_type", $"h").count().as[(String, Long, Long)].collect()
+    val clicks = counts.filter(_._1 == "click").map(r => r._2 -> r._3).toMap
+    val purch = counts.filter(_._1 == "purchase").map(r => r._2 -> r._3).toMap
+    // grid bounds come from ALL events' hours (the key's agg groups every
+    // type's hour, so min/max span the full range even where x=y=0)
+    val allHours = counts.map(_._2)
+    val hours = (allHours.min to allHours.max by 3600000L).toVector
+    val xs = hours.map(h => clicks.getOrElse(h, 0L))
+    val ys = hours.map(h => purch.getOrElse(h, 0L))
+    got.foreach { case (lag, nPairs, xcorr) =>
+      assert(nPairs == hours.length - lag)
+      val pairs = xs.dropRight(lag).zip(ys.drop(lag)) // (x_t, y_{t+lag})
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      val expected =
+        if (d1 > 0 && d2 > 0)
+          Some(rnd4(num.toDouble / (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble))))
+        else None
+      assert(xcorr == expected, s"lag $lag: got $xcorr want $expected")
+    }
+  }
 }
