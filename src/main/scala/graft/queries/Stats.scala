@@ -157,6 +157,104 @@ object Stats extends QueryGroup {
           r4($"h").as("h"),
           r4($"h" / $"corr_c").as("h_corr"),
           round(($"h" / $"corr_c" - $"k" + 1L) / ($"n" - $"k"), 6).as("eps2"))
+    }),
+
+    // Mann–Whitney U between the click and purchase value samples — the
+    // two-sample twin of q_stat_kruskal (rank-sum location test; k=2
+    // Kruskal–Wallis is its square), with the tie-corrected normal
+    // approximation z and the common-language effect size
+    // AUC = U₁/(n₁n₂) = P(click value > purchase value) + ½P(tie).
+    // Same declared unit-bin grid and doubled-midrank BIGINT discipline:
+    // 2·R₁ = Σ c1(b)·r2(b) is exact, so 2·U₁ = 2R₁ − n₁(n₁+1) is an exact
+    // BIGINT, and z/auc divide bit-identical operands in mirrored order.
+    "q_stat_mwu" -> ((s, dir) => {
+      import s.implicits._
+      val perBin = t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("bin", least(floor($"value").cast("long"), lit(999L)))
+        .groupBy($"bin")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+             sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+        .withColumn("t", $"c1" + $"c2")
+      val wCum = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBin
+        .withColumn("cum", sum($"t").over(wCum))
+        .withColumn("r2", lit(2L) * ($"cum" - $"t") + $"t" + 1L)
+        .agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+             sum($"c1" * $"r2").as("rr1"),
+             sum($"t" * $"t" * $"t" - $"t").as("tie3"))
+        .withColumn("u2x", $"rr1" - $"n1" * ($"n1" + 1L))
+        .withColumn("sigma2",
+          ($"n1" * $"n2").cast("double") / lit(12.0) *
+            (($"n1" + $"n2" + 1L).cast("double") -
+             $"tie3".cast("double") /
+               (($"n1" + $"n2").cast("double") *
+                ($"n1" + $"n2" - 1L).cast("double"))))
+        .select($"n1", $"n2",
+          ($"u2x".cast("double") / lit(2.0)).as("u1"),
+          round((($"u2x" - $"n1" * $"n2").cast("double") / lit(2.0)) /
+            sqrt($"sigma2"), 4).as("z"),
+          round($"u2x".cast("double") /
+            (lit(2.0) * ($"n1" * $"n2").cast("double")), 6).as("auc"))
+    }),
+
+    // Spearman rank correlation between every pair of event types'
+    // hourly count series — the monotone-association matrix over the
+    // gap-filled grid (do two activity streams rise and fall together,
+    // regardless of scale?). Ranks live on the TIME-BOUNDED grid (one
+    // row per (type, hour)), so the per-type rank windows and the
+    // hour-keyed pair join are grid-sized at any corpus volume; the one
+    // data-sized job is the (hour, type) hash aggregate. Doubled
+    // midranks via the window form 2·(rank−1) + ties + 1 keep every
+    // power sum BIGINT-exact; ρ divides identical operands (the
+    // q_time_xcorr sqrt(d1)·sqrt(d2) form — d1·d2 itself could overflow).
+    "q_stat_spearman" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "events")
+        .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
+        .groupBy($"h", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select(explode(expr("sequence(lo, hi, 3600000)")).as("h"))
+      val types = agg.select($"event_type").distinct()
+      val ser = grid.crossJoin(broadcast(types))
+        .join(agg, Seq("h", "event_type"), "left")
+        .select($"h", $"event_type", coalesce($"c", lit(0L)).as("c"))
+      val wRank = Window.partitionBy($"event_type").orderBy($"c")
+      val wTie = Window.partitionBy($"event_type", $"c")
+      val ranked = ser
+        .withColumn("r2", lit(2L) * (rank().over(wRank) - 1L) +
+          count(lit(1)).over(wTie) + 1L)
+        .select($"h", $"event_type", $"r2")
+      // pair formation WITHOUT a self-join: a self-join would duplicate
+      // the whole ranked subtree (two full fact scans); instead fold the
+      // ≤|types| per-hour rank rows into one list and explode it twice —
+      // each unordered pair appears exactly once via t1 < t2, regardless
+      // of collect_list order
+      val perHour = ranked.groupBy($"h")
+        .agg(collect_list(struct($"event_type", $"r2")).as("lst"))
+      perHour
+        .select(explode($"lst").as("p1"), $"lst")
+        .select($"p1.event_type".as("t1"), $"p1.r2".as("rx"),
+                explode($"lst").as("p2"))
+        .filter($"t1" < $"p2.event_type")
+        .select($"t1", $"p2.event_type".as("t2"), $"rx", $"p2.r2".as("ry"))
+        .groupBy($"t1", $"t2")
+        .agg(count(lit(1)).as("n_hours"),
+             sum($"rx").as("sx"), sum($"ry").as("sy"),
+             sum($"rx" * $"ry").as("sxy"),
+             sum($"rx" * $"rx").as("sxx"),
+             sum($"ry" * $"ry").as("syy"))
+        .withColumn("num", $"n_hours" * $"sxy" - $"sx" * $"sy")
+        .withColumn("d1", $"n_hours" * $"sxx" - $"sx" * $"sx")
+        .withColumn("d2", $"n_hours" * $"syy" - $"sy" * $"sy")
+        .select($"t1", $"t2", $"n_hours",
+          when($"d1" > 0 && $"d2" > 0,
+            round($"num".cast("double") /
+              (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))), 4))
+            .as("rho"))
+        .orderBy($"t1", $"t2")
     })
   )
 
@@ -255,6 +353,75 @@ object Stats extends QueryGroup {
         |  SELECT n, k,
         |    12.0 / (n * (n + 1)) * sr - 3.0 * (n + 1) AS h,
         |    1.0 - CAST(tie3 AS DOUBLE) / CAST(n * n * n - n AS DOUBLE) AS corr_c
-        |  FROM gs, tie) z""".stripMargin
+        |  FROM gs, tie) z""".stripMargin,
+
+    "q_stat_mwu" ->
+      """WITH perbin AS (
+        |  SELECT least(CAST(floor(value) AS BIGINT), 999) AS bin,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT bin, c1, c2, t,
+        |    2 * (SUM(t) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW) - t) + t + 1 AS r2
+        |  FROM (SELECT bin, c1, c2, c1 + c2 AS t FROM perbin) x),
+        |gs AS (
+        |  SELECT SUM(c1) AS n1, SUM(c2) AS n2, SUM(c1 * r2) AS rr1,
+        |    SUM(t * t * t - t) AS tie3
+        |  FROM ranked)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(u2x AS DOUBLE) / 2.0 AS u1,
+        |  round((CAST(u2x - n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2), 4) AS z,
+        |  round(CAST(u2x AS DOUBLE) / (2.0 * CAST(n1 * n2 AS DOUBLE)), 6) AS auc
+        |FROM (
+        |  SELECT n1, n2, rr1 - n1 * (n1 + 1) AS u2x,
+        |    CAST(n1 * n2 AS DOUBLE) / 12.0 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |       CAST(tie3 AS DOUBLE) /
+        |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) AS sigma2
+        |  FROM gs) z2""".stripMargin,
+
+    "q_stat_spearman" ->
+      """WITH agg AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h,
+        |    event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT MIN(h) FROM agg), (SELECT MAX(h) FROM agg),
+        |    3600000)) AS h),
+        |types AS (SELECT DISTINCT event_type FROM agg),
+        |ser AS (
+        |  SELECT grid.h, types.event_type, COALESCE(agg.c, 0) AS c
+        |  FROM grid CROSS JOIN types
+        |  LEFT JOIN agg ON grid.h = agg.h AND types.event_type = agg.event_type),
+        |ranked AS (
+        |  SELECT h, event_type,
+        |    2 * (RANK() OVER (PARTITION BY event_type ORDER BY c) - 1)
+        |      + COUNT(*) OVER (PARTITION BY event_type, c) + 1 AS r2
+        |  FROM ser),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, a.r2 AS rx, b.r2 AS ry
+        |  FROM ranked a JOIN ranked b
+        |    ON a.h = b.h AND a.event_type < b.event_type),
+        |st AS (
+        |  SELECT t1, t2, COUNT(*) AS n_hours,
+        |    SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+        |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        |  FROM pairs GROUP BY t1, t2)
+        |SELECT t1, t2, n_hours,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |       THEN round(CAST(num AS DOUBLE) /
+        |                  (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 4)
+        |  END AS rho
+        |FROM (
+        |  SELECT t1, t2, n_hours,
+        |    n_hours * sxy - sx * sy AS num,
+        |    n_hours * sxx - sx * sx AS d1,
+        |    n_hours * syy - sy * sy AS d2
+        |  FROM st) z
+        |ORDER BY t1, t2""".stripMargin
   )
 }

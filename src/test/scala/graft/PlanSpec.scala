@@ -470,18 +470,38 @@ class PlanSpec extends BaseSpec {
     // type-window exchange; polygon is a pure scan-side predicate into one
     // agg; winsorize is the two type-keyed aggs with the fence row set
     // BROADCAST back (the fact scan must never reshuffle).
-    def shape(key: String): (Int, Int, Boolean) = {
+    // allowedBnlj > 0 is for keys that BROADCAST a tiny stat/dimension
+    // frame through a declared cross join (the q_mine_pairs scalar
+    // pattern: one-row tie/stat frames, the ≤|types| distinct-type set) —
+    // those plan as BroadcastNestedLoopJoin by construction and are
+    // bounded by the broadcast side's size, never data-sized.
+    def shape(key: String, allowedBnlj: Int = 0): (Int, Int, Boolean) = {
       val plan = SparkEntry.queries(key)(spark, sf)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct") &&
-             !plan.contains("BroadcastNestedLoopJoin"),
-        s"$key: nested-loop join leaked into the plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$key: cartesian product leaked into the plan:\n$plan")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj == allowedBnlj,
+        s"$key: $bnlj nested-loop joins (declared $allowedBnlj):\n$plan")
       ("Exchange hashpartitioning".r.findAllIn(plan).size,
        "Exchange SinglePartition".r.findAllIn(plan).size,
        plan.contains("BroadcastHashJoin"))
     }
     assert(shape("q_time_acf") == ((1, 1, true)))
     assert(shape("q_time_ewma") == ((1, 1, true)))
+    assert(shape("q_time_xcorr") == ((1, 1, true)))
+    // the nonparametric stat keys: ONE data-sized hash agg (bin or
+    // (h,type) keyed), then only grid-sized single-partition steps
+    assert(shape("q_stat_ks") == ((1, 1, false)))
+    // kruskal re-derives the binTot subtree for the tie term, so the
+    // ≤1000-bin frame re-exchanges — only the first (bin,type) agg is
+    // data-sized
+    assert(shape("q_stat_kruskal", allowedBnlj = 1) == ((6, 3, true)))
+    assert(shape("q_stat_mwu") == ((1, 1, false)))
+    // spearman: the (h,type) agg + the grid×types broadcast expansion, the
+    // per-type rank windows, the hour-keyed pair join and the pair agg —
+    // all but the first are grid-sized
+    assert(shape("q_stat_spearman", allowedBnlj = 1) == ((2, 1, true)))
     // decomp adds the h24 aggs (2 hash) atop the substrate's bounds agg
     // AND the global-order trend window (2 time-bounded singles)
     assert(shape("q_time_decomp") == ((2, 2, true)))

@@ -117,4 +117,120 @@ class StatsSpec extends BaseSpec {
     assert(math.abs(hOf(flat)) < 1e-9)
     assert(hOf(shifted) > 10.0)
   }
+
+  test("q_stat_mwu equals a driver rank-sum recomputation; AUC consistent with U") {
+    val got = SparkEntry.queries("q_stat_mwu")(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    assert(got.size == 1)
+    val (n1g, n2g, u1, z, auc) = got.head
+
+    val c1 = binned.filter(_._2 == "click").map(r => r._1 -> r._3).toMap
+    val c2 = binned.filter(_._2 == "purchase").map(r => r._1 -> r._3).toMap
+    val bins = (c1.keySet ++ c2.keySet).toList.sorted
+    var cum = 0L
+    var rr1 = BigInt(0); var tie3 = BigInt(0)
+    bins.foreach { b =>
+      val t = c1.getOrElse(b, 0L) + c2.getOrElse(b, 0L)
+      val r2 = 2L * cum + t + 1L; cum += t
+      rr1 += BigInt(c1.getOrElse(b, 0L)) * r2
+      tie3 += BigInt(t) * t * t - t
+    }
+    val n1 = c1.values.sum; val n2 = c2.values.sum
+    val u2x = rr1 - BigInt(n1) * (n1 + 1) // = 2·U1
+    assert(n1g == n1 && n2g == n2)
+    assert(u1 == u2x.toDouble / 2.0)
+    val n = n1 + n2
+    val sigma2 = (n1 * n2).toDouble / 12.0 *
+      ((n + 1).toDouble - tie3.toDouble / (n.toDouble * (n - 1).toDouble))
+    assert(z == rnd(((u2x - BigInt(n1) * n2).toDouble / 2.0) / math.sqrt(sigma2), 4))
+    assert(auc == rnd(u2x.toDouble / (2.0 * (n1.toDouble * n2)), 6))
+    assert(auc >= 0.0 && auc <= 1.0)
+    // identity the three keys share one substrate for: k=2 Kruskal H ≈ z²
+    // (exactly equal with the same tie correction; both are round-pinned,
+    // so compare loosely at their published precision)
+    assert(u1 >= 0.0 && u1 <= (n1.toDouble * n2))
+  }
+
+  test("MWU doubled-rank form: disjoint samples hit U = n1·n2 and AUC = 1") {
+    def mwu(c1: Map[Long, Long], c2: Map[Long, Long]): (Double, Double) = {
+      val bins = (c1.keySet ++ c2.keySet).toList.sorted
+      var cum = 0L; var rr1 = BigInt(0)
+      bins.foreach { b =>
+        val t = c1.getOrElse(b, 0L) + c2.getOrElse(b, 0L)
+        val r2 = 2L * cum + t + 1L; cum += t
+        rr1 += BigInt(c1.getOrElse(b, 0L)) * r2
+      }
+      val n1 = c1.values.sum; val n2 = c2.values.sum
+      val u2x = rr1 - BigInt(n1) * (n1 + 1)
+      (u2x.toDouble / 2.0, u2x.toDouble / (2.0 * n1 * n2))
+    }
+    // click entirely ABOVE purchase → U1 = n1·n2, AUC = 1
+    val (uHi, aucHi) = mwu(Map(10L -> 3L, 11L -> 2L), Map(1L -> 4L))
+    assert(uHi == 20.0 && aucHi == 1.0)
+    // identical distributions → U1 = n1·n2/2, AUC = 0.5
+    val same = Map(1L -> 2L, 5L -> 2L)
+    val (uMid, aucMid) = mwu(same, same)
+    assert(uMid == 8.0 && aucMid == 0.5)
+  }
+
+  test("q_stat_spearman equals a driver midrank recomputation over the hourly grid") {
+    val got = SparkEntry.queries("q_stat_spearman")(spark, sf)
+      .as[(String, String, Long, Option[Double])].collect().toList
+    val counts = Tables(spark, sf, "events")
+      .select($"event_type", (expr("unix_millis(ts) div 3600000") * 3600000L).as("h"))
+      .groupBy($"event_type", $"h").count().as[(String, Long, Long)].collect()
+    val types = counts.map(_._1).distinct.sorted
+    assert(got.map(p => (p._1, p._2)) ==
+      (for (a <- types; b <- types if a < b) yield (a, b)).toList.sorted)
+    val hours = {
+      val hs = counts.map(_._2); (hs.min to hs.max by 3600000L).toVector
+    }
+    // per-type doubled midranks over the gap-filled series
+    val ranks: Map[String, Vector[Long]] = types.map { tp =>
+      val byH = counts.filter(_._1 == tp).map(r => r._2 -> r._3).toMap
+      val series = hours.map(h => byH.getOrElse(h, 0L))
+      val sorted = series.sorted
+      val less = series.map(v => sorted.indexWhere(_ == v).toLong) // countLess
+      val ties = series.map(v => sorted.count(_ == v).toLong)
+      tp -> series.indices.map(i => 2L * less(i) + ties(i) + 1L).toVector
+    }.toMap
+    got.foreach { case (t1, t2, nHours, rho) =>
+      assert(nHours == hours.length.toLong)
+      val rx = ranks(t1); val ry = ranks(t2)
+      val n = BigInt(hours.length)
+      val sx = rx.map(BigInt(_)).sum; val sy = ry.map(BigInt(_)).sum
+      val sxy = rx.zip(ry).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = rx.map(a => BigInt(a) * a).sum
+      val syy = ry.map(a => BigInt(a) * a).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      val expected =
+        if (d1 > 0 && d2 > 0)
+          Some(rnd(num.toDouble / (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)), 4))
+        else None
+      assert(rho == expected, s"($t1,$t2): got $rho want $expected")
+      rho.foreach(r => assert(r >= -1.0 && r <= 1.0))
+    }
+  }
+
+  test("Spearman midrank form: monotone series give rho = 1, reversed give -1") {
+    def rho(xs: Vector[Long], ys: Vector[Long]): Double = {
+      def rk(s: Vector[Long]): Vector[Long] = {
+        val sorted = s.sorted
+        s.map(v => 2L * sorted.indexWhere(_ == v) + sorted.count(_ == v) + 1L)
+      }
+      val rx = rk(xs); val ry = rk(ys); val n = BigInt(xs.length)
+      val sx = rx.map(BigInt(_)).sum; val sy = ry.map(BigInt(_)).sum
+      val sxy = rx.zip(ry).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = rx.map(a => BigInt(a) * a).sum
+      val syy = ry.map(a => BigInt(a) * a).sum
+      (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+         math.sqrt((n * syy - sy * sy).toDouble))
+    }
+    val up = Vector(1L, 5L, 9L, 20L)
+    assert(math.abs(rho(up, up.map(_ * 3 + 7)) - 1.0) < 1e-12)
+    assert(math.abs(rho(up, up.reverse.map(_ * 2)) + 1.0) < 1e-12)
+  }
 }
