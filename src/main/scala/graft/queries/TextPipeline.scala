@@ -845,8 +845,34 @@ object TextPipeline extends QueryGroup {
       graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5)),
 
     "m_dedup_simhash" -> ((s, dir) =>
-      graft.operators.SimHash.nearDupPairs(s, t(s, dir, "documents"), maxHamming = 3))
+      graft.operators.SimHash.nearDupPairs(s, t(s, dir, "documents"), maxHamming = 3)),
+
+    // BPE merge training (operators/Bpe — Sennrich ACL'16): the
+    // tokenizer-training step of an LLM data build. One corpus-sized
+    // word-count aggregate; every merge round then runs over the
+    // checkpointed distinct-word vocabulary (Heaps' law keeps that ≪
+    // corpus) with exactly one 1-row driver action per round. Returned
+    // merge table is the trained artifact (step, left, right, cnt).
+    // No oracle (iterative) — BpeSpec pins exact equality against a
+    // driver-side reference trainer plus the greedy-overlap and
+    // non-increasing-count invariants.
+    "m_text_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      graft.operators.Bpe.train(s, words, numMerges = 8)
+        .toDS().toDF().orderBy($"step")
+    })
   )
+
+  // Executed-round attribution for Bench's iterations line (the Geo
+  // discipline: the binding lives next to the key declaration).
+  locally {
+    graft.operators.LastIterations.register("m_text_bpe")(
+      graft.operators.Bpe.lastIterations)
+  }
 
   /** Oracle-side mirror of [[clusterAssign]]: recursive reachability over
     * the symmetric pair edges, ending in an `assign(doc_id, comp)` CTE. */
