@@ -329,4 +329,48 @@ class GeoSpec extends BaseSpec {
     assert(got.exists(_._3 > 0), "fixture must land points inside the pentagon")
     assert(got.exists(r => r._3 < r._2), "bbox must not equal the pentagon")
   }
+
+  test("q_geo_zorder: aligned z-buckets are ≤32×32 rectangles, row order is not, z is a true interleave") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val got = SparkEntry.queries("q_geo_zorder")(spark, sf)
+      .select(col("z_bucket"), col("n"), col("min_z"), col("max_z"),
+              col("lat_span"), col("lon_span"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got.nonEmpty)
+    got.foreach { case (zb, n, minZ, maxZ, latSpan, lonSpan) =>
+      assert(n > 0)
+      // z values stay inside their aligned 1024-value bucket
+      assert(minZ >= zb * 1024 && maxZ < (zb + 1) * 1024)
+      // an aligned 2^10 prefix fixes the top 3 bits of BOTH coordinates →
+      // every bucket is a ≤32×32-cell rectangle (THE data-skipping claim)
+      assert(latSpan <= 31 && lonSpan <= 31,
+        s"bucket $zb spans ${latSpan}x$lonSpan — z-locality broken")
+    }
+    // independent driver recomputation of the interleave on a sample: the
+    // parity oracle proves cross-engine agreement, this proves both match
+    // the DEFINITION (bit i of latc at position 2i+1, lonc at 2i)
+    val cells = Tables(spark, sf, "events")
+      .selectExpr("(((event_id * 37) % 1700) * 256) div 1700 AS latc",
+                  "(((event_id * 131) % 3600) * 256) div 3600 AS lonc")
+      .as[(Long, Long)].collect()
+    def morton(latc: Long, lonc: Long): Long =
+      (0 until 8).map { i =>
+        (((latc >> i) & 1L) << (2 * i + 1)) | (((lonc >> i) & 1L) << (2 * i))
+      }.sum
+    val zs = cells.map { case (la, lo) => morton(la, lo) }
+    val wantBuckets = zs.groupBy(_ / 1024).map { case (b, vs) =>
+      (b, vs.length.toLong, vs.min, vs.max)
+    }.toList.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == wantBuckets)
+    // the contrast that justifies the layout: bucketing the SAME rows by
+    // arrival order (1024 consecutive event_ids) gives near-full-width
+    // tiles — parquet min/max stats on lat/lon would prune nothing
+    val rowOrder = Tables(spark, sf, "events")
+      .selectExpr("event_id div 1024 AS b",
+                  "(((event_id * 37) % 1700) * 256) div 1700 AS latc")
+      .groupBy(col("b")).agg((max(col("latc")) - min(col("latc"))).as("span"))
+      .as[(Long, Long)].collect()
+    assert(rowOrder.map(_._2).max > 200,
+      "row-order buckets unexpectedly compact — the fixture no longer demonstrates the contrast")
+  }
 }
