@@ -245,6 +245,49 @@ object Similarity extends QueryGroup {
         .orderBy($"label")
     }),
 
+    // Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the hybrid-search
+    // result-merging step: fuse each probe's top-20 by EXACT cosine with
+    // its top-20 by INT8-QUANTIZED cosine (the cheap ANN-side score, same
+    // per-vector 127/maxabs rule as q_emb_quantize) via
+    // rrf = Σ 1/(60 + rank), ranks counted WITHIN each retrieved list —
+    // the standard definition, and what bounds the operator at scale: the
+    // fused universe is the union of two k-item lists per probe, never
+    // the corpus. Both ranks come from one scored frame in one
+    // probe-keyed window exchange (no per-list self-join); scores are
+    // round(4)-pinned BEFORE ranking so tie structure is identical in
+    // both engines, and rrf is a sum of reciprocals of small integers —
+    // bit-identical, round(6)-pinned.
+    "q_sim_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val e = vecs(s, dir)
+        .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("qv", expr(
+          "transform(v, x -> CASE WHEN maxabs = 0.0 THEN 0.0 " +
+            "ELSE CAST(CAST(round(x * 127.0 / maxabs) AS BIGINT) AS DOUBLE) END)"))
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"), $"qv".as("pqv"))
+      val w1 = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"neighbor")
+      val w2 = Window.partitionBy($"probe_id").orderBy($"qcos".desc, $"neighbor")
+      val wTop = Window.partitionBy($"probe_id").orderBy($"rrf".desc, $"neighbor")
+      e.select($"vec_id".as("neighbor"), $"v", $"qv")
+        .join(broadcast(probes), $"neighbor" =!= $"probe_id")
+        .withColumn("cos", round(VectorOps.cosineSim($"pv", $"v"), 4))
+        .withColumn("qcos", round(VectorOps.cosineSim($"pqv", $"qv"), 4))
+        .withColumn("r1", row_number().over(w1).cast("long"))
+        .withColumn("r2", row_number().over(w2).cast("long"))
+        .withColumn("rrf",
+          when($"r1" <= 20, lit(1.0) / ($"r1" + 60L)).otherwise(lit(0.0)) +
+          when($"r2" <= 20, lit(1.0) / ($"r2" + 60L)).otherwise(lit(0.0)))
+        .filter($"rrf" > 0.0)
+        .withColumn("fused_rank", row_number().over(wTop).cast("long"))
+        .filter($"fused_rank" <= 5)
+        .select($"probe_id", $"fused_rank", $"neighbor",
+          round($"rrf", 6).as("rrf"),
+          when($"r1" <= 20, $"r1").as("rank_exact"),
+          when($"r2" <= 20, $"r2").as("rank_quant"))
+        .orderBy($"probe_id", $"fused_rank")
+    }),
+
     // Approximate paths — property-tested for recall, no SQL oracle.
     "m_sim_lsh" -> ((s, dir) =>
       graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 1.2)),
@@ -298,6 +341,41 @@ object Similarity extends QueryGroup {
         |  FROM scored)
         |SELECT probe_id, rank, neighbor, cos FROM ranked
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_sim_rrf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |  FROM e),
+        |qe AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> CASE WHEN maxabs = 0.0 THEN 0.0
+        |      ELSE CAST(CAST(round(x * 127.0 / maxabs) AS BIGINT) AS DOUBLE) END) AS qv
+        |  FROM q),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, qv AS pqv FROM qe WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT probe_id, qe.vec_id AS neighbor,
+        |    round(list_cosine_similarity(pv, qe.v), 4) AS cos,
+        |    round(list_cosine_similarity(pqv, qe.qv), 4) AS qcos
+        |  FROM p JOIN qe ON qe.vec_id <> probe_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor) AS r1,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor) AS r2
+        |  FROM scored),
+        |fused AS (
+        |  SELECT probe_id, neighbor, r1, r2,
+        |    (CASE WHEN r1 <= 20 THEN CAST(1.0 AS DOUBLE) / (r1 + 60) ELSE CAST(0.0 AS DOUBLE) END) +
+        |    (CASE WHEN r2 <= 20 THEN CAST(1.0 AS DOUBLE) / (r2 + 60) ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+        |  FROM ranked WHERE r1 <= 20 OR r2 <= 20),
+        |top AS (
+        |  SELECT probe_id, neighbor, rrf, r1, r2,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, neighbor) AS fused_rank
+        |  FROM fused)
+        |SELECT probe_id, fused_rank, neighbor, round(rrf, 6) AS rrf,
+        |  CASE WHEN r1 <= 20 THEN r1 END AS rank_exact,
+        |  CASE WHEN r2 <= 20 THEN r2 END AS rank_quant
+        |FROM top WHERE fused_rank <= 5 ORDER BY probe_id, fused_rank""".stripMargin,
 
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -325,4 +325,37 @@ class MlSpec extends BaseSpec {
       assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx $approx exact $exact")
     }
   }
+
+  test("q_sim_rrf fuses only list members, descends in rrf, and favors dual-list hits") {
+    val got = SparkEntry.queries("q_sim_rrf")(spark, sf)
+      .as[(Long, Long, Long, Double, Option[Long], Option[Long])].collect().toList
+    val probes = got.map(_._1).distinct
+    assert(probes.size == 10 && got.size == probes.size * 5)
+    for ((_, rows) <- got.groupBy(_._1)) {
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2) == (1L to 5L).toList)
+      // rrf strictly follows the (rrf desc, neighbor) order and every
+      // fused row sits in at least one of the two top-20 lists
+      byRank.sliding(2).foreach {
+        case List(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+      byRank.foreach { r =>
+        assert(r._5.isDefined || r._6.isDefined)
+        r._5.foreach(v => assert(v >= 1 && v <= 20))
+        r._6.foreach(v => assert(v >= 1 && v <= 20))
+        // rrf recomputes from the reported ranks exactly
+        val want = r._5.map(v => 1.0 / (v + 60)).getOrElse(0.0) +
+          r._6.map(v => 1.0 / (v + 60)).getOrElse(0.0)
+        assert(r._4 == math.BigDecimal(want)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      // an item ranked 1 by BOTH scorers must be the fused winner (its
+      // rrf 2/61 strictly beats any single-list score and any (r1,r2)
+      // with r1+r2 > 2 ... 1/(61)+1/(61) > 1/(61)+1/(62) > ...)
+      byRank.find(r => r._5.contains(1L) && r._6.contains(1L))
+        .foreach(r => assert(r._2 == 1L, s"dual rank-1 item not fused first: $r"))
+    }
+  }
 }
