@@ -199,6 +199,43 @@ object Stats extends QueryGroup {
             (lit(2.0) * ($"n1" * $"n2").cast("double")), 6).as("auc"))
     }),
 
+    // Population stability index per event type between the first and
+    // second time-halves of the value distribution — the standard drift
+    // monitor a production pipeline runs before trusting a trained
+    // filter/model (PSI < 0.1 stable, > 0.25 shifted). Same declared
+    // unit-bin grid; halves split at the declared hour midpoint
+    // mid = (lo+hi+1) div 2 (exact BIGINT from the hour bounds); add-1
+    // smoothing over the type's OBSERVED bin set keeps ln defined with
+    // integer-exact operands. Each term's ln is round(6)-pinned BEFORE
+    // the multiply (the q_text_lmscore libm-ulp discipline) and the
+    // per-type sum is DECIMAL-routed — PSI is bit-stable in both engines.
+    "q_stat_psi" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("h", expr("unix_millis(ts) div 3600000"))
+        .withColumn("bin", least(floor($"value").cast("long"), lit(999L)))
+      val bounds = ev.agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select(expr("(lo + hi + 1) div 2").as("mid"))
+      val bt = ev.crossJoin(broadcast(bounds))
+        .groupBy($"event_type", $"bin")
+        .agg(sum(when($"h" < $"mid", 1L).otherwise(0L)).as("c1"),
+             sum(when($"h" >= $"mid", 1L).otherwise(0L)).as("c2"))
+      val wt = Window.partitionBy($"event_type")
+      bt
+        .withColumn("n1", sum($"c1").over(wt))
+        .withColumn("n2", sum($"c2").over(wt))
+        .withColumn("nb", count(lit(1)).over(wt))
+        .withColumn("p1", ($"c1" + 1L).cast("double") / ($"n1" + $"nb"))
+        .withColumn("p2", ($"c2" + 1L).cast("double") / ($"n2" + $"nb"))
+        .withColumn("term", ($"p1" - $"p2") * round(log($"p1" / $"p2"), 6))
+        .groupBy($"event_type")
+        .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+             max($"nb").as("n_bins"),
+             round(sum($"term".cast(DecimalType(28, 12))).cast("double"), 6)
+               .as("psi"))
+        .orderBy($"event_type")
+    }),
+
     // Spearman rank correlation between every pair of event types'
     // hourly count series — the monotone-association matrix over the
     // gap-filled grid (do two activity streams rise and fall together,
@@ -382,6 +419,37 @@ object Stats extends QueryGroup {
         |       CAST(tie3 AS DOUBLE) /
         |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) AS sigma2
         |  FROM gs) z2""".stripMargin,
+
+    "q_stat_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS h,
+        |    least(CAST(floor(value) AS BIGINT), 999) AS bin
+        |  FROM events),
+        |mid AS (SELECT (MIN(h) + MAX(h) + 1) // 2 AS mid FROM ev),
+        |bt AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN h < mid THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN h >= mid THEN 1 ELSE 0 END) AS c2
+        |  FROM ev, mid GROUP BY event_type, bin),
+        |wt AS (
+        |  SELECT event_type, c1, c2,
+        |    SUM(c1) OVER (PARTITION BY event_type) AS n1,
+        |    SUM(c2) OVER (PARTITION BY event_type) AS n2,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nb
+        |  FROM bt),
+        |terms AS (
+        |  SELECT event_type, n1, n2, nb,
+        |    (p1 - p2) * round(ln(p1 / p2), 6) AS term
+        |  FROM (
+        |    SELECT event_type, n1, n2, nb,
+        |      CAST(c1 + 1 AS DOUBLE) / (n1 + nb) AS p1,
+        |      CAST(c2 + 1 AS DOUBLE) / (n2 + nb) AS p2
+        |    FROM wt) x)
+        |SELECT event_type, CAST(MAX(n1) AS BIGINT) AS n1,
+        |  CAST(MAX(n2) AS BIGINT) AS n2, MAX(nb) AS n_bins,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stat_spearman" ->
       """WITH agg AS (

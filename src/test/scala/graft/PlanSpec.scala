@@ -498,6 +498,10 @@ class PlanSpec extends BaseSpec {
     // data-sized
     assert(shape("q_stat_kruskal", allowedBnlj = 1) == ((6, 3, true)))
     assert(shape("q_stat_mwu") == ((1, 1, false)))
+    // psi: the broadcast 1-row hour-midpoint frame is the declared BNLJ
+    // (chisq's median pattern); one data-sized (type,bin) agg, then
+    // type-keyed window + final agg on the ≤5·1000-bin frame
+    assert(shape("q_stat_psi", allowedBnlj = 1) == ((2, 1, false)))
     // spearman: the (h,type) agg + the grid×types broadcast expansion, the
     // per-type rank windows, the hour-keyed pair join and the pair agg —
     // all but the first are grid-sized

@@ -173,6 +173,51 @@ class StatsSpec extends BaseSpec {
     assert(uMid == 8.0 && aucMid == 0.5)
   }
 
+  test("q_stat_psi equals a driver recomputation; identical halves give exactly 0") {
+    val got = SparkEntry.queries("q_stat_psi")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    val rows = Tables(spark, sf, "events")
+      .select($"event_type", expr("unix_millis(ts) div 3600000").as("h"),
+        least(floor($"value").cast("long"), lit(999L)).as("bin"))
+      .as[(String, Long, Long)].collect()
+    val mid = (rows.map(_._2).min + rows.map(_._2).max + 1) / 2
+    val byType = rows.groupBy(_._1)
+    assert(got.map(_._1) == byType.keys.toList.sorted)
+    got.foreach { case (tp, n1g, n2g, nbG, psi) =>
+      val rs = byType(tp)
+      val bins = rs.map(_._3).distinct.sorted
+      val c1 = rs.filter(_._2 < mid).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val c2 = rs.filter(_._2 >= mid).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val n1 = c1.values.sum; val n2 = c2.values.sum; val nb = bins.length.toLong
+      assert(n1g == n1 && n2g == n2 && nbG == nb)
+      val terms = bins.map { b =>
+        val p1 = (c1.getOrElse(b, 0L) + 1).toDouble / (n1 + nb)
+        val p2 = (c2.getOrElse(b, 0L) + 1).toDouble / (n2 + nb)
+        val t = (p1 - p2) * rnd(math.log(p1 / p2), 6)
+        new java.math.BigDecimal(t).setScale(12, java.math.RoundingMode.HALF_UP)
+      }
+      val want = rnd(terms.reduce(_ add _).doubleValue, 6)
+      assert(psi == want, s"$tp: got $psi want $want")
+      // each true term is >= 0; the round(6)-pinned ln can dip a term by
+      // at most ~5e-7·p, so anything below -1e-6 is a real sign error
+      assert(psi >= -1e-6, s"$tp: smoothed PSI must be (near-)nonnegative")
+    }
+    // the statistic itself: identical halves → exactly 0; a mass shift → large
+    def psiOf(h1: Map[Long, Long], h2: Map[Long, Long]): Double = {
+      val bins = (h1.keySet ++ h2.keySet).toList.sorted
+      val n1 = h1.values.sum; val n2 = h2.values.sum; val nb = bins.length
+      bins.map { b =>
+        val p1 = (h1.getOrElse(b, 0L) + 1).toDouble / (n1 + nb)
+        val p2 = (h2.getOrElse(b, 0L) + 1).toDouble / (n2 + nb)
+        (p1 - p2) * math.log(p1 / p2)
+      }.sum
+    }
+    val same = Map(1L -> 50L, 2L -> 30L, 3L -> 20L)
+    assert(psiOf(same, same) == 0.0)
+    assert(psiOf(same, Map(8L -> 50L, 9L -> 50L)) > 1.0)
+  }
+
   test("q_stat_spearman equals a driver midrank recomputation over the hourly grid") {
     val got = SparkEntry.queries("q_stat_spearman")(spark, sf)
       .as[(String, String, Long, Option[Double])].collect().toList
