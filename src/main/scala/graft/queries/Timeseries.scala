@@ -166,6 +166,44 @@ object Timeseries extends QueryGroup {
         .orderBy($"event_type")
     }),
 
+    // Holt's linear (double-exponential) smoothing per UTC day,
+    // α = β = 1/2: end-of-day level, trend, and one-step forecast of the
+    // hourly count series — q_time_ewma's recursion upgraded with a trend
+    // state (EWMA lags a ramp by construction; Holt tracks it). The
+    // 24-step recursion ℓt = (xt+ℓ+b)/2, bt = ((ℓt−ℓ)+b)/2 runs INSIDE
+    // codegen as an `aggregate` HOF fold over the day's 24-slot array —
+    // per-group sequential state without a UDF or a shuffle per step
+    // (DuckDB mirrors it with list_reduce over the identical fold). With
+    // halves for both gains every state is a dyadic rational: numerators
+    // stay < 2^45 at fixture magnitudes, so BOTH engines carry exact
+    // doubles end to end and the round(6) is cosmetic, not a tolerance.
+    // Init DECLARED as ℓ0 = x0, b0 = 0. One (day, hour) hash agg is the
+    // only data-sized job; the fold sees 24 elements per day row.
+    "q_time_holt" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .withColumn("hour", expr("(unix_millis(ts) div 3600000) % 24"))
+        .groupBy($"day", $"hour").agg(count(lit(1)).as("c"))
+        .groupBy($"day")
+        .agg(map_from_entries(collect_list(struct($"hour", $"c"))).as("m"))
+        .withColumn("a", expr(
+          "transform(sequence(0, 23), " +
+            "h -> coalesce(element_at(m, CAST(h AS BIGINT)), CAST(0 AS BIGINT)))"))
+        .withColumn("lb", expr(
+          """aggregate(
+            |  slice(a, 2, 23),
+            |  named_struct('l', CAST(a[0] AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'l', (CAST(x AS DOUBLE) + acc.l + acc.b) / 2.0D,
+            |    'b', ((CAST(x AS DOUBLE) + acc.l + acc.b) / 2.0D - acc.l + acc.b) / 2.0D))"""
+            .stripMargin))
+        .select($"day", round($"lb.l", 6).as("level"),
+                round($"lb.b", 6).as("trend"),
+                round($"lb.l" + $"lb.b", 6).as("forecast"))
+        .orderBy($"day")
+    }),
+
     // Lagged cross-correlation between the hourly click and purchase
     // count series — the lead-lag diagnostic (does click volume LEAD
     // purchase volume?): Pearson r of (clickₜ, purchaseₜ₊L) for L = 0..3
@@ -315,6 +353,33 @@ object Timeseries extends QueryGroup {
         |SELECT event_type, n_hours, n_events, cp_ms, max_dev
         |FROM best WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
+
+    "q_time_holt" ->
+      """WITH hc AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+        |         (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) % 24 AS hour,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dm AS (
+        |  SELECT day, map_from_entries(list(struct_pack(k := hour, v := c))) AS m
+        |  FROM hc GROUP BY day),
+        |arr AS (
+        |  SELECT day,
+        |    list_transform(generate_series(0, 23),
+        |                   h -> coalesce(map_extract(m, h)[1], 0)) AS a
+        |  FROM dm),
+        |fold AS (
+        |  SELECT day,
+        |    list_reduce(
+        |      list_prepend([CAST(a[1] AS DOUBLE), CAST(0.0 AS DOUBLE)],
+        |                   list_transform(a[2:], x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+        |      (acc, e) -> [
+        |        (e[1] + acc[1] + acc[2]) / 2.0,
+        |        ((e[1] + acc[1] + acc[2]) / 2.0 - acc[1] + acc[2]) / 2.0]) AS lb
+        |  FROM arr)
+        |SELECT day, round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
+        |       round(lb[1] + lb[2], 6) AS forecast
+        |FROM fold ORDER BY day""".stripMargin,
 
     "q_time_xcorr" ->
       """WITH agg AS (

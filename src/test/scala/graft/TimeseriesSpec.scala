@@ -141,6 +141,47 @@ class TimeseriesSpec extends BaseSpec {
     assert(peak._3 == 49L, s"CUSUM peak at hour ${peak._3}, want 49 (last pre-shift)")
   }
 
+  test("q_time_holt equals a driver fold; constant day is a fixpoint, ramp day tracks the slope") {
+    def rnd6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val got = SparkEntry.queries("q_time_holt")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    val counts = Tables(spark, sf, "events")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+              expr("(unix_millis(ts) div 3600000) % 24").as("hour"))
+      .groupBy($"day", $"hour").count()
+      .as[(Long, Long, Long)].collect()
+    def holt(xs: Seq[Long]): (Double, Double) = {
+      var l = xs.head.toDouble; var b = 0.0
+      xs.tail.foreach { x =>
+        val l2 = (x.toDouble + l + b) / 2.0
+        b = (l2 - l + b) / 2.0
+        l = l2
+      }
+      (l, b)
+    }
+    val byDay = counts.groupBy(_._1)
+    assert(got.map(_._1) == byDay.keys.toList.sorted)
+    got.foreach { case (day, level, trend, forecast) =>
+      val m = byDay(day).map(r => r._2 -> r._3).toMap
+      val xs = (0L to 23L).map(h => m.getOrElse(h, 0L))
+      val (l, b) = holt(xs)
+      // dyadic-exact states: the driver double fold reproduces them bit
+      // for bit, so rounded equality is exact equality
+      assert(level == rnd6(l) && trend == rnd6(b), s"day $day")
+      assert(forecast == rnd6(l + b))
+    }
+    // statistic sanity through the same fold definition
+    val (lc, bc) = holt(Seq.fill(24)(7L))
+    assert(lc == 7.0 && bc == 0.0, "constant series is a Holt fixpoint")
+    val ramp = (0 until 24).map(t => 5L * t)
+    val (lr, br) = holt(ramp)
+    assert(math.abs(br - 5.0) < 0.1, s"ramp trend $br should approach the slope 5")
+    // the b0 = 0 init transient lets level overshoot the head slightly
+    assert(math.abs(lr - ramp.last) < 1.0, s"ramp level $lr lands near the head ${ramp.last}")
+  }
+
   test("q_time_xcorr equals a BigInt-exact driver recomputation over the two series") {
     val got = SparkEntry.queries("q_time_xcorr")(spark, sf)
       .as[(Int, Long, Option[Double])].collect().toList.sortBy(_._1)
