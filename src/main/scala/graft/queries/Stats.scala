@@ -199,6 +199,41 @@ object Stats extends QueryGroup {
             (lit(2.0) * ($"n1" * $"n2").cast("double")), 6).as("auc"))
     }),
 
+    // Brown–Forsythe test (Levene with median centers — the robust
+    // choice) for equality of the event types' value VARIANCES — the
+    // spread-side completion of the test family: Welch compares means,
+    // KS shapes, MWU/KW ranks, this one dispersions (heteroscedasticity
+    // is what breaks pooled-variance models). One-way ANOVA F over the
+    // absolute deviations z = |x − median(type)|: per-type medians
+    // round(6)-pinned and broadcast back (the q_anomaly_mad two-pass
+    // shape — the fact scan never reshuffles), then F from decimal-exact
+    // per-type Σz / Σz² moments: SSB = Σ S1ᵢ²/nᵢ − (ΣS1)²/N and
+    // SSW = Σ (S2ᵢ − S1ᵢ²/nᵢ) are sums of ≤|types| identical doubles,
+    // DECIMAL-routed so order-free.
+    "q_stat_bf" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(round(median($"value"), 6).as("med"))
+      val st = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("z", abs($"value" - $"med"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_i"),
+             dsum($"z", 6).as("s1"),
+             dsum($"z" * $"z", 6).as("s2"))
+      st.agg(
+          count(lit(1)).as("k"), sum($"n_i").as("n"),
+          sum(($"s1" * $"s1" / $"n_i").cast(DecimalType(38, 6)))
+            .cast("double").as("sb_part"),
+          sum($"s1".cast(DecimalType(38, 6))).cast("double").as("s1_all"),
+          sum(($"s2" - $"s1" * $"s1" / $"n_i").cast(DecimalType(38, 6)))
+            .cast("double").as("ssw"))
+        .withColumn("ssb", $"sb_part" - $"s1_all" * $"s1_all" / $"n")
+        .select($"k", $"n",
+          ($"k" - 1L).as("df1"), ($"n" - $"k").as("df2"),
+          r4(($"ssb" / ($"k" - 1L)) / ($"ssw" / ($"n" - $"k"))).as("f_stat"))
+    }),
+
     // Population stability index per event type between the first and
     // second time-halves of the value distribution — the standard drift
     // monitor a production pipeline runs before trusting a trained
@@ -419,6 +454,28 @@ object Stats extends QueryGroup {
         |       CAST(tie3 AS DOUBLE) /
         |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) AS sigma2
         |  FROM gs) z2""".stripMargin,
+
+    "q_stat_bf" ->
+      s"""WITH med AS (
+         |  SELECT event_type,
+         |    round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+         |  FROM events GROUP BY event_type),
+         |st AS (
+         |  SELECT e.event_type, COUNT(*) AS n_i,
+         |    ${Q.oSum("abs(e.value - m.med)", 6)} AS s1,
+         |    ${Q.oSum("abs(e.value - m.med) * abs(e.value - m.med)", 6)} AS s2
+         |  FROM events e JOIN med m ON e.event_type = m.event_type
+         |  GROUP BY e.event_type),
+         |gs AS (
+         |  SELECT COUNT(*) AS k, SUM(n_i) AS n,
+         |    CAST(SUM(CAST(s1 * s1 / n_i AS DECIMAL(38,6))) AS DOUBLE) AS sb_part,
+         |    CAST(SUM(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) AS s1_all,
+         |    CAST(SUM(CAST(s2 - s1 * s1 / n_i AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+         |  FROM st)
+         |SELECT k, CAST(n AS BIGINT) AS n,
+         |  k - 1 AS df1, CAST(n - k AS BIGINT) AS df2,
+         |  round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat
+         |FROM (SELECT k, n, sb_part - s1_all * s1_all / n AS ssb, ssw FROM gs) z""".stripMargin,
 
     "q_stat_psi" ->
       """WITH ev AS (

@@ -173,6 +173,61 @@ class StatsSpec extends BaseSpec {
     assert(uMid == 8.0 && aucMid == 0.5)
   }
 
+  test("q_stat_bf equals a driver moments recomputation; equal spreads give F near 0 shift") {
+    val got = SparkEntry.queries("q_stat_bf")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(got.size == 1)
+    val (k, n, df1, df2, f) = got.head
+    val vals = Tables(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val types = vals.map(_._1).distinct.sorted
+    assert(k == types.length && df1 == k - 1 && df2 == n - k)
+    def medOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val m = s.length
+      val raw = if (m % 2 == 1) s(m / 2) else (s(m / 2 - 1) + s(m / 2)) / 2.0
+      rnd(raw, 6)
+    }
+    def dec6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val moments = types.map { tp =>
+      val xs = vals.filter(_._1 == tp).map(_._2)
+      val med = medOf(xs)
+      val zs = xs.map(x => math.abs(x - med))
+      val s1 = zs.map(dec6).reduce(_ add _).doubleValue
+      val s2 = zs.map(z => dec6(z * z)).reduce(_ add _).doubleValue
+      (xs.length.toLong, s1, s2)
+    }
+    val nAll = moments.map(_._1).sum
+    assert(n == nAll)
+    val sbPart = moments.map { case (ni, s1, _) => dec6(s1 * s1 / ni) }
+      .reduce(_ add _).doubleValue
+    val s1All = moments.map(m => dec6(m._2)).reduce(_ add _).doubleValue
+    val ssw = moments.map { case (ni, s1, s2) => dec6(s2 - s1 * s1 / ni) }
+      .reduce(_ add _).doubleValue
+    val ssb = sbPart - s1All * s1All / nAll
+    val want = rnd((ssb / (k - 1)) / (ssw / (nAll - k)), 4)
+    assert(f == want, s"F: got $f want $want")
+    assert(f >= 0.0)
+
+    // the statistic itself, on planted spreads: equal dispersion → F ≈ 0,
+    // one wide group → F large (driver formula only, no Spark)
+    def bf(groups: Seq[Seq[Double]]): Double = {
+      val ms = groups.map { xs =>
+        val med = medOf(xs); val zs = xs.map(x => math.abs(x - med))
+        (xs.length.toLong, zs.sum, zs.map(z => z * z).sum)
+      }
+      val kk = groups.length; val nn = ms.map(_._1).sum
+      val sb = ms.map { case (ni, s1, _) => s1 * s1 / ni }.sum -
+        math.pow(ms.map(_._2).sum, 2) / nn
+      val sw = ms.map { case (ni, s1, s2) => s2 - s1 * s1 / ni }.sum
+      (sb / (kk - 1)) / (sw / (nn - kk))
+    }
+    val tight = Seq(10.0, 10.5, 11.0, 10.2, 10.8)
+    val wide = Seq(0.0, 20.0, 5.0, 18.0, 2.0)
+    assert(bf(Seq(tight, tight.map(_ + 50))) < 1e-20, "equal spreads, shifted centers → F 0")
+    assert(bf(Seq(tight, wide)) > 5.0, "one wide group → large F")
+  }
+
   test("q_stat_psi equals a driver recomputation; identical halves give exactly 0") {
     val got = SparkEntry.queries("q_stat_psi")(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect().toList.sortBy(_._1)
