@@ -29,9 +29,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Sources are the K smallest vertex ids — deterministic, and when
   * |V| ≤ K the result is EXACT Brandes (the spec pins both regimes).
-  * Rounds = eccentricity of the sampled sources; exhausting `maxDepth`
-  * with a non-empty frontier THROWS (the [[KCore]]/[[Sssp]] discipline —
-  * a truncated BFS would silently underestimate every score).
+  * Rounds needed = eccentricity of the sampled sources (lastIterations
+  * reports it exactly, read back from the reached frame's max level);
+  * if `maxDepth` rounds still leave DISCOVERABLE vertices — probed with
+  * one extra frontier join, so completing exactly at `maxDepth` is fine
+  * — run() THROWS (the [[KCore]]/[[Sssp]] discipline: a truncated BFS
+  * would silently underestimate every score).
   */
 object Betweenness {
   @volatile var lastIterations: Int = -1
@@ -69,20 +72,30 @@ object Betweenness {
         .localCheckpoint(eager = cadence)
       if (cadence && next.isEmpty) {
         exhausted = true
-        d -= 1 // the empty round discovered nothing
       } else {
         reached = reached.unionAll(next).localCheckpoint(eager = false)
         frontier = next
       }
     }
-    lastIterations = d
-    if (!exhausted && d == maxDepth)
-      throw new IllegalStateException(
-        s"Brandes BFS still had a frontier after $maxDepth rounds — " +
-          "scores would be truncated; raise maxDepth")
+    if (!exhausted) {
+      // the loop ran out of rounds with a live frontier: scores are
+      // truncated ONLY if another round would still discover vertices —
+      // completing exactly at maxDepth is legitimate, so probe once
+      val more = frontier.join(sym, frontier("v") === sym("src"))
+        .select($"s", $"dst".as("v")).distinct()
+        .join(reached.select($"s", $"v"), Seq("s", "v"), "left_anti")
+      if (!more.isEmpty)
+        throw new IllegalStateException(
+          s"Brandes BFS still had undiscovered vertices after $maxDepth " +
+            "rounds — scores would be truncated; raise maxDepth")
+    }
 
     reached = reached.localCheckpoint(eager = true)
-    val maxLevel = d
+    // true deepest discovered level from the data — the cadence-deferred
+    // emptiness check can overshoot by up to checkEvery-1 no-op rounds,
+    // so neither `d` nor a derived counter is the eccentricity
+    val maxLevel = reached.agg(max($"dist")).as[Int].head()
+    lastIterations = maxLevel
 
     // backward: dependency accumulation, deepest level first. delta holds
     // (s, v, delta) for levels > l; vertices without an entry have δ = 0.

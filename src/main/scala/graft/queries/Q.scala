@@ -41,6 +41,27 @@ object Q {
   def r3(c: Column): Column = round(c, 3)
   def r2(c: Column): Column = round(c, 2)
 
+  /** Pearson r from five BIGINT-exact power sums, in the overflow-safe
+    * sqrt(d1)·sqrt(d2) form (d1·d2 itself can exceed LONG); NULL when
+    * either variance term is 0. ONE definition for every correlation key
+    * (q_time_acf/xcorr, q_stat_spearman) so the tail can never drift. */
+  def pearsonR(n: Column, sx: Column, sy: Column,
+               sxy: Column, sxx: Column, syy: Column,
+               scale: Int = 4): Column = {
+    val num = n * sxy - sx * sy
+    val d1 = n * sxx - sx * sx
+    val d2 = n * syy - sy * sy
+    when(d1 > lit(0) && d2 > lit(0),
+      round(num.cast(DoubleType) /
+        (sqrt(d1.cast(DoubleType)) * sqrt(d2.cast(DoubleType))), scale))
+  }
+
+  /** Oracle-side mirror of [[pearsonR]]: the CASE tail over a subquery
+    * exposing `num`, `d1`, `d2` columns. */
+  def oPearson(scale: Int = 4): String =
+    s"CASE WHEN d1 > 0 AND d2 > 0 THEN round(CAST(num AS DOUBLE) / " +
+      s"(sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), $scale) END"
+
   /** Oracle-side mirror of [[dsum]]. */
   def oSum(expr: String, scale: Int = 4): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"

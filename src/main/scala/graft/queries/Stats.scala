@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -19,6 +20,39 @@ import Q._
   * broadcast by size). Nothing driver-sized, nothing quadratic in data.
   */
 object Stats extends QueryGroup {
+
+  /** Declared unit-bin rule (bin = min(⌊value⌋, 999)) shared by every
+    * binned nonparametric key — ONE definition per dialect, so a grid
+    * change can never desynchronize ks/kruskal/mwu/psi. */
+  private def binCol: Column = least(floor(col("value")).cast("long"), lit(999L))
+  private val binSql = "least(CAST(floor(value) AS BIGINT), 999)"
+
+  /** click/purchase per-bin counts — the q_stat_ks / q_stat_mwu substrate
+    * (the one data-sized aggregate both keys share). */
+  private def cpBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("bin", binCol)
+      .groupBy($"bin")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+           sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+  }
+
+  /** Oracle mirror of [[cpBins]] as a CTE body named `perbin`. */
+  private val cpBinsCte =
+    s"""perbin AS (
+       |  SELECT $binSql AS bin,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1)""".stripMargin
+
+  /** Doubled midrank of a tie group of size `t` covering cumulative
+    * positions (cum−t, cum]: 2·midrank = 2·(cum−t) + t + 1, BIGINT-exact
+    * (shared by kruskal + mwu; the SQL texts carry the same formula). */
+  private def r2Col(cum: Column, t: Column): Column =
+    lit(2L) * (cum - t) + t + 1L
 
   val queries: Map[String, QFn] = Map(
     // Pearson χ² test of independence between event_type and the
@@ -95,12 +129,7 @@ object Stats extends QueryGroup {
     // Argmax ties break to the smallest bin via the max(struct) idiom.
     "q_stat_ks" -> ((s, dir) => {
       import s.implicits._
-      val perBin = t(s, dir, "events")
-        .filter($"event_type".isin("click", "purchase"))
-        .withColumn("bin", least(floor($"value").cast("long"), lit(999L)))
-        .groupBy($"bin")
-        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
-             sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+      val perBin = cpBins(s, dir)
       val wCum = Window.orderBy($"bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy()
@@ -131,14 +160,14 @@ object Stats extends QueryGroup {
     "q_stat_kruskal" -> ((s, dir) => {
       import s.implicits._
       val bt = t(s, dir, "events")
-        .withColumn("bin", least(floor($"value").cast("long"), lit(999L)))
+        .withColumn("bin", binCol)
         .groupBy($"bin", $"event_type")
         .agg(count(lit(1)).as("c"))
       val wCum = Window.orderBy($"bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val binTot = bt.groupBy($"bin").agg(sum($"c").as("t"))
         .withColumn("cum", sum($"t").over(wCum))
-        .withColumn("r2", lit(2L) * ($"cum" - $"t") + $"t" + 1L)
+        .withColumn("r2", r2Col($"cum", $"t"))
       val perType = bt.join(binTot.select($"bin", $"r2"), Seq("bin"))
         .groupBy($"event_type")
         .agg(sum($"c").as("n_i"), sum($"c" * $"r2").as("rr2"))
@@ -148,11 +177,18 @@ object Stats extends QueryGroup {
           .cast(DecimalType(38, 6))).cast("double").as("sr"))
       val tie = binTot.agg(
         sum($"t" * $"t" * $"t" - $"t").as("tie3"))
+      // n·(n+1) and n³ are DOUBLE-routed: at n beyond ~2e6 the LONG cube
+      // overflows (ANSI throw) while the oracle's HUGEINT does not — the
+      // q_stat_spearman sqrt(d1)·sqrt(d2) lesson applied to the tie term
+      // (identical double ops on identical operands ⇒ parity holds)
       gs.crossJoin(broadcast(tie))
-        .withColumn("h", lit(12.0) / ($"n" * ($"n" + 1L)) * $"sr"
+        .withColumn("h", lit(12.0) /
+          ($"n".cast("double") * ($"n" + 1L).cast("double")) * $"sr"
           - lit(3.0) * ($"n" + 1L))
         .withColumn("corr_c", lit(1.0) -
-          $"tie3".cast("double") / ($"n" * $"n" * $"n" - $"n").cast("double"))
+          $"tie3".cast("double") /
+            ($"n".cast("double") * $"n".cast("double") * $"n".cast("double")
+              - $"n".cast("double")))
         .select($"n", $"k",
           r4($"h").as("h"),
           r4($"h" / $"corr_c").as("h_corr"),
@@ -169,18 +205,12 @@ object Stats extends QueryGroup {
     // BIGINT, and z/auc divide bit-identical operands in mirrored order.
     "q_stat_mwu" -> ((s, dir) => {
       import s.implicits._
-      val perBin = t(s, dir, "events")
-        .filter($"event_type".isin("click", "purchase"))
-        .withColumn("bin", least(floor($"value").cast("long"), lit(999L)))
-        .groupBy($"bin")
-        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
-             sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
-        .withColumn("t", $"c1" + $"c2")
+      val perBin = cpBins(s, dir).withColumn("t", $"c1" + $"c2")
       val wCum = Window.orderBy($"bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perBin
         .withColumn("cum", sum($"t").over(wCum))
-        .withColumn("r2", lit(2L) * ($"cum" - $"t") + $"t" + 1L)
+        .withColumn("r2", r2Col($"cum", $"t"))
         .agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
              sum($"c1" * $"r2").as("rr1"),
              sum($"t" * $"t" * $"t" - $"t").as("tie3"))
@@ -248,7 +278,7 @@ object Stats extends QueryGroup {
       import s.implicits._
       val ev = t(s, dir, "events")
         .withColumn("h", expr("unix_millis(ts) div 3600000"))
-        .withColumn("bin", least(floor($"value").cast("long"), lit(999L)))
+        .withColumn("bin", binCol)
       val bounds = ev.agg(min($"h").as("lo"), max($"h").as("hi"))
         .select(expr("(lo + hi + 1) div 2").as("mid"))
       val bt = ev.crossJoin(broadcast(bounds))
@@ -318,13 +348,8 @@ object Stats extends QueryGroup {
              sum($"rx" * $"ry").as("sxy"),
              sum($"rx" * $"rx").as("sxx"),
              sum($"ry" * $"ry").as("syy"))
-        .withColumn("num", $"n_hours" * $"sxy" - $"sx" * $"sy")
-        .withColumn("d1", $"n_hours" * $"sxx" - $"sx" * $"sx")
-        .withColumn("d2", $"n_hours" * $"syy" - $"sy" * $"sy")
         .select($"t1", $"t2", $"n_hours",
-          when($"d1" > 0 && $"d2" > 0,
-            round($"num".cast("double") /
-              (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))), 4))
+          pearsonR($"n_hours", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("rho"))
         .orderBy($"t1", $"t2")
     })
@@ -376,12 +401,7 @@ object Stats extends QueryGroup {
         |ORDER BY t1, t2""".stripMargin,
 
     "q_stat_ks" ->
-      """WITH perbin AS (
-        |  SELECT least(CAST(floor(value) AS BIGINT), 999) AS bin,
-        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
-        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
-        |  FROM events WHERE event_type IN ('click', 'purchase')
-        |  GROUP BY 1),
+      s"""WITH $cpBinsCte,
         |cum AS (
         |  SELECT bin,
         |    SUM(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
@@ -399,8 +419,8 @@ object Stats extends QueryGroup {
         |FROM top""".stripMargin,
 
     "q_stat_kruskal" ->
-      """WITH bt AS (
-        |  SELECT least(CAST(floor(value) AS BIGINT), 999) AS bin, event_type,
+      s"""WITH bt AS (
+        |  SELECT $binSql AS bin, event_type,
         |    COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |bintot AS (
@@ -423,17 +443,15 @@ object Stats extends QueryGroup {
         |  round((h / corr_c - k + 1) / (n - k), 6) AS eps2
         |FROM (
         |  SELECT n, k,
-        |    12.0 / (n * (n + 1)) * sr - 3.0 * (n + 1) AS h,
-        |    1.0 - CAST(tie3 AS DOUBLE) / CAST(n * n * n - n AS DOUBLE) AS corr_c
+        |    12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * sr
+        |      - 3.0 * (n + 1) AS h,
+        |    1.0 - CAST(tie3 AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE)) AS corr_c
         |  FROM gs, tie) z""".stripMargin,
 
     "q_stat_mwu" ->
-      """WITH perbin AS (
-        |  SELECT least(CAST(floor(value) AS BIGINT), 999) AS bin,
-        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
-        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
-        |  FROM events WHERE event_type IN ('click', 'purchase')
-        |  GROUP BY 1),
+      s"""WITH $cpBinsCte,
         |ranked AS (
         |  SELECT bin, c1, c2, t,
         |    2 * (SUM(t) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
@@ -478,10 +496,10 @@ object Stats extends QueryGroup {
          |FROM (SELECT k, n, sb_part - s1_all * s1_all / n AS ssb, ssw FROM gs) z""".stripMargin,
 
     "q_stat_psi" ->
-      """WITH ev AS (
+      s"""WITH ev AS (
         |  SELECT event_type,
         |    epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS h,
-        |    least(CAST(floor(value) AS BIGINT), 999) AS bin
+        |    $binSql AS bin
         |  FROM events),
         |mid AS (SELECT (MIN(h) + MAX(h) + 1) // 2 AS mid FROM ev),
         |bt AS (
@@ -509,7 +527,7 @@ object Stats extends QueryGroup {
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stat_spearman" ->
-      """WITH agg AS (
+      s"""WITH agg AS (
         |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h,
         |    event_type, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
@@ -537,10 +555,7 @@ object Stats extends QueryGroup {
         |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
         |  FROM pairs GROUP BY t1, t2)
         |SELECT t1, t2, n_hours,
-        |  CASE WHEN d1 > 0 AND d2 > 0
-        |       THEN round(CAST(num AS DOUBLE) /
-        |                  (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 4)
-        |  END AS rho
+        |  ${Q.oPearson()} AS rho
         |FROM (
         |  SELECT t1, t2, n_hours,
         |    n_hours * sxy - sx * sy AS num,

@@ -62,13 +62,8 @@ object Timeseries extends QueryGroup {
              sum($"x" * $"y").as("sxy"),
              sum($"x" * $"x").as("sxx"),
              sum($"y" * $"y").as("syy"))
-        .withColumn("num", $"n_pairs" * $"sxy" - $"sx" * $"sy")
-        .withColumn("d1", $"n_pairs" * $"sxx" - $"sx" * $"sx")
-        .withColumn("d2", $"n_pairs" * $"syy" - $"sy" * $"sy")
         .select($"lag", $"n_pairs",
-          when($"d1" > 0 && $"d2" > 0,
-            round($"num".cast("double") /
-              (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))), 4))
+          pearsonR($"n_pairs", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("acf"))
         .orderBy($"lag")
     }),
@@ -244,13 +239,8 @@ object Timeseries extends QueryGroup {
              sum($"x" * $"y").as("sxy"),
              sum($"x" * $"x").as("sxx"),
              sum($"y" * $"y").as("syy"))
-        .withColumn("num", $"n_pairs" * $"sxy" - $"sx" * $"sy")
-        .withColumn("d1", $"n_pairs" * $"sxx" - $"sx" * $"sx")
-        .withColumn("d2", $"n_pairs" * $"syy" - $"sy" * $"sy")
         .select($"lag", $"n_pairs",
-          when($"d1" > 0 && $"d2" > 0,
-            round($"num".cast("double") /
-              (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))), 4))
+          pearsonR($"n_pairs", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("xcorr"))
         .orderBy($"lag")
     })
@@ -258,7 +248,7 @@ object Timeseries extends QueryGroup {
 
   val oracle: Map[String, String] = Map(
     "q_time_acf" -> (Reshape.resampledCte +
-      """,
+      s""",
         |lagged AS (
         |  SELECT n_events AS x,
         |    lag(n_events, 1) OVER (ORDER BY bucket_ms) AS l1,
@@ -277,10 +267,7 @@ object Timeseries extends QueryGroup {
         |    SUM(x*x) AS sxx, SUM(y*y) AS syy
         |  FROM pairs GROUP BY lag)
         |SELECT CAST(lag AS INT) AS lag, n_pairs,
-        |  CASE WHEN d1 > 0 AND d2 > 0
-        |       THEN round(CAST(num AS DOUBLE) /
-        |                  (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 4)
-        |  END AS acf
+        |  ${Q.oPearson()} AS acf
         |FROM (
         |  SELECT lag, n_pairs,
         |    n_pairs * sxy - sx * sy AS num,
@@ -382,7 +369,7 @@ object Timeseries extends QueryGroup {
         |FROM fold ORDER BY day""".stripMargin,
 
     "q_time_xcorr" ->
-      """WITH agg AS (
+      s"""WITH agg AS (
         |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h,
         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
@@ -414,10 +401,7 @@ object Timeseries extends QueryGroup {
         |    SUM(x*x) AS sxx, SUM(y*y) AS syy
         |  FROM pairs GROUP BY lag)
         |SELECT CAST(lag AS INT) AS lag, n_pairs,
-        |  CASE WHEN d1 > 0 AND d2 > 0
-        |       THEN round(CAST(num AS DOUBLE) /
-        |                  (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 4)
-        |  END AS xcorr
+        |  ${Q.oPearson()} AS xcorr
         |FROM (
         |  SELECT lag, n_pairs,
         |    n_pairs * sxy - sx * sy AS num,

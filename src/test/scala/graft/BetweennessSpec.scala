@@ -103,6 +103,23 @@ class BetweennessSpec extends BaseSpec {
     assertAgree(run(es, k = k), brandes(es, verts.take(k)))
   }
 
+  test("maxDepth semantics: exact-depth completion is fine, truncation throws, eccentricity exact") {
+    val path = Seq((0L, 1L), (1L, 2L)) // eccentricity 2 from the end sources
+    // completes EXACTLY at maxDepth = 2 → no throw, correct scores
+    val got = run(path)
+    assert(got == Map(1L -> 1.0)) // one middle vertex, pair {0,2}, halved double count
+    val exact = Betweenness.run(spark, path.toDF("u1", "u2"), maxDepth = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(exact == got, "completing exactly at maxDepth must not throw or truncate")
+    // lastIterations = true eccentricity (2), not the cadence-deferred
+    // loop counter (which runs empty rounds before detecting the end)
+    assert(Betweenness.lastIterations == 2)
+    // genuinely truncated BFS throws
+    intercept[IllegalStateException] {
+      Betweenness.run(spark, path.toDF("u1", "u2"), maxDepth = 1).collect()
+    }
+  }
+
   test("fixture key: deterministic across runs, ordered, iterations registered") {
     val got = SparkEntry.queries("m_graph_betweenness")(spark, sf)
       .as[(Long, Double)].collect().toList
