@@ -340,6 +340,57 @@ class GkQuantileProcessor(eps: Double)
   }
 }
 
+/** `StatefulProcessor` behind [[StreamOps.driftStream]] — the streaming
+  * face of the batch q_stat_psi drift monitor, applied at ingestion: per
+  * group key, a MapState accumulates the unit-bin value histogram (bin =
+  * min(⌊value⌋, 999), the batch grid) and every micro-batch emits the
+  * population stability index of the ACCUMULATED histogram against the
+  * broadcast reference histogram (the training distribution). Same add-1
+  * smoothing over the union of observed bins as the batch key, so
+  * identical distributions give EXACTLY 0.0 and the emitted PSI is the
+  * number the batch key would compute on the same counts. State is
+  * O(bins ≤ 1000) per key — grid-bounded, never data-sized, the same
+  * scale argument as the batch substrate. */
+class DriftProcessor(reference: Map[String, Map[Long, Long]])
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, ValRow, (String, Long, Double)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var hist: streaming.MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    hist = getHandle.getMapState[Long, Long](
+      "drift", Encoders.scalaLong, Encoders.scalaLong, streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[ValRow],
+      timerValues: streaming.TimerValues): Iterator[(String, Long, Double)] = {
+    rows.foreach { r =>
+      val b = math.min(math.floor(r.value).toLong, 999L)
+      val cur = if (hist.containsKey(b)) hist.getValue(b) else 0L
+      hist.updateValue(b, cur + 1L)
+    }
+    val live = hist.iterator().map { case (b, c) => b -> c }.toMap
+    val ref = reference.getOrElse(key, Map.empty)
+    Iterator.single((key, live.values.sum, DriftProcessor.psi(live, ref)))
+  }
+}
+
+object DriftProcessor {
+  /** Add-1-smoothed PSI over the union of observed bins — the batch
+    * q_stat_psi formula on driver-side maps (identical distributions → 0). */
+  def psi(h1: Map[Long, Long], h2: Map[Long, Long]): Double = {
+    val bins = (h1.keySet ++ h2.keySet).toList.sorted
+    if (bins.isEmpty) return 0.0
+    val n1 = h1.values.sum; val n2 = h2.values.sum; val nb = bins.length
+    val raw = bins.map { b =>
+      val p1 = (h1.getOrElse(b, 0L) + 1).toDouble / (n1 + nb)
+      val p2 = (h2.getOrElse(b, 0L) + 1).toDouble / (n2 + nb)
+      (p1 - p2) * math.log(p1 / p2)
+    }.sum
+    math.BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -503,6 +554,22 @@ object StreamOps {
     import values.sparkSession.implicits._
     values.groupByKey(_.grp)
       .transformWithState(new GkQuantileProcessor(eps),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Streaming drift monitor — the ingestion-time twin of the batch
+    * q_stat_psi key: per group, PSI of the accumulated unit-bin value
+    * histogram against a broadcast reference (the training
+    * distribution). Emits (grp, n_seen, psi) per touched group per
+    * micro-batch; a pipeline gates ingestion on psi crossing the
+    * standard 0.1/0.25 thresholds. Grid-bounded state (≤ 1000 bins per
+    * group). */
+  def driftStream(values: Dataset[ValRow],
+                  reference: Map[String, Map[Long, Long]])
+      : Dataset[(String, Long, Double)] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_.grp)
+      .transformWithState(new DriftProcessor(reference),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 

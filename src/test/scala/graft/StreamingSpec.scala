@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{DocIn, Ev, StreamOps}
+import graft.streaming.{DocIn, DriftProcessor, Ev, StreamOps, ValRow}
 
 /** SURVEY §2.9/§5.3 — streaming semantics with MemoryStream: batch≡stream
   * for shared bodies, watermark late-drop, session windows, dedup-within-
@@ -913,5 +913,41 @@ class StreamingSpec extends BaseSpec {
       .select($"batch_id").distinct().as[Long].collect().sorted.toList
     assert(committed == List(0L, 1L), s"commit ledger: $committed")
     assert(spark.read.parquet(target).count() == 3L)
+  }
+
+  test("drift gate: matching traffic holds PSI at exactly 0, shifted traffic crosses the alert bar") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // reference (training) distribution: 40/30/30 over bins 1/5/9
+      val ref = Map("clicks" -> Map(1L -> 40L, 5L -> 30L, 9L -> 30L))
+      val matching = Seq.fill(40)(1.2) ++ Seq.fill(30)(5.7) ++ Seq.fill(30)(9.0)
+      val shifted = Seq.fill(100)(42.5) // mass entirely outside the reference bins
+      val input = MemoryStream[ValRow]
+      val name = nextName()
+      val q = StreamOps.driftStream(input.toDS(), ref)
+        .toDF("grp", "n_seen", "psi")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      input.addData(matching.map(v => ValRow("clicks", v)): _*)
+      q.processAllAvailable()
+      val clean = spark.table(name).as[(String, Long, Double)].collect().maxBy(_._2)
+      // live histogram == reference histogram ⇒ smoothed PSI is EXACTLY 0
+      assert(clean == (("clicks", 100L, 0.0)), s"clean traffic drifted: $clean")
+      input.addData(shifted.map(v => ValRow("clicks", v)): _*)
+      q.processAllAvailable(); q.stop()
+      val after = spark.table(name).as[(String, Long, Double)].collect().maxBy(_._2)
+      assert(after._2 == 200L)
+      assert(after._3 > 0.25, s"mass shift must cross the 0.25 alert bar: $after")
+      // emitted PSI is the same number the shared formula computes on the
+      // accumulated counts (the batch q_stat_psi arithmetic)
+      val live = Map(1L -> 40L, 5L -> 30L, 9L -> 30L, 42L -> 100L)
+      assert(after._3 == DriftProcessor.psi(live, ref("clicks")))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
   }
 }
