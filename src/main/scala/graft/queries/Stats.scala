@@ -7,17 +7,24 @@ import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** SURVEY §2.11b adjunct — the hypothesis-test statistics an analyst runs
-  * before trusting the mining keys: χ² independence (is event mix related
-  * to value level?) and pairwise Welch t (do two event types move the same
-  * value mean?). Both reduce the fact scan to a tiny exact-count /
-  * decimal-sum aggregate first; every later arithmetic step runs on
-  * operands that are bit-identical in both engines (integer counts,
-  * decimal-routed sums, round-pinned medians), so the statistics
-  * hash-match without any tolerance.
+  * before trusting the mining keys, one per question: χ² (is event mix
+  * related to value level?), Welch t (do two types' MEANS differ?),
+  * Kolmogorov–Smirnov (do their SHAPES differ?), Mann–Whitney U /
+  * Kruskal–Wallis (rank-level location, two-sample and k-sample),
+  * Spearman ρ (do two activity series co-move monotonically?),
+  * Brown–Forsythe (do VARIANCES differ?), and PSI (has the distribution
+  * DRIFTED over time?). Every key reduces the fact scan to one tiny
+  * exact-count / decimal-sum aggregate first; all later arithmetic runs
+  * on operands that are bit-identical in both engines (integer counts,
+  * BIGINT doubled midranks, decimal-routed sums, round-pinned medians
+  * and ln terms), so the statistics hash-match without any tolerance.
   *
-  * Scale shape: one hash aggregate over the facts each; everything after
-  * operates on ≤|types|² rows (window sums / self-join on a 5-row frame —
-  * broadcast by size). Nothing driver-sized, nothing quadratic in data.
+  * Scale shape: one data-sized hash aggregate each; everything after
+  * operates on grid-bounded frames (≤1000 value bins, ≤|types|² pairs,
+  * time-bounded hour grids) — nothing driver-sized, nothing quadratic
+  * in data. Shared substrates (the unit-bin rule, the click/purchase
+  * per-bin counts, the doubled-midrank formula, the Pearson power-sum
+  * tail) each have ONE definition per dialect.
   */
 object Stats extends QueryGroup {
 
