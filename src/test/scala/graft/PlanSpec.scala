@@ -502,6 +502,14 @@ class PlanSpec extends BaseSpec {
     // (chisq's median pattern); one data-sized (type,bin) agg, then
     // type-keyed window + final agg on the ≤5·1000-bin frame
     assert(shape("q_stat_psi", allowedBnlj = 1) == ((2, 1, false)))
+    // zorder: scan-side integer projection into the bucket agg (the
+    // distinct-cells count adds the second, still grid-keyed, exchange)
+    assert(shape("q_geo_zorder") == ((2, 0, false)))
+    // rrf: the 10-row probe broadcast is the declared BNLJ (brute-force
+    // probe scoring is linear, 10·N); both rank windows and the fused
+    // top-k ride ONE probe-keyed exchange — a per-list self-join would
+    // add a second scoring pass and more exchanges
+    assert(shape("q_sim_rrf", allowedBnlj = 1) == ((1, 0, false)))
     // spearman: the (h,type) agg + the grid×types broadcast expansion, the
     // per-type rank windows, the hour-keyed pair join and the pair agg —
     // all but the first are grid-sized
