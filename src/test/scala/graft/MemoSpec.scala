@@ -62,7 +62,7 @@ class MemoSpec extends BaseSpec {
     val keys = graft.operators.LastIterations.registeredKeys
     for (k <- Seq("m_graph_pagerank", "m_graph_lp", "m_graph_ppr",
                   "m_graph_kcore", "q_graph_bfs", "m_graph_sssp",
-                  "m_text_bpe", "m_graph_betweenness"))
+                  "m_text_bpe", "m_graph_betweenness", "m_graph_ktruss"))
       assert(keys.contains(k), s"iterative key $k lost its Bench attribution")
     // unregistered keys and never-run counters read as None, not a sentinel
     assert(graft.operators.LastIterations.get("q_scan_count").isEmpty)
