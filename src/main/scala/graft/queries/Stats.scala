@@ -236,6 +236,45 @@ object Stats extends QueryGroup {
             (lit(2.0) * ($"n1" * $"n2").cast("double")), 6).as("auc"))
     }),
 
+    // Per-type skewness (g1 = m3/m2^1.5) and excess kurtosis
+    // (g2 = m4/m2² − 3) of the value distribution — the shape profile an
+    // analyst reads BEFORE choosing tests (heavy tails → the rank/robust
+    // keys; near-normal → Welch/BF are exact enough). Computed from the
+    // four decimal-exact raw power sums with mirrored expression text —
+    // deliberately NOT the engines' built-ins, whose estimator
+    // conventions differ (Spark's skewness/kurtosis are population
+    // moments, DuckDB's are bias-corrected sample statistics); central
+    // moments from identical raw-moment doubles are bit-equal instead.
+    // Σx⁴ rides a DECIMAL(38,6) (560⁴ ≈ 1e11 per row — the default
+    // 18-digit dsum would overflow its integer part at fixture counts).
+    // One fact hash-agg; everything after is per-type scalar arithmetic.
+    "q_stat_moments" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             dsum($"value", 6).as("s1"),
+             sum(($"value" * $"value").cast(DecimalType(38, 6)))
+               .cast("double").as("s2"),
+             sum(($"value" * $"value" * $"value").cast(DecimalType(38, 6)))
+               .cast("double").as("s3"),
+             sum(($"value" * $"value" * $"value" * $"value")
+               .cast(DecimalType(38, 6))).cast("double").as("s4"))
+        .withColumn("m", $"s1" / $"n")
+        .withColumn("m2", $"s2" / $"n" - $"m" * $"m")
+        .withColumn("m3", $"s3" / $"n" - lit(3.0) * $"m" * ($"s2" / $"n")
+          + lit(2.0) * $"m" * $"m" * $"m")
+        .withColumn("m4", $"s4" / $"n" - lit(4.0) * $"m" * ($"s3" / $"n")
+          + lit(6.0) * $"m" * $"m" * ($"s2" / $"n")
+          - lit(3.0) * $"m" * $"m" * $"m" * $"m")
+        .select($"event_type", $"n",
+          r4($"m").as("mean"),
+          r4(sqrt($"m2")).as("stddev"),
+          round($"m3" / ($"m2" * sqrt($"m2")), 6).as("skewness"),
+          round($"m4" / ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis"))
+        .orderBy($"event_type")
+    }),
+
     // Brown–Forsythe test (Levene with median centers — the robust
     // choice) for equality of the event types' value VARIANCES — the
     // spread-side completion of the test family: Welch compares means,
@@ -479,6 +518,27 @@ object Stats extends QueryGroup {
         |       CAST(tie3 AS DOUBLE) /
         |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) AS sigma2
         |  FROM gs) z2""".stripMargin,
+
+    "q_stat_moments" ->
+      s"""WITH st AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    ${Q.oSum("value", 6)} AS s1,
+         |    CAST(SUM(CAST((value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST((value * value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         |    CAST(SUM(CAST((value * value * value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s4
+         |  FROM events GROUP BY event_type),
+         |mom AS (
+         |  SELECT event_type, n, m,
+         |    s2 / n - m * m AS m2,
+         |    s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS m3,
+         |    s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n)
+         |      - 3.0 * m * m * m * m AS m4
+         |  FROM (SELECT event_type, n, s1, s2, s3, s4, s1 / n AS m FROM st) x)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  round(m, 4) AS mean, round(sqrt(m2), 4) AS stddev,
+         |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+         |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+         |FROM mom ORDER BY event_type""".stripMargin,
 
     "q_stat_bf" ->
       s"""WITH med AS (

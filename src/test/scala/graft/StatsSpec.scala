@@ -173,6 +173,36 @@ class StatsSpec extends BaseSpec {
     assert(uMid == 8.0 && aucMid == 0.5)
   }
 
+  test("q_stat_moments equals a driver raw-moment recomputation; shape signs are sane") {
+    val got = SparkEntry.queries("q_stat_moments")(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toList
+    assert(got.nonEmpty && got.map(_._1) == got.map(_._1).sorted)
+    val vals = Tables(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def decS(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP)
+    got.foreach { case (tp, n, mean, stddev, skew, kurt) =>
+      val xs = vals.filter(_._1 == tp).map(_._2)
+      assert(n == xs.length.toLong)
+      val s1 = xs.map(decS(_, 6)).reduce(_ add _).doubleValue
+      val s2 = xs.map(x => decS(x * x, 6)).reduce(_ add _).doubleValue
+      val s3 = xs.map(x => decS(x * x * x, 6)).reduce(_ add _).doubleValue
+      val s4 = xs.map(x => decS(x * x * x * x, 6)).reduce(_ add _).doubleValue
+      val m = s1 / n
+      val m2 = s2 / n - m * m
+      val m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+      val m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) -
+        3.0 * m * m * m * m
+      assert(mean == rnd(m, 4) && stddev == rnd(math.sqrt(m2), 4))
+      assert(skew == rnd(m3 / (m2 * math.sqrt(m2)), 6), s"$tp skew")
+      assert(kurt == rnd(m4 / (m2 * m2) - 3.0, 6), s"$tp kurt")
+      assert(stddev > 0.0)
+      // the fixture values are bounded on [0, ~560]: kurtosis cannot be
+      // below the platykurtic floor of -2 (Pearson inequality g2 >= -2)
+      assert(kurt >= -2.0)
+    }
+  }
+
   test("q_stat_bf equals a driver moments recomputation; equal spreads give F near 0 shift") {
     val got = SparkEntry.queries("q_stat_bf")(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect().toList
