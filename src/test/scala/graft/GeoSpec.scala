@@ -330,6 +330,21 @@ class GeoSpec extends BaseSpec {
     assert(got.exists(r => r._3 < r._2), "bbox must not equal the pentagon")
   }
 
+  test("q_graph_assort is a valid correlation and agrees with the degree key's totals") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q_graph_assort")(spark, sf)
+      .as[(Long, Long, Option[Double])].collect().toList
+    assert(got.size == 1)
+    val (nEdges, nVerts, r) = got.head
+    r.foreach(v => assert(v >= -1.0 && v <= 1.0))
+    // cross-key consistency: the degree histogram implies the same edge
+    // and vertex totals (two independently oracle-checked paths)
+    val degHist = SparkEntry.queries("q_graph_degree")(spark, sf)
+      .select(col("degree"), col("n_users")).as[(Long, Long)].collect()
+    assert(nVerts == degHist.map(_._2).sum)
+    assert(nEdges == degHist.map(h => h._1 * h._2).sum / 2)
+  }
+
   test("q_geo_zorder: aligned z-buckets are ≤32×32 rectangles, row order is not, z is a true interleave") {
     import org.apache.spark.sql.functions.{col, max, min}
     val got = SparkEntry.queries("q_geo_zorder")(spark, sf)
