@@ -161,6 +161,28 @@ object Timeseries extends QueryGroup {
         .orderBy($"event_type")
     }),
 
+    // Theil–Sen slope of the hourly count series (Theil '50 / Sen JASA
+    // '68): the MEDIAN of all pairwise slopes — the robust trend
+    // estimate (29% breakdown: a burst or outage hour drags an OLS fit,
+    // but moves one rank among the C(n,2) slopes). The pair explosion is
+    // GRID-bounded (≤ 720² /2 pairs at a 30-day fixture — the q_time_*
+    // time-bounded argument squared, still far from data-sized), each
+    // slope an identical double (BIGINT Δx cast / BIGINT Δt), and the
+    // exact interpolated median round(6)-pinned — the q_anomaly_mad
+    // median-parity precedent.
+    "q_time_theilsen" -> ((s, dir) => {
+      import s.implicits._
+      val g = Reshape.resampled(s, dir)
+        .select(expr("bucket_ms div 3600000").as("t"), $"n_events".as("x"))
+      val a = g.select($"t".as("t1"), $"x".as("x1"))
+      val b = g.select($"t".as("t2"), $"x".as("x2"))
+      a.join(b, $"t1" < $"t2")
+        .withColumn("slope",
+          ($"x2" - $"x1").cast("double") / ($"t2" - $"t1"))
+        .agg(count(lit(1)).as("n_pairs"),
+             round(median($"slope"), 6).as("slope_per_hour"))
+    }),
+
     // Holt's linear (double-exponential) smoothing per UTC day,
     // α = β = 1/2: end-of-day level, trend, and one-step forecast of the
     // hourly count series — q_time_ewma's recursion upgraded with a trend
@@ -340,6 +362,16 @@ object Timeseries extends QueryGroup {
         |SELECT event_type, n_hours, n_events, cp_ms, max_dev
         |FROM best WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
+
+    "q_time_theilsen" -> (Reshape.resampledCte +
+      """,
+        |g AS (SELECT bucket_ms // 3600000 AS t, n_events AS x FROM res),
+        |pairs AS (
+        |  SELECT CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS slope
+        |  FROM g a JOIN g b ON a.t < b.t)
+        |SELECT COUNT(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS slope_per_hour
+        |FROM pairs""".stripMargin),
 
     "q_time_holt" ->
       """WITH hc AS (

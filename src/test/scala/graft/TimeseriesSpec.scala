@@ -141,6 +141,43 @@ class TimeseriesSpec extends BaseSpec {
     assert(peak._3 == 49L, s"CUSUM peak at hour ${peak._3}, want 49 (last pre-shift)")
   }
 
+  test("q_time_theilsen equals a driver pairwise-median recomputation; robust where OLS is not") {
+    def rnd6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def theilSen(xs: Seq[(Long, Long)]): (Long, Double) = {
+      val slopes = (for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      } yield (xs(j)._2 - xs(i)._2).toDouble / (xs(j)._1 - xs(i)._1)).sorted
+      val m = slopes.length
+      val med = if (m % 2 == 1) slopes(m / 2)
+                else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      (m.toLong, med)
+    }
+    val got = SparkEntry.queries("q_time_theilsen")(spark, sf)
+      .as[(Long, Double)].collect().toList
+    assert(got.size == 1)
+    val grid = Tables(spark, sf, "events")
+      .select(expr("(unix_millis(ts) div 3600000)").as("t"))
+      .groupBy($"t").count().as[(Long, Long)].collect()
+    val hours = (grid.map(_._1).min to grid.map(_._1).max).toVector
+    val byT = grid.toMap
+    val series = hours.map(h => h -> byT.getOrElse(h, 0L))
+    val (nPairs, med) = theilSen(series)
+    assert(got.head._1 == nPairs)
+    assert(got.head._2 == rnd6(med), s"got ${got.head._2} want ${rnd6(med)}")
+    // robustness plant: a perfect slope-3 line with ONE wild outlier —
+    // Theil-Sen recovers 3 exactly while OLS is dragged far off
+    val line = (0L until 25L).map(t => t -> (3L * t)) :+ (25L -> 10000L)
+    val (_, tsSlope) = theilSen(line)
+    assert(tsSlope == 3.0, s"Theil-Sen slope $tsSlope, want exactly 3")
+    val n = line.length
+    val sx = line.map(_._1).sum.toDouble; val sy = line.map(_._2).sum.toDouble
+    val sxy = line.map(p => p._1 * p._2).sum.toDouble
+    val sxx = line.map(p => p._1 * p._1).sum.toDouble
+    val ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(ols - 3.0) > 50.0, s"OLS $ols should be wrecked by the outlier")
+  }
+
   test("q_time_holt equals a driver fold; constant day is a fixpoint, ramp day tracks the slope") {
     def rnd6(x: Double): Double =
       new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
