@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * fall out via the inner semi-join). Dropping an edge can only lower
   * other edges' support, so the edge set shrinks monotonically and the
   * count-equality fixpoint on cadence rounds is exact. Exhausting
-  * `maxIter` with the set still shrinking THROWS — a truncated peel
-  * would return a SUPERSET whose extra edges are not k-truss members
+  * `maxIter` with the set still shrinking runs ONE probe recount first
+  * (a shrink landing exactly on the budget may already be the fixpoint)
+  * and THROWS only if edges would still drop — a truncated peel would
+  * return a SUPERSET whose extra edges are not k-truss members
   * (the [[KCore]] discipline).
   *
   * Scale shape: the triangle join is the round's cost, shuffling on
@@ -43,15 +45,11 @@ object KTruss {
       .select(least($"u1", $"u2").as("u1"), greatest($"u1", $"u2").as("u2"))
       .filter($"u1" < $"u2").distinct()
       .localCheckpoint(eager = true)
-    var prevCount = e.count()
-    var i = 0
-    var converged = false
-    while (i < maxIter && !converged) {
-      i += 1
-      val cadence = i % checkEvery == 0 || i == maxIter
-      val paths = e.as("ab").join(e.as("bc"), col("ab.u2") === col("bc.u1"))
+    // One support-recount round: survivors of `cur` under the k−2 bar.
+    def peelOnce(cur: DataFrame): DataFrame = {
+      val paths = cur.as("ab").join(cur.as("bc"), col("ab.u2") === col("bc.u1"))
         .select(col("ab.u1").as("a"), col("ab.u2").as("b"), col("bc.u2").as("c"))
-      val tri = paths.join(e.as("ac"),
+      val tri = paths.join(cur.as("ac"),
           col("a") === col("ac.u1") && col("c") === col("ac.u2"))
         .select($"a", $"b", $"c")
       val support = tri
@@ -61,9 +59,16 @@ object KTruss {
           struct($"a".as("u1"), $"c".as("u2")))).as("ed"))
         .groupBy($"ed.u1".as("u1"), $"ed.u2".as("u2"))
         .agg(count(lit(1)).as("sup"))
-      val next = e.join(support.filter($"sup" >= (k - 2).toLong),
+      cur.join(support.filter($"sup" >= (k - 2).toLong),
           Seq("u1", "u2"), "left_semi")
-        .localCheckpoint(eager = cadence)
+    }
+    var prevCount = e.count()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      i += 1
+      val cadence = i % checkEvery == 0 || i == maxIter
+      val next = peelOnce(e).localCheckpoint(eager = cadence)
       if (cadence) {
         val n = next.count()
         converged = n == prevCount
@@ -72,6 +77,14 @@ object KTruss {
       e = next
     }
     lastIterations = i
+    if (!converged) {
+      // A peel whose LAST shrinking round lands exactly on maxIter is not
+      // necessarily truncated: the final drop may already be the fixpoint,
+      // with no budget left for the confirming no-op round (the Betweenness
+      // maxDepth-probe discipline). One extra support recount decides:
+      // only throw if it would still drop edges.
+      converged = peelOnce(e).count() == prevCount
+    }
     if (!converged)
       throw new IllegalStateException(
         s"k-truss peeling did not reach its fixpoint in $maxIter rounds — " +

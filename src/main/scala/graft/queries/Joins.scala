@@ -48,10 +48,14 @@ object Joins extends QueryGroup {
         .orderBy($"r_name")
     }),
 
+    // Left join anchored on a *selective* right side (urgent orders only) so
+    // the unmatched-customer set is non-empty at every SF — every fixture
+    // customer has ≥1 order, but most lack an urgent one, so the
+    // null-propagation path this key exists to pin is exercised by data.
     "q_join_left" -> ((s, dir) => {
       import s.implicits._
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
       c.join(o, c("c_custkey") === o("o_custkey"), "left")
         .filter($"o_orderkey".isNull)
         .groupBy($"c_mktsegment")
@@ -82,10 +86,13 @@ object Joins extends QueryGroup {
         .orderBy($"c_custkey")
     }),
 
+    // Anti join against the '2-HIGH' subset ("customers with no high-priority
+    // order") — non-empty complement at every SF, unlike the r11 formulation
+    // against ALL orders (every customer has ≥1 order → 0 rows, vacuous gate).
     "q_join_anti" -> ((s, dir) => {
       import s.implicits._
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter($"o_orderpriority" === "2-HIGH")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select($"c_custkey", $"c_mktsegment")
         .orderBy($"c_custkey")
@@ -220,7 +227,8 @@ object Joins extends QueryGroup {
 
     "q_join_left" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orderless
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o_custkey
         |WHERE o_orderkey IS NULL
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -242,7 +250,8 @@ object Joins extends QueryGroup {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '2-HIGH')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_cross" ->

@@ -41,16 +41,22 @@ object Q {
   def r3(c: Column): Column = round(c, 3)
   def r2(c: Column): Column = round(c, 2)
 
-  /** Pearson r from five BIGINT-exact power sums, in the overflow-safe
-    * sqrt(d1)·sqrt(d2) form (d1·d2 itself can exceed LONG); NULL when
-    * either variance term is 0. ONE definition for every correlation key
-    * (q_time_acf/xcorr, q_stat_spearman) so the tail can never drift. */
+  /** Pearson r from five integer-exact power sums, in the overflow-safe
+    * sqrt(d1)·sqrt(d2) form (d1·d2 itself can exceed any fixed width);
+    * NULL when either variance term is 0. The n·sxy / n·sxx products run
+    * in DECIMAL(38,0) — exact integer math matching DuckDB's HUGEINT, so
+    * spearman's doubled-midrank sums (sxx ~ 4n³ → n·sxx ~ 4n⁴, past LONG
+    * at n ≈ 38k hours) stay exact to n ≈ 1e9. ONE definition for every
+    * correlation key (q_time_acf/xcorr, q_stat_spearman) so the tail can
+    * never drift. */
   def pearsonR(n: Column, sx: Column, sy: Column,
                sxy: Column, sxx: Column, syy: Column,
                scale: Int = 4): Column = {
-    val num = n * sxy - sx * sy
-    val d1 = n * sxx - sx * sx
-    val d2 = n * syy - sy * sy
+    val dec = DecimalType(38, 0)
+    val (nD, sxD, syD) = (n.cast(dec), sx.cast(dec), sy.cast(dec))
+    val num = nD * sxy.cast(dec) - sxD * syD
+    val d1 = nD * sxx.cast(dec) - sxD * sxD
+    val d2 = nD * syy.cast(dec) - syD * syD
     when(d1 > lit(0) && d2 > lit(0),
       round(num.cast(DoubleType) /
         (sqrt(d1.cast(DoubleType)) * sqrt(d2.cast(DoubleType))), scale))

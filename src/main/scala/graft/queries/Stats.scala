@@ -196,10 +196,15 @@ object Stats extends QueryGroup {
           $"tie3".cast("double") /
             ($"n".cast("double") * $"n".cast("double") * $"n".cast("double")
               - $"n".cast("double")))
+        // corr_c is exactly 0 when every value lands in a single bin (all
+        // ties: tie3 = n³−n) — the corrected statistic is undefined there,
+        // so h_corr/eps2 are NULL, not Infinity/NaN (the pearsonR
+        // zero-variance convention), declared identically in the oracle
         .select($"n", $"k",
           r4($"h").as("h"),
-          r4($"h" / $"corr_c").as("h_corr"),
-          round(($"h" / $"corr_c" - $"k" + 1L) / ($"n" - $"k"), 6).as("eps2"))
+          when($"corr_c" > 0.0, r4($"h" / $"corr_c")).as("h_corr"),
+          when($"corr_c" > 0.0,
+            round(($"h" / $"corr_c" - $"k" + 1L) / ($"n" - $"k"), 6)).as("eps2"))
     }),
 
     // Mann–Whitney U between the click and purchase value samples — the
@@ -388,12 +393,16 @@ object Stats extends QueryGroup {
                 explode($"lst").as("p2"))
         .filter($"t1" < $"p2.event_type")
         .select($"t1", $"p2.event_type".as("t2"), $"rx", $"p2.r2".as("ry"))
+        // power sums accumulate in DECIMAL(38,0): sxx ~ 4n³ passes LONG at
+        // n ≈ 132k hours (a 15-year grid); decimal keeps the sums exact to
+        // n ~ 1e9, and pearsonR's decimal products finish the chain
         .groupBy($"t1", $"t2")
         .agg(count(lit(1)).as("n_hours"),
-             sum($"rx").as("sx"), sum($"ry").as("sy"),
-             sum($"rx" * $"ry").as("sxy"),
-             sum($"rx" * $"rx").as("sxx"),
-             sum($"ry" * $"ry").as("syy"))
+             sum($"rx".cast(DecimalType(38, 0))).as("sx"),
+             sum($"ry".cast(DecimalType(38, 0))).as("sy"),
+             sum(($"rx" * $"ry").cast(DecimalType(38, 0))).as("sxy"),
+             sum(($"rx" * $"rx").cast(DecimalType(38, 0))).as("sxx"),
+             sum(($"ry" * $"ry").cast(DecimalType(38, 0))).as("syy"))
         .select($"t1", $"t2", $"n_hours",
           pearsonR($"n_hours", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("rho"))
@@ -485,8 +494,9 @@ object Stats extends QueryGroup {
         |  FROM pertype),
         |tie AS (SELECT SUM(t * t * t - t) AS tie3 FROM bintot)
         |SELECT CAST(n AS BIGINT) AS n, k, round(h, 4) AS h,
-        |  round(h / corr_c, 4) AS h_corr,
-        |  round((h / corr_c - k + 1) / (n - k), 6) AS eps2
+        |  CASE WHEN corr_c > 0 THEN round(h / corr_c, 4) END AS h_corr,
+        |  CASE WHEN corr_c > 0
+        |    THEN round((h / corr_c - k + 1) / (n - k), 6) END AS eps2
         |FROM (
         |  SELECT n, k,
         |    12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * sr

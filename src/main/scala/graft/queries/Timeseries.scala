@@ -165,18 +165,20 @@ object Timeseries extends QueryGroup {
     // '68): the MEDIAN of all pairwise slopes — the robust trend
     // estimate (29% breakdown: a burst or outage hour drags an OLS fit,
     // but moves one rank among the C(n,2) slopes). The pair explosion is
-    // GRID-bounded (≤ 720² /2 pairs at a 30-day fixture — the q_time_*
-    // time-bounded argument squared, still far from data-sized), each
-    // slope an identical double (BIGINT Δx cast / BIGINT Δt), and the
-    // exact interpolated median round(6)-pinned — the q_anomaly_mad
-    // median-parity precedent.
+    // LAG-bounded: the declared max-lag window t2 − t1 ≤ 336 h (two weeks)
+    // makes the pair count LINEAR in the grid length (≤ 336·n pairs), not
+    // quadratic — a 10-year hourly series is ~29M pairs, not 3.8G. The
+    // estimator is Theil–Sen-within-L (all pairwise slopes up to lag L),
+    // same robustness, declared identically on both engines. Each slope
+    // is an identical double (BIGINT Δx cast / BIGINT Δt), and the exact
+    // interpolated median round(6)-pinned — the q_anomaly_mad precedent.
     "q_time_theilsen" -> ((s, dir) => {
       import s.implicits._
       val g = Reshape.resampled(s, dir)
         .select(expr("bucket_ms div 3600000").as("t"), $"n_events".as("x"))
       val a = g.select($"t".as("t1"), $"x".as("x1"))
       val b = g.select($"t".as("t2"), $"x".as("x2"))
-      a.join(b, $"t1" < $"t2")
+      a.join(b, $"t1" < $"t2" && $"t2" - $"t1" <= 336)
         .withColumn("slope",
           ($"x2" - $"x1").cast("double") / ($"t2" - $"t1"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -368,7 +370,7 @@ object Timeseries extends QueryGroup {
         |g AS (SELECT bucket_ms // 3600000 AS t, n_events AS x FROM res),
         |pairs AS (
         |  SELECT CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS slope
-        |  FROM g a JOIN g b ON a.t < b.t)
+        |  FROM g a JOIN g b ON a.t < b.t AND b.t - a.t <= 336)
         |SELECT COUNT(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS slope_per_hour
         |FROM pairs""".stripMargin),

@@ -15,11 +15,25 @@ class BpeSpec extends BaseSpec {
 
   /** Reference BPE: symbols as lists, pair counts in a map, merges by an
     * explicit left-to-right walk — deliberately shares no code (or regex)
-    * with operators/Bpe. */
+    * with operators/Bpe. Symbols are CODE POINTS (surrogate pairs stay
+    * whole, as Spark's empty-regex split keeps them) and ties compare in
+    * code-point order (≡ Spark's UTF8-binary string ordering) — NOT Java
+    * String UTF-16 order, which diverges on supplementary-plane chars. */
+  private def codePointSyms(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
+  private val cpOrdering: Ordering[String] = (x: String, y: String) => {
+    val a = x.codePoints().toArray; val b = y.codePoints().toArray
+    val n = math.min(a.length, b.length)
+    var i = 0; var r = 0
+    while (i < n && r == 0) { r = Integer.compare(a(i), b(i)); i += 1 }
+    if (r != 0) r else Integer.compare(a.length, b.length)
+  }
+
   private def referenceTrain(words: Seq[(String, Long)], numMerges: Int,
                              minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     var vocab: Seq[(Vector[String], Long)] =
-      words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+      words.map { case (w, f) => (codePointSyms(w) :+ "</w>", f) }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
     var done = false
@@ -31,7 +45,10 @@ class BpeSpec extends BaseSpec {
           case _         =>
         }
       }
-      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, cpOrdering, cpOrdering))
+        .headOption
       best.filter(_._2 >= minCount) match {
         case None => done = true
         case Some(((a, b), c)) =>
@@ -85,6 +102,19 @@ class BpeSpec extends BaseSpec {
     assert(got == Seq((1, "a", "a", 10L), (2, "a", "</w>", 5L),
                       (3, "aa", "a</w>", 5L)))
     assert(Bpe.lastIterations == 3, "training stops when no pair remains")
+  }
+
+  test("supplementary-plane corpus: surrogate pairs stay whole, ties break by code point") {
+    // U+FF01 (！) sorts BELOW U+1F600 (😀) by code point but ABOVE it in
+    // Java UTF-16 unit order — the exact divergence the reference trainer
+    // must mirror (Spark's orderBy is UTF8-binary ≡ code-point order).
+    val corpus = Seq(("😀", 2L), ("！", 2L))
+    val got = Bpe.train(spark, corpus.toDF("word", "freq"), numMerges = 2)
+      .map(m => (m.step, m.left, m.right, m.cnt))
+    val want = referenceTrain(corpus, numMerges = 2).toList
+    assert(got == want, s"merge sequences diverge on emoji corpus:\n got $got\nwant $want")
+    assert(got.head == ((1, "！", "</w>", 2L)),
+      s"code-point tie-break must pick U+FF01 first, got ${got.head}")
   }
 
   test("minCount floors training: singleton pairs are never merged") {

@@ -60,6 +60,22 @@ class StatsSpec extends BaseSpec {
     assert(ks(Map(1L -> 7L, 2L -> 3L), Map(50L -> 4L)) == 1.0)
   }
 
+  test("q_stat_kruskal all-ties degenerate case: h_corr and eps2 are NULL, not Inf/NaN") {
+    // every value in one bin → tie3 = n³−n → corr_c = 0: the corrected
+    // statistic is undefined, and the guard must return NULL (the pearsonR
+    // zero-variance convention) instead of dividing by zero
+    val dir = java.nio.file.Files.createTempDirectory("kruskal-allties").toString
+    Seq(("click", 5.25), ("purchase", 5.5), ("click", 5.75), ("view", 5.0))
+      .toDF("event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = SparkEntry.queries("q_stat_kruskal")(spark, dir).collect().head
+    assert(row.getLong(0) == 4L && row.getLong(1) == 3L)
+    assert(row.getDouble(2) == 0.0, "H is exactly 0 when every rank ties")
+    assert(row.isNullAt(3), "h_corr must be NULL when corr_c = 0")
+    assert(row.isNullAt(4), "eps2 must be NULL when corr_c = 0")
+  }
+
   test("q_stat_kruskal equals a driver midrank recomputation; planted shift raises H") {
     val got = SparkEntry.queries("q_stat_kruskal")(spark, sf)
       .as[(Long, Long, Double, Double, Double)].collect().toList

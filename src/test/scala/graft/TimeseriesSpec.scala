@@ -144,9 +144,12 @@ class TimeseriesSpec extends BaseSpec {
   test("q_time_theilsen equals a driver pairwise-median recomputation; robust where OLS is not") {
     def rnd6(x: Double): Double =
       new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // Mirrors the declared max-lag window (t2 - t1 <= 336 h): pairs are
+    // linear in the grid length, the estimator is Theil-Sen-within-L.
     def theilSen(xs: Seq[(Long, Long)]): (Long, Double) = {
       val slopes = (for {
         i <- xs.indices; j <- (i + 1) until xs.length
+        if xs(j)._1 - xs(i)._1 <= 336
       } yield (xs(j)._2 - xs(i)._2).toDouble / (xs(j)._1 - xs(i)._1)).sorted
       val m = slopes.length
       val med = if (m % 2 == 1) slopes(m / 2)
