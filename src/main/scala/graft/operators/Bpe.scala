@@ -82,4 +82,24 @@ object Bpe {
     lastIterations = step
     merges.result()
   }
+
+  /** Apply a trained merge sequence to a frame with a `word` column:
+    * adds `n_tok`, the word's BPE token count under `merges` — the
+    * ENCODE step between training and token-budget packing. Each merge
+    * is the same boundary-guarded left-to-right rewrite the trainer
+    * uses, applied in TRAINING ORDER (the reference-BPE encoder
+    * semantics: merge priority = training step), so for any word the
+    * trainer saw, encode reproduces the trainer's final symbol state
+    * exactly. All 8-ish rewrites chain inside ONE projection — per-row
+    * codegen'd regexes, no shuffle, no driver loop; callers run it over
+    * the DISTINCT-word table (Heaps'-law-sized) and join counts back. */
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val sym0 = concat(concat_ws(" ", split(col("word"), "")), lit(" </w>"))
+    val sym = merges.foldLeft(sym0) { (c, m) =>
+      val pat = "(?<=^|\\s)" + java.util.regex.Pattern.quote(m.left) + " " +
+        java.util.regex.Pattern.quote(m.right) + "(?=\\s|$)"
+      regexp_replace(c, pat, java.util.regex.Matcher.quoteReplacement(m.left + m.right))
+    }
+    words.withColumn("n_tok", size(split(sym, " ")).cast("long"))
+  }
 }

@@ -265,6 +265,43 @@ object Ml extends QueryGroup {
       proj.join(broadcast(evrDf), Seq("component"))
         .select($"component", $"n", $"evr", $"proj_var")
         .orderBy($"component")
+    }),
+
+    // Trained text embeddings — MLlib Word2Vec (Mikolov et al. NIPS'13;
+    // Spark implements hierarchical-softmax skip-gram) over the document
+    // token stream: the text→vector TRAINING quadrant that completes the
+    // embedding pipeline (m_ml_pca covered vector→vector, the embeddings
+    // table is fixture-given). Output: vocabulary size + the top-5
+    // nearest neighbours of 3 fixed probe words by trained-vector cosine.
+    // Determinism is DECLARED at numPartitions=1 + fixed seed (Spark's
+    // distributed Word2Vec is hogwild-style across partitions — with >1
+    // partition the merge order is nondeterministic; the scale path
+    // raises numPartitions and accepts run-to-run vector wobble, exactly
+    // as upstream documents). One fit over the corpus; findSynonyms runs
+    // on the driver-held (vocab × 16) matrix — Heaps'-law-sized, the Bpe
+    // vocabulary argument. No oracle (iterative trained model) —
+    // W2vSpec pins seed stability and planted-co-occurrence recovery.
+    "m_text_w2v" -> ((s, dir) => {
+      import s.implicits._
+      val sentences = t(s, dir, "documents")
+        .select(split($"text", " ").as("tokens"))
+      val model = new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol("tokens").setOutputCol("vec")
+        .setVectorSize(16).setWindowSize(5).setMinCount(1)
+        .setMaxIter(3).setNumPartitions(1).setSeed(42L)
+        .fit(sentences)
+      val vocab = model.getVectors.count()
+      Seq("spark", "join", "table").map { p =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"similarity".desc, $"word")
+        model.findSynonyms(p, 5)
+          .withColumn("probe", lit(p))
+          .withColumn("rank", row_number().over(w))
+      }.reduceLeft(_ unionAll _)
+        .select($"probe", $"rank", $"word",
+                round($"similarity", 4).as("sim"),
+                lit(vocab).as("vocab_size"))
+        .orderBy($"probe", $"rank")
     })
   )
 

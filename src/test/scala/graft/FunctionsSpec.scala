@@ -290,4 +290,35 @@ class FunctionsSpec extends BaseSpec {
       assert(avg > 0.0 && avg < 1.2, s"ratio out of band: $row")
     }
   }
+
+  test("q_text_pii pins each pattern on a planted corpus; redaction removes every match") {
+    // doc_ids ≡ 2 (mod 3) and ≢ 0 (mod 5): the key's derived contact line
+    // is EMPTY for these ids, so every count comes from the planted text
+    val dir = java.nio.file.Files.createTempDirectory("pii-plant").toString
+    val rows = Seq(
+      (2L, "mail me at bob7@corp9.com or al3@x1.com thanks", "en", "sA", 46L),
+      (8L, "digits 1.2.3.4 and +1-555-0000 here", "en", "sA", 35L),
+      (14L, "no pii at all in this row", "en", "sB", 25L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_pii")(spark, dir)
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("sA")._2 == 2L, s"two planted emails: ${got("sA")}")
+    assert(got("sA")._3 == 1L, "one planted phone")
+    assert(got("sA")._4 == 1L, "one planted IPv4")
+    assert(got("sB")._2 == 0L && got("sB")._3 == 0L && got("sB")._4 == 0L,
+      "clean doc detects nothing")
+    // redaction parity with a driver Java-regex recomputation, and the
+    // redacted text must be match-free (idempotent scrub)
+    def redact(s: String): String = s
+      .replaceAll("[a-z0-9]+@[a-z0-9]+\\.com", "<EMAIL>")
+      .replaceAll("\\+1-555-[0-9]{4}", "<PHONE>")
+      .replaceAll("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>")
+    val wantChars = rows.groupBy(_._4).view
+      .mapValues(_.map(r => redact(r._2).length.toLong).sum).toMap
+    assert(got("sA")._5 == wantChars("sA"), s"sA red_chars ${got("sA")._5}")
+    assert(got("sB")._5 == wantChars("sB"))
+    rows.foreach { r => assert(redact(redact(r._2)) == redact(r._2)) }
+  }
 }
