@@ -44,6 +44,12 @@ import graft.functions.HaversineDist
   */
 object KnnJoin {
 
+  /** Executed physical plans of the ring rounds of the LAST `knn` call
+    * (pre-checkpoint, so the candidate join is visible) — the spec's
+    * no-cartesian/no-BNL assertion surface; the exact-fallback round, if
+    * any, is deliberately excluded (it IS a declared cross join). */
+  @volatile var lastRingPlans: Seq[String] = Nil
+
   /** @param left  relation with an id + lat/lon; one output group per row
     * @param right relation with an id + lat/lon (the "depot" side)
     * @return (lId, rId, dist_km = round(km, 3), rk = 1..k) — exactly k
@@ -139,9 +145,11 @@ object KnnJoin {
     val certified = col("__cnt") === k.toLong && col("__kth") < col("__safe")
 
     var ringsLeft = rings
+    lastRingPlans = Nil
     while (ringsLeft.nonEmpty && !remaining.isEmpty) {
-      val topk = roundTopK(remaining, Some(ringsLeft.head))
-        .localCheckpoint(eager = true)
+      val preCp = roundTopK(remaining, Some(ringsLeft.head))
+      val topk = preCp.localCheckpoint(eager = true)
+      lastRingPlans :+= preCp.queryExecution.executedPlan.toString
       emitted += topk.filter(certified)
         .select(col(lId), col(rId), col("__dist").as("dist_km"), col("__rk").as("rk"))
       remaining = remaining

@@ -888,6 +888,25 @@ class PlanSpec extends BaseSpec {
       s"expected a hash/merge equi-join on the cell keys:\n$p")
   }
 
+  test("q_geo_knn_join: every ring round is a cell-keyed equi-join, never cartesian/BNL") {
+    // The kNN join's candidate generation must stay hash-joinable on the
+    // (cell_lat, cell_lon) keys in EVERY ring round — the operator records
+    // each round's pre-checkpoint executed plan for exactly this check
+    // (the exact-fallback round, a declared cross join, is excluded there
+    // and must not be needed on the fixture).
+    val df = SparkEntry.queries("q_geo_knn_join")(spark, sf)
+    assert(df.count() > 0)
+    val plans = graft.operators.KnnJoin.lastRingPlans
+    assert(plans.nonEmpty, "at least one ring round must have run")
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"kNN-join ring round degenerated to all-pairs:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+             p.contains("ShuffledHashJoin"),
+        s"expected a hash/merge equi-join on the cell keys:\n$p")
+    }
+  }
+
   test("bloom memo hits across freshly-constructed value-equal build plans") {
     // q_join_bloom rebuilds the urgent-orders filter per invocation; the
     // memo keys on the CANONICALIZED build plan, so fresh-but-equal plans
