@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Measured scaling point for the 100 TB arguments (PREFLIGHT probe, not
+  * a driver surface): synthesizes a `factor`× copy of the tables the
+  * slowest keys + the dedup/ANN substrate read, then times each probe
+  * key at base and scaled size and reports rows / shuffle-exchange
+  * counts / executed rounds. The scale-up is id-shifted REPLICATION with
+  * time-disjoint copies (each copy's events shift by the full time span,
+  * so the synthetic corpus reads as "10× more days of the same
+  * activity" — densities per hour/cell stay realistic while graphs,
+  * baskets, corpora and vector sets grow 10×; replicated documents also
+  * make every doc an exact 10-way duplicate, which is exactly the
+  * stress dedup exists for).
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [scaledDir] [factor]
+  */
+object ScaleProbe {
+  private def countShuffles(p: SparkPlan): Int = {
+    val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+    val into = p match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case q: QueryStageExec => countShuffles(q.plan)
+      case _ => p.children.map(countShuffles).sum
+    }
+    self + into
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val scaled = args.lift(1).getOrElse("/tmp/graft_x10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).first().getLong(0) + 1L
+
+    def replicate(df: DataFrame, shifts: Seq[(String, Long)],
+                  tsShiftUs: Long = 0L): DataFrame =
+      (0 until factor).map { k =>
+        var d = df
+        shifts.foreach { case (c, n) =>
+          d = d.withColumn(c, col(c) + lit(k * n)) }
+        if (tsShiftUs != 0L)
+          d = d.withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + lit(k * tsShiftUs)))
+        d
+      }.reduce(_ unionAll _)
+
+    if (!new java.io.File(s"$scaled/events.parquet").exists()) {
+      val ev = Tables(spark, base, "events")
+      val spanUs = ev.agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+        .first().getLong(0) + 3600000000L
+      replicate(ev, Seq("event_id" -> maxOf(ev, "event_id"),
+                        "user_id" -> maxOf(ev, "user_id")), spanUs)
+        .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+      val doc = Tables(spark, base, "documents")
+      replicate(doc, Seq("doc_id" -> maxOf(doc, "doc_id")))
+        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      val emb = Tables(spark, base, "embeddings")
+      replicate(emb, Seq("vec_id" -> maxOf(emb, "vec_id")))
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val li = Tables(spark, base, "lineitem")
+      val nOrd = maxOf(li, "l_orderkey")
+      replicate(li, Seq("l_orderkey" -> nOrd))
+        .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+      val ord = Tables(spark, base, "orders")
+      replicate(ord, Seq("o_orderkey" -> nOrd, "o_custkey" -> maxOf(ord, "o_custkey")))
+        .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+      println(s"""{"metric":"scalegen","dir":"$scaled","factor":$factor}""")
+    }
+
+    val probeKeys = Seq(
+      "m_graph_ppr", "m_graph_wpagerank", "m_graph_pagerank", "m_ml_gbt",
+      "m_mine_fpgrowth", "q_dedup_jaccard", "m_dedup_minhash",
+      "q_sim_knn_vec", "q_geo_knn_join", "q_text_bpe_encode")
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    for (key <- probeKeys; (label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(key)(spark, dir)
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ex = countShuffles(df.queryExecution.executedPlan)
+        val it = graft.operators.LastIterations.get(key).map(i => s""","rounds":$i""").getOrElse("")
+        println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","sec":${r3(sec)},"rows":$rows,"exchanges":$ex$it}""")
+      } catch { case scala.util.control.NonFatal(e) =>
+        val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+        println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","error":"$m"}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -82,4 +82,65 @@ object DistanceJoin {
       .filter(col("km") < epsKm)
       .drop("__cla", "__clo")
   }
+
+  /** Spatio-temporal co-location join (`q_geo_st_join`): pairs within
+    * `epsKm` AND within `tauUs` of each other in time — the telemetry
+    * contact-tracing / service-window shape, STARK's withinDistance
+    * extended by the time axis. Space reuses [[within]]'s proven
+    * cell-bucket theorem; time gets the SAME argument in one dimension:
+    * buckets of width exactly `tauUs`, so |Δt| ≤ tau ⇒ the two
+    * timestamps' buckets differ by at most 1, and the right side's ±1
+    * bucket explode (now 3×3×3 = 27×) is candidate-complete by
+    * construction — no `require` needed for time, the width IS the bound.
+    * The join stays a pure equi-join on (cell_lat, cell_lon, t_bucket);
+    * exact haversine + |Δt| predicates then drop every false candidate.
+    * At 100 TB the time bucket is the partition column every telemetry
+    * layout already has — the candidate join co-locates by (day, cell)
+    * and never shuffles more than a bucket's neighborhood. */
+  def withinSt(left: DataFrame, lLat: String, lLon: String, lTs: String,
+               right: DataFrame, rLat: String, rLon: String, rTs: String,
+               epsKm: Double, tauUs: Long, cellDeg: Double = 4.0,
+               maxAbsLat: Double = 60.0): DataFrame = {
+    val kmPerDegLat = 2 * math.Pi * graft.functions.HaversineDist.EarthRadiusKm / 360.0
+    val latStepDeg = epsKm / kmPerDegLat
+    val lonStepDeg = math.toDegrees(2 * math.asin(math.min(1.0,
+      math.sin(epsKm / (2 * graft.functions.HaversineDist.EarthRadiusKm)) /
+        math.cos(math.toRadians(maxAbsLat)))))
+    require(latStepDeg <= cellDeg && lonStepDeg <= cellDeg,
+      f"epsKm=$epsKm%.1f spans $latStepDeg%.2f° lat / $lonStepDeg%.2f° lon at " +
+        f"|lat| ≤ $maxAbsLat%.0f° — exceeds cellDeg=$cellDeg%.1f; raise cellDeg")
+    require(math.abs(360.0 / cellDeg - math.round(360.0 / cellDeg)) < 1e-9,
+      f"cellDeg=$cellDeg%.2f does not divide 360° — pick a divisor of 360")
+    require(tauUs > 0, "tauUs must be positive")
+    val nLonCells = math.round(360.0 / cellDeg)
+    graft.functions.HaversineDist.register(left.sparkSession)
+
+    def latCell(c: Column): Column = floor(c / cellDeg).cast("long")
+    def lonCell(c: Column): Column =
+      pmod(floor((c + 180.0) / cellDeg).cast("long"), lit(nLonCells))
+    // integer-exact floor bucket: (c − pmod) is an exact LONG multiple of
+    // tauUs, so the division is exact — a double floor(c/tau) could flip a
+    // boundary row's bucket by one and break the ±1 candidate argument
+    def tBucket(c: Column): Column =
+      ((c - pmod(c, lit(tauUs))) / lit(tauUs)).cast("long")
+
+    val l = left.filter(abs(col(lLat)) <= maxAbsLat)
+      .withColumn("__cla", latCell(col(lLat)))
+      .withColumn("__clo", lonCell(col(lLon)))
+      .withColumn("__ctb", tBucket(col(lTs)))
+    val r = right.filter(abs(col(rLat)) <= maxAbsLat)
+      .withColumn("__dla", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("__dlo", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("__dtb", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("__cla", latCell(col(rLat)) + col("__dla"))
+      .withColumn("__clo", pmod(lonCell(col(rLon)) + col("__dlo"), lit(nLonCells)))
+      .withColumn("__ctb", tBucket(col(rTs)) + col("__dtb"))
+      .drop("__dla", "__dlo", "__dtb")
+    l.join(r, Seq("__cla", "__clo", "__ctb"))
+      .withColumn("km", graft.functions.HaversineDist.haversineKm(
+        col(lLat), col(lLon), col(rLat), col(rLon)))
+      .withColumn("dt_us", abs(col(lTs) - col(rTs)))
+      .filter(col("km") < epsKm && col("dt_us") <= tauUs)
+      .drop("__cla", "__clo", "__ctb")
+  }
 }

@@ -888,6 +888,20 @@ class PlanSpec extends BaseSpec {
       s"expected a hash/merge equi-join on the cell keys:\n$p")
   }
 
+  test("q_geo_st_join: equi-join on (cell, time-bucket) keys, never cartesian/BNL") {
+    // The spatio-temporal join's 3×3×3 candidate explode must stay a hash
+    // equi-join on the composite bucket key — degeneration to all-pairs
+    // is the one shape the time axis cannot rescue at scale.
+    val df = SparkEntry.queries("q_geo_st_join")(spark, sf)
+    assert(df.count() > 0, "fixture should produce at least one co-located visit")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spatio-temporal join degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+      s"expected a hash/merge equi-join on the bucket keys:\n$p")
+  }
+
   test("q_geo_knn_join: every ring round is a cell-keyed equi-join, never cartesian/BNL") {
     // The kNN join's candidate generation must stay hash-joinable on the
     // (cell_lat, cell_lon) keys in EVERY ring round — the operator records
