@@ -182,6 +182,31 @@ object Mining extends QueryGroup {
         .orderBy($"relationship")
     }),
 
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
+    // fraud/synthetic-data screen an auditor runs on any money column:
+    // observed first-significant-digit frequencies of o_totalprice vs the
+    // log10(1 + 1/d) law, per digit, with the mean absolute deviation.
+    // Digit extraction is INTEGER-exact on both engines: cents = round(
+    // price·100) as BIGINT, first digit = cents div 10^(len(str)−1) —
+    // never floor(log10(x)), whose libm ulps near powers of 10 could
+    // split a digit between engines (§7.3 trap list). One fact-scan hash
+    // agg on a 9-value key; the expected column is a literal formula.
+    "q_audit_benford" -> ((s, dir) => {
+      import s.implicits._
+      val digits = t(s, dir, "orders")
+        .withColumn("c", round($"o_totalprice" * 100).cast("long"))
+        .withColumn("d", expr("c div CAST(pow(10, length(CAST(c AS STRING)) - 1) AS BIGINT)"))
+        .groupBy($"d").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum($"n").as("total"))
+      digits.crossJoin(broadcast(tot))
+        .select($"d".as("digit"), $"n",
+          round($"n".cast("double") / $"total", 6).as("obs"),
+          // ln/ln, not log10: identical libm ops in both dialects
+          round(log(lit(1.0) + lit(1.0) / $"d") / log(lit(10.0)), 6).as("expected"))
+        .withColumn("abs_dev", round(abs($"obs" - $"expected"), 6))
+        .orderBy($"digit")
+    }),
+
     // Frequent itemsets of EVERY length via MLlib FP-Growth (Han et al.
     // SIGMOD 2000) — the pattern-growth twin of the A-priori keys, from a
     // different algorithm family: no candidate generation at all, two
@@ -360,6 +385,23 @@ object Mining extends QueryGroup {
         |JOIN isup s3 ON s3.l_partkey = p3
         |CROSS JOIN n
         |ORDER BY p1, p2, p3""".stripMargin,
+
+    "q_audit_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |digits AS (
+        |  SELECT c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS d
+        |  FROM cents),
+        |agg AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+        |tot AS (SELECT SUM(n) AS total FROM agg),
+        |scored AS (
+        |  SELECT d AS digit, CAST(n AS BIGINT) AS n,
+        |    round(CAST(n AS DOUBLE) / total, 6) AS obs,
+        |    round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS expected
+        |  FROM agg, tot)
+        |SELECT digit, n, obs, expected,
+        |  round(abs(obs - expected), 6) AS abs_dev
+        |FROM scored ORDER BY digit""".stripMargin,
 
     "q_audit_fk" ->
       """WITH a AS (

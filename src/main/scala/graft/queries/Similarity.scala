@@ -288,6 +288,36 @@ object Similarity extends QueryGroup {
         .orderBy($"probe_id", $"fused_rank")
     }),
 
+    // MMR diversity re-rank (Carbonell & Goldstein SIGIR'98) — the step
+    // between a similarity top-k and what a retrieval pipeline returns:
+    // greedy λ·rel − (1−λ)·max-sim-to-selected, so near-duplicate hits
+    // stop crowding the list (q_sim_rrf fuses two lists; MMR de-redunds
+    // one). The DISTRIBUTED half is candidate generation + exact rel
+    // scoring (top-20 by cosine to the probe); the greedy loop runs on
+    // the driver over that PROBE-SIZED list (the AnnPQ collect
+    // discipline — k·20 cosines, never data-sized). No oracle (greedy
+    // recursion is not SQL-expressible) — MmrSpec pins the planted
+    // twin-demotion property and a reference recomputation.
+    "q_sim_mmr" -> ((s, dir) => {
+      import s.implicits._
+      val e = vecs(s, dir)
+      val probe = e.filter($"vec_id" === 0).select($"v".as("pv"))
+      val top = e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(probe)) // 1-row stats-join, the declared pattern
+        .withColumn("rel", VectorOps.cosineSim($"pv", $"v"))
+        .orderBy($"rel".desc, $"vec_id").limit(20)
+        .select($"vec_id", $"rel", $"v")
+        .as[(Long, Double, Seq[Double])].collect()
+      val picked = graft.operators.Mmr.rerank(
+        top.map(c => (c._1, c._2, c._3.toArray)).toSeq, k = 10, lambda = 0.7)
+      picked.zipWithIndex
+        .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+        .toDF("rank", "vec_id", "rel", "mmr")
+        .select($"rank", $"vec_id", round($"rel", 4).as("rel"),
+                round($"mmr", 4).as("mmr"))
+        .orderBy($"rank")
+    }),
+
     // Approximate paths — property-tested for recall, no SQL oracle.
     "m_sim_lsh" -> ((s, dir) =>
       graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 1.2)),
