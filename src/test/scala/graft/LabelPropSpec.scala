@@ -83,4 +83,42 @@ class LabelPropSpec extends BaseSpec {
       .agg(sum($"n_users")).as[Long].head()
     assert(total == verts, s"community sizes cover $total of $verts vertices")
   }
+
+  /** Driver modularity: Q = Σ_c (e_c/m − (d_c/2m)²) from raw pairs + a
+    * label map — shares no code with the key's DataFrame formulation. */
+  private def refModularity(pairs: Seq[(Long, Long)], lab: Map[Long, Long]): Double = {
+    val m = pairs.size.toDouble
+    val eC = pairs.filter { case (a, b) => lab(a) == lab(b) }
+      .groupBy { case (a, _) => lab(a) }.view.mapValues(_.size.toDouble).toMap
+    val dC = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(lab).view.mapValues(_.size.toDouble).toMap
+    dC.map { case (c, d) => eC.getOrElse(c, 0.0) / m - math.pow(d / (2 * m), 2) }.sum
+  }
+
+  test("m_graph_modularity: planted two-clique Q = 1/2; fixture Q matches a driver recomputation") {
+    import spark.implicits._
+    // planted: two disjoint triangles — LP separates them, Q = 2·(3/6 − (6/12)²) = 0.5
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val lab = sparkLp(tri)
+    assert(math.abs(refModularity(tri, lab) - 0.5) < 1e-12)
+    // fixture: the key equals the driver formula over the SAME pair set
+    // (rebuilt via the public Convoy operator at the key's parameters)
+    // and LP labels
+    val row = SparkEntry.queries("m_graph_modularity")(spark, sf).collect().head
+    val q = row.getAs[Double]("modularity")
+    assert(q >= -0.5 && q <= 1.0, s"modularity out of range: $q")
+    val pts = Tables(spark, sf, "events")
+      .withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
+      .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val pairs = graft.operators.Convoy.coTravelers(pts, cellDeg = 20.0, minHours = 2)
+      .select($"u1", $"u2").as[(Long, Long)].collect().toSeq
+    val fixLab = sparkLp(pairs)
+    def rnd6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(q == rnd6(refModularity(pairs, fixLab)),
+      s"key Q $q vs driver ${rnd6(refModularity(pairs, fixLab))}")
+    assert(row.getAs[Long]("m_edges") == pairs.size.toLong)
+    assert(row.getAs[Long]("n_communities") == fixLab.values.toSet.size.toLong)
+  }
 }
