@@ -233,6 +233,44 @@ class NearDupProcessor(maxHamming: Int, ttlMs: Long = -1L)
 }
 
 /** One (group, term) arrival of the streaming heavy-hitters sketch. */
+/** Point event with a caller-derived in-zone flag, for [[GeofenceProcessor]]. */
+case class GeoEv(user_id: Long, ts_us: Long, event_id: Long, inz: Boolean)
+
+/** Per-user fence state: was the user's LAST fix inside the zone? */
+case class FenceState(inside: Boolean)
+
+/** `StatefulProcessor` behind [[StreamOps.geofence]]: per-user zone
+  * ENTER/EXIT alert emission — the streaming twin of the batch
+  * q_geo_fence transition logic (a first-ever fix inside counts as an
+  * enter, matching the batch prev-NULL convention). State = ONE boolean
+  * per user, bounded by |users| at any stream length; within a
+  * micro-batch rows fold in (ts_us, event_id) order and each transition
+  * EMITS exactly once (append mode — these are alerts, not aggregates). */
+class GeofenceProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, GeoEv, (Long, Long, Long, String)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: streaming.ValueState[FenceState] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[FenceState](
+      "fence", Encoders.product[FenceState], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[GeoEv],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long, Long, String)] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var inside = Option(st.get()).exists(_.inside)
+    val out = Seq.newBuilder[(Long, Long, Long, String)]
+    sorted.foreach { e =>
+      if (e.inz && !inside) out += ((key, e.ts_us, e.event_id, "enter"))
+      else if (!e.inz && inside) out += ((key, e.ts_us, e.event_id, "exit"))
+      inside = e.inz
+    }
+    st.update(FenceState(inside))
+    out.result().iterator
+  }
+}
+
 case class TermRow(lang: String, term: String)
 
 /** `StatefulProcessor` behind [[StreamOps.heavyHittersStream]] — the
@@ -531,6 +569,17 @@ object StreamOps {
     ev.groupByKey(_.user_id)
       .transformWithState(new TypeCountsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Zone enter/exit ALERTS — the streaming twin of the batch
+    * q_geo_fence: the caller derives the in-zone flag upstream (any
+    * predicate — polygon half-planes, bbox, radius) so ONE processor
+    * serves every fence shape; see [[GeofenceProcessor]]. */
+  def geofence(ev: Dataset[GeoEv]): Dataset[(Long, Long, Long, String)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new GeofenceProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
   /** Streaming Misra-Gries heavy hitters — certified-bound frequent terms
