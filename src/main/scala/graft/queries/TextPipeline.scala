@@ -886,6 +886,42 @@ object TextPipeline extends QueryGroup {
         .orderBy($"source")
     }),
 
+    // URL canonicalization + dedup — the link-level curation stage
+    // (crawl frontiers and dedup pipelines key on CANONICAL urls, not
+    // raw strings): lowercase, strip scheme + www., drop query/fragment,
+    // drop the trailing slash, then count raw vs canonical distincts per
+    // source. URLs are PLANTED from doc_id (the q_text_pii convention —
+    // the corpus has none): two families that collide after
+    // canonicalization (scheme-case/www/query/fragment variants of the
+    // same site/path grid), so n_raw > n_canon is structural, not
+    // accidental. All regexes anchored-single-match (engine replace-all
+    // vs replace-first semantics cannot diverge); one source-keyed agg.
+    "q_text_urlnorm" -> ((s, dir) => {
+      import s.implicits._
+      val aug = concat($"text",
+        when($"doc_id" % 4 === 0, concat(lit(" HTTP://WWW.site"),
+          ($"doc_id" % 5).cast("string"), lit(".com/path"),
+          ($"doc_id" % 7).cast("string"), lit("/?utm=x"),
+          ($"doc_id" % 3).cast("string"), lit("#frag"))).otherwise(lit("")),
+        when($"doc_id" % 4 === 1, concat(lit(" https://site"),
+          ($"doc_id" % 5).cast("string"), lit(".com/path"),
+          ($"doc_id" % 7).cast("string"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .withColumn("low", lower(aug))
+        .select($"source",
+          explode(regexp_extract_all($"low", lit("https?://[^ ]+"), lit(0))).as("url"))
+        .withColumn("canon",
+          regexp_replace(regexp_replace(regexp_replace($"url",
+            "^https?://(www\\.)?", ""), "[?#].*$", ""), "/$", ""))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_urls"),
+             countDistinct($"url").as("n_raw"),
+             countDistinct($"canon").as("n_canon"),
+             min($"canon").as("canon_min"),
+             max($"canon").as("canon_max"))
+        .orderBy($"source")
+    }),
+
     // Scalable near-dup paths — property-tested vs q_dedup_jaccard truth.
     "m_dedup_minhash" -> ((s, dir) =>
       graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5)),
@@ -1016,6 +1052,32 @@ object TextPipeline extends QueryGroup {
         |  FROM walk GROUP BY u)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_urlnorm" ->
+      """WITH aug AS (
+        |  SELECT source, lower(
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' HTTP://WWW.site'
+        |      || CAST(doc_id % 5 AS VARCHAR) || '.com/path'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '/?utm=x'
+        |      || CAST(doc_id % 3 AS VARCHAR) || '#frag' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' https://site'
+        |      || CAST(doc_id % 5 AS VARCHAR) || '.com/path'
+        |      || CAST(doc_id % 7 AS VARCHAR) ELSE '' END) AS low
+        |  FROM documents),
+        |urls AS (
+        |  SELECT source, unnest(regexp_extract_all(low, 'https?://[^ ]+')) AS url
+        |  FROM aug),
+        |canon AS (
+        |  SELECT source, url,
+        |    regexp_replace(regexp_replace(regexp_replace(url,
+        |      '^https?://(www\.)?', ''), '[?#].*$', ''), '/$', '') AS canon
+        |  FROM urls)
+        |SELECT source, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT url) AS n_raw,
+        |  COUNT(DISTINCT canon) AS n_canon,
+        |  MIN(canon) AS canon_min, MAX(canon) AS canon_max
+        |FROM canon GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_pii" ->
       s"""WITH aug AS (
          |  SELECT source,
