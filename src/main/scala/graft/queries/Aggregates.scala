@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -124,6 +125,37 @@ object Aggregates extends QueryGroup {
              r4(percentile($"o_totalprice", lit(0.75))).as("p75"),
              count(lit(1)).as("n_orders"))
         .orderBy($"o_orderstatus")
+    }),
+
+    // WEIGHTED median — the aggregate Spark's function library lacks
+    // (percentile() weights are integer row-repeats, not fractional
+    // quantity weights at the semantics level a pricing analyst means):
+    // the quantity-weighted median price per returnflag — the price at
+    // which half the shipped QUANTITY is cheaper. Declared as the LOWER
+    // weighted median (smallest price with 2·cumweight ≥ total), over
+    // DISTINCT price buckets so the cumulative scan is tie-free and the
+    // pick is deterministic without a row tiebreak. Shape: one (flag,
+    // price) hash agg (map-side combinable), a flag-partitioned
+    // cumulative window over the per-group distinct prices, one rank-1
+    // filter — no data-sized window, no driver work.
+    "q_agg_wmedian" -> ((s, dir) => {
+      import s.implicits._
+      val byPrice = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_extendedprice")
+        .agg(sum($"l_quantity".cast("long")).as("w"))
+      val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"l_returnflag")
+      val wPick = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      byPrice
+        .withColumn("cum", sum($"w").over(wCum))
+        .withColumn("tot", sum($"w").over(wAll))
+        .filter(lit(2L) * $"cum" >= $"tot")
+        .withColumn("rk", row_number().over(wPick))
+        .filter($"rk" === 1)
+        .select($"l_returnflag", $"tot".as("total_qty"),
+                r4($"l_extendedprice").as("wmedian_price"))
+        .orderBy($"l_returnflag")
     }),
 
     // Approximate-quantile sketch (Greenwald-Khanna via percentile_approx):
@@ -277,6 +309,26 @@ object Aggregates extends QueryGroup {
          |  round((sxy - sx * sy / n) /
          |        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 4) AS corr_vh
          |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_agg_wmedian" ->
+      """WITH byprice AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |scan AS (
+        |  SELECT l_returnflag, l_extendedprice, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM byprice),
+        |pick AS (
+        |  SELECT l_returnflag, CAST(tot AS BIGINT) AS total_qty,
+        |    round(l_extendedprice, 4) AS wmedian_price,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS rk
+        |  FROM scan WHERE 2 * cum >= tot)
+        |SELECT l_returnflag, total_qty, wmedian_price
+        |FROM pick WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_median" ->
       """SELECT o_orderstatus,
