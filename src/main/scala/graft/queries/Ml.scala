@@ -148,6 +148,31 @@ object Ml extends QueryGroup {
         .orderBy($"split")
     }),
 
+    // Gaussian Naive Bayes on the SAME planted target — the GENERATIVE
+    // classifier family beside the discriminative linear (logreg) and
+    // tree (GBT) ones: class-conditional Gaussians fitted in closed form
+    // (per-class mean/variance from ONE aggregation pass — no iterative
+    // solver, so the fit is exactly deterministic with no seed at all).
+    // The planted boundary is linear while Gaussian NB's is quadratic
+    // under unequal class variances — a working fit lands near but below
+    // the linear ceiling, which MlModelSpec pins as the floor/ceiling
+    // band. 100 TB shape: the sufficient statistics are one hash
+    // aggregate over (class, feature); scoring broadcasts the per-class
+    // (mean, var, prior) table into a per-row transform.
+    "m_ml_nb" -> ((s, dir) => {
+      import s.implicits._
+      val d = logregFrame(s, dir)
+      val model = new org.apache.spark.ml.classification.NaiveBayes()
+        .setModelType("gaussian")
+        .fit(d.filter($"split" === "train"))
+      model.transform(d)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"prediction" === $"label", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", round($"n_correct" / $"n", 4))
+        .orderBy($"split")
+    }),
+
     // Collaborative filtering via ALS (Koren/Bell/Volinsky IEEE Computer
     // 2009; Spark's block solver after Zhou et al. AAIM 2008) — the
     // recommender quadrant of the MLlib mandate. Ratings are (customer, part) pairs from
