@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.ml.regression.LinearRegression
@@ -139,6 +139,32 @@ object Ml extends QueryGroup {
       val d = logregFrame(s, dir)
       val model = new GBTClassifier()
         .setMaxIter(10).setMaxDepth(3).setStepSize(0.3).setSeed(42L)
+        .fit(d.filter($"split" === "train"))
+      model.transform(d)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"prediction" === $"label", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", round($"n_correct" / $"n", 4))
+        .orderBy($"split")
+    }),
+
+    // Random forest on the SAME planted target — the bagged-ensemble tree
+    // family beside the boosted one (Breiman, "Random Forests", Machine
+    // Learning 2001). The fit is seed-deterministic: bootstrap weights
+    // and per-node feature subsets both derive from the fixed seed, and
+    // with only two features featureSubsetStrategy="all" removes the one
+    // source of per-tree variance that matters at this dimensionality.
+    // 100 TB shape: identical distributed histogram induction to GBT —
+    // one treeAggregate of split-candidate statistics per tree level,
+    // bootstrap realized as per-row Poisson WEIGHTS (never a data copy),
+    // all 20 trees grown in the same passes; scoring broadcasts the
+    // forest into a per-row transform.
+    "m_ml_rf" -> ((s, dir) => {
+      import s.implicits._
+      val d = logregFrame(s, dir)
+      val model = new RandomForestClassifier()
+        .setNumTrees(20).setMaxDepth(4).setSeed(42L)
+        .setFeatureSubsetStrategy("all")
         .fit(d.filter($"split" === "train"))
       model.transform(d)
         .groupBy($"split")

@@ -407,6 +407,77 @@ object Stats extends QueryGroup {
           pearsonR($"n_hours", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("rho"))
         .orderBy($"t1", $"t2")
+    }),
+
+    // One-way ANOVA F across the event types' raw value means — the
+    // parametric mean-equality test the family was missing (Welch is
+    // pairwise, this is the omnibus k-group form), plus the η² = SSB/SST
+    // effect size every report quotes next to F. Identical moment
+    // machinery to q_stat_bf WITHOUT the median centering: SSB and SSW
+    // assemble from decimal-exact per-type (n, Σx, Σx²), and the ≤|types|
+    // cross-group combination is DECIMAL-routed so it is order-free. One
+    // fact hash-agg total — nothing in the plan grows past |types| rows.
+    "q_stat_anova" -> ((s, dir) => {
+      import s.implicits._
+      val st = t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_i"),
+             dsum($"value", 6).as("s1"),
+             dsum($"value" * $"value", 6).as("s2"))
+      st.agg(
+          count(lit(1)).as("k"), sum($"n_i").as("n"),
+          sum(($"s1" * $"s1" / $"n_i").cast(DecimalType(38, 6)))
+            .cast("double").as("sb_part"),
+          sum($"s1".cast(DecimalType(38, 6))).cast("double").as("s1_all"),
+          sum(($"s2" - $"s1" * $"s1" / $"n_i").cast(DecimalType(38, 6)))
+            .cast("double").as("ssw"))
+        .withColumn("ssb", $"sb_part" - $"s1_all" * $"s1_all" / $"n")
+        .select($"k", $"n",
+          ($"k" - 1L).as("df1"), ($"n" - $"k").as("df2"),
+          r4(($"ssb" / ($"k" - 1L)) / ($"ssw" / ($"n" - $"k"))).as("f_stat"),
+          r4($"ssb" / ($"ssb" + $"ssw")).as("eta2"))
+    }),
+
+    // Per-type OLS trend of the hourly activity series — slope, intercept
+    // and r of count-vs-hour-index on the gap-filled grid (the "is this
+    // stream growing" line every ops dashboard draws; the closed-form
+    // exact twin of m_ml_linreg's iterative fit). x is the hour index
+    // from the global grid origin, y the type's hourly count — every
+    // power sum is BIGINT-exact and accumulates in DECIMAL(38,0) (the
+    // spearman discipline), slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) and
+    // intercept = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) divide identical
+    // decimal-exact operands, r reuses pearsonR. Grid-bounded like every
+    // time-series key: the one data-sized job is the (hour, type) agg.
+    "q_stat_ols" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "events")
+        .withColumn("h", expr("unix_millis(ts) div 3600000"))
+        .groupBy($"h", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("h"), $"lo")
+      val types = agg.select($"event_type").distinct()
+      val ser = grid.crossJoin(broadcast(types))
+        .join(agg, Seq("h", "event_type"), "left")
+        .select($"event_type", ($"h" - $"lo").as("x"),
+                coalesce($"c", lit(0L)).as("y"))
+      val dec = DecimalType(38, 0)
+      val sums = ser.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"),
+             sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+             sum(($"x" * $"y").cast(dec)).as("sxy"),
+             sum(($"x" * $"x").cast(dec)).as("sxx"),
+             sum(($"y" * $"y").cast(dec)).as("syy"))
+      sums
+        .withColumn("nD", $"n_hours".cast(dec))
+        .withColumn("num", $"nD" * $"sxy" - $"sx" * $"sy")
+        .withColumn("den", $"nD" * $"sxx" - $"sx" * $"sx")
+        .select($"event_type", $"n_hours",
+          round($"num".cast("double") / $"den".cast("double"), 6).as("slope"),
+          round(($"sy" * $"sxx" - $"sx" * $"sxy").cast("double") /
+                $"den".cast("double"), 4).as("intercept"),
+          pearsonR($"n_hours", $"sx", $"sy", $"sxy", $"sxx", $"syy").as("r"))
+        .orderBy($"event_type")
     })
   )
 
@@ -639,6 +710,57 @@ object Stats extends QueryGroup {
         |    n_hours * sxx - sx * sx AS d1,
         |    n_hours * syy - sy * sy AS d2
         |  FROM st) z
-        |ORDER BY t1, t2""".stripMargin
+        |ORDER BY t1, t2""".stripMargin,
+
+    "q_stat_anova" ->
+      s"""WITH st AS (
+         |  SELECT event_type, COUNT(*) AS n_i,
+         |    ${Q.oSum("value", 6)} AS s1,
+         |    ${Q.oSum("value * value", 6)} AS s2
+         |  FROM events GROUP BY event_type),
+         |gs AS (
+         |  SELECT COUNT(*) AS k, SUM(n_i) AS n,
+         |    CAST(SUM(CAST(s1 * s1 / n_i AS DECIMAL(38,6))) AS DOUBLE) AS sb_part,
+         |    CAST(SUM(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) AS s1_all,
+         |    CAST(SUM(CAST(s2 - s1 * s1 / n_i AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+         |  FROM st)
+         |SELECT k, CAST(n AS BIGINT) AS n,
+         |  k - 1 AS df1, CAST(n - k AS BIGINT) AS df2,
+         |  round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+         |  round(ssb / (ssb + ssw), 4) AS eta2
+         |FROM (SELECT k, n, sb_part - s1_all * s1_all / n AS ssb, ssw FROM gs) z""".stripMargin,
+
+    "q_stat_ols" ->
+      s"""WITH agg AS (
+        |  SELECT event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM agg),
+        |grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS h),
+        |types AS (SELECT DISTINCT event_type FROM agg),
+        |ser AS (
+        |  SELECT t.event_type, g.h - (SELECT lo FROM bounds) AS x,
+        |    COALESCE(a.c, 0) AS y
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN agg a ON a.h = g.h AND a.event_type = t.event_type),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_hours,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM ser GROUP BY event_type)
+        |SELECT event_type, n_hours,
+        |  round(CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE), 6) AS slope,
+        |  round(CAST(ic AS DOUBLE) / CAST(d1 AS DOUBLE), 4) AS intercept,
+        |  ${Q.oPearson()} AS r
+        |FROM (
+        |  SELECT event_type, n_hours,
+        |    n_hours * sxy - sx * sy AS num,
+        |    n_hours * sxx - sx * sx AS d1,
+        |    n_hours * syy - sy * sy AS d2,
+        |    sy * sxx - sx * sxy AS ic
+        |  FROM st) z
+        |ORDER BY event_type""".stripMargin
   )
 }

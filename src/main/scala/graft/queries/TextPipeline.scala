@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** SURVEY §2.11 — text-analysis + deduplication operators for an
@@ -300,6 +301,80 @@ object TextPipeline extends QueryGroup {
              r4(sum($"n_chars") * lit(1.0) / count(lit(1))).as("avg_chars"),
              r4(sum($"n_tok") * lit(1.0) / count(lit(1))).as("avg_tokens"))
         .orderBy($"lang", $"source")
+    }),
+
+    // Jensen–Shannon divergence of each source's document-length
+    // distribution from the corpus distribution — the symmetric, bounded
+    // ([0, ln 2]) drift score curation dashboards prefer over one-sided
+    // KL (Lin, IEEE Trans. Inf. Theory 1991): which sources' length
+    // profiles deviate most from the corpus mix. Distributions live on
+    // the declared 50-char bucket grid with add-1 smoothing over the
+    // corpus's observed bucket set (the q_stat_psi discipline), so every
+    // probability divides integer-exact operands; each ln is
+    // round(6)-pinned BEFORE the multiply and the per-source sum is
+    // DECIMAL-routed — bit-stable in both engines. The bucket set is
+    // bounded by max doc length / 50, never by corpus size, so the
+    // source × bucket grid stays broadcast-able at any volume; the one
+    // data-sized job is the (source, bucket) hash agg.
+    "q_text_jsd" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").withColumn("b", expr("n_chars div 50"))
+      val glob = d.groupBy($"b").agg(count(lit(1)).as("cg"))
+      val src = d.groupBy($"source", $"b").agg(count(lit(1)).as("cs"))
+      val srcs = d.groupBy($"source").agg(count(lit(1)).as("ns"))
+      val tot = glob.agg(sum($"cg").as("ng"), count(lit(1)).as("nb"))
+      srcs.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+        .join(src, Seq("source", "b"), "left")
+        .withColumn("cs0", coalesce($"cs", lit(0L)))
+        .withColumn("p", ($"cs0" + 1L).cast("double") / ($"ns" + $"nb"))
+        .withColumn("q", ($"cg" + 1L).cast("double") / ($"ng" + $"nb"))
+        .withColumn("m", ($"p" + $"q") / 2.0)
+        .withColumn("term",
+          lit(0.5) * $"p" * round(log($"p" / $"m"), 6) +
+          lit(0.5) * $"q" * round(log($"q" / $"m"), 6))
+        .groupBy($"source")
+        .agg(max($"ns").as("n_docs"), max($"nb").as("n_bins"),
+             round(sum($"term".cast(DecimalType(28, 12))).cast("double"), 6)
+               .as("jsd"))
+        .orderBy($"source")
+    }),
+
+    // Zipf's-law fit of the corpus unigram frequencies (Zipf 1949;
+    // Piantadosi, Psychon. Bull. Rev. 2014) — the corpus-health
+    // diagnostic every curation report opens with: a natural corpus has
+    // log-freq ≈ a − s·log-rank with s ≈ 1; templated/synthetic corpora
+    // bend the curve. OLS over the top-100 (rank, freq) pairs in log-log
+    // space: ranks from ONE global frequency sort (row_number over
+    // (freq desc, term asc) — a total order, so ties cannot re-rank
+    // between engines), each ln round(6)-pinned, every power-sum term
+    // DECIMAL-routed before the ≤100-row sum, slope/intercept/r from
+    // identical double operands (the q_stat_ols closed form in the
+    // double domain). The only data-sized jobs are the term count and
+    // the single exchange into the 100-row window; everything after is
+    // constant-sized at any corpus volume.
+    "q_text_zipf" -> ((s, dir) => {
+      import s.implicits._
+      val freq = tokens(s, dir).groupBy($"term").agg(count(lit(1)).as("f"))
+      val w = Window.orderBy($"f".desc, $"term")
+      val top = freq.withColumn("rk", row_number().over(w)).filter($"rk" <= 100)
+        .withColumn("x", round(log($"rk".cast("double")), 6))
+        .withColumn("y", round(log($"f".cast("double")), 6))
+      val dec = DecimalType(28, 12)
+      top.agg(
+          count(lit(1)).as("n"),
+          sum($"x".cast(dec)).cast("double").as("sx"),
+          sum($"y".cast(dec)).cast("double").as("sy"),
+          sum(($"x" * $"y").cast(dec)).cast("double").as("sxy"),
+          sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
+          sum(($"y" * $"y").cast(dec)).cast("double").as("syy"))
+        .select($"n".as("n_terms"),
+          round(($"n" * $"sxy" - $"sx" * $"sy") /
+                ($"n" * $"sxx" - $"sx" * $"sx"), 4).as("slope"),
+          round(($"sy" * $"sxx" - $"sx" * $"sxy") /
+                ($"n" * $"sxx" - $"sx" * $"sx"), 4).as("intercept"),
+          round(($"n" * $"sxy" - $"sx" * $"sy") /
+                (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+                 sqrt($"n" * $"syy" - $"sy" * $"sy")), 4).as("r"))
     }),
 
     // Quality scoring: deterministic rational heuristics (length, stopword
@@ -1173,6 +1248,56 @@ object TextPipeline extends QueryGroup {
         |  round(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars,
         |  round(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 4) AS avg_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_text_jsd" ->
+      """WITH d AS (SELECT source, n_chars // 50 AS b FROM documents),
+        |gb AS (SELECT b, COUNT(*) AS cg FROM d GROUP BY b),
+        |src AS (SELECT source, b, COUNT(*) AS cs FROM d GROUP BY source, b),
+        |srcs AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY source),
+        |tot AS (SELECT SUM(cg) AS ng, COUNT(*) AS nb FROM gb),
+        |grid AS (
+        |  SELECT s.source, s.ns, g.b, g.cg, t.ng, t.nb, COALESCE(c.cs, 0) AS cs0
+        |  FROM srcs s CROSS JOIN gb g CROSS JOIN tot t
+        |  LEFT JOIN src c ON c.source = s.source AND c.b = g.b),
+        |terms AS (
+        |  SELECT source, ns, nb,
+        |    0.5 * p * round(ln(p / m), 6) + 0.5 * q * round(ln(q / m), 6) AS term
+        |  FROM (
+        |    SELECT source, ns, nb,
+        |      CAST(cs0 + 1 AS DOUBLE) / (ns + nb) AS p,
+        |      CAST(cg + 1 AS DOUBLE) / (ng + nb) AS q,
+        |      (CAST(cs0 + 1 AS DOUBLE) / (ns + nb)
+        |       + CAST(cg + 1 AS DOUBLE) / (ng + nb)) / 2.0 AS m
+        |    FROM grid) x)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+        |  MAX(nb) AS n_bins,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS jsd
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term),
+        |top AS (
+        |  SELECT round(ln(CAST(rk AS DOUBLE)), 6) AS x,
+        |         round(ln(CAST(f AS DOUBLE)), 6) AS y
+        |  FROM (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rk
+        |        FROM freq) t
+        |  WHERE rk <= 100),
+        |st AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |  FROM top)
+        |SELECT n AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |  round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) AS intercept,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS r
+        |FROM st""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH q AS (

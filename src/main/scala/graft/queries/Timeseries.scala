@@ -32,6 +32,10 @@ import Q._
   */
 object Timeseries extends QueryGroup {
 
+  /** ln 24 — ONE constant embedded verbatim in both q_time_entropy
+    * dialects so the normalizer cannot drift by a libm ulp. */
+  private val Ln24: Double = math.log(24.0)
+
   val queries: Map[String, QFn] = Map(
     // Autocorrelation of the hourly event-count series at lags 1..3 — the
     // "is there short-range structure" diagnostic (an ACF near zero says
@@ -232,6 +236,36 @@ object Timeseries extends QueryGroup {
     // job; the grid join, the single ordered window pass, and the 4-lag
     // explode are all time-bounded; each r comes from five BIGINT-exact
     // power sums with one division and two sqrts over identical operands.
+    // Hour-of-day activity entropy per event type — the temporal
+    // REGULARITY profile (the mobility literature's visit-distribution
+    // entropy, applied to the 24-slot daily clock): H = −Σ p ln p over
+    // each type's hour-of-day histogram, plus H/ln 24 normalized to
+    // [0, 1] (1 = uniformly spread day, 0 = single-hour burst). p
+    // divides exact longs; each ln is round(6)-pinned BEFORE the
+    // multiply (q_stat_psi discipline); the ≤24-term sum is
+    // DECIMAL-routed; ln 24 is ONE Scala constant embedded verbatim in
+    // both dialects. One (type, hour24) hash agg — ≤ |types|·24 rows
+    // after it at any corpus volume.
+    "q_time_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val byHour = t(s, dir, "events")
+        .withColumn("h24", expr("(unix_millis(ts) div 3600000) % 24"))
+        .groupBy($"event_type", $"h24")
+        .agg(count(lit(1)).as("c"))
+      val wT = Window.partitionBy($"event_type")
+      byHour
+        .withColumn("n", sum($"c").over(wT))
+        .withColumn("p", $"c".cast("double") / $"n")
+        .withColumn("term", $"p" * round(log($"p"), 6))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_events"),
+             count(lit(1)).as("n_slots"),
+             round(-sum($"term".cast(DecimalType(28, 12))).cast("double"), 6)
+               .as("entropy"))
+        .withColumn("entropy_norm", round($"entropy" / lit(Ln24), 4))
+        .orderBy($"event_type")
+    }),
+
     "q_time_xcorr" -> ((s, dir) => {
       import s.implicits._
       val agg = t(s, dir, "events")
@@ -401,6 +435,29 @@ object Timeseries extends QueryGroup {
         |SELECT day, round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
         |       round(lb[1] + lb[2], 6) AS forecast
         |FROM fold ORDER BY day""".stripMargin,
+
+    "q_time_entropy" ->
+      s"""WITH byh AS (
+        |  SELECT event_type,
+        |    (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) % 24 AS h24,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT event_type, c,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM byh),
+        |terms AS (
+        |  SELECT event_type, n, p * round(ln(p), 6) AS term
+        |  FROM (SELECT event_type, n, CAST(c AS DOUBLE) / n AS p FROM wt) x),
+        |ent AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |    COUNT(*) AS n_slots,
+        |    round(-CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |      AS entropy
+        |  FROM terms GROUP BY event_type)
+        |SELECT event_type, n_events, n_slots, entropy,
+        |  round(entropy / $Ln24, 4) AS entropy_norm
+        |FROM ent ORDER BY event_type""".stripMargin,
 
     "q_time_xcorr" ->
       s"""WITH agg AS (

@@ -388,4 +388,77 @@ class GeoSpec extends BaseSpec {
     assert(rowOrder.map(_._2).max > 200,
       "row-order buckets unexpectedly compact — the fixture no longer demonstrates the contrast")
   }
+
+  /** Raw fixes with the pseudo-coord formula, per user in (ts, id) order —
+    * shared by the trips and rog recomputation tests. */
+  private def fixesByUser(): Map[Long, Seq[(Long, Double, Double)]] =
+    Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        "((event_id * 37) % 1700) / 10.0D - 85.0D AS lat",
+        "((event_id * 131) % 3600) / 10.0D - 180.0D AS lon")
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(r => (r._3, r._2)).map(r => (r._3, r._4, r._5))).toMap
+
+  test("q_traj_trips equals a driver fold over each user's ordered fixes") {
+    val got = SparkEntry.queries("q_traj_trips")(spark, sf)
+      .as[(Long, Long, Double, Option[Double], Long)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    def dec4(x: Double) =
+      new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP)
+    def rnd(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    val gap = 43200000000L
+    val want = fixesByUser().toList.sortBy(_._1).map { case (u, pts) =>
+      // walk segments; a trip is a maximal run with dt ≤ gap between fixes
+      val trips = List.newBuilder[(Option[java.math.BigDecimal], Long)]
+      var curKm: Option[java.math.BigDecimal] = None
+      var curDur = 0L
+      pts.sliding(2).foreach {
+        case Seq((t1, la1, lo1), (t2, la2, lo2)) =>
+          val dt = t2 - t1
+          if (dt > gap) { trips += ((curKm, curDur)); curKm = None; curDur = 0L }
+          else {
+            val km = dec4(graft.functions.HaversineDist.km(la1, lo1, la2, lo2))
+            curKm = Some(curKm.fold(km)(_ add km)); curDur += dt
+          }
+        case _ => ()
+      }
+      trips += ((curKm, curDur))
+      val ts = trips.result()
+      val kms = ts.map(_._1.map(_.doubleValue))
+      val total = kms.flatten.map(dec4) match {
+        case Nil => None
+        case ds  => Some(rnd(ds.reduce(_ add _).doubleValue, 1))
+      }
+      (u, ts.length.toLong, rnd(kms.map(_.getOrElse(0.0)).max, 1),
+        total, ts.map(_._2).sum)
+    }
+    got.zip(want).foreach { case ((u, n, lng, tot, mv), (wu, wn, wlng, wtot, wmv)) =>
+      assert(u == wu && n == wn, s"user $u trips: got $n want $wn")
+      assert(lng == wlng, s"user $u longest: got $lng want $wlng")
+      assert(tot == wtot, s"user $u total: got $tot want $wtot")
+      assert(mv == wmv, s"user $u moving_us: got $mv want $wmv")
+    }
+  }
+
+  test("q_traj_rog equals a driver recomputation and is bounded by the max excursion") {
+    val got = SparkEntry.queries("q_traj_rog")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    def dec4(x: Double) =
+      new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP)
+    def rnd(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    val want = fixesByUser().toList.sortBy(_._1).map { case (u, pts) =>
+      val n = pts.length
+      val clat = pts.map(p => dec4(p._2)).reduce(_ add _).doubleValue / n
+      val clon = pts.map(p => dec4(p._3)).reduce(_ add _).doubleValue / n
+      val ds = pts.map(p => graft.functions.HaversineDist.km(p._2, p._3, clat, clon))
+      val msq = ds.map(d => dec4(d * d)).reduce(_ add _).doubleValue / n
+      (u, n.toLong, rnd(math.sqrt(msq), 1), rnd(ds.max, 1))
+    }
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    got.foreach { case (_, _, rog, mx) => assert(rog >= 0.0 && rog <= mx) }
+  }
 }

@@ -82,6 +82,19 @@ class MlModelSpec extends BaseSpec {
       "rate — label noise leaked into the features?")
   }
 
+  test("rf: seeded fit is run-to-run identical, held-out accuracy in the declared band") {
+    def rf() = SparkEntry.queries("m_ml_rf")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toList
+    val r1 = rf()
+    assert(r1 == rf(), "seeded RF (featureSubsetStrategy=all) must refit identically")
+    val accTest = r1.map(r => r._1 -> r._4).toMap.apply("test")
+    // bagged axis-aligned trees vs the planted LINEAR boundary: same band
+    // as GBT (observed 0.78 at sf0.001; chance ~0.5, Bayes ~0.88)
+    assert(accTest >= 0.72, s"held-out accuracy $accTest below floor")
+    assert(accTest <= 0.95, s"held-out accuracy $accTest above the Bayes " +
+      "rate — label noise leaked into the features?")
+  }
+
   test("als: held-out RMSE far below the global-mean baseline (planted rank-1)") {
     val r1 = als()
     assert(r1 == als(), "seeded ALS must refit identically in-session")

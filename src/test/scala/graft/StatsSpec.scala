@@ -379,4 +379,121 @@ class StatsSpec extends BaseSpec {
     assert(math.abs(rho(up, up.map(_ * 3 + 7)) - 1.0) < 1e-12)
     assert(math.abs(rho(up, up.reverse.map(_ * 2)) + 1.0) < 1e-12)
   }
+
+  test("q_stat_anova equals a driver moments recomputation; planted shift raises F") {
+    val got = SparkEntry.queries("q_stat_anova")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toList
+    assert(got.size == 1)
+    val (k, n, df1, df2, f, eta2) = got.head
+    val vals = Tables(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val types = vals.map(_._1).distinct.sorted
+    assert(k == types.length && df1 == k - 1 && df2 == n - k)
+    def dec6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val moments = types.map { tp =>
+      val xs = vals.filter(_._1 == tp).map(_._2)
+      val s1 = xs.map(dec6).reduce(_ add _).doubleValue
+      val s2 = xs.map(x => dec6(x * x)).reduce(_ add _).doubleValue
+      (xs.length.toLong, s1, s2)
+    }
+    val nAll = moments.map(_._1).sum
+    assert(n == nAll)
+    val sbPart = moments.map { case (ni, s1, _) => dec6(s1 * s1 / ni) }
+      .reduce(_ add _).doubleValue
+    val s1All = moments.map(m => dec6(m._2)).reduce(_ add _).doubleValue
+    val ssw = moments.map { case (ni, s1, s2) => dec6(s2 - s1 * s1 / ni) }
+      .reduce(_ add _).doubleValue
+    val ssb = sbPart - s1All * s1All / nAll
+    assert(f == rnd((ssb / (k - 1)) / (ssw / (nAll - k)), 4), s"F mismatch: $f")
+    assert(eta2 == rnd(ssb / (ssb + ssw), 4), s"eta2 mismatch: $eta2")
+    assert(f >= 0.0 && eta2 >= 0.0 && eta2 <= 1.0)
+    // the statistic itself on planted means (driver formula only)
+    def anova(groups: Seq[Seq[Double]]): Double = {
+      val ms = groups.map(xs => (xs.length.toLong, xs.sum, xs.map(x => x * x).sum))
+      val kk = groups.length; val nn = ms.map(_._1).sum
+      val sb = ms.map { case (ni, s1, _) => s1 * s1 / ni }.sum -
+        math.pow(ms.map(_._2).sum, 2) / nn
+      val sw = ms.map { case (ni, s1, s2) => s2 - s1 * s1 / ni }.sum
+      (sb / (kk - 1)) / (sw / (nn - kk))
+    }
+    val g = Seq(10.0, 10.5, 11.0, 10.2, 10.8)
+    assert(anova(Seq(g, g)) < 1e-10, "identical groups → F 0")
+    assert(anova(Seq(g, g.map(_ + 50))) > 1000.0, "shifted means → large F")
+  }
+
+  test("q_stat_ols equals a BigInt driver recomputation; a planted line is recovered exactly") {
+    val got = SparkEntry.queries("q_stat_ols")(spark, sf)
+      .as[(String, Long, Double, Double, Option[Double])].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    val counts = Tables(spark, sf, "events")
+      .selectExpr("unix_millis(ts) div 3600000 as h", "event_type")
+      .groupBy($"h", $"event_type").count()
+      .as[(Long, String, Long)].collect()
+    val lo = counts.map(_._1).min; val hi = counts.map(_._1).max
+    val types = counts.map(_._2).distinct.sorted
+    def fit(xs: Seq[Long], ys: Seq[Long]): (Double, Double, Option[Double]) = {
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = xs.map(a => BigInt(a) * a).sum
+      val syy = ys.map(a => BigInt(a) * a).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx; val d2 = n * syy - sy * sy
+      val slope = rnd(num.toDouble / d1.toDouble, 6)
+      val ic = rnd((sy * sxx - sx * sxy).toDouble / d1.toDouble, 4)
+      val r = if (d1 > 0 && d2 > 0)
+        Some(rnd(num.toDouble / (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)), 4))
+      else None
+      (slope, ic, r)
+    }
+    types.zip(got).foreach { case (tp, (gt, nh, slope, ic, r)) =>
+      assert(gt == tp)
+      assert(nh == hi - lo + 1)
+      val byHour = counts.filter(_._2 == tp).map(c => c._1 -> c._3).toMap
+      val xs = (lo to hi).map(_ - lo)
+      val ys = (lo to hi).map(h => byHour.getOrElse(h, 0L))
+      val (wSlope, wIc, wR) = fit(xs, ys)
+      assert(slope == wSlope && ic == wIc && r == wR,
+        s"$tp: got ($slope, $ic, $r) want ($wSlope, $wIc, $wR)")
+    }
+    // a planted exact line y = 3x + 7 is recovered with r = 1
+    val xs = (0L to 99L).toSeq
+    val (s3, i7, r1) = fit(xs, xs.map(_ * 3 + 7))
+    assert(s3 == 3.0 && i7 == 7.0 && r1.contains(1.0))
+  }
+
+  test("q_text_jsd equals a driver recomputation; bounded by ln 2, self-divergence is 0") {
+    val got = SparkEntry.queries("q_text_jsd")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    val docs = Tables(spark, sf, "documents")
+      .selectExpr("source", "n_chars div 50 as b")
+      .as[(String, Long)].collect()
+    val globCnt = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bins = globCnt.keySet.toList.sorted
+    val nb = bins.length.toLong
+    val ng = docs.length.toLong
+    def dec12(x: Double) =
+      new java.math.BigDecimal(x).setScale(12, java.math.RoundingMode.HALF_UP)
+    got.foreach { case (src, nDocs, nBins, jsd) =>
+      val mine = docs.filter(_._1 == src)
+      assert(nDocs == mine.length.toLong && nBins == nb)
+      val srcCnt = mine.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val terms = bins.map { b =>
+        val p = (srcCnt.getOrElse(b, 0L) + 1).toDouble / (nDocs + nb)
+        val q = (globCnt(b) + 1).toDouble / (ng + nb)
+        val m = (p + q) / 2.0
+        0.5 * p * rnd(math.log(p / m), 6) + 0.5 * q * rnd(math.log(q / m), 6)
+      }
+      val want = rnd(terms.map(dec12).reduce(_ add _).doubleValue, 6)
+      assert(jsd == want, s"$src: got $jsd want $want")
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-6)
+    }
+    // a source whose distribution IS the corpus mix scores (near) zero:
+    // p and q differ only by the smoothing denominators' scale
+    val p = Seq(0.5, 0.3, 0.2)
+    val selfTerms = p.map(pi => 0.5 * pi * math.log(pi / pi) * 2).sum
+    assert(math.abs(selfTerms) < 1e-15)
+  }
 }
