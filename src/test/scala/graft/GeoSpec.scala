@@ -442,6 +442,34 @@ class GeoSpec extends BaseSpec {
     }
   }
 
+  test("q_traj_heading equals a driver octant recount; sectors partition the segments") {
+    val got = SparkEntry.queries("q_traj_heading")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    def rnd(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    def sector(dlat: Double, dlon: Double): String =
+      if (math.abs(dlon) >= math.abs(dlat))
+        if (dlon >= 0.0) { if (dlat >= 0.0) "E+" else "E-" }
+        else { if (dlat >= 0.0) "W+" else "W-" }
+      else if (dlat >= 0.0) { if (dlon >= 0.0) "N+" else "N-" }
+      else { if (dlon >= 0.0) "S+" else "S-" }
+    val segs = fixesByUser().toList.flatMap { case (u, pts) =>
+      pts.sliding(2).collect {
+        case Seq((_, la1, lo1), (_, la2, lo2))
+            if la2 - la1 != 0.0 || lo2 - lo1 != 0.0 =>
+          (u, sector(la2 - la1, lo2 - lo1))
+      }
+    }
+    val total = segs.length.toLong
+    val want = segs.groupBy(_._2).toList.sortBy(_._1).map { case (sec, rs) =>
+      (sec, rs.length.toLong, rs.map(_._1).distinct.length.toLong,
+        rnd(rs.length.toDouble / total, 6))
+    }
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._2).sum == total, "sectors must partition the segments")
+  }
+
   test("q_traj_rog equals a driver recomputation and is bounded by the max excursion") {
     val got = SparkEntry.queries("q_traj_rog")(spark, sf)
       .as[(Long, Long, Double, Double)].collect().toList.sortBy(_._1)

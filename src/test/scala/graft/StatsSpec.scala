@@ -496,4 +496,41 @@ class StatsSpec extends BaseSpec {
     val selfTerms = p.map(pi => 0.5 * pi * math.log(pi / pi) * 2).sum
     assert(math.abs(selfTerms) < 1e-15)
   }
+
+  test("q_text_zipf equals a driver log-log OLS; a planted power law recovers its exponent") {
+    val got = SparkEntry.queries("q_text_zipf")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect().toList
+    assert(got.size == 1)
+    val (nTerms, slope, intercept, r) = got.head
+    def dec12(x: Double) =
+      new java.math.BigDecimal(x).setScale(12, java.math.RoundingMode.HALF_UP)
+    def fitLogLog(ranked: Seq[(Long, Long)]): (Long, Double, Double, Double) = {
+      val pts = ranked.map { case (rk, f) =>
+        (rnd(math.log(rk.toDouble), 6), rnd(math.log(f.toDouble), 6))
+      }
+      val n = pts.length.toLong
+      def dsum(xs: Seq[Double]) = xs.map(dec12).reduce(_ add _).doubleValue
+      val sx = dsum(pts.map(_._1)); val sy = dsum(pts.map(_._2))
+      val sxy = dsum(pts.map(p => p._1 * p._2))
+      val sxx = dsum(pts.map(p => p._1 * p._1))
+      val syy = dsum(pts.map(p => p._2 * p._2))
+      (n, rnd((n * sxy - sx * sy) / (n * sxx - sx * sx), 4),
+        rnd((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4),
+        rnd((n * sxy - sx * sy) /
+          (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)), 4))
+    }
+    val freq = Tables(spark, sf, "documents")
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .groupBy($"term").count().as[(String, Long)].collect().toList
+    val ranked = freq.sortBy { case (t, f) => (-f, t) }.take(100)
+      .zipWithIndex.map { case ((_, f), i) => ((i + 1).toLong, f) }
+    val (wn, ws, wi, wr) = fitLogLog(ranked)
+    assert(nTerms == wn && slope == ws && intercept == wi && r == wr,
+      s"got ($nTerms, $slope, $intercept, $r) want ($wn, $ws, $wi, $wr)")
+    // a planted exact power law f = 1e6 / rank recovers slope −1, r −1
+    val planted = (1L to 50L).map(rk => rk -> (1000000L / rk))
+    val (_, ps, _, pr) = fitLogLog(planted)
+    assert(math.abs(ps + 1.0) < 0.01, s"planted slope $ps")
+    assert(pr <= -0.999, s"planted r $pr")
+  }
 }

@@ -256,4 +256,36 @@ class TimeseriesSpec extends BaseSpec {
       assert(xcorr == expected, s"lag $lag: got $xcorr want $expected")
     }
   }
+
+  test("q_time_entropy equals a driver recomputation; uniform clock hits ln 24 exactly") {
+    val got = SparkEntry.queries("q_time_entropy")(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    def rnd(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    def dec12(x: Double) =
+      new java.math.BigDecimal(x).setScale(12, java.math.RoundingMode.HALF_UP)
+    val counts = Tables(spark, sf, "events")
+      .selectExpr("event_type", "(unix_millis(ts) div 3600000) % 24 AS h24")
+      .groupBy($"event_type", $"h24").count()
+      .as[(String, Long, Long)].collect().toList
+    got.foreach { case (tp, nEv, nSlots, h, hNorm) =>
+      val mine = counts.filter(_._1 == tp)
+      val n = mine.map(_._3).sum
+      assert(nEv == n && nSlots == mine.length.toLong)
+      val terms = mine.map { case (_, _, c) =>
+        val p = c.toDouble / n; p * rnd(math.log(p), 6)
+      }
+      val want = rnd(-terms.map(dec12).reduce(_ add _).doubleValue, 6)
+      assert(h == want, s"$tp: got $h want $want")
+      assert(hNorm == rnd(h / math.log(24.0), 4))
+      assert(hNorm >= 0.0 && hNorm <= 1.0)
+    }
+    // the statistic itself: a perfectly uniform 24-slot clock has H = ln 24
+    val uniform = (0 until 24).map(_ => 1.0 / 24.0)
+    val hU = -uniform.map(p => p * math.log(p)).sum
+    assert(math.abs(hU - math.log(24.0)) < 1e-12)
+    // and a single-slot burst has H = 0
+    assert(-(1.0 * math.log(1.0)) == 0.0)
+  }
 }
