@@ -299,6 +299,50 @@ object Mining extends QueryGroup {
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round($"n" / sum($"n").over(wt), 6))
         .orderBy($"event_type", $"next_type")
+    }),
+
+    // Complex-event pattern matching — the MATCH_RECOGNIZE / FlinkCEP
+    // primitive Spark SQL lacks: count NON-OVERLAPPING greedy matches of
+    // the ordered pattern view ; click ; purchase per user, each step
+    // within 24 h of the previous, other events interleaving freely.
+    // DECLARED automaton (deterministic by construction): an in-window
+    // 'click' advances 1→2, an in-window 'purchase' completes 2→done and
+    // resets, ANY 'view' (re)anchors stage 1 — a late step leaves the
+    // state untouched (only a fresh view restarts the clock). The
+    // sequential recursion runs INSIDE codegen as an `aggregate` HOF
+    // fold over each user's time-ordered event array in pure BIGINT
+    // state [stage, anchor_ts, n_matches] (the q_traj_simplify
+    // discipline — per-group sequential state without a UDF or per-step
+    // shuffle; DuckDB mirrors it with the recursive-CTE walk, the
+    // declared list_reduce-safe oracle form). One (user) hash agg builds
+    // the arrays; at 100 TB the fold runs per (user, day) partition with
+    // carried boundary state, the layout telemetry already has.
+    "q_mine_cep" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("tc", expr(
+          "CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+            "WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT)"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(
+          struct($"ts_us", $"event_id", $"tc"))).as("a"))
+        .select($"user_id", size($"a").cast("long").as("n_events"),
+          expr(
+            """aggregate(
+              |  a,
+              |  array(0L, 0L, 0L),
+              |  (acc, p) -> CASE
+              |    WHEN p.tc = 2L AND acc[0] = 1L
+              |         AND p.ts_us - acc[1] <= 86400000000L
+              |      THEN array(2L, p.ts_us, acc[2])
+              |    WHEN p.tc = 3L AND acc[0] = 2L
+              |         AND p.ts_us - acc[1] <= 86400000000L
+              |      THEN array(0L, 0L, acc[2] + 1L)
+              |    WHEN p.tc = 1L THEN array(1L, p.ts_us, acc[2])
+              |    ELSE acc END
+              |)[2]""".stripMargin).as("n_matches"))
+        .orderBy($"user_id")
     })
   )
 
@@ -442,6 +486,43 @@ object Mining extends QueryGroup {
         |  GROUP BY 1, 2)
         |SELECT event_type, next_type, n,
         |  round(n / SUM(n) OVER (PARTITION BY event_type), 6) AS p
-        |FROM c ORDER BY event_type, next_type""".stripMargin
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+
+    "q_mine_cep" ->
+      """WITH RECURSIVE ev2 AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS tc
+        |  FROM events),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(struct_pack(t := ts_us, tc := tc) ORDER BY ts_us, event_id) AS a
+        |  FROM ev2 GROUP BY user_id),
+        |walk(uid, i, st, t0, n) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM arr
+        |  UNION ALL
+        |  SELECT w.uid, w.i + 1,
+        |    CASE WHEN t.a[w.i+1].tc = 2 AND w.st = 1
+        |              AND t.a[w.i+1].t - w.t0 <= 86400000000 THEN 2
+        |         WHEN t.a[w.i+1].tc = 3 AND w.st = 2
+        |              AND t.a[w.i+1].t - w.t0 <= 86400000000 THEN 0
+        |         WHEN t.a[w.i+1].tc = 1 THEN 1
+        |         ELSE w.st END,
+        |    CASE WHEN t.a[w.i+1].tc = 2 AND w.st = 1
+        |              AND t.a[w.i+1].t - w.t0 <= 86400000000 THEN t.a[w.i+1].t
+        |         WHEN t.a[w.i+1].tc = 3 AND w.st = 2
+        |              AND t.a[w.i+1].t - w.t0 <= 86400000000 THEN 0
+        |         WHEN t.a[w.i+1].tc = 1 THEN t.a[w.i+1].t
+        |         ELSE w.t0 END,
+        |    CASE WHEN t.a[w.i+1].tc = 3 AND w.st = 2
+        |              AND t.a[w.i+1].t - w.t0 <= 86400000000 THEN w.n + 1
+        |         ELSE w.n END
+        |  FROM walk w JOIN arr t ON w.uid = t.user_id WHERE w.i < len(t.a))
+        |SELECT a2.user_id, CAST(len(a2.a) AS BIGINT) AS n_events,
+        |  CAST(w.n AS BIGINT) AS n_matches
+        |FROM walk w JOIN arr a2 ON w.uid = a2.user_id AND w.i = len(a2.a)
+        |ORDER BY a2.user_id""".stripMargin
   )
 }

@@ -132,4 +132,58 @@ class MiningSpec extends BaseSpec {
       assert(hist.get(len).map(_._2).getOrElse(0L) == ofLen.values.sum)
     }
   }
+
+  /** The q_mine_cep automaton, driver-side: greedy non-overlapping
+    * view;click;purchase with each step within `win` µs, any view
+    * (re)anchoring stage 1 — the DECLARED semantics, re-implemented
+    * independently of the HOF fold. */
+  private def cepCount(evs: Seq[(Long, String)], win: Long): Long = {
+    var st = 0L; var t0 = 0L; var n = 0L
+    evs.foreach { case (ts, tp) =>
+      if (tp == "click" && st == 1L && ts - t0 <= win) { st = 2L; t0 = ts }
+      else if (tp == "purchase" && st == 2L && ts - t0 <= win) { st = 0L; n += 1 }
+      else if (tp == "view") { st = 1L; t0 = ts }
+    }
+    n
+  }
+
+  test("q_mine_cep equals a driver automaton on every fixture user") {
+    val got = SparkEntry.queries("q_mine_cep")(spark, sf)
+      .as[(Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum > 0, "fixture must exercise the pattern — " +
+      "zero total matches would make the oracle row vacuous")
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "event_type")
+      .as[(Long, Long, Long, String)].collect().toList
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(r => (r._3, r._2)).map(r => (r._3, r._4))).toMap
+    got.foreach { case (u, nEv, nMatch) =>
+      assert(nEv == evs(u).length.toLong)
+      val want = cepCount(evs(u).toSeq, 86400000000L)
+      assert(nMatch == want, s"user $u: got $nMatch want $want")
+    }
+  }
+
+  test("cep automaton semantics: overlap, restart, and late-step behaviors pinned") {
+    val H = 3600000000L // 1h µs
+    val W = 24 * H
+    // exact in-window chain → 1 match
+    assert(cepCount(Seq((0L, "view"), (H, "click"), (2 * H, "purchase")), W) == 1L)
+    // two back-to-back chains are non-overlapping → 2
+    assert(cepCount(Seq((0L, "view"), (H, "click"), (2 * H, "purchase"),
+      (3 * H, "view"), (4 * H, "click"), (5 * H, "purchase")), W) == 2L)
+    // interleaving noise events do not break the chain
+    assert(cepCount(Seq((0L, "view"), (1L, "error"), (H, "click"),
+      (H + 1, "signup"), (2 * H, "purchase")), W) == 1L)
+    // a step past the window does NOT complete; only a fresh view restarts
+    assert(cepCount(Seq((0L, "view"), (25 * H, "click"), (26 * H, "purchase")), W) == 0L)
+    assert(cepCount(Seq((0L, "view"), (25 * H, "click"), (26 * H, "view"),
+      (27 * H, "click"), (28 * H, "purchase")), W) == 1L)
+    // a mid-pattern view re-anchors (kills the in-flight stage-2 state)
+    assert(cepCount(Seq((0L, "view"), (H, "click"), (2 * H, "view"),
+      (3 * H, "purchase")), W) == 0L)
+    // a purchase with no armed chain never counts
+    assert(cepCount(Seq((0L, "purchase"), (H, "purchase")), W) == 0L)
+  }
 }
