@@ -271,6 +271,46 @@ class GeofenceProcessor
   }
 }
 
+case class CepEv(user_id: Long, ts_us: Long, event_id: Long, tc: Long)
+case class CepState(stage: Long, anchor: Long)
+
+/** `StatefulProcessor` behind [[StreamOps.cepStream]]: the streaming twin
+  * of the batch q_mine_cep automaton — greedy non-overlapping
+  * view;click;purchase (tc 1;2;3) with each step within `winUs`, any
+  * view re-anchoring stage 1, late steps leaving state untouched. State
+  * = ONE (stage, anchor) pair per user, bounded by |users| at any stream
+  * length; rows fold in (ts_us, event_id) order within each micro-batch
+  * and each completed match EMITS exactly once (append mode — matches
+  * are alerts, not aggregates). The transition function is line-for-line
+  * the declared batch CASE, so batch ≡ stream is structural;
+  * StreamingSpec proves it on a planted replay with a match spanning a
+  * batch boundary. */
+class CepProcessor(winUs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CepEv, (Long, Long, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: streaming.ValueState[CepState] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[CepState](
+      "cep", Encoders.product[CepState], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[CepEv],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    var s = Option(st.get()).getOrElse(CepState(0L, 0L))
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (e.tc == 2L && s.stage == 1L && e.ts_us - s.anchor <= winUs)
+        s = CepState(2L, e.ts_us)
+      else if (e.tc == 3L && s.stage == 2L && e.ts_us - s.anchor <= winUs) {
+        out += ((key, e.ts_us, e.event_id)); s = CepState(0L, 0L)
+      } else if (e.tc == 1L) s = CepState(1L, e.ts_us)
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
 case class TermRow(lang: String, term: String)
 
 /** `StatefulProcessor` behind [[StreamOps.heavyHittersStream]] — the
@@ -579,6 +619,18 @@ object StreamOps {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)
       .transformWithState(new GeofenceProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
+  /** Streaming complex-event pattern alerts — per-user greedy
+    * view;click;purchase matches; the streaming twin of the batch
+    * q_mine_cep HOF fold (state = one (stage, anchor) per user); see
+    * [[CepProcessor]]. */
+  def cepStream(ev: Dataset[CepEv], winUs: Long = 86400000000L)
+      : Dataset[(Long, Long, Long)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new CepProcessor(winUs),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 

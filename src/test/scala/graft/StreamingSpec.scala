@@ -454,6 +454,43 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("cep alerts: match spans a batch boundary, late step never completes, in-batch order restored") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[graft.streaming.CepEv]
+      val name = nextName()
+      val q = StreamOps.cepStream(input.toDS())
+        .toDF("user_id", "ts_us", "event_id")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      import graft.streaming.CepEv
+      val H = 3600000000L
+      // batch 1: user 7's view+click fed OUT OF ORDER (the in-batch
+      // re-sort); user 8 anchors a view only
+      input.addData(CepEv(7, 2 * H, 2, 2), CepEv(7, 1 * H, 1, 1),
+                    CepEv(8, 1 * H, 3, 1))
+      q.processAllAvailable()
+      // batch 2: user 7's purchase completes a match begun LAST batch
+      // (carried state); user 8's click arrives 25 h after its anchor —
+      // late, so the fresh view;click;purchase chain that follows is the
+      // only user-8 match
+      input.addData(CepEv(7, 3 * H, 4, 3),
+                    CepEv(8, 26 * H, 6, 2), CepEv(8, 27 * H, 7, 1),
+                    CepEv(8, 28 * H, 8, 2), CepEv(8, 29 * H, 9, 3))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table(name)
+        .select($"user_id", $"event_id")
+        .as[(Long, Long)].collect().toList.sorted
+      assert(got == List((7L, 4L), (8L, 9L)), s"match stream: $got")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("TWS restart recovery: state restored from checkpoint, nothing re-emits") {
     // The exactly-once story a real pipeline lives or dies by (verdict r8
     // ask #5): stop a transformWithState query, restart from the SAME
