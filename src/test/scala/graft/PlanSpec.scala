@@ -445,6 +445,29 @@ class PlanSpec extends BaseSpec {
       s"q_events_streak: expected exactly 1 hash exchange, got $hashExchanges:\n$plan")
   }
 
+  test("trajectory fold keys are single-shuffle plans: window/arrays + aggs reuse hash(user_id)") {
+    // q_mine_cep's array build + fold and q_traj_trips' window + both trip
+    // aggs must all ride ONE hash(user_id) exchange — hashpartitioning on
+    // user_id satisfies the (user_id, tid) clustering too. A refactor that
+    // re-keys between the window and the aggs would add a shuffle and
+    // still pass value checks; this is what fails.
+    for (key <- Seq("q_mine_cep", "q_traj_trips")) {
+      val plan = SparkEntry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges == 1,
+        s"$key: expected exactly 1 hash exchange, got $hashExchanges:\n$plan")
+    }
+  }
+
+  test("q_traj_heading: one user window + one 8-row sector agg, nothing else keyed") {
+    val plan = SparkEntry.queries("q_traj_heading")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 2,
+      s"q_traj_heading: expected 2 hash exchanges (user window + sector agg), got $hashExchanges:\n$plan")
+  }
+
   test("q_cap_domain rides one source-keyed window exchange into the lang agg") {
     // The capping rank must shuffle ONCE on the capping key (source); the
     // only other hash exchange is the final lang rollup. A refactor that
