@@ -82,10 +82,19 @@ object ScaleProbe {
       println(s"""{"metric":"scalegen","dir":"$scaled","factor":$factor}""")
     }
 
-    val probeKeys = Seq(
+    val allKeys = Seq(
       "m_graph_ppr", "m_graph_wpagerank", "m_graph_pagerank", "m_ml_gbt",
       "m_mine_fpgrowth", "q_dedup_jaccard", "m_dedup_minhash",
-      "q_sim_knn_vec", "q_geo_knn_join", "q_text_bpe_encode")
+      "q_sim_knn_vec", "q_geo_knn_join", "q_text_bpe_encode",
+      // round-12 session-2 additions: the per-user fold family (arrays +
+      // HOF automaton) and the trip window — the shapes whose 100 TB
+      // story is "cost tracks users × fixes, exchanges stay fixed"
+      "q_mine_cep", "q_traj_trips", "q_traj_rog")
+    // optional 4th arg: comma-separated key subset (one crashing probe —
+    // fpgrowth's declared absolute-bar lattice at 10× — must not take the
+    // shared SparkContext down with every later key's measurement)
+    val probeKeys = args.lift(3)
+      .map(s => allKeys.filter(s.split(',').toSet)).getOrElse(allKeys)
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     for (key <- probeKeys; (label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
       val t0 = System.nanoTime()

@@ -236,6 +236,31 @@ object Timeseries extends QueryGroup {
     // job; the grid join, the single ordered window pass, and the 4-lag
     // explode are all time-bounded; each r comes from five BIGINT-exact
     // power sums with one division and two sqrts over identical operands.
+    // Inter-arrival-time profile per event type — the sampling-health
+    // diagnostic read before trusting any gap-filled key: median / p90 /
+    // max gap between consecutive same-type events of the same user.
+    // Percentiles are the exact interpolated form on both engines (the
+    // q_agg_median parity precedent), computed on µs longs and SCALED TO
+    // SECONDS before the round(1) pin — at second magnitudes a formula-
+    // order ulp between the two engines' interpolation cannot reach the
+    // rounding boundary (it could at raw-µs magnitudes). One (user, type)
+    // window pass + a |types|-row agg; max_us stays exact BIGINT.
+    "q_time_iat" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_us", $"event_id")
+      val gaps = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("dt", $"ts_us" - lag($"ts_us", 1).over(w))
+        .filter($"dt".isNotNull)
+      gaps.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+             round(percentile($"dt", lit(0.5)) / 1.0e6, 1).as("p50_s"),
+             round(percentile($"dt", lit(0.9)) / 1.0e6, 1).as("p90_s"),
+             max($"dt").as("max_us"))
+        .orderBy($"event_type")
+    }),
+
     // Hour-of-day activity entropy per event type — the temporal
     // REGULARITY profile (the mobility literature's visit-distribution
     // entropy, applied to the 24-slot daily clock): H = −Σ p ln p over
@@ -435,6 +460,23 @@ object Timeseries extends QueryGroup {
         |SELECT day, round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
         |       round(lb[1] + lb[2], 6) AS forecast
         |FROM fold ORDER BY day""".stripMargin,
+
+    "q_time_iat" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    ts_us - lag(ts_us, 1) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS dt
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  round(quantile_cont(CAST(dt AS DOUBLE), 0.5) / 1.0e6, 1) AS p50_s,
+        |  round(quantile_cont(CAST(dt AS DOUBLE), 0.9) / 1.0e6, 1) AS p90_s,
+        |  CAST(MAX(dt) AS BIGINT) AS max_us
+        |FROM g WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_time_entropy" ->
       s"""WITH byh AS (

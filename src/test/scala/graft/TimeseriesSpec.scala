@@ -257,6 +257,35 @@ class TimeseriesSpec extends BaseSpec {
     }
   }
 
+  test("q_time_iat equals a driver gap recomputation with interpolated percentiles") {
+    val got = SparkEntry.queries("q_time_iat")(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    def rnd1(x: Double) =
+      new java.math.BigDecimal(x).setScale(1, java.math.RoundingMode.HALF_UP).doubleValue
+    // exact interpolated percentile (the Spark/DuckDB quantile_cont form)
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted; val pos = p * (s.length - 1)
+      val lo = pos.toInt; val f = pos - lo
+      if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * f else s(lo).toDouble
+    }
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Long, Long)].collect().toList
+    val gaps = evs.groupBy(e => (e._1, e._2)).values.toList.flatMap { g =>
+      val ts = g.sortBy(r => (r._4, r._3)).map(_._4)
+      ts.zip(ts.tail).map { case (a, b) => (g.head._2, b - a) }
+    }
+    got.foreach { case (tp, n, p50, p90, mx) =>
+      val mine = gaps.filter(_._1 == tp).map(_._2)
+      assert(n == mine.length.toLong)
+      assert(mx == mine.max)
+      assert(p50 == rnd1(pct(mine, 0.5) / 1.0e6), s"$tp p50")
+      assert(p90 == rnd1(pct(mine, 0.9) / 1.0e6), s"$tp p90")
+      assert(p50 <= p90 && p90 * 1e6 <= mx + 1e6)
+    }
+  }
+
   test("q_time_entropy equals a driver recomputation; uniform clock hits ln 24 exactly") {
     val got = SparkEntry.queries("q_time_entropy")(spark, sf)
       .as[(String, Long, Long, Double, Double)].collect().toList.sortBy(_._1)
