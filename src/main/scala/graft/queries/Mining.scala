@@ -343,6 +343,45 @@ object Mining extends QueryGroup {
               |    ELSE acc END
               |)[2]""".stripMargin).as("n_matches"))
         .orderBy($"user_id")
+    }),
+
+    // Join-key skew audit — the pre-join diagnostic a 100 TB operator runs
+    // BEFORE choosing a join strategy (q_join_salted exists because of
+    // exactly this failure mode): for the warehouse's three hottest join
+    // keys, the key cardinality, the hottest key's share, the top-10
+    // share, and the normalized key entropy (1.0 = uniform, → 0 = one
+    // dominant key; the broadcast/salt/AQE-skew decision reads top1_share
+    // and entropy together). Per relation: one data-sized hash agg to key
+    // counts (partial map-side), a top-10 that plans as
+    // TakeOrderedAndProject (never a global sort), and two |keys|-row
+    // aggs — nothing driver-sized. Entropy follows the q_time_entropy
+    // discipline: p divides exact longs, each ln round(6)-pinned BEFORE
+    // the multiply, sum decimal-routed; the ln(n_keys) normalizer divides
+    // identical exact operands in both engines.
+    "q_audit_skew" -> ((s, dir) => {
+      import s.implicits._
+      def skew(name: String, df: org.apache.spark.sql.DataFrame, key: String) = {
+        val cnts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        val tot = cnts.agg(sum($"c").as("n"), count(lit(1)).as("n_keys"),
+                           max($"c").as("max_cnt"))
+        val top10 = cnts.orderBy($"c".desc, $"k").limit(10)
+          .agg(sum($"c").as("top10_cnt"))
+        val ent = cnts.crossJoin(broadcast(tot.select($"n".as("nt"))))
+          .withColumn("p", $"c".cast("double") / $"nt")
+          .agg((-sum(($"p" * round(log($"p"), 6))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 12))))
+            .cast("double").as("h"))
+        tot.crossJoin(broadcast(top10)).crossJoin(broadcast(ent))
+          .select(lit(name).as("relationship"), $"n", $"n_keys", $"max_cnt",
+            round($"max_cnt".cast("double") / $"n", 6).as("top1_share"),
+            round($"top10_cnt".cast("double") / $"n", 6).as("top10_share"),
+            when($"n_keys" > 1L,
+              round($"h" / log($"n_keys".cast("double")), 4)).as("entropy_norm"))
+      }
+      skew("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey")
+        .unionAll(skew("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey"))
+        .unionAll(skew("orders.o_custkey", t(s, dir, "orders"), "o_custkey"))
+        .orderBy($"relationship")
     })
   )
 
@@ -523,6 +562,33 @@ object Mining extends QueryGroup {
         |SELECT a2.user_id, CAST(len(a2.a) AS BIGINT) AS n_events,
         |  CAST(w.n AS BIGINT) AS n_matches
         |FROM walk w JOIN arr a2 ON w.uid = a2.user_id AND w.i = len(a2.a)
-        |ORDER BY a2.user_id""".stripMargin
+        |ORDER BY a2.user_id""".stripMargin,
+
+    // One generated block per audited relation — the same ln-pin /
+    // decimal-sum text the Spark side declares, so the three relations
+    // cannot drift apart.
+    "q_audit_skew" -> (Seq(
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"))
+      .map { case (name, table, key) =>
+        s"""SELECT '$name' AS relationship, CAST(n AS BIGINT) AS n, n_keys,
+           |  max_cnt,
+           |  round(CAST(max_cnt AS DOUBLE) / n, 6) AS top1_share,
+           |  round(CAST(top10_cnt AS DOUBLE) / n, 6) AS top10_share,
+           |  CASE WHEN n_keys > 1
+           |    THEN round(h / ln(CAST(n_keys AS DOUBLE)), 4) END AS entropy_norm
+           |FROM
+           |  (SELECT SUM(c) AS n, COUNT(*) AS n_keys, MAX(c) AS max_cnt
+           |   FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key)),
+           |  (SELECT SUM(c) AS top10_cnt FROM (
+           |     SELECT COUNT(*) AS c FROM $table GROUP BY $key
+           |     ORDER BY COUNT(*) DESC, $key LIMIT 10)),
+           |  (SELECT -CAST(SUM(CAST(p * round(ln(p), 6) AS DECIMAL(28,12)))
+           |            AS DOUBLE) AS h
+           |   FROM (SELECT CAST(c AS DOUBLE) / nn AS p FROM
+           |      (SELECT COUNT(*) AS c FROM $table GROUP BY $key),
+           |      (SELECT COUNT(*) AS nn FROM $table)))""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\nORDER BY relationship"))
   )
 }

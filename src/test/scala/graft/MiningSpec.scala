@@ -186,4 +186,35 @@ class MiningSpec extends BaseSpec {
     // a purchase with no armed chain never counts
     assert(cepCount(Seq((0L, "purchase"), (H, "purchase")), W) == 0L)
   }
+
+  test("q_audit_skew equals a driver recomputation per relation") {
+    val got = SparkEntry.queries("q_audit_skew")(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().toList.sortBy(_._1)
+    assert(got.map(_._1) ==
+      List("lineitem.l_orderkey", "lineitem.l_partkey", "orders.o_custkey"))
+    def rnd(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    def mine(table: String, key: String) = {
+      val cnts = Tables(spark, sf, table).groupBy(col(key)).count()
+        .as[(Long, Long)].collect().toList
+      val n = cnts.map(_._2).sum
+      val top10 = cnts.sortBy(c => (-c._2, c._1)).take(10).map(_._2).sum
+      val h = -cnts.map { case (_, c) =>
+        val p = c.toDouble / n
+        BigDecimal(p * rnd(math.log(p), 6)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (n, cnts.size.toLong, cnts.map(_._2).max, rnd(cnts.map(_._2).max.toDouble / n, 6),
+       rnd(top10.toDouble / n, 6), rnd(h / math.log(cnts.size.toDouble), 4))
+    }
+    got.foreach { case (rel, n, nk, mx, t1, t10, ent) =>
+      val Array(table, key) = rel.split('.')
+      val (en, enk, emx, et1, et10, eent) = mine(table, key)
+      assert((n, nk, mx) == (en, enk, emx), rel)
+      assert(t1 == et1 && t10 == et10 && ent == eent, rel)
+      // skew invariants: shares nest, entropy normalized into (0, 1]
+      assert(t1 <= t10 && t10 <= 1.0 && ent > 0.0 && ent <= 1.0)
+    }
+  }
 }
