@@ -353,8 +353,69 @@ object Ml extends QueryGroup {
                 round($"similarity", 4).as("sim"),
                 lit(vocab).as("vocab_size"))
         .orderBy($"probe", $"rank")
+    }),
+
+    // Classifier evaluation sweep — the confusion matrix / PR curve of a
+    // scoring rule at 9 declared thresholds (the operator a model
+    // pipeline runs after ANY of the trained keys: pick the operating
+    // point). Task mirrors q_stat_mwu's framing (purchase vs click by
+    // value, score = value, positive ⟺ value ≥ τ); because thresholds
+    // are integers, value ≥ τ ⟺ floor(value) ≥ τ, so the whole sweep
+    // runs on the INTEGER unit-bin histogram: one data-sized hash agg to
+    // ≤ ~500 bins, then a 9×bins bounded theta join (both sides
+    // generated/value-range-sized — never data-sized) and exact BIGINT
+    // confusion counts; every rate divides exact integers, round(6).
+    "q_ml_confusion" -> ((s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("bin", floor($"value").cast("long"))
+        .groupBy($"bin")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"),
+             sum(when($"event_type" === "click", 1L).otherwise(0L)).as("neg"))
+      val tot = bins.agg(sum($"pos").as("p"), sum($"neg").as("nn"))
+      val thr = t(s, dir, "region").limit(1)
+        .select(explode(sequence(lit(50L), lit(450L), lit(50L))).as("thr"))
+      thr.join(bins, $"bin" >= $"thr", "left")
+        .groupBy($"thr")
+        .agg(coalesce(sum($"pos"), lit(0L)).as("tp"),
+             coalesce(sum($"neg"), lit(0L)).as("fp"))
+        .crossJoin(broadcast(tot)) // 1-row stats join, the declared pattern
+        .withColumn("fn", $"p" - $"tp")
+        .withColumn("tn", $"nn" - $"fp")
+        .select($"thr".as("threshold"), $"tp", $"fp", $"fn", $"tn",
+          when($"tp" + $"fp" > 0L,
+            round($"tp".cast("double") / ($"tp" + $"fp"), 6)).as("prec"),
+          round($"tp".cast("double") / $"p", 6).as("rec"),
+          round((lit(2L) * $"tp").cast("double") /
+            (lit(2L) * $"tp" + $"fp" + $"fn"), 6).as("f1"),
+          round(($"tp" + $"tn").cast("double") / ($"p" + $"nn"), 6).as("acc"))
+        .orderBy($"threshold")
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q_ml_confusion" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS bin,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS neg
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+        |               CAST(SUM(neg) AS BIGINT) AS nn FROM b),
+        |thr AS (SELECT unnest(generate_series(50, 450, 50)) AS thr),
+        |c AS (
+        |  SELECT thr, CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS tp,
+        |         CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS fp
+        |  FROM thr LEFT JOIN b ON b.bin >= thr.thr GROUP BY thr)
+        |SELECT CAST(thr AS BIGINT) AS threshold, tp, fp,
+        |  p - tp AS fn, nn - fp AS tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+        |  round(CAST(tp AS DOUBLE) / p, 6) AS rec,
+        |  round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (p - tp)), 6) AS f1,
+        |  round(CAST(tp + (nn - fp) AS DOUBLE) / (p + nn), 6) AS acc
+        |FROM c, tot ORDER BY threshold""".stripMargin
+  )
 }

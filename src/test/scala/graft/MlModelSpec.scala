@@ -208,4 +208,29 @@ class MlModelSpec extends BaseSpec {
     val (_, _, _, r2Train) = byCase("train")
     assert(r2Train >= 0.95, s"train R2 $r2Train below floor")
   }
+
+  test("q_ml_confusion equals a driver confusion sweep; curve invariants hold") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q_ml_confusion")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList.sortBy(_._1)
+    assert(got.map(_._1) == (50L to 450L by 50L).toList)
+    val rows = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().toList
+    val p = rows.count(_._1 == "purchase").toLong
+    val nn = rows.size.toLong - p
+    got.foreach { case (thr, tp, fp, fn, tn) =>
+      val etp = rows.count { case (t, v) => t == "purchase" && v >= thr }
+      val efp = rows.count { case (t, v) => t == "click" && v >= thr }
+      assert((tp, fp) == (etp.toLong, efp.toLong), s"thr=$thr")
+      assert(fn == p - tp && tn == nn - fp)
+    }
+    // raising the threshold can only shrink both flagged sets
+    got.sliding(2).foreach { case List(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3)
+    case _ => ()
+    }
+  }
 }
