@@ -261,6 +261,65 @@ object Timeseries extends QueryGroup {
         .orderBy($"event_type")
     }),
 
+    // Burst segmentation with hysteresis — the alert-storm / load-burst
+    // primitive beside q_time_cusum's single changepoint: per event type
+    // over the gap-filled hourly grid, a burst STARTS when the hourly
+    // count reaches 1.5× the type's mean rate and persists until the
+    // count drops BELOW the mean — two thresholds (a Schmitt trigger) so
+    // boundary chatter cannot split one storm into many. Both
+    // comparisons are EXACT integer cross-multiplications (2·c·n ≥
+    // 3·total to enter, c·n < total to exit — never a double mean); the
+    // carried state is last(flag IGNORE NULLS) over the ordered grid —
+    // one window pass, no fold array — and every output column is an
+    // exact BIGINT: this key has NO rounding anywhere. Grid rows are
+    // time-bounded (the q_roll_mean argument); the only data-sized job
+    // is the (h, type) hash agg. The 1.5× bar is sized to the fixture's
+    // Poisson-ish tail so the machinery is exercised at every SF (2×
+    // is above the sf0.1 max — a vacuous key at exactly the SF the
+    // driver gates on).
+    "q_time_burst" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "events")
+        .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
+        .groupBy($"h", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select(explode(expr("sequence(lo, hi, 3600000)")).as("h"))
+      val types = agg.select($"event_type").distinct()
+      val ser = grid.crossJoin(broadcast(types))
+        .join(agg, Seq("h", "event_type"), "left")
+        .select($"h", $"event_type", coalesce($"c", lit(0L)).as("c"))
+      val wT = Window.partitionBy($"event_type")
+      val wOrd = wT.orderBy($"h")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = ser
+        .withColumn("n", count(lit(1)).over(wT))
+        .withColumn("total", sum($"c").over(wT))
+        .withColumn("flag",
+          when(lit(2L) * $"c" * $"n" >= lit(3L) * $"total", 1L)
+            .when($"c" * $"n" < $"total", 0L))
+        .withColumn("state",
+          coalesce(last($"flag", ignoreNulls = true).over(wRun), lit(0L)))
+        .withColumn("newb",
+          when($"state" === 1L &&
+            coalesce(lag($"state", 1).over(wOrd), lit(0L)) === 0L, 1L)
+            .otherwise(0L))
+        .withColumn("bid", sum($"newb").over(wRun))
+      val lens = st.filter($"state" === 1L)
+        .groupBy($"event_type", $"bid").agg(count(lit(1)).as("len"))
+        .groupBy($"event_type").agg(max($"len").as("maxlen"))
+      st.groupBy($"event_type")
+        .agg(max($"n").as("n_hours"), max($"total").as("n_events"),
+             sum($"newb").as("n_bursts"), sum($"state").as("burst_hours"),
+             sum($"c" * $"state").as("events_in_burst"))
+        .join(lens, Seq("event_type"), "left")
+        .select($"event_type", $"n_hours", $"n_events", $"n_bursts",
+                $"burst_hours",
+                coalesce($"maxlen", lit(0L)).as("max_burst_len"),
+                $"events_in_burst")
+        .orderBy($"event_type")
+    }),
+
     // Hour-of-day activity entropy per event type — the temporal
     // REGULARITY profile (the mobility literature's visit-distribution
     // entropy, applied to the 24-slot daily clock): H = −Σ p ln p over
@@ -477,6 +536,54 @@ object Timeseries extends QueryGroup {
         |  CAST(MAX(dt) AS BIGINT) AS max_us
         |FROM g WHERE dt IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_burst" ->
+      """WITH hc AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS h,
+        |         event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+        |grid AS (SELECT unnest(generate_series(lo, hi, 3600000)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM hc),
+        |ser AS (
+        |  SELECT g.h, t.event_type, COALESCE(hc.c, 0) AS c
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN hc ON hc.h = g.h AND hc.event_type = t.event_type),
+        |st0 AS (
+        |  SELECT h, event_type, c,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM ser),
+        |st1 AS (
+        |  SELECT *, CASE WHEN 2 * c * n >= 3 * total THEN 1
+        |                 WHEN c * n < total THEN 0 END AS flag
+        |  FROM st0),
+        |st2 AS (
+        |  SELECT *, COALESCE(last_value(flag IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+        |  FROM st1),
+        |st3 AS (
+        |  SELECT *, CASE WHEN state = 1 AND COALESCE(lag(state, 1) OVER (
+        |      PARTITION BY event_type ORDER BY h), 0) = 0
+        |    THEN 1 ELSE 0 END AS newb
+        |  FROM st2),
+        |st4 AS (
+        |  SELECT *, SUM(newb) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid
+        |  FROM st3),
+        |lens AS (
+        |  SELECT event_type, MAX(len) AS maxlen FROM (
+        |    SELECT event_type, bid, COUNT(*) AS len FROM st4 WHERE state = 1
+        |    GROUP BY 1, 2) GROUP BY 1)
+        |SELECT s.event_type, CAST(MAX(n) AS BIGINT) AS n_hours,
+        |  CAST(MAX(total) AS BIGINT) AS n_events,
+        |  CAST(SUM(newb) AS BIGINT) AS n_bursts,
+        |  CAST(SUM(state) AS BIGINT) AS burst_hours,
+        |  CAST(COALESCE(MAX(l.maxlen), 0) AS BIGINT) AS max_burst_len,
+        |  CAST(SUM(c * state) AS BIGINT) AS events_in_burst
+        |FROM st4 s LEFT JOIN lens l USING (event_type)
+        |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin,
 
     "q_time_entropy" ->
       s"""WITH byh AS (

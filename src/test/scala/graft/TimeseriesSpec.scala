@@ -286,6 +286,40 @@ class TimeseriesSpec extends BaseSpec {
     }
   }
 
+  test("q_time_burst equals a driver hysteresis automaton on the gap-filled grid") {
+    val got = SparkEntry.queries("q_time_burst")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    val hc = Tables(spark, sf, "events")
+      .selectExpr("(unix_millis(ts) div 3600000) * 3600000 AS h", "event_type")
+      .groupBy("h", "event_type").count()
+      .as[(Long, String, Long)].collect().toList
+    val (lo, hi) = (hc.map(_._1).min, hc.map(_._1).max)
+    val hours = lo to hi by 3600000L
+    got.foreach { case (tp, nH, nEv, nB, bH, maxL, evB) =>
+      val byH = hc.filter(_._2 == tp).map(r => r._1 -> r._3).toMap
+      val cs = hours.map(h => byH.getOrElse(h, 0L))
+      val (n, total) = (cs.length.toLong, cs.sum)
+      assert(nH == n && nEv == total, tp)
+      // driver Schmitt trigger: enter at 1.5x mean, exit below mean
+      var state = 0L; var run = 0L
+      var bursts = 0L; var bh = 0L; var mx = 0L; var ev = 0L
+      cs.foreach { c =>
+        val prev = state
+        if (2 * c * n >= 3 * total) state = 1L
+        else if (c * n < total) state = 0L
+        if (state == 1L) {
+          if (prev == 0L) { bursts += 1; run = 0L }
+          run += 1; bh += 1; ev += c; mx = math.max(mx, run)
+        }
+      }
+      assert((nB, bH, maxL, evB) == ((bursts, bh, mx, ev)), tp)
+      // structural invariants of any segmentation
+      assert(maxL <= bH && bH <= n && (nB == 0L || maxL * nB >= bH || maxL <= bH))
+      assert(nB > 0L, s"$tp: threshold degenerate at this SF")
+    }
+  }
+
   test("q_time_entropy equals a driver recomputation; uniform clock hits ln 24 exactly") {
     val got = SparkEntry.queries("q_time_entropy")(spark, sf)
       .as[(String, Long, Long, Double, Double)].collect().toList.sortBy(_._1)
