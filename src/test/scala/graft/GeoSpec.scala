@@ -489,4 +489,38 @@ class GeoSpec extends BaseSpec {
     assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
     got.foreach { case (_, _, rog, mx) => assert(rog >= 0.0 && rog <= mx) }
   }
+
+  test("q_geo_moran equals a driver lattice recomputation; W is the queen-ring constant") {
+    val Seq((nCells, w, iM, eI, z)) = SparkEntry.queries("q_geo_moran")(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // 16 interior lat rows x 36 lons x 8 neighbors + 2 edge rows x 5
+    assert(nCells == 648L && w == 16L * 36 * 8 + 2L * 36 * 5)
+    def rnd(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    assert(eI == rnd(-1.0 / 647.0, 6))
+    // driver recomputation from raw events through the same derivation
+    val cells = Tables(spark, sf, "events")
+      .selectExpr("CAST(floor((((event_id * 37) % 1700) / 10.0 - 85.0) / 10.0) AS LONG) AS la",
+                  "pmod(CAST(floor(((((event_id * 131) % 3600) / 10.0 - 180.0) + 180.0) / 10.0) AS LONG), 36L) AS lo")
+      .groupBy("la", "lo").count().as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val xs = for (la <- -9L to 8L; lo <- 0L to 35L)
+      yield (la, lo) -> cells.getOrElse((la, lo), 0L)
+    val xm = xs.toMap
+    val n = xs.size
+    val mean = xs.map(_._2).sum.toDouble / n
+    var num = 0.0; var ww = 0L
+    for (((la, lo), x) <- xs; dla <- -1L to 1L; dlo <- -1L to 1L
+         if !(dla == 0L && dlo == 0L) && la + dla >= -9L && la + dla <= 8L) {
+      num += (x - mean) * (xm((la + dla, ((lo + dlo) % 36 + 36) % 36)) - mean)
+      ww += 1
+    }
+    val den = xs.map { case (_, x) => (x - mean) * (x - mean) }.sum
+    assert(ww == w)
+    val iRef = (n.toDouble / ww) * (num / den)
+    assert(math.abs(iM - iRef) < 1e-4, s"I $iM vs driver $iRef")
+    // the z-score must agree in sign and magnitude class with I vs E[I]
+    assert((iM > eI) == (z > 0.0))
+  }
 }
