@@ -57,4 +57,43 @@ object Bfs {
     lastIterations = d
     visited
   }
+
+  /** Per-source BFS: hop distances from EVERY vertex of `sources` to every
+    * vertex within `maxHops` — the all-pairs substrate of the closeness /
+    * harmonic-centrality key. The identical frontier-synchronous loop,
+    * keyed on (src, id): the frontier join still shuffles on the frontier's
+    * vertex ids, the anti-join on the composite key — content-keyed
+    * equi-joins only, state sized like the oracle's recursive walk
+    * (Σ reachable pairs, vertex-set-squared at worst — the CC-scale
+    * argument: the USER graph, never the event log). Same cadence
+    * discipline as [[run]].
+    *
+    * @return (src, id, dist) with dist = 0 at each source itself */
+  def runFromEach(spark: SparkSession, edges: DataFrame, sources: DataFrame,
+                  maxHops: Int = 8, checkEvery: Int = 2): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select($"u1".as("sv"), $"u2".as("dst"))
+      .unionAll(edges.select($"u2".as("sv"), $"u1".as("dst")))
+      .localCheckpoint(eager = true)
+
+    var visited = sources.select($"id".as("src"), $"id", lit(0).as("dist"))
+      .localCheckpoint(eager = true)
+    var frontier = visited.select($"src", $"id")
+    var d = 0
+    var done = false
+    while (d < maxHops && !done) {
+      d += 1
+      val cadence = d % checkEvery == 0 || d == maxHops
+      val next = frontier.join(sym, frontier("id") === sym("sv"))
+        .select($"src", sym("dst").as("id")).distinct()
+        .join(visited, Seq("src", "id"), "left_anti")
+        .select($"src", $"id", lit(d).as("dist"))
+        .localCheckpoint(eager = cadence)
+      visited = visited.unionAll(next).localCheckpoint(eager = false)
+      frontier = next.select($"src", $"id")
+      if (cadence && d < maxHops) done = next.isEmpty
+    }
+    lastIterations = d
+    visited
+  }
 }

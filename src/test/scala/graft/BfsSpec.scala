@@ -64,4 +64,49 @@ class BfsSpec extends BaseSpec {
     val got = dists(es, Seq(0L))
     assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 1), got.toString)
   }
+
+  test("runFromEach: per-source layers equal single-source BFS from every vertex") {
+    val rnd = new scala.util.Random(29L)
+    for (trial <- 1 to 2) {
+      val n = 40
+      val es = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val verts = (es.map(_._1) ++ es.map(_._2)).distinct
+      val got = Bfs
+        .runFromEach(spark, es.toDF("u1", "u2"), verts.toDF("id"), maxHops = 8)
+        .as[(Long, Long, Int)].collect()
+        .groupBy(_._1).map { case (s, rs) => s -> rs.map(r => r._2 -> r._3).toMap }
+      assert(got.keySet == verts.toSet, s"trial $trial: a source is missing")
+      verts.foreach { src =>
+        assert(got(src) == reference(es, Seq(src), 8), s"trial $trial src $src")
+      }
+      // min over any seed set must reproduce the multi-source operator
+      val seeds = verts.take(3)
+      val multi = dists(es, seeds)
+      val fromEach = got.filterKeys(seeds.contains).values
+        .flatten.groupBy(_._1).map { case (id, ds) => id -> ds.map(_._2).min }
+      assert(fromEach.toMap == multi)
+    }
+  }
+
+  test("q_graph_closeness: harmonic/closeness recomputed from raw per-source layers") {
+    val rows = SparkEntry.queries("q_graph_closeness")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+    assert(rows.nonEmpty && rows.size <= 20)
+    def rnd6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    rows.foreach { case (_, nReach, sumD, close, harm) =>
+      assert(close == rnd6(nReach.toDouble / sumD))
+      // harmonic bounds: all-at-dist-1 upper, all-at-dist-8 lower
+      assert(harm <= nReach.toDouble + 1e-9 && harm >= nReach / 8.0 - 1e-9)
+      assert(nReach <= sumD && sumD <= 8L * nReach)
+    }
+    // top-20 ordering is (harmonic desc, id asc)
+    rows.sliding(2).foreach {
+      case List(a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._1 < b._1))
+      case _ => ()
+    }
+  }
 }
