@@ -97,6 +97,30 @@ object Ml extends QueryGroup {
         .orderBy($"split")
     }),
 
+    // Linear SVM (hinge loss) on the SAME planted target — the
+    // max-margin member of the linear family beside logistic's
+    // likelihood fit (the two recover nearly the same direction on a
+    // ~12% label-noise linear boundary, so the held-out accuracy band
+    // matches logreg's and MlModelSpec pins both). MLlib's LinearSVC
+    // minimizes the smoothed hinge with L-BFGS/OWL-QN over treeAggregate
+    // gradient partials — one distributed pass per iteration, nothing
+    // driver-sized but the coefficient vector; scoring is a broadcast
+    // dot product. Deterministic by construction: convex objective,
+    // fixed zero init, no sampling — the fit path reads no seed.
+    "m_ml_svm" -> ((s, dir) => {
+      import s.implicits._
+      val d = logregFrame(s, dir)
+      val model = new org.apache.spark.ml.classification.LinearSVC()
+        .setMaxIter(50).setRegParam(0.01)
+        .fit(d.filter($"split" === "train"))
+      model.transform(d)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"prediction" === $"label", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", round($"n_correct" / $"n", 4))
+        .orderBy($"split")
+    }),
+
     // Linear regression on a REAL fixture relationship (not planted):
     // documents.n_chars from [whitespace token count, within-doc distinct
     // token count] — n_chars is tokens × (avg token length + 1) − 1, so a

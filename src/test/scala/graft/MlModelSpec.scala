@@ -49,6 +49,25 @@ class MlModelSpec extends BaseSpec {
       s"coefficient ratio $ratio far from the planted 1.33")
   }
 
+  test("svm: stable across runs, held-out accuracy in the logreg band, direction recovered") {
+    def svm() = SparkEntry.queries("m_ml_svm")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toList
+    val r1 = svm()
+    assert(r1 == svm(), "convex hinge fit must refit identically")
+    val byCase = r1.map(r => r._1 -> r).toMap
+    val (_, _, _, accTest) = byCase("test")
+    // max-margin vs likelihood on the same ~12% noise plant: same band
+    assert(accTest >= 0.78 && accTest <= 0.95, s"held-out accuracy $accTest")
+    import org.apache.spark.ml.classification.LinearSVC
+    val d = graft.queries.Ml.logregFrame(spark, sf)
+    val c = new LinearSVC().setMaxIter(50).setRegParam(0.01)
+      .fit(d.filter($"split" === "train")).coefficients
+    assert(c(0) > 0 && c(1) < 0, s"recovered direction $c, want (+, -)")
+    val ratio = math.abs(c(0) / c(1))
+    assert(ratio > 0.9 && ratio < 2.0,
+      s"coefficient ratio $ratio far from the planted 1.33")
+  }
+
   private def gbt() = SparkEntry.queries("m_ml_gbt")(spark, sf)
     .as[(String, Long, Long, Double)].collect().toList
 
