@@ -351,27 +351,31 @@ object Mining extends QueryGroup {
     // keys, the key cardinality, the hottest key's share, the top-10
     // share, and the normalized key entropy (1.0 = uniform, → 0 = one
     // dominant key; the broadcast/salt/AQE-skew decision reads top1_share
-    // and entropy together). Per relation: one data-sized hash agg to key
-    // counts (partial map-side), a top-10 that plans as
-    // TakeOrderedAndProject (never a global sort), and two |keys|-row
-    // aggs — nothing driver-sized. Entropy follows the q_time_entropy
-    // discipline: p divides exact longs, each ln round(6)-pinned BEFORE
-    // the multiply, sum decimal-routed; the ln(n_keys) normalizer divides
-    // identical exact operands in both engines.
+    // and entropy together). Per relation, EVERYTHING comes out of ONE
+    // pass over the key-count frame: the top-10 rides the TopKPairs heap
+    // aggregate (O(10) state through partial aggregation — a separate
+    // ordered pass would re-scan the fact table), and entropy uses the
+    // scan-free identity H = ln n − (Σ c·ln c)/n so no per-row p = c/n
+    // pre-division (which would need n first = a second pass). Each
+    // c·ln c term is ln-round(6)-pinned before the multiply and
+    // decimal-summed (q_time_entropy discipline); the final ln n, /n,
+    // and ln(n_keys) steps divide identical exact operands in both
+    // engines. Plan: one data-sized hash agg + one 1-row reduce per
+    // relation — the fact table is scanned exactly once per relation.
     "q_audit_skew" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.TopKPairs.register(s, 10)
       def skew(name: String, df: org.apache.spark.sql.DataFrame, key: String) = {
-        val cnts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-        val tot = cnts.agg(sum($"c").as("n"), count(lit(1)).as("n_keys"),
-                           max($"c").as("max_cnt"))
-        val top10 = cnts.orderBy($"c".desc, $"k").limit(10)
-          .agg(sum($"c").as("top10_cnt"))
-        val ent = cnts.crossJoin(broadcast(tot.select($"n".as("nt"))))
-          .withColumn("p", $"c".cast("double") / $"nt")
-          .agg((-sum(($"p" * round(log($"p"), 6))
-              .cast(org.apache.spark.sql.types.DecimalType(28, 12))))
-            .cast("double").as("h"))
-        tot.crossJoin(broadcast(top10)).crossJoin(broadcast(ent))
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+          .agg(sum($"c").as("n"), count(lit(1)).as("n_keys"),
+               max($"c").as("max_cnt"),
+               expr("topk_pairs(CAST(c AS DOUBLE), k)").as("top"),
+               sum(($"c".cast("double") * round(log($"c".cast("double")), 6))
+                 .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("s"))
+          .withColumn("top10_cnt",
+            expr("aggregate(top, 0L, (a, e) -> a + CAST(e.score AS BIGINT))"))
+          .withColumn("h",
+            log($"n".cast("double")) - $"s".cast("double") / $"n")
           .select(lit(name).as("relationship"), $"n", $"n_keys", $"max_cnt",
             round($"max_cnt".cast("double") / $"n", 6).as("top1_share"),
             round($"top10_cnt".cast("double") / $"n", 6).as("top10_share"),
@@ -577,18 +581,16 @@ object Mining extends QueryGroup {
            |  round(CAST(max_cnt AS DOUBLE) / n, 6) AS top1_share,
            |  round(CAST(top10_cnt AS DOUBLE) / n, 6) AS top10_share,
            |  CASE WHEN n_keys > 1
-           |    THEN round(h / ln(CAST(n_keys AS DOUBLE)), 4) END AS entropy_norm
+           |    THEN round((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n)
+           |               / ln(CAST(n_keys AS DOUBLE)), 4) END AS entropy_norm
            |FROM
-           |  (SELECT SUM(c) AS n, COUNT(*) AS n_keys, MAX(c) AS max_cnt
+           |  (SELECT SUM(c) AS n, COUNT(*) AS n_keys, MAX(c) AS max_cnt,
+           |     SUM(CAST(CAST(c AS DOUBLE) * round(ln(CAST(c AS DOUBLE)), 6)
+           |         AS DECIMAL(28,12))) AS s
            |   FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key)),
            |  (SELECT SUM(c) AS top10_cnt FROM (
            |     SELECT COUNT(*) AS c FROM $table GROUP BY $key
-           |     ORDER BY COUNT(*) DESC, $key LIMIT 10)),
-           |  (SELECT -CAST(SUM(CAST(p * round(ln(p), 6) AS DECIMAL(28,12)))
-           |            AS DOUBLE) AS h
-           |   FROM (SELECT CAST(c AS DOUBLE) / nn AS p FROM
-           |      (SELECT COUNT(*) AS c FROM $table GROUP BY $key),
-           |      (SELECT COUNT(*) AS nn FROM $table)))""".stripMargin
+           |     ORDER BY COUNT(*) DESC, $key LIMIT 10))""".stripMargin
       }.mkString("\n", "\nUNION ALL\n", "\nORDER BY relationship"))
   )
 }

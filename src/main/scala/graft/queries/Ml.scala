@@ -391,20 +391,30 @@ object Ml extends QueryGroup {
     // confusion counts; every rate divides exact integers, round(6).
     "q_ml_confusion" -> ((s, dir) => {
       import s.implicits._
+      // totals ride a single-partition window over the BIN frame (≤ ~500
+      // value-range-bounded rows — never data-sized), so the fact table
+      // is scanned exactly once; a separate totals agg would re-scan it
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
       val bins = t(s, dir, "events")
         .filter($"event_type".isin("click", "purchase"))
         .withColumn("bin", floor($"value").cast("long"))
         .groupBy($"bin")
         .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"),
              sum(when($"event_type" === "click", 1L).otherwise(0L)).as("neg"))
-      val tot = bins.agg(sum($"pos").as("p"), sum($"neg").as("nn"))
+        .withColumn("p", sum($"pos").over(wAll))
+        .withColumn("nn", sum($"neg").over(wAll))
       val thr = t(s, dir, "region").limit(1)
         .select(explode(sequence(lit(50L), lit(450L), lit(50L))).as("thr"))
+      // left join: a threshold above every observed value is a REAL
+      // operating point (tp = fp = 0) — at sf0.001 the top three are;
+      // its totals backfill from the 9-row result via one more window
       thr.join(bins, $"bin" >= $"thr", "left")
         .groupBy($"thr")
         .agg(coalesce(sum($"pos"), lit(0L)).as("tp"),
-             coalesce(sum($"neg"), lit(0L)).as("fp"))
-        .crossJoin(broadcast(tot)) // 1-row stats join, the declared pattern
+             coalesce(sum($"neg"), lit(0L)).as("fp"),
+             max($"p").as("p0"), max($"nn").as("nn0"))
+        .withColumn("p", max($"p0").over(wAll))
+        .withColumn("nn", max($"nn0").over(wAll))
         .withColumn("fn", $"p" - $"tp")
         .withColumn("tn", $"nn" - $"fp")
         .select($"thr".as("threshold"), $"tp", $"fp", $"fn", $"tn",

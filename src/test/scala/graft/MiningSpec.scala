@@ -201,10 +201,12 @@ class MiningSpec extends BaseSpec {
         .as[(Long, Long)].collect().toList
       val n = cnts.map(_._2).sum
       val top10 = cnts.sortBy(c => (-c._2, c._1)).take(10).map(_._2).sum
-      val h = -cnts.map { case (_, c) =>
-        val p = c.toDouble / n
-        BigDecimal(p * rnd(math.log(p), 6)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      // scan-free identity: H = ln n - (sum of c*r6(ln c)) / n
+      val sTerm = cnts.map { case (_, c) =>
+        BigDecimal(c.toDouble * rnd(math.log(c.toDouble), 6))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
       }.sum.toDouble
+      val h = math.log(n.toDouble) - sTerm / n
       (n, cnts.size.toLong, cnts.map(_._2).max, rnd(cnts.map(_._2).max.toDouble / n, 6),
        rnd(top10.toDouble / n, 6), rnd(h / math.log(cnts.size.toDouble), 4))
     }

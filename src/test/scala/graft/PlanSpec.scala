@@ -545,6 +545,43 @@ class PlanSpec extends BaseSpec {
     assert(shape("q_winsorize") == ((2, 0, true)))
   }
 
+  test("round-12 session-3 additions hold their pinned exchange budgets") {
+    def shape(key: String, allowedBnlj: Int = 0): (Int, Int, Boolean) = {
+      val plan = SparkEntry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$key: cartesian product leaked into the plan:\n$plan")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj == allowedBnlj,
+        s"$key: $bnlj nested-loop joins (declared $allowedBnlj):\n$plan")
+      ("Exchange hashpartitioning".r.findAllIn(plan).size,
+       "Exchange SinglePartition".r.findAllIn(plan).size,
+       plan.contains("BroadcastHashJoin"))
+    }
+    // iat: the (user,type) gap window + the type agg — two keyed
+    // exchanges, the final orderBy is presentation (rangepartitioning)
+    assert(shape("q_time_iat") == ((2, 0, false)))
+    // skew: ONE fact scan per relation — the key-count hash agg, then a
+    // 1-row reduce (TopKPairs + power sums ride the same agg); the
+    // round-12 rewrite collapsed 12 exchanges / 9 BNLJ to this
+    assert(shape("q_audit_skew") == ((3, 3, false)))
+    // confusion: ONE fact scan into the bin agg; the 9-row threshold
+    // frame is the declared bounded BNLJ (both sides generated/range-
+    // sized); totals ride windows, never a second scan
+    assert(shape("q_ml_confusion", allowedBnlj = 1) == ((1, 2, false)))
+    // burst: the (h,type) substrate agg (re-derived for bounds/types —
+    // the spearman substrate pattern) + the grid-sized (type,bid) island
+    // agg; grid×types broadcast expansions are the two declared BNLJs
+    assert(shape("q_time_burst", allowedBnlj = 2) == ((4, 2, true)))
+    // moran: cell agg + neighbor agg, then two 1-row reduces over the
+    // 648-cell frame; lattice/grid joins broadcast
+    assert(shape("q_geo_moran") == ((2, 2, true)))
+    // closeness: the per-(src,dist) and per-src aggs over the BFS
+    // output — ring rounds themselves are equi-join plans by
+    // construction (BfsSpec covers the operator)
+    assert(shape("q_graph_closeness") == ((2, 0, false)))
+  }
+
   test("q_dedup_substring joins on the shingle key only — no pair explosion, no nested loop") {
     // The inverted-index claim as plan shape: every join is an equi hash
     // or sort-merge join (shingle / doc_id keys); a naive all-pairs span
