@@ -72,6 +72,21 @@ object Geo extends QueryGroup {
       graft.operators.LabelProp.run(s, edges).localCheckpoint(eager = false)
     }
 
+  /** All-pairs ≤8-hop BFS distances over the co-traveler graph — ONE
+    * iterative run per (session, dir), shared by q_graph_closeness and
+    * q_graph_diameter (the lpMemo discipline applied to the distance
+    * frame). */
+  private val apspMemo = new graft.SessionMemo[String, DataFrame]
+  private def apspDists(s: SparkSession, dir: String): DataFrame =
+    apspMemo.getOrCompute(s, dir) {
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      val verts = pairs.select(col("u1").as("id"))
+        .unionAll(pairs.select(col("u2").as("id"))).distinct()
+      graft.operators.Bfs
+        .runFromEach(s, pairs.select(col("u1"), col("u2")), verts, maxHops = 8)
+        .localCheckpoint(eager = false)
+    }
+
   /** Derived pseudo-coordinates — integer-exact, identical text in SQL. */
   private def withGeo(df: DataFrame): DataFrame = df
     .withColumn("lat", ((col("event_id") * 37L)  % 1700L) / 10.0 - 85.0)
@@ -129,6 +144,22 @@ object Geo extends QueryGroup {
       .select($"la", explode(sequence(lit(0L), lit(35L))).as("lo"))
     lattice.join(counts, Seq("la", "lo"), "left")
       .select($"la", $"lo", coalesce($"c", lit(0L)).as("x"))
+  }
+
+  /** Queen-neighborhood sums over the lattice (self EXCLUDED — Gi*
+    * includes it, Moran/LISA do not): (cla, clo, s_i = Σ neighbor x,
+    * w_i = neighbor count ∈ {5, 8}; lon wraps the ring, lat clamps). */
+  private def queenNbr(s: SparkSession, grid: DataFrame): DataFrame = {
+    import s.implicits._
+    grid
+      .withColumn("dla", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
+      .withColumn("dlo", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
+      .filter(!($"dla" === 0L && $"dlo" === 0L))
+      .select(($"la" + $"dla").as("cla"),
+              pmod($"lo" + $"dlo", lit(36L)).as("clo"), $"x")
+      .filter($"cla" >= -9L && $"cla" <= 8L)
+      .groupBy($"cla", $"clo")
+      .agg(sum($"x").as("s_i"), count(lit(1)).as("w_i"))
   }
 
   private def hv(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
@@ -315,17 +346,8 @@ object Geo extends QueryGroup {
       import s.implicits._
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val grid = latticeGrid(s, dir)
-      val contrib = grid
-        .withColumn("dla", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
-        .withColumn("dlo", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
-        .filter(!($"dla" === 0L && $"dlo" === 0L))
-        .select(($"la" + $"dla").as("cla"),
-                pmod($"lo" + $"dlo", lit(36L)).as("clo"), $"x")
-        .filter($"cla" >= -9L && $"cla" <= 8L)
-      val nbr = contrib.groupBy($"cla", $"clo")
-        .agg(sum($"x").as("s_i"), count(lit(1)).as("w_i"))
       val st = grid
-        .join(nbr, $"la" === $"cla" && $"lo" === $"clo")
+        .join(queenNbr(s, grid), $"la" === $"cla" && $"lo" === $"clo")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
              sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
              sum($"x".cast(dec) * $"s_i".cast(dec)).as("sxs"),
@@ -351,6 +373,45 @@ object Geo extends QueryGroup {
           round($"e", 6).as("e_i"),
           when($"den2" > lit(0L).cast(dec),
             round(($"im" - $"e") / sqrt($"v"), 4)).as("z_score"))
+    }),
+
+    // LISA — LOCAL Moran's Iᵢ (Anselin, Geographical Analysis 1995) per
+    // lattice cell with the HH/LL/HL/LH quadrant labels: WHERE the
+    // autocorrelation q_geo_moran measures globally lives (HH = hot
+    // cluster, LL = cold cluster, HL/LH = spatial outliers) — the third
+    // member of the ESDA family (global I, local Gi*, local Iᵢ). The
+    // whole statistic reduces to integers: with x̄ = sx/n and m₂ scaled
+    // by n², Iᵢ = (n·xᵢ − sx)·(n·sᵢ − wᵢ·sx) / (n·sxx − sx²) — two
+    // exact integer factors over a shared positive constant, so the
+    // quadrant is the SIGN PAIR of exact integers (never a double
+    // boundary) and the top-15 |Iᵢ| ordering compares exact integer
+    // numerators (ties → cell coords). One double division at the end;
+    // same substrate aggs as moran, 648-row everything after.
+    "q_geo_lisa" -> ((s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val grid = latticeGrid(s, dir)
+      val wAll = Window.partitionBy()
+      grid.join(queenNbr(s, grid), $"la" === $"cla" && $"lo" === $"clo")
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sx", sum($"x").over(wAll))
+        .withColumn("sxx", sum($"x".cast(dec) * $"x".cast(dec)).over(wAll))
+        .withColumn("f1", $"n".cast(dec) * $"x".cast(dec) - $"sx".cast(dec))
+        .withColumn("f2", $"n".cast(dec) * $"s_i".cast(dec) -
+          $"w_i".cast(dec) * $"sx".cast(dec))
+        .withColumn("den", $"n".cast(dec) * $"sxx" -
+          $"sx".cast(dec) * $"sx".cast(dec))
+        .withColumn("i_local",
+          round(($"f1" * $"f2").cast("double") / $"den".cast("double"), 6))
+        .withColumn("quadrant",
+          when($"f1" > 0 && $"f2" > 0, "HH")
+            .when($"f1" < 0 && $"f2" < 0, "LL")
+            .when($"f1" > 0 && $"f2" < 0, "HL")
+            .when($"f1" < 0 && $"f2" > 0, "LH"))
+        .orderBy(abs($"f1" * $"f2").desc, $"la", $"lo")
+        .limit(15)
+        .select($"la".as("cell_lat"), $"lo".as("cell_lon"), $"x", $"w_i",
+                $"i_local", $"quadrant")
     }),
 
     // Geofence transitions — per-user ENTRY/EXIT detection against the
@@ -1066,11 +1127,7 @@ object Geo extends QueryGroup {
     // flap between engines.
     "q_graph_closeness" -> ((s, dir) => {
       import s.implicits._
-      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
-      val verts = pairs.select($"u1".as("id"))
-        .unionAll(pairs.select($"u2".as("id"))).distinct()
-      graft.operators.Bfs
-        .runFromEach(s, pairs.select($"u1", $"u2"), verts, maxHops = 8)
+      apspDists(s, dir)
         .filter($"dist" > 0)
         .groupBy($"src", $"dist").agg(count(lit(1)).as("n_d"))
         .groupBy($"src")
@@ -1084,6 +1141,28 @@ object Geo extends QueryGroup {
           $"harmonic")
         .orderBy($"harmonic".desc, $"user_id")
         .limit(20)
+    }),
+
+    // Graph eccentricity profile — diameter / radius / peripheral and
+    // central vertex counts of the co-traveler graph within the declared
+    // 8-hop ego-radius (ecc(v) = max hop distance reached from v; a
+    // component wider than the bound reads as ecc = 8, the truncation
+    // carried identically by the oracle). Reads the SAME memoized
+    // all-pairs BFS frame as q_graph_closeness — two keys, one iterative
+    // run (the lp/modularity sharing discipline). The eccentricity frame
+    // is vertex-sized, so the single-partition min/max window is
+    // USER-graph-bounded, never event-sized.
+    "q_graph_diameter" -> ((s, dir) => {
+      import s.implicits._
+      val wAll = Window.partitionBy()
+      apspDists(s, dir).filter($"dist" > 0)
+        .groupBy($"src").agg(max($"dist").cast("long").as("ecc"))
+        .withColumn("dia", max($"ecc").over(wAll))
+        .withColumn("rad", min($"ecc").over(wAll))
+        .agg(count(lit(1)).as("n_vertices"),
+             max($"ecc").as("diameter"), min($"ecc").as("radius"),
+             sum(when($"ecc" === $"dia", 1L).otherwise(0L)).as("n_peripheral"),
+             sum(when($"ecc" === $"rad", 1L).otherwise(0L)).as("n_central"))
     }),
 
     // Weighted single-source shortest paths over the co-traveler graph —
@@ -1409,6 +1488,52 @@ object Geo extends QueryGroup {
          |  CASE WHEN den2 > 0
          |    THEN round((im - e) / sqrt(v0 - e * e), 4) END AS z_score
          |FROM d""".stripMargin),
+
+    // Moran's CTE chain re-pointed at the per-cell factors; signs of the
+    // exact integer factors decide the quadrant, their product the rank.
+    "q_geo_lisa" -> (ptsCte +
+      s""",
+         |cnt AS (
+         |  SELECT CAST(floor(lat / 10.0) AS BIGINT) AS la,
+         |         CAST(floor((lon + 180.0) / 10.0) AS BIGINT) % 36 AS lo,
+         |         COUNT(*) AS c
+         |  FROM pts GROUP BY 1, 2),
+         |lattice AS (
+         |  SELECT la.la, lo.lo
+         |  FROM (SELECT unnest(generate_series(-9, 8)) AS la) la
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 35)) AS lo) lo),
+         |grid AS (
+         |  SELECT lattice.la, lattice.lo, COALESCE(cnt.c, 0) AS x
+         |  FROM lattice LEFT JOIN cnt
+         |    ON lattice.la = cnt.la AND lattice.lo = cnt.lo),
+         |contrib AS (
+         |  SELECT g.la + d1.d AS cla,
+         |         ((g.lo + d2.d) % 36 + 36) % 36 AS clo, g.x
+         |  FROM grid g
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d1
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d2
+         |  WHERE NOT (d1.d = 0 AND d2.d = 0)
+         |    AND g.la + d1.d BETWEEN -9 AND 8),
+         |nbr AS (
+         |  SELECT cla, clo, SUM(x) AS s_i, COUNT(*) AS w_i
+         |  FROM contrib GROUP BY 1, 2),
+         |gs AS (SELECT COUNT(*) AS n, SUM(x) AS sx,
+         |       SUM(CAST(x AS HUGEINT) * x) AS sxx FROM grid),
+         |f AS (
+         |  SELECT g.la, g.lo, g.x, nbr.w_i,
+         |    CAST(n AS HUGEINT) * g.x - sx AS f1,
+         |    CAST(n AS HUGEINT) * nbr.s_i - CAST(nbr.w_i AS HUGEINT) * sx AS f2,
+         |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+         |  FROM grid g
+         |  JOIN nbr ON g.la = nbr.cla AND g.lo = nbr.clo
+         |  CROSS JOIN gs)
+         |SELECT la AS cell_lat, lo AS cell_lon, x, w_i,
+         |  round(CAST(f1 * f2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS i_local,
+         |  CASE WHEN f1 > 0 AND f2 > 0 THEN 'HH'
+         |       WHEN f1 < 0 AND f2 < 0 THEN 'LL'
+         |       WHEN f1 > 0 AND f2 < 0 THEN 'HL'
+         |       WHEN f1 < 0 AND f2 > 0 THEN 'LH' END AS quadrant
+         |FROM f ORDER BY abs(f1 * f2) DESC, la, lo LIMIT 15""".stripMargin),
 
     "q_geo_fence" -> (ptsCte +
       f""",
@@ -1932,6 +2057,43 @@ object Geo extends QueryGroup {
         |SELECT user_id, n_reach, sum_d,
         |  round(CAST(n_reach AS DOUBLE) / sum_d, 6) AS closeness, harmonic
         |FROM agg ORDER BY harmonic DESC, user_id LIMIT 20""".stripMargin),
+
+    // The closeness walk re-aggregated to eccentricities; the ≤8-hop
+    // truncation is the shared declared semantic.
+    "q_graph_diameter" -> (ptsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |verts AS (
+        |  SELECT DISTINCT u AS id FROM (
+        |    SELECT u1 AS u FROM pr UNION ALL SELECT u2 FROM pr) x),
+        |sym AS (SELECT u1 AS src, u2 AS dst FROM pr
+        |        UNION ALL SELECT u2, u1 FROM pr),
+        |walk(src, id, d) AS (
+        |  SELECT id, id, 0 FROM verts
+        |  UNION
+        |  SELECT w.src, s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.id
+        |  WHERE w.d < 8),
+        |dist AS (SELECT src, id, MIN(d) AS d FROM walk GROUP BY 1, 2),
+        |ecc AS (
+        |  SELECT src, CAST(MAX(d) AS BIGINT) AS ecc
+        |  FROM dist WHERE d > 0 GROUP BY src),
+        |m AS (SELECT MAX(ecc) AS dia, MIN(ecc) AS rad FROM ecc)
+        |SELECT COUNT(*) AS n_vertices, MAX(ecc) AS diameter,
+        |  MIN(ecc) AS radius,
+        |  CAST(SUM(CASE WHEN ecc = dia THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_peripheral,
+        |  CAST(SUM(CASE WHEN ecc = rad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_central
+        |FROM ecc, m""".stripMargin),
 
     "q_graph_cc" -> (ptsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,

@@ -109,4 +109,21 @@ class BfsSpec extends BaseSpec {
       case _ => ()
     }
   }
+
+  test("q_graph_diameter is consistent with the closeness substrate") {
+    val Seq((nV, dia, rad, nPeri, nCent)) =
+      SparkEntry.queries("q_graph_diameter")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rad <= dia && dia <= 8L, s"radius $rad / diameter $dia")
+    assert(nPeri >= 1L && nCent >= 1L && nPeri <= nV && nCent <= nV)
+    if (rad == dia) assert(nPeri == nCent && nPeri == nV)
+    // closeness saw the same vertex set (both read the shared BFS memo)
+    val closeVerts = SparkEntry.queries("q_graph_closeness")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(closeVerts.nonEmpty && closeVerts.length <= nV)
+    // every vertex's max layer is <= the diameter by definition
+    assert(closeVerts.forall { case (_, nReach, sumD, _, _) =>
+      sumD <= nReach * dia
+    })
+  }
 }

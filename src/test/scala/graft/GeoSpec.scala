@@ -523,4 +523,45 @@ class GeoSpec extends BaseSpec {
     // the z-score must agree in sign and magnitude class with I vs E[I]
     assert((iM > eI) == (z > 0.0))
   }
+
+  test("q_geo_lisa: quadrants match the z/lag sign pair, I matches a driver recount") {
+    val got = SparkEntry.queries("q_geo_lisa")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, String)].collect().toList
+    assert(got.size == 15)
+    def rnd6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    // rebuild the full lattice in the driver through the same derivation
+    val cells = Tables(spark, sf, "events")
+      .selectExpr("CAST(floor((((event_id * 37) % 1700) / 10.0 - 85.0) / 10.0) AS LONG) AS la",
+                  "pmod(CAST(floor(((((event_id * 131) % 3600) / 10.0 - 180.0) + 180.0) / 10.0) AS LONG), 36L) AS lo")
+      .groupBy("la", "lo").count().as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val xm = (for (la <- -9L to 8L; lo <- 0L to 35L)
+      yield (la, lo) -> cells.getOrElse((la, lo), 0L)).toMap
+    val n = xm.size
+    val sx = xm.values.sum
+    val sxx = xm.values.map(x => BigInt(x) * x).sum
+    val den = BigInt(n) * sxx - BigInt(sx) * sx
+    got.foreach { case (la, lo, x, wI, iL, quad) =>
+      assert(x == xm((la, lo)))
+      val nbrs = for (dla <- -1L to 1L; dlo <- -1L to 1L
+                      if !(dla == 0L && dlo == 0L) && la + dla >= -9L && la + dla <= 8L)
+        yield xm((la + dla, ((lo + dlo) % 36 + 36) % 36))
+      assert(wI == nbrs.size.toLong)
+      val f1 = BigInt(n) * x - sx
+      val f2 = BigInt(n) * nbrs.sum - BigInt(wI) * sx
+      assert(iL == rnd6((f1 * f2).toDouble / den.toDouble), s"cell ($la,$lo)")
+      val expQuad =
+        if (f1 > 0 && f2 > 0) "HH" else if (f1 < 0 && f2 < 0) "LL"
+        else if (f1 > 0 && f2 < 0) "HL" else if (f1 < 0 && f2 > 0) "LH"
+        else null
+      assert(quad == expQuad, s"cell ($la,$lo)")
+    }
+    // ranked by |numerator| — i_local magnitudes must be non-increasing
+    got.map(_._5).map(math.abs).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b - 1e-9)
+      case _ => ()
+    }
+  }
 }
