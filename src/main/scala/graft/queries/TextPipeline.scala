@@ -22,6 +22,30 @@ object TextPipeline extends QueryGroup {
   private[graft] val cmsQueryTerms =
     Seq("spark", "join", "data", "select", "table", "row")
 
+  /** Content-defined chunker (q_text_cdc's core, shared with its spec):
+    * one exploded `chunk` row per content-defined chunk of `text`. A
+    * break falls AFTER 0-based token i ∈ [2, n−2] whenever the first md5
+    * nibble of the 3-token window ending at i is '0' (expected chunk ≈ 16
+    * tokens); i = n−1 is excluded — it would mint an empty slice. All
+    * HOFs, zero shuffles: marker filter → boundary positions → per-chunk
+    * slice/join, per-doc work linear in tokens. */
+  private[graft] def cdcChunked(df: DataFrame): DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("bpos", expr(
+      """CASE WHEN size(toks) >= 4
+        |  THEN filter(sequence(2, size(toks) - 2), i ->
+        |    substring(md5(concat_ws(' ', toks[i-2], toks[i-1], toks[i])),
+        |              1, 1) = '0')
+        |  ELSE filter(sequence(0, 0), i -> false) END""".stripMargin))
+    .withColumn("chunk", explode(expr(
+      """transform(sequence(0, size(bpos)), k ->
+        |  array_join(slice(toks,
+        |    (CASE WHEN k = 0 THEN 0 ELSE bpos[k-1] + 1 END) + 1,
+        |    (CASE WHEN k = size(bpos) THEN size(toks) - 1
+        |          ELSE bpos[k] END)
+        |      - (CASE WHEN k = 0 THEN 0 ELSE bpos[k-1] + 1 END) + 1),
+        |    ' '))""".stripMargin)))
+
   /** (doc_id, term) token stream — the shared substrate. */
   private def tokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -489,6 +513,39 @@ object TextPipeline extends QueryGroup {
              sum(coalesce($"is_drop", lit(0L))).as("n_dropped"),
              (count(lit(1)) - sum(coalesce($"is_drop", lit(0L)))).as("n_kept"))
         .orderBy($"lang")
+    }),
+
+    // Content-defined chunking dedup (the rsync/casync/FastCDC idea at
+    // token granularity): chunk boundaries are declared by the CONTENT —
+    // a break after token i whenever the first md5 nibble of the 3-token
+    // window ending at i reads '0' (expected chunk ≈ 16 tokens) — so an
+    // insertion re-synchronizes within one window and identical passages
+    // chunk identically in EVERY doc, which is what makes chunk-hash
+    // dedup work where fixed-width blocks fail. Per source: chunk count,
+    // distinct chunk hashes, dup ratio, mean chunk length. The WHOLE
+    // chunker runs inside codegen as array HOFs over each doc's token
+    // array (marker filter → boundary positions → slice/join per chunk)
+    // — zero shuffles until the final source agg + distinct; the oracle
+    // reaches the same chunks through the equivalent lag-window/cumsum
+    // formulation. Breaks at the last token are excluded on both
+    // engines (they would mint an empty chunk slice / change nothing in
+    // the cumsum). At 100 TB this is the pure map-side shape: per-doc
+    // work linear in tokens, one hash-keyed distinct.
+    "q_text_cdc" -> ((s, dir) => {
+      import s.implicits._
+      cdcChunked(t(s, dir, "documents"))
+        .select($"source", $"doc_id", md5($"chunk").as("h"),
+                size(split($"chunk", " ")).cast("long").as("len"))
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+             count(lit(1)).as("n_chunks"),
+             countDistinct($"h").as("n_distinct_chunks"),
+             round(lit(1.0) -
+               countDistinct($"h").cast("double") / count(lit(1)), 6)
+               .as("dup_ratio"),
+             round(sum($"len").cast("double") / count(lit(1)), 2)
+               .as("avg_chunk_tokens"))
+        .orderBy($"source")
     }),
 
     // Cross-doc repeated-SPAN coverage — the token-granular approximation
@@ -1520,6 +1577,42 @@ object TextPipeline extends QueryGroup {
         |  FROM d)
         |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
         |FROM r WHERE rn <= 10 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Equivalent lag-window/cumsum formulation of the HOF chunker: brk
+    // for 1-based i >= 3 mirrors the Spark filter over 0-based 2..n-2
+    // (a break at the last token changes no cid — excluded there, no-op
+    // here); chunk text re-joined in position order before hashing.
+    "q_text_cdc" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS a
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source, i, a[i] AS tok
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i)),
+        |w AS (
+        |  SELECT doc_id, source, i, tok,
+        |    CASE WHEN i >= 3 AND substr(md5(concat_ws(' ',
+        |        lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY i),
+        |        lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY i),
+        |        tok)), 1, 1) = '0'
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, source, i, tok,
+        |    COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM w),
+        |chunks AS (
+        |  SELECT doc_id, source, cid,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS h, COUNT(*) AS len
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_chunks,
+        |  COUNT(DISTINCT h) AS n_distinct_chunks,
+        |  round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_ratio,
+        |  round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 2) AS avg_chunk_tokens
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_substring" -> (
       """WITH tt AS (

@@ -189,6 +189,42 @@ object Timeseries extends QueryGroup {
              round(median($"slope"), 6).as("slope_per_hour"))
     }),
 
+    // Seasonal Mann–Kendall trend statistic (Hirsch & Slack, Water
+    // Resources Research 1984) over the 24 clock-hour seasons of the
+    // daily count series — the NONPARAMETRIC direction companion of
+    // q_time_theilsen's slope, robust to the diurnal cycle that a plain
+    // MK over raw hours would read as trend: within each season,
+    // S = Σ sign(x_d₂ − x_d₁) over day pairs, per-season Kendall-style
+    // tau = S/n_pairs. Pairs carry the theilsen within-L discipline
+    // (d₂ − d₁ ≤ 14 days, declared on BOTH engines) so the pair count is
+    // LINEAR in the day range; the normal-approximation z is
+    // deliberately omitted — its closed-form variance holds for ALL
+    // pairs, not the lag-bounded set, and a wrong significance is worse
+    // than none (documented, not hidden). Everything integer-exact: the
+    // sign is a CASE over exact longs, S an exact sum, one tau division.
+    "q_time_mk" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "events")
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .withColumn("h24", expr("(unix_millis(ts) div 3600000) % 24"))
+        .groupBy($"day", $"h24").agg(count(lit(1)).as("c"))
+      val grid = agg.agg(min($"day").as("lo"), max($"day").as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("day"))
+        .withColumn("h24", explode(sequence(lit(0L), lit(23L))))
+        .join(agg, Seq("day", "h24"), "left")
+        .select($"day", $"h24", coalesce($"c", lit(0L)).as("x"))
+      val a = grid.select($"h24", $"day".as("d1"), $"x".as("x1"))
+      val b = grid.select($"h24", $"day".as("d2"), $"x".as("x2"))
+      a.join(b, Seq("h24"))
+        .filter($"d1" < $"d2" && $"d2" - $"d1" <= 14)
+        .withColumn("sg",
+          when($"x2" > $"x1", 1L).when($"x2" < $"x1", -1L).otherwise(0L))
+        .groupBy($"h24")
+        .agg(count(lit(1)).as("n_pairs"), sum($"sg").as("s_stat"))
+        .withColumn("tau", round($"s_stat".cast("double") / $"n_pairs", 6))
+        .orderBy($"h24")
+    }),
+
     // Holt's linear (double-exponential) smoothing per UTC day,
     // α = β = 1/2: end-of-day level, trend, and one-step forecast of the
     // hourly count series — q_time_ewma's recursion upgraded with a trend
@@ -492,6 +528,28 @@ object Timeseries extends QueryGroup {
         |SELECT COUNT(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS slope_per_hour
         |FROM pairs""".stripMargin),
+
+    "q_time_mk" ->
+      """WITH hc AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+        |         (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) % 24 AS h24,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM hc),
+        |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+        |grid AS (
+        |  SELECT d.day, h.h24, COALESCE(hc.c, 0) AS x
+        |  FROM days d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h24) h
+        |  LEFT JOIN hc ON hc.day = d.day AND hc.h24 = h.h24),
+        |pr AS (
+        |  SELECT a.h24,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+        |  FROM grid a JOIN grid b
+        |    ON a.h24 = b.h24 AND a.day < b.day AND b.day - a.day <= 14)
+        |SELECT h24, COUNT(*) AS n_pairs, CAST(SUM(sg) AS BIGINT) AS s_stat,
+        |  round(CAST(SUM(sg) AS DOUBLE) / COUNT(*), 6) AS tau
+        |FROM pr GROUP BY h24 ORDER BY h24""".stripMargin,
 
     "q_time_holt" ->
       """WITH hc AS (

@@ -358,4 +358,42 @@ class MlSpec extends BaseSpec {
         .foreach(r => assert(r._2 == 1L, s"dual rank-1 item not fused first: $r"))
     }
   }
+
+  test("q_text_cdc: HOF chunker == driver chunker, chunks tile, insertion re-syncs") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Vector[String] = {
+      val toks = text.split(" ", -1).toVector
+      val n = toks.length
+      val bpos = if (n >= 4) (2 to n - 2).filter(i =>
+        md5hex(s"${toks(i - 2)} ${toks(i - 1)} ${toks(i)}").startsWith("0"))
+      else Seq()
+      val starts = 0 +: bpos.map(_ + 1)
+      val ends = bpos :+ (n - 1)
+      starts.zip(ends).map { case (a, b) =>
+        toks.slice(a, b + 1).mkString(" ") }.toVector
+    }
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toList
+    val got = graft.queries.TextPipeline
+      .cdcChunked(Tables(spark, sf, "documents"))
+      .select($"doc_id", $"chunk").as[(Long, String)].collect().toList
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    docs.foreach { case (id, text) =>
+      val exp = chunksOf(text)
+      assert(got(id).sorted == exp.sorted.toList, s"doc $id")
+      // content-defined boundaries tile the doc with nothing lost
+      assert(exp.mkString(" ") == text, s"doc $id does not re-assemble")
+    }
+    // re-sync: one prepended token may only perturb the FIRST chunk(s) —
+    // every window ending past the insertion is a window of the original
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = Vector.fill(300)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val ca = chunksOf(base)
+    val cb = chunksOf("XX " + base)
+    assert(ca.size >= 10, "fixture too short to exercise re-sync")
+    assert(ca.toSet.intersect(cb.toSet).size >= ca.size - 3,
+      s"re-sync failed: ${ca.size} base chunks, ${ca.toSet.intersect(cb.toSet).size} shared")
+  }
 }

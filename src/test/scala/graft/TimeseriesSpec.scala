@@ -286,6 +286,33 @@ class TimeseriesSpec extends BaseSpec {
     }
   }
 
+  test("q_time_mk equals a driver seasonal sign recount; tau bounded") {
+    val got = SparkEntry.queries("q_time_mk")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got.map(_._1) == (0L to 23L).toList)
+    def rnd6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    val hc = Tables(spark, sf, "events")
+      .selectExpr("unix_millis(ts) div 86400000 AS day",
+                  "(unix_millis(ts) div 3600000) % 24 AS h24")
+      .groupBy("day", "h24").count()
+      .as[(Long, Long, Long)].collect().toList
+    val (lo, hi) = (hc.map(_._1).min, hc.map(_._1).max)
+    val byKey = hc.map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (h24, nPairs, sStat, tau) =>
+      val series = (lo to hi).map(d => byKey.getOrElse((d, h24), 0L))
+      val pairs = for (i <- series.indices; j <- i + 1 until series.length
+                       if j - i <= 14) yield (series(i), series(j))
+      assert(nPairs == pairs.size.toLong, s"h24=$h24")
+      val s = pairs.map { case (a, b) =>
+        if (b > a) 1L else if (b < a) -1L else 0L }.sum
+      assert(sStat == s, s"h24=$h24")
+      assert(tau == rnd6(s.toDouble / pairs.size) &&
+        tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
   test("q_time_burst equals a driver hysteresis automaton on the gap-filled grid") {
     val got = SparkEntry.queries("q_time_burst")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList.sortBy(_._1)
