@@ -697,12 +697,23 @@ object Geo extends QueryGroup {
         .filter($"is_mark" === 1)
         .withColumn("f", when($"nt" > $"pt",
           ($"ts_us" - $"pt").cast("double") / ($"nt" - $"pt")).otherwise(lit(0.0)))
-        .withColumn("lat_i", round($"plat" + ($"nlat" - $"plat") * $"f", 6))
-        .withColumn("lon_i", round($"plon" + ($"nlon" - $"plon") * $"f", 6))
+        // µdeg QUANTIZATION, not round(…, 6): the interpolant is an
+        // arbitrary rational, so it can land within an ulp of a .5e-6
+        // boundary — and there the ENGINES' round implementations split
+        // (Spark: exact-decimal HALF_UP on the binary expansion; DuckDB:
+        // scaled multiply) even though their doubles are bit-identical
+        // (one such row appeared at sf0.1: ~45k marks ≈ enough draws to
+        // hit a boundary). floor of the identical double IS
+        // bit-deterministic, and the checksums stay exact BIGINTs — this
+        // key now has no double rounding anywhere.
+        .withColumn("lat_u",
+          floor(($"plat" + ($"nlat" - $"plat") * $"f") * 1e6).cast("long"))
+        .withColumn("lon_u",
+          floor(($"plon" + ($"nlon" - $"plon") * $"f") * 1e6).cast("long"))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_marks"),
-             r4(sum($"lat_i".cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")).as("sum_lat"),
-             r4(sum($"lon_i".cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")).as("sum_lon"))
+             sum($"lat_u").as("sum_lat_udeg"),
+             sum($"lon_u").as("sum_lon_udeg"))
         .orderBy($"user_id")
     }),
 
@@ -1758,15 +1769,17 @@ object Geo extends QueryGroup {
          |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
          |ip AS (
          |  SELECT user_id,
-         |    round(plat + (nlat - plat) * f, 6) AS lat_i,
-         |    round(plon + (nlon - plon) * f, 6) AS lon_i
+         |    CAST(floor((plat + (nlat - plat) * f) * 1000000.0) AS BIGINT)
+         |      AS lat_u,
+         |    CAST(floor((plon + (nlon - plon) * f) * 1000000.0) AS BIGINT)
+         |      AS lon_u
          |  FROM (
          |    SELECT *, CASE WHEN nt > pt
          |      THEN CAST(ts_us - pt AS DOUBLE) / (nt - pt) ELSE 0.0 END AS f
          |    FROM w2 WHERE is_mark = 1) t)
          |SELECT user_id, COUNT(*) AS n_marks,
-         |  round(CAST(SUM(CAST(lat_i AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_lat,
-         |  round(CAST(SUM(CAST(lon_i AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_lon
+         |  CAST(SUM(lat_u) AS BIGINT) AS sum_lat_udeg,
+         |  CAST(SUM(lon_u) AS BIGINT) AS sum_lon_udeg
          |FROM ip GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     "q_traj_dwell" -> (ptsCte +
