@@ -89,7 +89,12 @@ object ScaleProbe {
       // round-12 session-2 additions: the per-user fold family (arrays +
       // HOF automaton) and the trip window — the shapes whose 100 TB
       // story is "cost tracks users × fixes, exchanges stay fixed"
-      "q_mine_cep", "q_traj_trips", "q_traj_rog")
+      "q_mine_cep", "q_traj_trips", "q_traj_rog",
+      // session-3 additions: the all-pairs BFS (state grows with the
+      // USER graph, 10× users → 10× sources), the zero-shuffle HOF
+      // chunker (pure map-side — the flattest line expected), and the
+      // single-scan skew audit (3 fact scans total at any volume)
+      "q_graph_closeness", "q_text_cdc", "q_audit_skew")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)
