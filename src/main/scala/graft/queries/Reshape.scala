@@ -634,6 +634,52 @@ object Reshape extends QueryGroup {
         .orderBy($"user_id", $"event_type")
     }),
 
+    // Token-bucket rate limiting — the ingestion-throttle primitive
+    // (admit or shed per-entity bursts deterministically BEFORE they hit
+    // a downstream store): per user, a bucket holding up to 24 h of
+    // credit (= 2 admits), each admit costing 12 h, refilled by elapsed
+    // time, starting FULL — events in (ts, event_id) order are admitted
+    // while credit suffices, else dropped. The automaton is exact BIGINT
+    // µs arithmetic inside ONE codegen `aggregate` HOF fold per user
+    // (the q_mine_cep discipline — sequential per-group state, no UDF,
+    // no per-step shuffle); the oracle is the recursive-CTE walk over
+    // the same sorted arrays. Parameters are sized to the fixture's
+    // ~10.7 h mean inter-arrival so BOTH branches run at every SF
+    // (every user sheds ≥ 1 event even at sf0.001 — no vacuous green).
+    // Streaming twin: streaming/StreamOps.rateLimitStream. At 100 TB
+    // the fold runs per (user, day) partition with carried credit.
+    "q_events_ratelimit" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"ts_us", $"event_id"))).as("a"))
+        .select($"user_id", size($"a").cast("long").as("n_events"),
+          expr(
+            """aggregate(
+              |  a,
+              |  array(-1L, 0L, 0L),
+              |  (acc, p) -> CASE
+              |    WHEN (CASE WHEN acc[0] < 0L THEN 86400000000L
+              |          ELSE least(86400000000L, acc[1] + (p.ts_us - acc[0]))
+              |          END) >= 43200000000L
+              |      THEN array(p.ts_us,
+              |        (CASE WHEN acc[0] < 0L THEN 86400000000L
+              |         ELSE least(86400000000L, acc[1] + (p.ts_us - acc[0]))
+              |         END) - 43200000000L,
+              |        acc[2] + 1L)
+              |    ELSE array(p.ts_us,
+              |      CASE WHEN acc[0] < 0L THEN 86400000000L
+              |        ELSE least(86400000000L, acc[1] + (p.ts_us - acc[0]))
+              |        END,
+              |      acc[2]) END
+              |)""".stripMargin).as("st"))
+        .select($"user_id", $"n_events",
+                $"st".getItem(2).as("n_admitted"),
+                ($"n_events" - $"st".getItem(2)).as("n_dropped"))
+        .orderBy($"user_id")
+    }),
+
     // Skew-salted join: the fact side's hot keys are spread across nSalt
     // shuffle partitions by a deterministic salt; the dim side is exploded
     // nSalt× so every (key, salt) bucket still finds its match. Result is
@@ -1157,6 +1203,47 @@ object Reshape extends QueryGroup {
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(MAX(span_us) AS BIGINT) AS max_span_us
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The q_mine_cep recursive-walk oracle shape with the token-bucket
+    // state: prev/credit/admitted per step, the credit expression
+    // expanded per column (recursive CTEs bind no locals).
+    "q_events_ratelimit" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(struct_pack(t := ts_us, e := event_id)
+        |         ORDER BY ts_us, event_id) AS a
+        |  FROM e GROUP BY user_id),
+        |walk(uid, i, prev, credit, adm) AS (
+        |  SELECT user_id, 0, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM arr
+        |  UNION ALL
+        |  SELECT w.uid, w.i + 1, t.a[w.i+1].t,
+        |    CASE WHEN (CASE WHEN w.prev < 0 THEN 86400000000
+        |               ELSE least(86400000000,
+        |                          w.credit + (t.a[w.i+1].t - w.prev)) END)
+        |              >= 43200000000
+        |      THEN (CASE WHEN w.prev < 0 THEN 86400000000
+        |            ELSE least(86400000000,
+        |                       w.credit + (t.a[w.i+1].t - w.prev)) END)
+        |           - 43200000000
+        |      ELSE (CASE WHEN w.prev < 0 THEN 86400000000
+        |            ELSE least(86400000000,
+        |                       w.credit + (t.a[w.i+1].t - w.prev)) END) END,
+        |    CASE WHEN (CASE WHEN w.prev < 0 THEN 86400000000
+        |               ELSE least(86400000000,
+        |                          w.credit + (t.a[w.i+1].t - w.prev)) END)
+        |              >= 43200000000
+        |      THEN w.adm + 1 ELSE w.adm END
+        |  FROM walk w JOIN arr t ON w.uid = t.user_id WHERE w.i < len(t.a))
+        |SELECT a2.user_id, CAST(len(a2.a) AS BIGINT) AS n_events,
+        |  CAST(w.adm AS BIGINT) AS n_admitted,
+        |  CAST(len(a2.a) - w.adm AS BIGINT) AS n_dropped
+        |FROM walk w JOIN arr a2 ON w.uid = a2.user_id AND w.i = len(a2.a)
+        |ORDER BY a2.user_id""".stripMargin,
 
     "q_time_seasonal" ->
       s"""WITH ev AS (

@@ -311,6 +311,46 @@ class CepProcessor(winUs: Long)
   }
 }
 
+case class RlEv(user_id: Long, ts_us: Long, event_id: Long)
+case class RlState(prev: Long, credit: Long)
+
+/** `StatefulProcessor` behind [[StreamOps.rateLimitStream]]: the
+  * streaming twin of the batch q_events_ratelimit token bucket — credit
+  * up to `capUs` of elapsed-time allowance, each admit spending
+  * `costUs`, bucket starting FULL at a user's first event. State = ONE
+  * (prev_ts, credit) pair per user, bounded by |users| at any stream
+  * length; rows fold in (ts_us, event_id) order within each micro-batch
+  * and every event emits exactly one admit/drop decision. The
+  * transition is line-for-line the declared batch fold, so batch ≡
+  * stream is structural; StreamingSpec proves it on a replay whose
+  * refill spans a batch boundary. */
+class RateLimitProcessor(capUs: Long, costUs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RlEv, (Long, Long, Long, Boolean)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: streaming.ValueState[RlState] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[RlState](
+      "bucket", Encoders.product[RlState], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RlEv],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+    var s = Option(st.get()).getOrElse(RlState(-1L, 0L))
+    val out = Seq.newBuilder[(Long, Long, Long, Boolean)]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val credit =
+        if (s.prev < 0L) capUs
+        else math.min(capUs, s.credit + (e.ts_us - s.prev))
+      val admit = credit >= costUs
+      s = RlState(e.ts_us, if (admit) credit - costUs else credit)
+      out += ((key, e.ts_us, e.event_id, admit))
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
 case class TermRow(lang: String, term: String)
 
 /** `StatefulProcessor` behind [[StreamOps.heavyHittersStream]] — the
@@ -631,6 +671,22 @@ object StreamOps {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)
       .transformWithState(new CepProcessor(winUs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
+  /** Streaming token-bucket rate limiting — per-user admit/drop decisions
+    * with ONE (prev_ts, credit) pair of state per user; the streaming
+    * twin of the batch q_events_ratelimit HOF fold; see
+    * [[RateLimitProcessor]]. Emits one (user, ts, event_id, admitted)
+    * decision row per event (append mode — decisions are routing facts,
+    * not aggregates). */
+  def rateLimitStream(ev: Dataset[RlEv],
+                      capUs: Long = 86400000000L,
+                      costUs: Long = 43200000000L)
+      : Dataset[(Long, Long, Long, Boolean)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new RateLimitProcessor(capUs, costUs),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 

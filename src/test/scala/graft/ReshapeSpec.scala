@@ -101,4 +101,29 @@ class ReshapeSpec extends BaseSpec {
     // sanity: the decisions are non-trivial (both classes present)
     assert(sFull.values.toSet.size == 3 && kFull.values.toSet.size == 2)
   }
+
+  test("q_events_ratelimit equals a driver token-bucket replay; both branches run") {
+    val got = SparkEntry.queries("q_events_ratelimit")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id")
+      .as[(Long, Long, Long)].collect().toList
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(r => (r._2, r._3)).sorted.map(_._1) }
+    val (cap, cost) = (86400000000L, 43200000000L)
+    got.foreach { case (u, n, adm, drop) =>
+      val ts = evs(u)
+      assert(n == ts.size.toLong && adm + drop == n)
+      var prev = -1L; var credit = 0L; var a = 0L
+      ts.foreach { t =>
+        credit = if (prev < 0) cap else math.min(cap, credit + (t - prev))
+        prev = t
+        if (credit >= cost) { credit -= cost; a += 1 }
+      }
+      assert(adm == a, s"user $u")
+      // parameters sized so BOTH branches run for every fixture user
+      assert(adm > 0 && drop > 0, s"user $u degenerate at this SF")
+    }
+  }
 }
