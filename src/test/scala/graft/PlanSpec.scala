@@ -580,6 +580,20 @@ class PlanSpec extends BaseSpec {
     // output — ring rounds themselves are equi-join plans by
     // construction (BfsSpec covers the operator)
     assert(shape("q_graph_closeness") == ((2, 0, false)))
+    // lisa shares moran's substrate aggs; the 648-row stat windows are
+    // single-partition by design
+    assert(shape("q_geo_lisa") == ((2, 2, true)))
+    // diameter reads the memoized all-pairs BFS checkpoint — only its
+    // own vertex-sized ecc agg + the 1-row reduce appear here
+    assert(shape("q_graph_diameter") == ((1, 1, false)))
+    // cdc: the HOF chunker is shuffle-FREE — both exchanges are the
+    // final source agg (count-distinct expand), nothing upstream
+    assert(shape("q_text_cdc") == ((2, 0, false)))
+    // mk: the (day,h24) substrate agg + the season-keyed pair join,
+    // day-grid bounds are the two singles
+    assert(shape("q_time_mk") == ((2, 2, true)))
+    // ratelimit: ONE user-keyed exchange — the fold itself is codegen
+    assert(shape("q_events_ratelimit") == ((1, 0, false)))
   }
 
   test("q_dedup_substring joins on the shingle key only — no pair explosion, no nested loop") {
