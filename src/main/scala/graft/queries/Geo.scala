@@ -414,6 +414,50 @@ object Geo extends QueryGroup {
                 $"i_local", $"quadrant")
     }),
 
+    // Spatial co-location pattern mining (Shekhar & Huang, SSTD 2001):
+    // per event-type pair, the PARTICIPATION INDEX over the 10°-cell
+    // neighborhoods — PI(A,B) = min(fraction of A instances sharing a
+    // cell with some B, fraction of B instances sharing a cell with some
+    // A). The classic "which event types spatially co-occur" miner
+    // (q_mine_pairs is its BASKET twin; here the basket is space). Pair
+    // formation uses the spearman fold-explode: each cell's ≤|types|
+    // (type, count) rows fold into ONE list and explode twice — never a
+    // cell self-join (which would re-scan the substrate). Everything is
+    // exact-integer until the two participation ratios (round 6) and
+    // their min; one data-sized (cell, type) hash agg, ≤|types|² rows
+    // after it at any volume.
+    "q_geo_coloc" -> ((s, dir) => {
+      import s.implicits._
+      val ct = pts(s, dir)
+        .groupBy(floor($"lat" / 10.0).cast("long").as("la"),
+                 pmod(floor(($"lon" + 180.0) / 10.0).cast("long"), lit(36L)).as("lo"),
+                 $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val perCell = ct.groupBy($"la", $"lo")
+        .agg(collect_list(struct($"event_type", $"c")).as("lst"))
+      val directed = perCell
+        .select(explode($"lst").as("p1"), $"lst")
+        .select($"p1.event_type".as("ta"), $"p1.c".as("ca"),
+                explode($"lst").as("p2"))
+        .filter($"ta" =!= $"p2.event_type")
+        .groupBy($"ta", $"p2.event_type".as("tb"))
+        .agg(sum($"ca").as("n_with"))
+      val totals = ct.groupBy($"event_type").agg(sum($"c").as("n_total"))
+      val ab = directed.join(totals, $"ta" === $"event_type")
+        .select($"ta", $"tb", $"n_with", $"n_total")
+      val ba = ab.select($"ta".as("tb2"), $"tb".as("ta2"),
+                         $"n_with".as("n_with_b"), $"n_total".as("n_total_b"))
+      ab.filter($"ta" < $"tb")
+        .join(ba, $"ta" === $"ta2" && $"tb" === $"tb2")
+        .select($"ta".as("t1"), $"tb".as("t2"),
+          $"n_with".as("n1_with"), $"n_total".as("n1_total"),
+          $"n_with_b".as("n2_with"), $"n_total_b".as("n2_total"),
+          round($"n_with".cast("double") / $"n_total", 6).as("pr1"),
+          round($"n_with_b".cast("double") / $"n_total_b", 6).as("pr2"))
+        .withColumn("pi", least($"pr1", $"pr2"))
+        .orderBy($"t1", $"t2")
+    }),
+
     // Geofence transitions — per-user ENTRY/EXIT detection against the
     // shared pentagon zone (the alerting primitive of a telemetry
     // platform: "vehicle entered the depot area"). in-zone is the SAME
@@ -1438,6 +1482,36 @@ object Geo extends QueryGroup {
          |  END AS z
          |FROM sc
          |ORDER BY z DESC, cell_lat, cell_lon LIMIT 15""".stripMargin),
+
+    "q_geo_coloc" -> (ptsCte +
+      """,
+        |ct AS (
+        |  SELECT CAST(floor(lat / 10.0) AS BIGINT) AS la,
+        |         CAST(floor((lon + 180.0) / 10.0) AS BIGINT) % 36 AS lo,
+        |         event_type, COUNT(*) AS c
+        |  FROM pts GROUP BY 1, 2, 3),
+        |directed AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |         SUM(a.c) AS n_with
+        |  FROM ct a JOIN ct b
+        |    ON a.la = b.la AND a.lo = b.lo AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_total
+        |  FROM ct GROUP BY 1),
+        |ab AS (
+        |  SELECT ta, tb, CAST(n_with AS BIGINT) AS n_with, n_total
+        |  FROM directed JOIN totals ON ta = event_type)
+        |SELECT ab.ta AS t1, ab.tb AS t2,
+        |  ab.n_with AS n1_with, ab.n_total AS n1_total,
+        |  ba.n_with AS n2_with, ba.n_total AS n2_total,
+        |  round(CAST(ab.n_with AS DOUBLE) / ab.n_total, 6) AS pr1,
+        |  round(CAST(ba.n_with AS DOUBLE) / ba.n_total, 6) AS pr2,
+        |  least(round(CAST(ab.n_with AS DOUBLE) / ab.n_total, 6),
+        |        round(CAST(ba.n_with AS DOUBLE) / ba.n_total, 6)) AS pi
+        |FROM ab JOIN ab ba ON ab.ta = ba.tb AND ab.tb = ba.ta
+        |WHERE ab.ta < ab.tb
+        |ORDER BY t1, t2""".stripMargin),
 
     // Same lattice/neighborhood CTEs as q_geo_hotspot minus the self
     // cell; HUGEINT mirrors the Spark side's DECIMAL(38,0) products.

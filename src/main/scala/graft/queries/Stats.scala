@@ -478,6 +478,61 @@ object Stats extends QueryGroup {
                 $"den".cast("double"), 4).as("intercept"),
           pearsonR($"n_hours", $"sx", $"sy", $"sxy", $"sxx", $"syy").as("r"))
         .orderBy($"event_type")
+    }),
+
+    // Kaplan–Meier survival curve (Kaplan & Meier, JASA 1958) — the
+    // SURVIVAL family the test suite was missing (means ✓ shapes ✓
+    // ranks ✓ variances ✓ trends ✓; time-to-event ✗ until now): time in
+    // days from each user's first event to their first high-value
+    // purchase (value ≥ 150), censored at the last observed event when
+    // it never happens (~53% of users at every SF — both branches
+    // genuinely run). Output = the survival step function at event
+    // times: (day, risk set, events, censored, Ŝ). Parity discipline:
+    // Ŝ = exp(Σ ln(1 − dᵢ/nᵢ)) with each ln round(6)-pinned then
+    // DECIMAL-summed cumulatively (the linkpred aa discipline applied
+    // through a running window); a day where dᵢ = nᵢ pins Ŝ = 0 exactly
+    // from there on (ln(0) never evaluated on either engine). One
+    // data-sized (user) agg; everything after is day-range-bounded
+    // (≤ observation days rows), so the single-partition windows are
+    // bounded the q_roll_mean way.
+    "q_stat_km" -> ((s, dir) => {
+      import s.implicits._
+      val per = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .groupBy($"user_id")
+        .agg(min($"ts_us").as("t0"),
+             min(when($"event_type" === "purchase" && $"value" >= 150.0,
+               $"ts_us")).as("tp"),
+             max($"ts_us").as("tl"))
+        .select(expr(
+          """CASE WHEN tp IS NOT NULL THEN (tp - t0) div 86400000000L
+            |     ELSE (tl - t0) div 86400000000L END""".stripMargin).as("d"),
+          when($"tp".isNotNull, 1L).otherwise(0L).as("ev"))
+      val byd = per.groupBy($"d")
+        .agg(sum($"ev").as("n_event"), sum(lit(1L) - $"ev").as("n_cens"))
+      val wAll = Window.partitionBy()
+      val wPrev = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byd
+        .withColumn("total", sum($"n_event" + $"n_cens").over(wAll))
+        .withColumn("n_risk", $"total" -
+          coalesce(sum($"n_event" + $"n_cens").over(wPrev), lit(0L)))
+        .withColumn("term",
+          when($"n_event" > 0L && $"n_event" < $"n_risk",
+            round(log(lit(1.0) - $"n_event".cast("double") / $"n_risk"), 6)
+              .cast(DecimalType(18, 6))))
+        .withColumn("dead",
+          max(when($"n_event" === $"n_risk", 1L).otherwise(0L)).over(wCum))
+        .withColumn("lnsum",
+          coalesce(sum($"term").over(wCum), lit(0).cast(DecimalType(18, 6)))
+            .cast("double"))
+        .filter($"n_event" > 0L)
+        .select($"d".as("d_days"), $"n_risk", $"n_event", $"n_cens",
+          when($"dead" === 1L, lit(0.0))
+            .otherwise(round(exp($"lnsum"), 6)).as("surv"))
+        .orderBy($"d_days")
     })
   )
 
@@ -761,6 +816,52 @@ object Stats extends QueryGroup {
         |    n_hours * syy - sy * sy AS d2,
         |    sy * sxx - sx * sxy AS ic
         |  FROM st) z
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q_stat_km" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, min(ts_us) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |        THEN ts_us END) AS tp,
+        |    max(ts_us) AS tl
+        |  FROM e GROUP BY user_id),
+        |pd AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+        |              ELSE (tl - t0) // 86400000000 END AS d,
+        |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM per),
+        |byd AS (
+        |  SELECT d, CAST(SUM(ev) AS BIGINT) AS n_event,
+        |         CAST(SUM(1 - ev) AS BIGINT) AS n_cens
+        |  FROM pd GROUP BY d),
+        |st AS (
+        |  SELECT d, n_event, n_cens,
+        |    CAST(SUM(n_event + n_cens) OVER () AS BIGINT)
+        |      - CAST(COALESCE(SUM(n_event + n_cens) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_risk
+        |  FROM byd),
+        |s2 AS (
+        |  SELECT *,
+        |    CASE WHEN n_event > 0 AND n_event < n_risk
+        |      THEN CAST(round(ln(1.0 - CAST(n_event AS DOUBLE) / n_risk), 6)
+        |           AS DECIMAL(18,6)) END AS term,
+        |    MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM st),
+        |s3 AS (
+        |  SELECT d, n_risk, n_event, n_cens, dead,
+        |    CAST(COALESCE(SUM(term) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS DOUBLE) AS lnsum
+        |  FROM s2)
+        |SELECT d AS d_days, n_risk, n_event, n_cens,
+        |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS surv
+        |FROM s3 WHERE n_event > 0 ORDER BY d_days""".stripMargin
   )
 }

@@ -564,4 +564,31 @@ class GeoSpec extends BaseSpec {
       case _ => ()
     }
   }
+
+  test("q_geo_coloc: participation ratios equal a driver recount; PI = min and symmetric") {
+    val got = SparkEntry.queries("q_geo_coloc")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toList
+    assert(got.size == 10) // C(5,2) type pairs
+    def rnd6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    val inst = Tables(spark, sf, "events")
+      .selectExpr("event_type",
+        "CAST(floor((((event_id * 37) % 1700) / 10.0 - 85.0) / 10.0) AS LONG) AS la",
+        "pmod(CAST(floor(((((event_id * 131) % 3600) / 10.0 - 180.0) + 180.0) / 10.0) AS LONG), 36L) AS lo")
+      .as[(String, Long, Long)].collect().toList
+    val cellsOf = inst.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => (r._2, r._3)) }
+    got.foreach { case (t1, t2, n1w, n1t, n2w, n2t, pr1, pr2, pi) =>
+      assert(t1 < t2)
+      val c2 = cellsOf(t2).toSet
+      val c1 = cellsOf(t1).toSet
+      assert(n1t == cellsOf(t1).size.toLong && n2t == cellsOf(t2).size.toLong)
+      assert(n1w == cellsOf(t1).count(c2.contains).toLong, s"$t1-$t2")
+      assert(n2w == cellsOf(t2).count(c1.contains).toLong, s"$t1-$t2")
+      assert(pr1 == rnd6(n1w.toDouble / n1t) && pr2 == rnd6(n2w.toDouble / n2t))
+      assert(pi == math.min(pr1, pr2) && pi >= 0.0 && pi <= 1.0)
+    }
+  }
 }

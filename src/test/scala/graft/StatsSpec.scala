@@ -533,4 +533,51 @@ class StatsSpec extends BaseSpec {
     assert(math.abs(ps + 1.0) < 0.01, s"planted slope $ps")
     assert(pr <= -0.999, s"planted r $pr")
   }
+
+  test("q_stat_km equals a driver Kaplan-Meier; curve monotone, risk sets conserve") {
+    val got = SparkEntry.queries("q_stat_km")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got.nonEmpty)
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "value", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Double, Long)].collect().toList
+    val day = 86400000000L
+    // per-user (duration, event?) through the declared target definition
+    val per = evs.groupBy(_._1).values.map { rs =>
+      val t0 = rs.map(_._4).min
+      val tp = rs.filter(r => r._2 == "purchase" && r._3 >= 150.0)
+        .map(_._4).sorted.headOption
+      tp match {
+        case Some(t) => ((t - t0) / day, 1)
+        case None    => ((rs.map(_._4).max - t0) / day, 0)
+      }
+    }.toList
+    // both branches must actually run (the target is sized for this)
+    assert(per.exists(_._2 == 1) && per.exists(_._2 == 0))
+    var risk = per.size.toLong
+    var surv = 1.0
+    val expRows = per.groupBy(_._1).toList.sortBy(_._1).flatMap {
+      case (d, rs) =>
+        val dEv = rs.count(_._2 == 1).toLong
+        val dCn = rs.size - dEv
+        val row =
+          if (dEv > 0) {
+            surv *= (1.0 - dEv.toDouble / risk)
+            Some((d, risk, dEv, dCn, surv))
+          } else None
+        risk -= rs.size
+        row
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      expRows.map(r => (r._1, r._2, r._3, r._4)))
+    got.zip(expRows).foreach { case ((_, _, _, _, s), (_, _, _, _, es)) =>
+      assert(math.abs(s - es) < 1e-4)
+    }
+    // survival is non-increasing in [0, 1]
+    got.map(_._5).sliding(2).foreach {
+      case List(a, b) => assert(b <= a + 1e-9)
+      case _ => ()
+    }
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+  }
 }
