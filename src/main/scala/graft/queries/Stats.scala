@@ -36,6 +36,31 @@ object Stats extends QueryGroup {
 
   /** click/purchase per-bin counts — the q_stat_ks / q_stat_mwu substrate
     * (the one data-sized aggregate both keys share). */
+  /** Shared time-to-event substrate of q_stat_km / q_stat_logrank: per
+    * user, days from first event to first high-value purchase (value ≥
+    * 150), censored at the last observed event (ev = 0) — plus the
+    * cohort grp from the q_sample_split md5 discipline (first hex nibble
+    * of md5(user_id) < '8' ⇒ grp 1, a ~50/50 hash-cohorted A/B split —
+    * content-keyed so it is balanced and NON-EMPTY at every SF, where a
+    * behavior-derived cohort can come up empty on a 15-user fixture).
+    * One data-sized (user) hash agg. */
+  private def survivalFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+      .groupBy($"user_id")
+      .agg(min($"ts_us").as("t0"),
+           min(when($"event_type" === "purchase" && $"value" >= 150.0,
+             $"ts_us")).as("tp"),
+           max($"ts_us").as("tl"))
+      .select(expr(
+        """CASE WHEN tp IS NOT NULL THEN (tp - t0) div 86400000000L
+          |     ELSE (tl - t0) div 86400000000L END""".stripMargin).as("d"),
+        when($"tp".isNotNull, 1L).otherwise(0L).as("ev"),
+        when(substring(md5($"user_id".cast("string")), 1, 1) < "8", 1L)
+          .otherwise(0L).as("grp"))
+  }
+
   private def cpBins(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
@@ -497,18 +522,7 @@ object Stats extends QueryGroup {
     // bounded the q_roll_mean way.
     "q_stat_km" -> ((s, dir) => {
       import s.implicits._
-      val per = t(s, dir, "events")
-        .withColumn("ts_us", unix_micros($"ts"))
-        .groupBy($"user_id")
-        .agg(min($"ts_us").as("t0"),
-             min(when($"event_type" === "purchase" && $"value" >= 150.0,
-               $"ts_us")).as("tp"),
-             max($"ts_us").as("tl"))
-        .select(expr(
-          """CASE WHEN tp IS NOT NULL THEN (tp - t0) div 86400000000L
-            |     ELSE (tl - t0) div 86400000000L END""".stripMargin).as("d"),
-          when($"tp".isNotNull, 1L).otherwise(0L).as("ev"))
-      val byd = per.groupBy($"d")
+      val byd = survivalFrame(s, dir).groupBy($"d")
         .agg(sum($"ev").as("n_event"), sum(lit(1L) - $"ev").as("n_cens"))
       val wAll = Window.partitionBy()
       val wPrev = Window.orderBy($"d")
@@ -533,6 +547,53 @@ object Stats extends QueryGroup {
           when($"dead" === 1L, lit(0.0))
             .otherwise(round(exp($"lnsum"), 6)).as("surv"))
         .orderBy($"d_days")
+    }),
+
+    // Log-rank test (Mantel 1966) — do the two cohorts' SURVIVAL curves
+    // differ? The standard companion of q_stat_km (curve first, test
+    // second), comparing users whose first event is a 'view' against the
+    // rest on the same time-to-high-value-purchase target. At each event
+    // day: observed group-1 events O₁ vs hypergeometric expectation
+    // E₁ = d·n₁/n and variance d·(n₁/n)·((n−n₁)/n)·((n−d)/(n−1));
+    // χ² = (ΣO₁ − ΣE₁)²/ΣV. Risk sets are exact BIGINT window
+    // cumulatives over the day-range-bounded frame; each E/V term is a
+    // double from exact-int operands in IDENTICAL op order, round(6)-
+    // pinned then DECIMAL-summed (q_stat_psi discipline); the final χ²
+    // is one guarded division round(4). Shares survivalFrame with km —
+    // one data-sized (user) agg serves both keys.
+    "q_stat_logrank" -> ((s, dir) => {
+      import s.implicits._
+      val byd = survivalFrame(s, dir).groupBy($"d")
+        .agg(sum($"ev").as("d_all"),
+             sum(when($"grp" === 1L, $"ev").otherwise(0L)).as("d1"),
+             count(lit(1)).as("m_all"), sum($"grp").as("m1"))
+      val wAll = Window.partitionBy()
+      val wPrev = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byd
+        .withColumn("tot", sum($"m_all").over(wAll))
+        .withColumn("tot1", sum($"m1").over(wAll))
+        .withColumn("n", $"tot" - coalesce(sum($"m_all").over(wPrev), lit(0L)))
+        .withColumn("n1", $"tot1" - coalesce(sum($"m1").over(wPrev), lit(0L)))
+        .filter($"d_all" > 0L)
+        .withColumn("e1",
+          round($"d_all".cast("double") * $"n1" / $"n", 6)
+            .cast(DecimalType(18, 6)))
+        .withColumn("v",
+          when($"n" > 1L,
+            round($"d_all".cast("double") * $"n1" / $"n" *
+              ($"n" - $"n1") / $"n" * ($"n" - $"d_all") / ($"n" - 1L), 6))
+            .cast(DecimalType(18, 6)))
+        .agg(max($"tot1").as("n1_users"),
+             (max($"tot") - max($"tot1")).as("n0_users"),
+             sum($"d1").as("o1"),
+             sum($"e1").cast("double").as("e1d"),
+             sum($"v").cast("double").as("vd"))
+        .select($"n1_users", $"n0_users", $"o1",
+          round($"e1d", 4).as("e1"),
+          when($"vd" > 0.0,
+            round(($"o1" - $"e1d") * ($"o1" - $"e1d") / $"vd", 4))
+            .as("chi2"))
     })
   )
 
@@ -862,6 +923,66 @@ object Stats extends QueryGroup {
         |  FROM s2)
         |SELECT d AS d_days, n_risk, n_event, n_cens,
         |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS surv
-        |FROM s3 WHERE n_event > 0 ORDER BY d_days""".stripMargin
+        |FROM s3 WHERE n_event > 0 ORDER BY d_days""".stripMargin,
+
+    // The cohort is the q_sample_split md5 nibble — balanced and
+    // non-empty at every SF by construction.
+    "q_stat_logrank" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, min(ts_us) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+        |        THEN ts_us END) AS tp,
+        |    max(ts_us) AS tl
+        |  FROM e GROUP BY user_id),
+        |pd AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+        |              ELSE (tl - t0) // 86400000000 END AS d,
+        |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |           THEN 1 ELSE 0 END AS grp
+        |  FROM per),
+        |byd AS (
+        |  SELECT d, CAST(SUM(ev) AS BIGINT) AS d_all,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(COUNT(*) AS BIGINT) AS m_all,
+        |    CAST(SUM(grp) AS BIGINT) AS m1
+        |  FROM pd GROUP BY d),
+        |st AS (
+        |  SELECT d, d_all, d1,
+        |    CAST(SUM(m_all) OVER () AS BIGINT) AS tot,
+        |    CAST(SUM(m1) OVER () AS BIGINT) AS tot1,
+        |    CAST(SUM(m_all) OVER () AS BIGINT)
+        |      - CAST(COALESCE(SUM(m_all) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n,
+        |    CAST(SUM(m1) OVER () AS BIGINT)
+        |      - CAST(COALESCE(SUM(m1) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n1
+        |  FROM byd),
+        |tm AS (
+        |  SELECT tot, tot1, d1,
+        |    CAST(round(CAST(d_all AS DOUBLE) * n1 / n, 6)
+        |      AS DECIMAL(18,6)) AS e1,
+        |    CASE WHEN n > 1
+        |      THEN CAST(round(CAST(d_all AS DOUBLE) * n1 / n
+        |        * (n - n1) / n * (n - d_all) / (n - 1), 6)
+        |        AS DECIMAL(18,6)) END AS v
+        |  FROM st WHERE d_all > 0),
+        |ag AS (
+        |  SELECT MAX(tot1) AS n1_users, MAX(tot) - MAX(tot1) AS n0_users,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(e1) AS DOUBLE) AS e1d, CAST(SUM(v) AS DOUBLE) AS vd
+        |  FROM tm)
+        |SELECT CAST(n1_users AS BIGINT) AS n1_users,
+        |  CAST(n0_users AS BIGINT) AS n0_users, o1,
+        |  round(e1d, 4) AS e1,
+        |  CASE WHEN vd > 0
+        |    THEN round((o1 - e1d) * (o1 - e1d) / vd, 4) END AS chi2
+        |FROM ag""".stripMargin
   )
 }

@@ -36,6 +36,36 @@ object Timeseries extends QueryGroup {
     * dialects so the normalizer cannot drift by a libm ulp. */
   private val Ln24: Double = math.log(24.0)
 
+  /** q_time_acf's body, shared with q_time_pacf so the Durbin–Levinson
+    * recursion reads the SAME round(4)-pinned r's the acf key declares. */
+  private def acfFrame(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"bucket_ms")
+    val lagged = Reshape.resampled(s, dir)
+      .select($"bucket_ms", $"n_events".as("x"))
+      .withColumn("l1", lag($"x", 1).over(w))
+      .withColumn("l2", lag($"x", 2).over(w))
+      .withColumn("l3", lag($"x", 3).over(w))
+    val pairs = lagged
+      .select(explode(array(
+        struct(lit(1).as("lg"), $"x", $"l1".as("y")),
+        struct(lit(2).as("lg"), $"x", $"l2".as("y")),
+        struct(lit(3).as("lg"), $"x", $"l3".as("y")))).as("p"))
+      .select($"p.lg".as("lag"), $"p.x".as("x"), $"p.y".as("y"))
+      .filter($"y".isNotNull)
+    pairs.groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum($"x").as("sx"), sum($"y").as("sy"),
+           sum($"x" * $"y").as("sxy"),
+           sum($"x" * $"x").as("sxx"),
+           sum($"y" * $"y").as("syy"))
+      .select($"lag", $"n_pairs",
+        pearsonR($"n_pairs", $"sx", $"sy", $"sxy", $"sxx", $"syy")
+          .as("acf"))
+      .orderBy($"lag")
+  }
+
   val queries: Map[String, QFn] = Map(
     // Autocorrelation of the hourly event-count series at lags 1..3 — the
     // "is there short-range structure" diagnostic (an ACF near zero says
@@ -45,30 +75,42 @@ object Timeseries extends QueryGroup {
     // floating-point ops are one division and two sqrts over bit-identical
     // BIGINT-exact operands. One window pass builds all three lags; the
     // explode is 3 rows per grid row — still time-bounded.
-    "q_time_acf" -> ((s, dir) => {
+    "q_time_acf" -> ((s, dir) => acfFrame(s, dir)),
+
+    // Partial autocorrelation at lags 1..3 via the Durbin–Levinson
+    // recursion (the ARIMA order-selection diagnostic that completes the
+    // ACF: φ_kk is the lag-k correlation with the shorter lags PARTIALED
+    // OUT — an AR(p) process cuts off after p in PACF but decays in
+    // ACF). The recursion reads the acf key's OWN round(4)-pinned r's
+    // (the same acfFrame substrate, so the two keys can never drift),
+    // making parity trivial: identical pinned inputs → identical doubles
+    // through the identical formula text on both engines; outputs
+    // round(6), degenerate denominators (|r1| = 1) guarded NULL. The 1-
+    // row pivot and recursion are constant-size — the only data-sized
+    // job remains the substrate's hour agg.
+    "q_time_pacf" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"bucket_ms")
-      val lagged = Reshape.resampled(s, dir)
-        .select($"bucket_ms", $"n_events".as("x"))
-        .withColumn("l1", lag($"x", 1).over(w))
-        .withColumn("l2", lag($"x", 2).over(w))
-        .withColumn("l3", lag($"x", 3).over(w))
-      val pairs = lagged
+      acfFrame(s, dir)
+        .agg(max(when($"lag" === 1, $"acf")).as("r1"),
+             max(when($"lag" === 2, $"acf")).as("r2"),
+             max(when($"lag" === 3, $"acf")).as("r3"))
+        .withColumn("phi22",
+          when(lit(1.0) - $"r1" * $"r1" =!= 0.0,
+            ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1")))
+        .withColumn("phi21", $"r1" - $"phi22" * $"r1")
+        .withColumn("den3",
+          lit(1.0) - $"phi21" * $"r1" - $"phi22" * $"r2")
+        .withColumn("phi33",
+          when($"den3" =!= 0.0,
+            ($"r3" - $"phi21" * $"r2" - $"phi22" * $"r1") / $"den3"))
         .select(explode(array(
-          struct(lit(1).as("lg"), $"x", $"l1".as("y")),
-          struct(lit(2).as("lg"), $"x", $"l2".as("y")),
-          struct(lit(3).as("lg"), $"x", $"l3".as("y")))).as("p"))
-        .select($"p.lg".as("lag"), $"p.x".as("x"), $"p.y".as("y"))
-        .filter($"y".isNotNull)
-      pairs.groupBy($"lag")
-        .agg(count(lit(1)).as("n_pairs"),
-             sum($"x").as("sx"), sum($"y").as("sy"),
-             sum($"x" * $"y").as("sxy"),
-             sum($"x" * $"x").as("sxx"),
-             sum($"y" * $"y").as("syy"))
-        .select($"lag", $"n_pairs",
-          pearsonR($"n_pairs", $"sx", $"sy", $"sxy", $"sxx", $"syy")
-            .as("acf"))
+          struct(lit(1).as("lag"), $"r1".as("acf"),
+                 round($"r1", 6).as("pacf")),
+          struct(lit(2).as("lag"), $"r2".as("acf"),
+                 round($"phi22", 6).as("pacf")),
+          struct(lit(3).as("lag"), $"r3".as("acf"),
+                 round($"phi33", 6).as("pacf")))).as("p"))
+        .select($"p.lag".as("lag"), $"p.acf".as("acf"), $"p.pacf".as("pacf"))
         .orderBy($"lag")
     }),
 
@@ -452,6 +494,59 @@ object Timeseries extends QueryGroup {
         |    n_pairs * sxx - sx * sx AS d1,
         |    n_pairs * syy - sy * sy AS d2
         |  FROM st)
+        |ORDER BY lag""".stripMargin),
+
+    // The acf CTE chain re-pivoted, then the Durbin–Levinson recursion
+    // over the identical round(4)-pinned r's in identical op order.
+    "q_time_pacf" -> (Reshape.resampledCte +
+      s""",
+        |lagged AS (
+        |  SELECT n_events AS x,
+        |    lag(n_events, 1) OVER (ORDER BY bucket_ms) AS l1,
+        |    lag(n_events, 2) OVER (ORDER BY bucket_ms) AS l2,
+        |    lag(n_events, 3) OVER (ORDER BY bucket_ms) AS l3
+        |  FROM res),
+        |pairs AS (
+        |  SELECT 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2 AS lag, x, l2 AS y FROM lagged WHERE l2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 3 AS lag, x, l3 AS y FROM lagged WHERE l3 IS NOT NULL),
+        |st AS (
+        |  SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM pairs GROUP BY lag),
+        |ac AS (
+        |  SELECT lag, ${Q.oPearson()} AS acf
+        |  FROM (
+        |    SELECT lag, n_pairs,
+        |      n_pairs * sxy - sx * sy AS num,
+        |      n_pairs * sxx - sx * sx AS d1,
+        |      n_pairs * syy - sy * sy AS d2
+        |    FROM st)),
+        |pv AS (
+        |  SELECT
+        |    MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |    MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+        |  FROM ac),
+        |p1 AS (
+        |  SELECT *, CASE WHEN 1.0 - r1 * r1 <> 0.0
+        |    THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
+        |  FROM pv),
+        |p2 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p1),
+        |p3 AS (
+        |  SELECT *, 1.0 - phi21 * r1 - phi22 * r2 AS den3 FROM p2),
+        |p4 AS (
+        |  SELECT *, CASE WHEN den3 <> 0.0
+        |    THEN (r3 - phi21 * r2 - phi22 * r1) / den3 END AS phi33
+        |  FROM p3)
+        |SELECT 1 AS lag, r1 AS acf, round(r1, 6) AS pacf FROM p4
+        |UNION ALL
+        |SELECT 2, r2, round(phi22, 6) FROM p4
+        |UNION ALL
+        |SELECT 3, r3, round(phi33, 6) FROM p4
         |ORDER BY lag""".stripMargin),
 
     "q_time_ewma" -> (Reshape.resampledCte +

@@ -580,4 +580,49 @@ class StatsSpec extends BaseSpec {
     }
     assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
   }
+
+  test("q_stat_logrank equals a driver hypergeometric recount; null split reads small") {
+    val Seq((n1, n0, o1, e1, chi2)) =
+      SparkEntry.queries("q_stat_logrank")(spark, sf)
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(n1 > 0 && n0 > 0, "md5 cohort must be non-empty on both sides")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "value", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Double, Long)].collect().toList
+    val day = 86400000000L
+    val per = evs.groupBy(_._1).map { case (u, rs) =>
+      val t0 = rs.map(_._4).min
+      val tp = rs.filter(r => r._2 == "purchase" && r._3 >= 150.0)
+        .map(_._4).sorted.headOption
+      val grp = if (md5hex(u.toString).charAt(0) < '8') 1 else 0
+      tp match {
+        case Some(t) => ((t - t0) / day, 1, grp)
+        case None    => ((rs.map(_._4).max - t0) / day, 0, grp)
+      }
+    }.toList
+    assert(n1 == per.count(_._3 == 1).toLong && n0 == per.count(_._3 == 0).toLong)
+    var n = per.size.toLong; var nn1 = per.count(_._3 == 1).toLong
+    var eo1 = 0L; var ee1 = 0.0; var vv = 0.0
+    def rnd6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    per.groupBy(_._1).toList.sortBy(_._1).foreach { case (_, rs) =>
+      val dAll = rs.count(_._2 == 1).toLong
+      if (dAll > 0) {
+        eo1 += rs.count(r => r._2 == 1 && r._3 == 1)
+        ee1 += rnd6(dAll.toDouble * nn1 / n)
+        if (n > 1)
+          vv += rnd6(dAll.toDouble * nn1 / n * (n - nn1) / n *
+            (n - dAll) / (n - 1))
+      }
+      n -= rs.size; nn1 -= rs.count(_._3 == 1)
+    }
+    assert(o1 == eo1)
+    assert(math.abs(e1 - ee1) < 1e-3, s"E1 $e1 vs $ee1")
+    val expChi = (eo1 - ee1) * (eo1 - ee1) / vv
+    assert(math.abs(chi2 - expChi) < 1e-3, s"chi2 $chi2 vs $expChi")
+    // an md5 cohort is a NULL split: the statistic should not scream
+    assert(chi2 < 15.0, s"null-split chi2 $chi2 implausibly large")
+  }
 }

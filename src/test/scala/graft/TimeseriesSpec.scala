@@ -286,6 +286,28 @@ class TimeseriesSpec extends BaseSpec {
     }
   }
 
+  test("q_time_pacf: Durbin-Levinson over the acf key's own pinned r's") {
+    val acf = SparkEntry.queries("q_time_acf")(spark, sf)
+      .as[(Int, Long, Double)].collect().toList.sortBy(_._1)
+    val got = SparkEntry.queries("q_time_pacf")(spark, sf)
+      .as[(Int, Double, Double)].collect().toList.sortBy(_._1)
+    assert(got.map(_._1) == List(1, 2, 3))
+    // the acf column IS the acf key's output — shared substrate
+    assert(got.map(r => (r._1, r._2)) == acf.map(r => (r._1, r._3)))
+    def rnd6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val List(r1, r2, r3) = acf.map(_._3)
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 - phi22 * r1
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (1.0 - phi21 * r1 - phi22 * r2)
+    assert(got(0)._3 == rnd6(r1))
+    assert(got(1)._3 == rnd6(phi22))
+    assert(got(2)._3 == rnd6(phi33))
+    // PACF of a stationary series stays inside [-1, 1]
+    assert(got.forall(r => math.abs(r._3) <= 1.0))
+  }
+
   test("q_time_mk equals a driver seasonal sign recount; tau bounded") {
     val got = SparkEntry.queries("q_time_mk")(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
