@@ -425,10 +425,75 @@ object Ml extends QueryGroup {
             (lit(2L) * $"tp" + $"fp" + $"fn"), 6).as("f1"),
           round(($"tp" + $"tn").cast("double") / ($"p" + $"nn"), 6).as("acc"))
         .orderBy($"threshold")
+    }),
+
+    // Threshold-free ranking quality — ROC AUC via the Mann–Whitney rank
+    // identity over the SAME integer unit-bin histogram as q_ml_confusion
+    // (score = value, positive = purchase, negative = click). AUC =
+    // P(score_pos > score_neg) + ½P(=); with binned scores that is
+    // U = Σ_b pos_b · (neg_below_b + neg_b/2), kept integer-exact by the
+    // doubled-midrank discipline (2U = Σ pos·(2·neg_lt + neg)) in
+    // DECIMAL(38,0) so nothing overflows at any corpus size. One
+    // data-sized hash agg to ≤ ~500 value-range-bounded bins; the
+    // cumulative window rides the BIN frame, never the data.
+    "q_ml_auc" -> ((s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy($"bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("bin", floor($"value").cast("long"))
+        .groupBy($"bin")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"),
+             sum(when($"event_type" === "click", 1L).otherwise(0L)).as("neg"))
+        .withColumn("neg_lt", coalesce(sum($"neg").over(wCum), lit(0L)))
+        .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+             sum(($"pos".cast(dec)) * (lit(2L).cast(dec) * $"neg_lt".cast(dec)
+               + $"neg".cast(dec))).as("u2"))
+        .select($"n_pos", $"n_neg",
+          round($"u2".cast("double") /
+            (lit(2.0) * $"n_pos" * $"n_neg"), 6).as("auc"))
+    }),
+
+    // Probability calibration — the reliability table + Brier score a
+    // scoring pipeline reads before trusting any classifier's confidence.
+    // Predicted probability p = value/500 (the value range maps into
+    // [0, 1)); deciles via the integer bin floor(value/50) capped at 9, so
+    // bin membership never touches FP division. Per bin: support, mean
+    // predicted p, observed positive fraction (the calibration gap is
+    // mean_pred vs frac_pos); the global Brier score Σ(p−y)²/N rides a
+    // single-partition window over the ≤10-row bin frame — the fact table
+    // is scanned exactly once. Squared errors route through DECIMAL(18,8)
+    // (cast of identical doubles, then exact summation — order-free).
+    "q_ml_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("y", when($"event_type" === "purchase", 1.0).otherwise(0.0))
+        .withColumn("p", $"value" / 500.0)
+        .withColumn("bin", least(floor($"value" / 50.0).cast("long"), lit(9L)))
+        .withColumn("sq", (($"p" - $"y") * ($"p" - $"y")).cast(dec8))
+        .withColumn("pd", $"p".cast(dec8))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pd").as("sp"),
+             sum(when($"y" === 1.0, 1L).otherwise(0L)).as("npos"),
+             sum($"sq").as("ssq"))
+        .withColumn("brier",
+          round(sum($"ssq").over(wAll).cast("double") /
+            sum($"n").over(wAll), 6))
+        .select($"bin", $"n",
+          round($"sp".cast("double") / $"n", 6).as("mean_pred"),
+          round($"npos".cast("double") / $"n", 6).as("frac_pos"),
+          $"brier")
+        .orderBy($"bin")
     })
   )
 
   val oracle: Map[String, String] = Map(
+
     "q_ml_confusion" ->
       """WITH b AS (
         |  SELECT CAST(floor(value) AS BIGINT) AS bin,
@@ -450,6 +515,43 @@ object Ml extends QueryGroup {
         |  round(CAST(tp AS DOUBLE) / p, 6) AS rec,
         |  round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (p - tp)), 6) AS f1,
         |  round(CAST(tp + (nn - fp) AS DOUBLE) / (p + nn), 6) AS acc
-        |FROM c, tot ORDER BY threshold""".stripMargin
+        |FROM c, tot ORDER BY threshold""".stripMargin,
+
+    "q_ml_auc" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS bin,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS neg
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT pos, neg,
+        |    COALESCE(SUM(neg) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt
+        |  FROM b)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |  round(CAST(SUM(CAST(pos AS DECIMAL(38,0)) *
+        |        (CAST(2 AS DECIMAL(38,0)) * CAST(neg_lt AS DECIMAL(38,0))
+        |         + CAST(neg AS DECIMAL(38,0)))) AS DOUBLE) /
+        |    (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+        |FROM c""".stripMargin,
+
+    "q_ml_calibration" ->
+      """WITH e AS (
+        |  SELECT value / 500.0 AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+        |    LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |b AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    SUM(CAST(p AS DECIMAL(18,8))) AS sp,
+        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS npos,
+        |    SUM(CAST((p - y) * (p - y) AS DECIMAL(18,8))) AS ssq
+        |  FROM e GROUP BY bin)
+        |SELECT bin, n,
+        |  round(CAST(sp AS DOUBLE) / n, 6) AS mean_pred,
+        |  round(CAST(npos AS DOUBLE) / n, 6) AS frac_pos,
+        |  round(CAST(SUM(ssq) OVER () AS DOUBLE) / SUM(n) OVER (), 6) AS brier
+        |FROM b ORDER BY bin""".stripMargin
   )
 }

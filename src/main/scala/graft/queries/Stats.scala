@@ -594,10 +594,69 @@ object Stats extends QueryGroup {
           when($"vd" > 0.0,
             round(($"o1" - $"e1d") * ($"o1" - $"e1d") / $"vd", 4))
             .as("chi2"))
+    }),
+
+    // Gini coefficient / Lorenz concentration of customer spend within
+    // each market segment — the inequality screen ("do 20% of customers
+    // carry 80% of revenue?") a curation pipeline runs before capping or
+    // stratifying by account. Uses the exact rank formulation
+    // G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n over spend sorted ascending with
+    // the (spend, custkey) total order breaking ties identically in both
+    // engines. Per-customer spend sums in DECIMAL(18,4) (exact), the rank
+    // moment Σ i·xᵢ in DECIMAL(38,4) (exact) — the only FP ops are the two
+    // final divisions over bit-identical operands. Plan: one orders hash
+    // agg, a broadcast-sized customer join, one per-segment window sort —
+    // all key-partitioned, nothing driver-sized.
+    "q_stat_gini" -> ((s, dir) => {
+      import s.implicits._
+      val dec38 = DecimalType(38, 0)
+      // spend in integer 1e-4 units: decimal-exact sum, then a lossless
+      // long — so the rank moment Σ i·xᵢ multiplies integers (DECIMAL(38,0),
+      // exact) instead of risking Spark's precision-38 decimal·decimal
+      // scale truncation
+      val spend = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg((sum($"o_totalprice".cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as("spend_l"))
+        .join(t(s, dir, "customer")
+          .select($"c_custkey".as("o_custkey"), $"c_mktsegment"), Seq("o_custkey"))
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"spend_l", $"o_custkey")
+      spend.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+             sum($"spend_l".cast(dec38)).as("st"),
+             sum($"spend_l".cast(dec38) * $"i".cast(dec38)).as("wt"))
+        .select($"c_mktsegment", $"n_cust",
+          round($"st".cast("double") / 10000.0, 2).as("total_spend"),
+          round(lit(2.0) * $"wt".cast("double") /
+              ($"n_cust" * $"st".cast("double"))
+            - ($"n_cust" + 1L).cast("double") / $"n_cust", 6).as("gini"))
+        .orderBy($"c_mktsegment")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stat_gini" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      AS spend_l
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT c_mktsegment, spend_l, o_custkey,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY spend_l, o_custkey) AS BIGINT) AS i
+        |  FROM sp JOIN customer ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |    SUM(CAST(spend_l AS DECIMAL(38,0))) AS st,
+        |    SUM(CAST(spend_l AS DECIMAL(38,0)) * CAST(i AS DECIMAL(38,0))) AS wt
+        |  FROM j GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, CAST(n_cust AS BIGINT) AS n_cust,
+        |  round(CAST(st AS DOUBLE) / 10000.0, 2) AS total_spend,
+        |  round(2.0 * CAST(wt AS DOUBLE) / (n_cust * CAST(st AS DOUBLE))
+        |    - CAST(n_cust + 1 AS DOUBLE) / n_cust, 6) AS gini
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
     "q_stat_chisq" ->
       """WITH med AS (
         |  SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med

@@ -463,10 +463,71 @@ object Timeseries extends QueryGroup {
           pearsonR($"n_pairs", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("xcorr"))
         .orderBy($"lag")
+    }),
+
+    // Periodogram — the frequency-domain twin of q_time_acf: DFT power of
+    // the mean-centered hourly count series at the four calendar-candidate
+    // periods (6 h, 12 h, 24 h, 1 week). Detects WHICH cycle dominates the
+    // load (the daily peak a capacity planner provisions for), where ACF
+    // only says "short-range structure exists". Determinism: centering is
+    // integer-exact (cx = n·x_t − Σx, never a double mean), the trig
+    // argument is range-reduced BEFORE cos/sin (t mod P keeps it in
+    // [0, 2π) — both engines evaluate libm on the same small double), each
+    // term routes through DECIMAL(28,6) so the big sums are order-free,
+    // and power derives from the round(4)-pinned cos/sin sums. One grid
+    // agg + a 4×-explode over the bounded hour grid — never data-sized
+    // beyond the substrate's hourly rollup.
+    "q_time_periodogram" -> ((s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val wAll = Window.partitionBy()
+      val x = Reshape.resampled(s, dir)
+        .select($"bucket_ms", $"n_events".as("x"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sx", sum($"x").over(wAll))
+        .withColumn("mn", min($"bucket_ms").over(wAll))
+        .withColumn("t", expr("(bucket_ms - mn) div 3600000"))
+        .withColumn("cx", ($"n" * $"x" - $"sx").cast("double"))
+      x.select($"n", $"cx", $"t",
+          explode(array(lit(6L), lit(12L), lit(24L), lit(168L))).as("p"))
+        .withColumn("ang",
+          lit(6.283185307179586) * ($"t" % $"p").cast("double") / $"p")
+        .withColumn("tc", ($"cx" * cos($"ang")).cast(dec))
+        .withColumn("tsn", ($"cx" * sin($"ang")).cast(dec))
+        .groupBy($"p")
+        .agg(max($"n").as("n"), sum($"tc").as("sc"), sum($"tsn").as("ss"))
+        .withColumn("c", round($"sc".cast("double") / ($"n" * $"n"), 4))
+        .withColumn("s", round($"ss".cast("double") / ($"n" * $"n"), 4))
+        .select($"p".as("period_h"), $"n".as("n_hours"),
+          $"c".as("cos_sum"), $"s".as("sin_sum"),
+          round($"c" * $"c" + $"s" * $"s", 4).as("power"))
+        .orderBy($"period_h")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_time_periodogram" -> (Reshape.resampledCte +
+      """,
+        |s0 AS (SELECT bucket_ms, n_events AS x FROM res),
+        |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, MIN(bucket_ms) AS mn
+        |      FROM s0),
+        |tt AS (SELECT (bucket_ms - mn) // 3600000 AS t,
+        |              CAST(n * x - sx AS DOUBLE) AS cx, n
+        |       FROM s0, m),
+        |e AS (SELECT t, cx, n, unnest([6, 12, 24, 168]) AS p FROM tt),
+        |g AS (SELECT p, MAX(n) AS n,
+        |  SUM(CAST(cx * cos(6.283185307179586 * CAST(t % p AS DOUBLE) / p)
+        |      AS DECIMAL(28,6))) AS sc,
+        |  SUM(CAST(cx * sin(6.283185307179586 * CAST(t % p AS DOUBLE) / p)
+        |      AS DECIMAL(28,6))) AS ss
+        |  FROM e GROUP BY p),
+        |f AS (SELECT p, n,
+        |  round(CAST(sc AS DOUBLE) / (n * n), 4) AS c,
+        |  round(CAST(ss AS DOUBLE) / (n * n), 4) AS s FROM g)
+        |SELECT CAST(p AS BIGINT) AS period_h, CAST(n AS BIGINT) AS n_hours,
+        |  c AS cos_sum, s AS sin_sum, round(c * c + s * s, 4) AS power
+        |FROM f ORDER BY period_h""".stripMargin),
+
     "q_time_acf" -> (Reshape.resampledCte +
       s""",
         |lagged AS (

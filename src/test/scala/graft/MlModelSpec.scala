@@ -252,4 +252,54 @@ class MlModelSpec extends BaseSpec {
     case _ => ()
     }
   }
+
+  private def rnd(x: Double, s: Int) =
+    new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+
+  test("q_ml_auc equals a brute-force Mann-Whitney pair count") {
+    val Array(row) = SparkEntry.queries("q_ml_auc")(spark, sf).collect()
+    val (np, nn, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val rows = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("event_type", "CAST(floor(value) AS BIGINT) AS b")
+      .as[(String, Long)].collect().toList
+    val pos = rows.filter(_._1 == "purchase").map(_._2)
+    val neg = rows.filter(_._1 == "click").map(_._2)
+    assert(np == pos.size.toLong && nn == neg.size.toLong)
+    // the identity the key relies on, checked the EXPENSIVE way: every
+    // (pos, neg) pair scored directly — wins count 2, ties 1 (doubled
+    // midranks), so u2/2 is the Mann-Whitney U with tie correction
+    val u2 = (for (a <- pos; b <- neg)
+      yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+    assert(auc == rnd(u2.toDouble / (2.0 * np * nn), 6))
+    assert(auc > 0.0 && auc < 1.0)
+  }
+
+  test("q_ml_calibration equals a driver reliability recount") {
+    val got = SparkEntry.queries("q_ml_calibration")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList.sortBy(_._1)
+    assert(got.nonEmpty && got.map(_._1).distinct == got.map(_._1))
+    val rows = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"), col("event_type")).as[(Double, String)]
+      .collect().toList
+      .map { case (v, t) => (v / 500.0, if (t == "purchase") 1.0 else 0.0,
+        math.min(math.floor(v / 50.0).toLong, 9L)) }
+    def dec8(x: Double) =
+      new java.math.BigDecimal(x).setScale(8, java.math.RoundingMode.HALF_UP)
+    val nAll = rows.size.toLong
+    val brierWant = rnd(
+      rows.map { case (p, y, _) => dec8((p - y) * (p - y)) }
+        .reduce(_ add _).doubleValue / nAll, 6)
+    got.foreach { case (bin, n, meanPred, fracPos, brier) =>
+      val mine = rows.filter(_._3 == bin)
+      assert(n == mine.size.toLong, s"bin=$bin")
+      assert(meanPred ==
+        rnd(mine.map(r => dec8(r._1)).reduce(_ add _).doubleValue / n, 6))
+      assert(fracPos == rnd(mine.count(_._2 == 1.0).toDouble / n, 6))
+      assert(brier == brierWant)
+      assert(meanPred >= 0.0 && meanPred <= 1.0 && fracPos >= 0.0 && fracPos <= 1.0)
+    }
+  }
 }

@@ -625,4 +625,44 @@ class StatsSpec extends BaseSpec {
     // an md5 cohort is a NULL split: the statistic should not scream
     assert(chi2 < 15.0, s"null-split chi2 $chi2 implausibly large")
   }
+
+  test("q_stat_gini equals a driver Lorenz recomputation; bounds and degenerate case hold") {
+    val got = SparkEntry.queries("q_stat_gini")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toList
+    assert(got.nonEmpty)
+    // spend in integer 1e-4 units exactly as the key: per-row HALF_UP cast
+    // to scale 4, exact sum, lossless long
+    val spend = Tables(spark, sf, "orders")
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)]
+      .collect().toList.groupBy(_._1).map { case (ck, rows) =>
+        ck -> rows.map(r => new java.math.BigDecimal(r._2)
+          .setScale(4, java.math.RoundingMode.HALF_UP))
+          .reduce(_ add _).movePointRight(4).longValueExact()
+      }
+    val seg = Tables(spark, sf, "customer")
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)].collect().toMap
+    val bySeg = spend.toList.map { case (ck, sp) => (seg(ck), ck, sp) }
+      .groupBy(_._1)
+    got.foreach { case (mkt, nCust, total, gini) =>
+      val rows = bySeg(mkt).sortBy(r => (r._3, r._2))
+      val n = rows.size.toLong
+      assert(nCust == n, mkt)
+      val st = rows.map(r => BigInt(r._3)).sum
+      val wt = rows.zipWithIndex.map { case (r, i) => BigInt(i + 1) * r._3 }.sum
+      assert(total == rnd(st.toDouble / 10000.0, 2), mkt)
+      val want = rnd(2.0 * wt.toDouble / (n * st.toDouble)
+        - (n + 1).toDouble / n, 6)
+      assert(gini == want, s"$mkt: got $gini want $want")
+      assert(gini >= 0.0 && gini < 1.0, mkt)
+    }
+    // the statistic itself: equal spends → 0; one-customer-takes-all → (n−1)/n
+    def giniOf(xs: List[Long]): Double = {
+      val s = xs.sorted; val n = s.size; val tot = s.map(BigInt(_)).sum
+      val w = s.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      2.0 * w.toDouble / (n * tot.toDouble) - (n + 1).toDouble / n
+    }
+    assert(math.abs(giniOf(List.fill(10)(7L))) < 1e-12)
+    assert(math.abs(giniOf(0L :: 0L :: 0L :: List(100L)) - 0.75) < 1e-12)
+  }
 }

@@ -400,4 +400,44 @@ class TimeseriesSpec extends BaseSpec {
     // and a single-slot burst has H = 0
     assert(-(1.0 * math.log(1.0)) == 0.0)
   }
+
+  test("q_time_periodogram equals a driver DFT over the gap-filled grid") {
+    val got = SparkEntry.queries("q_time_periodogram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList.sortBy(_._1)
+    assert(got.map(_._1) == List(6L, 12L, 24L, 168L))
+    def rnd(x: Double, s: Int) =
+      new java.math.BigDecimal(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    def dec6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val byH = Tables(spark, sf, "events")
+      .selectExpr("unix_millis(ts) div 3600000 AS h").groupBy($"h").count()
+      .as[(Long, Long)].collect().toMap
+    val (lo, hi) = (byH.keys.min, byH.keys.max)
+    val xs = (lo to hi).map(h => byH.getOrElse(h, 0L))
+    val n = xs.size.toLong
+    val sx = xs.sum
+    got.foreach { case (p, nG, c, s2, pw) =>
+      assert(nG == n)
+      def trig(f: Double => Double) = rnd(
+        xs.zipWithIndex.map { case (x, t) =>
+          dec6((n * x - sx).toDouble *
+            f(6.283185307179586 * (t % p.toInt).toDouble / p))
+        }.reduce(_ add _).doubleValue / (n * n), 4)
+      assert(c == trig(math.cos), s"period=$p cos")
+      assert(s2 == trig(math.sin), s"period=$p sin")
+      assert(pw == rnd(c * c + s2 * s2, 4))
+      assert(pw >= 0.0)
+    }
+    // the statistic itself: a pure 24h cosine concentrates its power at
+    // the 24h line and reads ~zero at the incommensurate weekly line
+    val m = 336
+    val wave = (0 until m).map(t => math.cos(2 * math.Pi * t / 24.0))
+    def powAt(p: Double) = {
+      val c = wave.zipWithIndex.map { case (x, t) => x * math.cos(2 * math.Pi * t / p) }.sum
+      val s = wave.zipWithIndex.map { case (x, t) => x * math.sin(2 * math.Pi * t / p) }.sum
+      (c * c + s * s) / m
+    }
+    assert(powAt(24.0) > 100 * powAt(168.0))
+  }
 }
