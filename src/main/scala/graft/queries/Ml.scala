@@ -489,10 +489,78 @@ object Ml extends QueryGroup {
           round($"npos".cast("double") / $"n", 6).as("frac_pos"),
           $"brier")
         .orderBy($"bin")
+    }),
+
+    // Ranking quality — per-user NDCG@10 of the value-score ordering on
+    // purchase relevance (Järvelin & Kekäläinen TOIS 2002): the recsys
+    // evaluation completing the family (confusion = thresholded, AUC =
+    // threshold-free pairwise, NDCG = position-weighted list quality).
+    // The position gains g_j = round(log2(j+1)⁻¹, 6) and their exact
+    // cumulative sums are computed ONCE in Scala and embedded as literals
+    // in BOTH dialects (the q_time_entropy ln-24 discipline — no engine
+    // libm is consulted), so DCG is an exact DECIMAL(18,6) sum of pinned
+    // constants and IDCG a table lookup at least(n_pos, 10). Rank order is
+    // the (value DESC, event_id) total order — tie-deterministic on both
+    // engines. Plan: one fact scan, one user-partitioned window, one
+    // per-user hash agg — embarrassingly partition-parallel, no global
+    // sort, nothing driver-sized.
+    "q_ml_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val gArr = array(ndcgGains.map(g => lit(g.toDouble)): _*)
+      val cumArr = array(ndcgCum.map(g => lit(g.toDouble)): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("i", row_number().over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+             sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_pos"),
+             sum(when($"event_type" === "purchase" && $"i" <= ndcgK,
+                 element_at(gArr, $"i").cast(dec6))
+               .otherwise(lit(0).cast(dec6))).as("dcg_d"))
+        .select($"user_id", $"n_events", $"n_pos",
+          round($"dcg_d".cast("double"), 6).as("dcg"),
+          when($"n_pos" > 0L,
+            round($"dcg_d".cast("double") /
+              element_at(cumArr, least($"n_pos", lit(ndcgK.toLong)).cast("int")),
+              6)).as("ndcg"))
+        .orderBy($"user_id")
     })
   )
 
+  /** NDCG position gains (6-dp-pinned log2(j+1)⁻¹ for j = 1..10) and their
+    * exact cumulative sums — the single source both dialects splice from. */
+  private val ndcgK = 10
+  private[graft] val ndcgGains: Seq[BigDecimal] =
+    (1 to ndcgK).map(j => BigDecimal(math.log(2.0) / math.log(j + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+  private[graft] val ndcgCum: Seq[BigDecimal] =
+    ndcgGains.scanLeft(BigDecimal(0))(_ + _).tail
+  private def ndcgList(xs: Seq[BigDecimal]): String =
+    xs.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
+    "q_ml_ndcg" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY value DESC, event_id) AS i
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |a AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos,
+         |    SUM(CASE WHEN event_type = 'purchase' AND i <= 10
+         |        THEN CAST(${ndcgList(ndcgGains)}[i] AS DECIMAL(18,6))
+         |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg_d
+         |  FROM r GROUP BY user_id)
+         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  round(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+         |  CASE WHEN n_pos > 0 THEN round(CAST(dcg_d AS DOUBLE) /
+         |    ${ndcgList(ndcgCum)}[CAST(LEAST(n_pos, 10) AS INT)], 6) END AS ndcg
+         |FROM a ORDER BY user_id""".stripMargin,
 
     "q_ml_confusion" ->
       """WITH b AS (

@@ -632,10 +632,51 @@ object Stats extends QueryGroup {
               ($"n_cust" * $"st".cast("double"))
             - ($"n_cust" + 1L).cast("double") / $"n_cust", 6).as("gini"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // Q-Q comparison table — the deciles of the purchase-value distribution
+    // against the click-value distribution (the distribution-shift visual
+    // the KS test reduces to one number: WHERE do the cohorts diverge, not
+    // just whether). Exact interpolated percentiles on both engines (the
+    // q_agg_median precedent: Spark percentile() ≡ DuckDB quantile_cont,
+    // position q·(n−1) + linear interpolation on the SAME doubles, so the
+    // raw quantiles are bit-identical and the gap subtraction is too); all
+    // nine deciles come from ONE percentile-array aggregate per cohort —
+    // one fact scan into a 2-group agg, a 9-element explode, a 9-row pivot.
+    "q_stat_qq" -> ((s, dir) => {
+      import s.implicits._
+      val qs = (1 to 9).map(i => i / 10.0)
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type")
+        .agg(percentile($"value", lit(qs.toArray)).as("vs"))
+        .select($"event_type", posexplode($"vs"))
+        .groupBy($"pos")
+        .agg(max(when($"event_type" === "click", $"col")).as("vc"),
+             max(when($"event_type" === "purchase", $"col")).as("vp"))
+        .select((($"pos" + 1).cast("double") / 10.0).as("q"),
+          r4($"vc").as("v_click"), r4($"vp").as("v_purchase"),
+          r4($"vp" - $"vc").as("gap"))
+        .orderBy($"q")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stat_qq" ->
+      """WITH a AS (
+        |  SELECT event_type, quantile_cont(CAST(value AS DOUBLE),
+        |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS vs
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY event_type),
+        |e AS (SELECT event_type, unnest(vs) AS v, unnest(range(1, 10)) AS i
+        |      FROM a),
+        |p AS (SELECT i,
+        |        MAX(CASE WHEN event_type = 'click' THEN v END) AS vc,
+        |        MAX(CASE WHEN event_type = 'purchase' THEN v END) AS vp
+        |      FROM e GROUP BY i)
+        |SELECT CAST(i AS DOUBLE) / 10.0 AS q, round(vc, 4) AS v_click,
+        |  round(vp, 4) AS v_purchase, round(vp - vc, 4) AS gap
+        |FROM p ORDER BY q""".stripMargin,
     "q_stat_gini" ->
       """WITH sp AS (
         |  SELECT o_custkey,

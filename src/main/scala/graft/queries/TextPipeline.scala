@@ -1130,8 +1130,37 @@ object TextPipeline extends QueryGroup {
         .groupBy($"lang", $"pack_id")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
         .orderBy($"lang", $"pack_id")
+    }),
+
+    // FORCAST readability per source (Caylor et al. 1973) — the readability
+    // family member built for NON-PROSE text (forms, listings, word soup):
+    // grade = 20 − 15·(monosyllabic-word fraction), no sentence count
+    // anywhere (this corpus has zero sentence punctuation, so Flesch-style
+    // formulas would be vacuous — FORCAST is the published metric whose
+    // assumptions the data actually meets). Syllables = vowel-run count
+    // ('[aeiouy]+', ONE Scala constant in both dialects); every count is an
+    // exact BIGINT, the two divisions take exact-int operands, round(6).
+    // Plan: one documents scan, token explode, (source) hash agg —
+    // map-side combinable, nothing past |sources| rows downstream.
+    "q_text_readability" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .withColumn("syl", size(regexp_extract_all($"w", lit(sylRe), lit(0))).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_words"),
+             sum($"syl").as("n_syllables"),
+             sum(when($"syl" === 1L, 1L).otherwise(0L)).as("n_mono"))
+        .select($"source", $"n_words", $"n_syllables",
+          round($"n_syllables".cast("double") / $"n_words", 6).as("syl_per_word"),
+          round(lit(20.0) - lit(15.0) * $"n_mono".cast("double") / $"n_words", 4)
+            .as("forcast_grade"))
+        .orderBy($"source")
     })
   )
+
+  /** Syllable heuristic — vowel runs; ONE constant for both dialects. */
+  private val sylRe = "[aeiouy]+"
 
   /** PII patterns — ONE Scala constant per pattern feeds both dialects
     * (Java and RE2 regex agree on this POSIX-simple subset: literal
@@ -1184,6 +1213,22 @@ object TextPipeline extends QueryGroup {
         |  FROM walk GROUP BY u)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_readability" ->
+      s"""WITH w AS (
+         |  SELECT source, len(regexp_extract_all(tok, '$sylRe')) AS syl
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_words,
+         |    CAST(SUM(syl) AS BIGINT) AS n_syllables,
+         |    SUM(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS n_mono
+         |  FROM w GROUP BY source)
+         |SELECT source, CAST(n_words AS BIGINT) AS n_words, n_syllables,
+         |  round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syl_per_word,
+         |  round(20.0 - 15.0 * CAST(n_mono AS DOUBLE) / n_words, 4)
+         |    AS forcast_grade
+         |FROM a ORDER BY source""".stripMargin,
+
     "q_text_urlnorm" ->
       """WITH aug AS (
         |  SELECT source, lower(

@@ -321,4 +321,44 @@ class FunctionsSpec extends BaseSpec {
     assert(got("sB")._5 == wantChars("sB"))
     rows.foreach { r => assert(redact(redact(r._2)) == redact(r._2)) }
   }
+
+  test("q_text_readability pins FORCAST on a planted corpus and a driver recount") {
+    // planted: known vowel-run structure per word
+    val dir = java.nio.file.Files.createTempDirectory("forcast-plant").toString
+    Seq(
+      // "cat"(1) "idea"(2: i, ea) "rhythm"(1: y) "bcd"(0) -> 4 words,
+      // syllables 4, mono 2 -> grade 20 - 15*2/4 = 12.5
+      (1L, "cat idea rhythm bcd", "en", "sA", 19L),
+      // "queue"(2: ueue? q-ueue = 1 run... spelled out: u,e,u,e contiguous
+      // = ONE run) "sky"(1: y) -> both mono -> grade 20 - 15 = 5.0
+      (2L, "queue sky", "en", "sB", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q_text_readability")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(planted("sA") == (("sA", 4L, 4L, 1.0, 12.5)), planted("sA"))
+    assert(planted("sB") == (("sB", 2L, 2L, 1.0, 5.0)), planted("sB"))
+
+    // fixture recount through an independent path (java.util.regex walk)
+    val got = SparkEntry.queries("q_text_readability")(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(got.nonEmpty)
+    val re = java.util.regex.Pattern.compile("[aeiouy]+")
+    def sylOf(w: String): Long = {
+      val m = re.matcher(w); var c = 0L; while (m.find()) c += 1; c
+    }
+    val bySource = Tables(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect().toList
+      .flatMap { case (src, txt) => txt.split(" ", -1).map(w => (src, sylOf(w))) }
+      .groupBy(_._1)
+    def rnd(x: Double, sc: Int) = new java.math.BigDecimal(x)
+      .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue
+    got.foreach { case (src, nWords, nSyl, spw, grade) =>
+      val syls = bySource(src).map(_._2)
+      assert(nWords == syls.size.toLong, src)
+      assert(nSyl == syls.sum, src)
+      assert(spw == rnd(nSyl.toDouble / nWords, 6), src)
+      assert(grade == rnd(20.0 - 15.0 * syls.count(_ == 1L) / nWords.toDouble, 4), src)
+    }
+  }
 }

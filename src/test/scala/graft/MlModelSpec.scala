@@ -302,4 +302,44 @@ class MlModelSpec extends BaseSpec {
       assert(meanPred >= 0.0 && meanPred <= 1.0 && fracPos >= 0.0 && fracPos <= 1.0)
     }
   }
+
+  test("q_ml_ndcg equals a driver recomputation with independently derived gains") {
+    val got = SparkEntry.queries("q_ml_ndcg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toList
+    assert(got.nonEmpty && got.exists(_._5.isDefined))
+    // gains RE-DERIVED here (round(log2(j+1)^-1, 6)), never imported from
+    // the key — a wrong embedded constant would fail this, not echo it
+    val g = (1 to 10).map(j => new java.math.BigDecimal(
+      math.log(2.0) / math.log(j + 1.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP))
+    val byUser = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("value"), col("event_id"), col("event_type"))
+      .as[(Long, Double, Long, String)].collect().toList.groupBy(_._1)
+    assert(got.map(_._1).toSet == byUser.keySet)
+    got.foreach { case (u, nEvents, nPos, dcg, ndcg) =>
+      val rel = byUser(u).sortBy(r => (-r._2, r._3)).map(_._4 == "purchase")
+      assert(nEvents == rel.size.toLong && nPos == rel.count(identity).toLong, s"user=$u")
+      val dcgWant = rel.take(10).zipWithIndex
+        .collect { case (true, i) => g(i) }
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      assert(dcg == dcgWant.doubleValue, s"user=$u dcg")
+      ndcg match {
+        case None => assert(nPos == 0L, s"user=$u null ndcg")
+        case Some(v) =>
+          val idcg = g.take(math.min(10, nPos.toInt))
+            .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+          assert(v == rnd(dcgWant.doubleValue / idcg.doubleValue, 6), s"user=$u ndcg")
+          // rearrangement bound: gains decrease, so dcg <= idcg always
+          assert(v >= 0.0 && v <= 1.0, s"user=$u range")
+      }
+    }
+    // the statistic itself: all positives ranked first is exactly 1
+    val perfect = List(true, true, false, false)
+    val d = perfect.take(10).zipWithIndex.collect { case (true, i) => g(i) }
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val i2 = g.take(2).foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    assert(d.doubleValue / i2.doubleValue == 1.0)
+  }
 }

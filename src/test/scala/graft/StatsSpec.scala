@@ -665,4 +665,35 @@ class StatsSpec extends BaseSpec {
     assert(math.abs(giniOf(List.fill(10)(7L))) < 1e-12)
     assert(math.abs(giniOf(0L :: 0L :: 0L :: List(100L)) - 0.75) < 1e-12)
   }
+
+  test("q_stat_qq equals a driver interpolated-quantile recomputation") {
+    val got = SparkEntry.queries("q_stat_qq")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).toList
+    assert(got.map(_._1) == (1 to 9).map(_ / 10.0).toList)
+    val byType = Tables(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .select($"event_type", $"value").as[(String, Double)]
+      .collect().toList.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the quantile_cont contract both engines implement: position q·(n−1),
+    // linear interpolation lower + frac·(upper − lower)
+    def qc(xs: List[Double], q: Double): Double = {
+      val pos = q * (xs.size - 1)
+      val lo = pos.toInt
+      if (lo + 1 < xs.size) xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+      else xs(lo)
+    }
+    got.foreach { case (q, vc, vp, gap) =>
+      assert(vc == rnd(qc(byType("click"), q), 4), s"q=$q click")
+      assert(vp == rnd(qc(byType("purchase"), q), 4), s"q=$q purchase")
+      assert(gap == rnd(qc(byType("purchase"), q) - qc(byType("click"), q), 4),
+        s"q=$q gap")
+    }
+    // quantiles are monotone in q within each cohort
+    got.sliding(2).foreach {
+      case List(a, b) => assert(b._2 >= a._2 && b._3 >= a._3)
+      case _ => ()
+    }
+  }
 }
