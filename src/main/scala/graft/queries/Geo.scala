@@ -44,6 +44,7 @@ object Geo extends QueryGroup {
     register("m_graph_sssp")(graft.operators.Sssp.lastIterations)
     register("m_graph_betweenness")(graft.operators.Betweenness.lastIterations)
     register("m_graph_ktruss")(graft.operators.KTruss.lastIterations)
+    register("m_graph_scc")(graft.operators.Scc.lastIterations)
   }
 
   /** Co-traveler pair memo: m_graph_pagerank and q_graph_degree read the
@@ -127,6 +128,39 @@ object Geo extends QueryGroup {
     HaversineDist.register(s)
     withGeo(t(s, dir, "events")).withColumn("ts_us", unix_micros(col("ts")))
   }
+
+  /** Distinct DIRECTED cell-transition edges — each user's consecutive
+    * movements between 20° grid cells (lattice of 9×18 = 162 cells, ids
+    * integer-exact straight from the event_id formula: 20° = 200 units of
+    * the 0.1° integer grid, so no FP ever decides a cell). Shared substrate
+    * of the directed-graph keys (q_graph_recip, m_graph_scc): ONE data-
+    * sized window pass, then a distinct that caps the edge set at 162² —
+    * everything downstream is lattice-bounded regardless of data volume. */
+  private def cellMoves(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    pts(s, dir)
+      .withColumn("cell",
+        expr("(((event_id * 37) % 1700) div 200) * 18 + ((event_id * 131) % 3600) div 200"))
+      .withColumn("nxt", lead($"cell", 1).over(w))
+      .filter($"nxt".isNotNull && $"cell" =!= $"nxt")
+      .select($"cell".as("src"), $"nxt".as("dst"))
+      .distinct()
+  }
+
+  /** cellMoves' edge CTE for the oracle dialect (DuckDB `//` ↔ Spark `div`). */
+  private val cellMovesCte =
+    """WITH m AS (
+      |  SELECT (((event_id * 37) % 1700) // 200) * 18
+      |           + ((event_id * 131) % 3600) // 200 AS cell,
+      |    lead((((event_id * 37) % 1700) // 200) * 18
+      |           + ((event_id * 131) % 3600) // 200)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS nxt
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT cell AS src, nxt AS dst FROM m
+      |  WHERE nxt IS NOT NULL AND cell <> nxt)""".stripMargin
 
   /** Full 18×36 10°-cell lattice with per-cell event counts — empty cells
     * are real observations of 0 (omitting them biases any global moment).
@@ -1331,6 +1365,46 @@ object Geo extends QueryGroup {
         .orderBy($"size")
     }),
 
+    // Reciprocity of the directed cell-transition graph (Wasserman & Faust
+    // ch. 13; Garlaschelli & Loffredo PRL 2004) — the fraction of movement
+    // edges A→B whose reverse B→A also occurs: the "is traffic two-way"
+    // screen every OD analysis runs before treating flows as symmetric.
+    // Both sides of the division are exact edge counts over the DISTINCT
+    // lattice-bounded edge set; the reverse-edge test is a (src,dst)-keyed
+    // left join of the edge set with its own transpose (multiplicity 1 —
+    // both sides distinct), never a cross product.
+    "q_graph_recip" -> ((s, dir) => {
+      import s.implicits._
+      val e = cellMoves(s, dir)
+      e.join(
+          e.select($"dst".as("src"), $"src".as("dst"), lit(1L).as("r")),
+          Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+             sum(coalesce($"r", lit(0L))).as("n_recip"))
+        .select($"n_edges", $"n_recip",
+          round($"n_recip".cast("double") / $"n_edges", 6).as("reciprocity"))
+    }),
+
+    // Strongly connected components of the directed cell-transition graph —
+    // the directed-connectivity quadrant (q_graph_cc is undirected; one-way
+    // reachability is exactly what it cannot see): which cell regions can a
+    // vehicle circulate within and return? Path-doubling closure + transpose
+    // intersection (operators/Scc.scala — |V|²-bounded by the declared 162-
+    // cell lattice, the operator's scale contract). Output = per-SCC size
+    // histogram. No SQL oracle (closure fixpoint); SccSpec pins exact
+    // partition equality against a driver Tarjan on planted graphs AND the
+    // fixture edges, plus mutual-reachability axioms.
+    "m_graph_scc" -> ((s, dir) => {
+      import s.implicits._
+      val e = cellMoves(s, dir)
+      val verts = e.select($"src".as("id")).unionAll(e.select($"dst".as("id")))
+        .distinct()
+      graft.operators.Scc.run(s, verts, e)
+        .groupBy($"scc_id").agg(count(lit(1)).as("n_cells"))
+        .groupBy($"n_cells").agg(count(lit(1)).as("n_sccs"))
+        .orderBy($"n_cells")
+    }),
+
     // Link prediction on the co-traveler graph (Liben-Nowell & Kleinberg,
     // CIKM 2003): for NON-adjacent pairs with ≥1 common neighbor, the
     // common-neighbor count and Adamic-Adar score Σ 1/ln(deg(z)) — "who
@@ -2029,6 +2103,15 @@ object Geo extends QueryGroup {
         |  round(CAST(SUM(CAST(coef AS DECIMAL(18,6))) AS DOUBLE) / COUNT(coef), 4)
         |    AS avg_coef
         |FROM co GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    "q_graph_recip" -> (cellMovesCte +
+      """
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_recip,
+        |  round(CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS reciprocity
+        |FROM e LEFT JOIN e b ON e.src = b.dst AND e.dst = b.src""".stripMargin),
 
     "q_graph_degree" -> (ptsCte +
       """,
