@@ -502,6 +502,39 @@ object Timeseries extends QueryGroup {
           $"c".as("cos_sum"), $"s".as("sin_sum"),
           round($"c" * $"c" + $"s" * $"s", 4).as("power"))
         .orderBy($"period_h")
+    }),
+
+    // DTW distance matrix between the event types' hour-of-day profiles
+    // (Sakoe & Chiba, IEEE TASSP 1978) — the ELASTIC-alignment similarity
+    // the lock-step keys cannot express: two types whose daily shapes match
+    // but run an hour apart read FAR under q_time_xcorr's fixed lags and
+    // near under warping. Profiles = mean value per (type, hour-of-day),
+    // round(6)-pinned decimal-exact means — the ONE data-sized job; the
+    // ≤|types|×24 matrix then collects (the MMR/AnnPQ probe-sized
+    // discipline) and the O(24²) DP per pair runs in operators/Dtw. No SQL
+    // oracle (a 2-D DP has no tractable SQL form); TimeseriesSpec pins
+    // equality with an independent recursive-memo DTW, the textbook
+    // axioms, and a hand-computed alignment.
+    "m_time_dtw" -> ((s, dir) => {
+      import s.implicits._
+      val prof = t(s, dir, "events")
+        .groupBy($"event_type", hour($"ts").as("h"))
+        .agg(round(dsum($"value", 6) / count(lit(1)), 6).as("v"))
+        .collect()
+      val byType = prof.map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues { xs =>
+          val a = Array.fill(24)(0.0) // an absent hour is a real 0-activity slot
+          xs.foreach(x => a(x._2) = x._3)
+          a
+        }.toMap
+      val types = byType.keys.toList.sorted
+      val out = for {
+        i <- types.indices; j <- (i + 1) until types.size
+      } yield (types(i), types(j),
+        math.rint(graft.operators.Dtw.dist(byType(types(i)), byType(types(j)))
+          * 10000.0) / 10000.0)
+      s.createDataFrame(out).toDF("type_a", "type_b", "dtw")
+        .orderBy($"type_a", $"type_b")
     })
   )
 

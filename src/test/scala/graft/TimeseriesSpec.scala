@@ -440,4 +440,55 @@ class TimeseriesSpec extends BaseSpec {
     }
     assert(powAt(24.0) > 100 * powAt(168.0))
   }
+
+  test("m_time_dtw: axioms, independent recursive DTW, hand example, elastic beats lock-step") {
+    import graft.operators.Dtw
+    // independent implementation: top-down recursion with memo
+    def ref(a: Array[Double], b: Array[Double]): Double = {
+      val memo = scala.collection.mutable.Map.empty[(Int, Int), Double]
+      def go(i: Int, j: Int): Double = {
+        if (i < 0 || j < 0) Double.PositiveInfinity
+        else if (i == 0 && j == 0) math.abs(a(0) - b(0))
+        else memo.getOrElseUpdate((i, j),
+          math.abs(a(i) - b(j)) +
+            math.min(go(i - 1, j), math.min(go(i, j - 1), go(i - 1, j - 1))))
+      }
+      go(a.length - 1, b.length - 1)
+    }
+    // hand-computed: [0,1,2] vs [0,2] aligns 1 to either end -> 1.0
+    assert(Dtw.dist(Array(0.0, 1.0, 2.0), Array(0.0, 2.0)) == 1.0)
+    val x = (0 until 24).map(h => math.sin(2 * math.Pi * h / 24.0)).toArray
+    val y = (0 until 24).map(h => math.sin(2 * math.Pi * ((h + 22) % 24) / 24.0)).toArray
+    assert(Dtw.dist(x, x) == 0.0)
+    assert(Dtw.dist(x, y) == Dtw.dist(y, x))
+    assert(Dtw.dist(x, y) == ref(x, y))
+    val lockstep = x.zip(y).map { case (p, q) => math.abs(p - q) }.sum
+    assert(Dtw.dist(x, y) <= lockstep)
+    // the elastic property: a 2h phase shift is NEARLY free under warping
+    // (only the unmatched rim survives) but expensive lock-step
+    assert(Dtw.dist(x, y) < 0.25 * lockstep, s"${Dtw.dist(x, y)} vs $lockstep")
+
+    // the key equals a driver recomputation from independently derived profiles
+    val got = SparkEntry.queries("m_time_dtw")(spark, sf)
+      .as[(String, String, Double)].collect().toList
+    val rows = Tables(spark, sf, "events")
+      .selectExpr("event_type", "hour(ts) AS h", "CAST(value AS DECIMAL(18,6)) AS v")
+      .as[(String, Int, java.math.BigDecimal)].collect().toList
+    val prof = rows.groupBy(_._1).view.mapValues { xs =>
+      val a = Array.fill(24)(0.0)
+      xs.groupBy(_._2).foreach { case (h, hs) =>
+        val mean = hs.map(_._3).reduce(_ add _).doubleValue / hs.size
+        a(h) = new java.math.BigDecimal(mean)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      }
+      a
+    }.toMap
+    val types = prof.keys.toList.sorted
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j),
+      math.rint(ref(prof(types(i)), prof(types(j))) * 10000.0) / 10000.0)).toList
+    assert(got == want)
+    assert(got.size == types.size * (types.size - 1) / 2)
+  }
 }
