@@ -379,6 +379,22 @@ object Ml extends QueryGroup {
         .orderBy($"probe", $"rank")
     }),
 
+    // Topic model — MLlib LDA (Blei, Ng & Jordan JMLR'03; Spark's EM
+    // optimizer per Asuncion et al. UAI'09) over the document term counts:
+    // the unsupervised TOPIC quadrant beside w2v's word vectors. Term
+    // indexing is deterministic BY CONSTRUCTION: vocabulary = sorted
+    // distinct terms (Heaps'-law-sized — the Bpe vocabulary collect
+    // discipline), never CountVectorizer's frequency-tie order. The fit is
+    // EM over the doc-term graph (one distributed pass per iteration,
+    // seed-fixed init); output = top-5 terms per topic with round(4)
+    // weights. No oracle (iterative trained model); LdaSpec pins planted
+    // two-vocabulary recovery and same-seed refit top-term stability.
+    "m_text_lda" -> ((s, dir) => {
+      import s.implicits._
+      ldaTopics(s, t(s, dir, "documents").select($"doc_id", $"text"),
+        k = 3, seed = 7L)
+    }),
+
     // Classifier evaluation sweep — the confusion matrix / PR curve of a
     // scoring rule at 9 declared thresholds (the operator a model
     // pipeline runs after ANY of the trained keys: pick the operating
@@ -529,6 +545,45 @@ object Ml extends QueryGroup {
         .orderBy($"user_id")
     })
   )
+
+  /** m_text_lda's body, parameterized so LdaSpec can run the SAME code on a
+    * planted two-vocabulary corpus (the logregFrame sharing discipline).
+    * Returns (topic, rank, term, weight) for the top-5 terms per topic. */
+  private[graft] def ldaTopics(s: org.apache.spark.sql.SparkSession,
+                               docs: org.apache.spark.sql.DataFrame,
+                               k: Int, seed: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+    // sorted distinct vocabulary: deterministic indices at any partitioning
+    // (CountVectorizer orders by frequency with unstable ties); vocab size
+    // is Heaps'-law-bounded, the Bpe collect argument
+    val vocab = toks.select($"term").distinct().orderBy($"term")
+      .as[String].collect()
+    val vmap = s.sparkContext.broadcast(vocab.zipWithIndex.toMap)
+    val vecs = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"term", $"cnt")).as("tc"))
+      .map { r =>
+        val pairs = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (vmap.value(x.getString(0)), x.getLong(1).toDouble))
+          .sortBy(_._1)
+        (r.getLong(0),
+          org.apache.spark.ml.linalg.Vectors.sparse(vmap.value.size, pairs))
+      }.toDF("doc_id", "features")
+    val model = new org.apache.spark.ml.clustering.LDA()
+      .setK(k).setMaxIter(15).setSeed(seed).setOptimizer("em")
+      .fit(vecs)
+    val vocabArr = array(vocab.map(lit(_)): _*)
+    model.describeTopics(5)
+      .select($"topic",
+        posexplode(arrays_zip($"termIndices", $"termWeights")))
+      .select($"topic", ($"pos" + 1).as("rank"),
+        element_at(vocabArr, $"col.termIndices" + 1).as("term"),
+        round($"col.termWeights", 4).as("weight"))
+      .orderBy($"topic", $"rank")
+  }
 
   /** NDCG position gains (6-dp-pinned log2(j+1)⁻¹ for j = 1..10) and their
     * exact cumulative sums — the single source both dialects splice from. */
