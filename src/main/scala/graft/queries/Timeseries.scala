@@ -535,10 +535,85 @@ object Timeseries extends QueryGroup {
           * 10000.0) / 10000.0)
       s.createDataFrame(out).toDF("type_a", "type_b", "dtw")
         .orderBy($"type_a", $"type_b")
+    }),
+
+    // SAX symbolization of each type's hour-of-day activity profile (Lin,
+    // Keogh, Wei & Lonardi, DMKD 2007) — the discretization that turns a
+    // series into a WORD so sequence tooling (hashing, suffix indexes,
+    // Markov screens) applies: z-normalize the 24-slot profile, map each
+    // slot to {a,b,c,d} at the Gaussian quartile breakpoints ±0.6745/0.
+    // Empty slots are real zeros (the full 24-slot lattice, the latticeGrid
+    // lesson). Slot counts and their squares stay EXACT (DECIMAL-routed)
+    // into sums; z divides double casts of those exact sums — identical
+    // operand bits on both engines — and is round(6)-pinned BEFORE the
+    // breakpoint comparisons, so a symbol can never split on an ulp. Plan:
+    // one data-sized (type, hour24) hash agg; everything after runs on
+    // |types|×24 generated rows.
+    "q_time_sax" -> ((s, dir) => {
+      import s.implicits._
+      val dec = DecimalType(18, 0)
+      val counts = t(s, dir, "events")
+        .groupBy($"event_type", hour($"ts").cast("long").as("h"))
+        .agg(count(lit(1)).as("v"))
+      val lattice = counts.select($"event_type").distinct()
+        .crossJoin(s.range(0, 24).select($"id".as("h")))
+      val wT = Window.partitionBy($"event_type")
+      lattice.join(counts, Seq("event_type", "h"), "left")
+        .withColumn("v", coalesce($"v", lit(0L)))
+        .withColumn("sv", sum($"v".cast(dec)).over(wT).cast("double"))
+        .withColumn("svv",
+          sum($"v".cast(dec) * $"v".cast(dec)).over(wT).cast("double"))
+        .withColumn("den2", lit(24.0) * $"svv" - $"sv" * $"sv")
+        .withColumn("z", when($"den2" > 0.0,
+          round((lit(24.0) * $"v" - $"sv") / sqrt($"den2"), 6))
+          .otherwise(lit(0.0)))
+        .withColumn("sym",
+          when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
+            .when($"z" < 0.6745, "c").otherwise("d"))
+        .groupBy($"event_type")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct($"h", $"sym"))),
+            x => x.getField("sym")), "").as("sax"),
+          sum($"v").as("n_events"))
+        .orderBy($"event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_time_sax" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lat AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) g),
+        |f AS (
+        |  SELECT l.event_type, l.h, COALESCE(c.v, 0) AS v
+        |  FROM lat l LEFT JOIN c ON c.event_type = l.event_type AND c.h = l.h),
+        |w AS (
+        |  SELECT event_type, h, v,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,0)))
+        |      OVER (PARTITION BY event_type) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0)))
+        |      OVER (PARTITION BY event_type) AS DOUBLE) AS svv
+        |  FROM f),
+        |z AS (
+        |  SELECT event_type, h, v,
+        |    CASE WHEN 24.0 * svv - sv * sv > 0.0
+        |      THEN round((24.0 * v - sv) / sqrt(24.0 * svv - sv * sv), 6)
+        |      ELSE 0.0 END AS z
+        |  FROM w),
+        |sym AS (
+        |  SELECT event_type, h, v,
+        |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS s
+        |  FROM z)
+        |SELECT event_type, string_agg(s, '' ORDER BY h) AS sax,
+        |  CAST(SUM(v) AS BIGINT) AS n_events
+        |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_time_periodogram" -> (Reshape.resampledCte +
       """,
         |s0 AS (SELECT bucket_ms, n_events AS x FROM res),

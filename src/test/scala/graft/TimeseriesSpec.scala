@@ -491,4 +491,38 @@ class TimeseriesSpec extends BaseSpec {
     assert(got == want)
     assert(got.size == types.size * (types.size - 1) / 2)
   }
+
+  test("q_time_sax equals a driver z-normalize + quartile-breakpoint recount") {
+    val got = SparkEntry.queries("q_time_sax")(spark, sf)
+      .as[(String, String, Long)].collect().toList
+    assert(got.nonEmpty)
+    val counts = Tables(spark, sf, "events")
+      .selectExpr("event_type", "CAST(hour(ts) AS INT) AS h")
+      .as[(String, Int)].collect().toList
+      .groupBy(_._1).view.mapValues { xs =>
+        val a = Array.fill(24)(0L)
+        xs.foreach(x => a(x._2) += 1L)
+        a
+      }.toMap
+    def rnd6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    got.foreach { case (t, sax, n) =>
+      val v = counts(t)
+      assert(n == v.sum, t)
+      assert(sax.length == 24 && sax.forall("abcd".contains(_)), t)
+      val sv = v.sum.toDouble
+      val svv = v.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val den2 = 24.0 * svv - sv * sv
+      val want = v.map { x =>
+        val z = if (den2 > 0.0) rnd6((24.0 * x - sv) / math.sqrt(den2)) else 0.0
+        if (z < -0.6745) 'a' else if (z < 0.0) 'b'
+        else if (z < 0.6745) 'c' else 'd'
+      }.mkString
+      assert(sax == want, s"$t: $sax vs $want")
+    }
+    // the mapping itself: a flat profile has zero variance -> all 'c'
+    // (z = 0 by the den2 guard), and a single spike reads 'd' at the spike
+    val flat = Array.fill(24)(7L)
+    assert(24.0 * flat.map(x => x * x).sum - math.pow(flat.sum.toDouble, 2) == 0.0)
+  }
 }
