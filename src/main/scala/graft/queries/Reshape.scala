@@ -1047,10 +1047,75 @@ object Reshape extends QueryGroup {
               ($"bucket_ms" - $"pms").cast("double") / ($"nms" - $"pms"))))
         .select($"bucket_ms", $"n_events", $"interp")
         .orderBy($"bucket_ms")
+    }),
+
+    // Conversion attribution — the marketing-analytics standard pair of
+    // credit rules over each purchase's user timeline: LAST-touch = the
+    // nearest preceding non-purchase event's type (the channel that closed),
+    // FIRST-touch = the user's first event's type (the channel that
+    // acquired). Per channel: conversions and attributed revenue under each
+    // rule. ONE fact scan, one user-partitioned window pass (the running-
+    // last-non-null idiom q_time_interp/q_time_burst use), two ≤|types|-row
+    // aggs full-outer-joined on the channel — purchases with no preceding
+    // touch attribute to the 'none' channel rather than silently dropping.
+    "q_events_attr" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val a = t(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type", $"value",
+          unix_micros($"ts").as("ts_us"))
+        .withColumn("nonp",
+          when($"event_type" =!= "purchase", $"event_type"))
+        .withColumn("lt", coalesce(
+          last($"nonp", ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit("none")))
+        .withColumn("ft", first($"event_type").over(w))
+        .filter($"event_type" === "purchase")
+      val byLast = a.groupBy($"lt".as("channel"))
+        .agg(count(lit(1)).as("n_last"), r4(dsum($"value")).as("rev_last"))
+      val byFirst = a.groupBy($"ft".as("channel"))
+        .agg(count(lit(1)).as("n_first"), r4(dsum($"value")).as("rev_first"))
+      byLast.join(byFirst, Seq("channel"), "full_outer")
+        .select($"channel",
+          coalesce($"n_last", lit(0L)).as("n_last"),
+          coalesce($"rev_last", lit(0.0)).as("rev_last"),
+          coalesce($"n_first", lit(0L)).as("n_first"),
+          coalesce($"rev_first", lit(0.0)).as("rev_first"))
+        .orderBy($"channel")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_attr" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    CASE WHEN event_type <> 'purchase' THEN event_type END AS nonp
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, value,
+         |    COALESCE(last_value(nonp IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none') AS lt,
+         |    first_value(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id) AS ft
+         |  FROM p),
+         |pur AS (SELECT * FROM a WHERE event_type = 'purchase'),
+         |bl AS (SELECT lt AS channel, COUNT(*) AS n_last,
+         |         round(${oSum("value")}, 4) AS rev_last
+         |       FROM pur GROUP BY lt),
+         |bf AS (SELECT ft AS channel, COUNT(*) AS n_first,
+         |         round(${oSum("value")}, 4) AS rev_first
+         |       FROM pur GROUP BY ft)
+         |SELECT COALESCE(bl.channel, bf.channel) AS channel,
+         |  CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,
+         |  COALESCE(rev_last, 0.0) AS rev_last,
+         |  CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+         |  COALESCE(rev_first, 0.0) AS rev_first
+         |FROM bl FULL OUTER JOIN bf ON bl.channel = bf.channel
+         |ORDER BY channel""".stripMargin,
+
     "q_dedup_latest" ->
       """SELECT user_id, event_id AS latest_event, ts_us AS latest_ts_us, value
         |FROM (

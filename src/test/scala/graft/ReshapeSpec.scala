@@ -126,4 +126,43 @@ class ReshapeSpec extends BaseSpec {
       assert(adm > 0 && drop > 0, s"user $u degenerate at this SF")
     }
   }
+
+  test("q_events_attr equals a driver timeline recount; both rules conserve conversions") {
+    val got = SparkEntry.queries("q_events_attr")(spark, sf)
+      .as[(String, Long, Double, Long, Double)].collect().toList
+    assert(got.nonEmpty)
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type", "value",
+        "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, String, Double, Long)].collect().toList
+    def dec4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+    // per purchase: last preceding non-purchase type (or 'none'), first type
+    val touches = ev.groupBy(_._1).values.flatMap { rows =>
+      val ord = rows.sortBy(r => (r._5, r._2))
+      val ft = ord.head._3
+      ord.zipWithIndex.collect { case (r, i) if r._3 == "purchase" =>
+        val lt = ord.take(i).reverse.collectFirst {
+          case p if p._3 != "purchase" => p._3
+        }.getOrElse("none")
+        (lt, ft, r._4)
+      }
+    }.toList
+    val nPur = touches.size.toLong
+    assert(got.map(_._2).sum == nPur && got.map(_._4).sum == nPur,
+      "both attribution rules must conserve total conversions")
+    got.foreach { case (ch, nL, revL, nF, revF) =>
+      val lts = touches.filter(_._1 == ch)
+      val fts = touches.filter(_._2 == ch)
+      assert(nL == lts.size.toLong && nF == fts.size.toLong, ch)
+      def rev(xs: List[(String, String, Double)]) =
+        if (xs.isEmpty) 0.0
+        else xs.map(x => dec4(x._3)).reduce(_ add _).doubleValue
+      assert(revL == rev(lts), s"$ch rev_last")
+      assert(revF == rev(fts), s"$ch rev_first")
+    }
+    // a user whose first event IS the purchase attributes to 'none'
+    // last-touch and 'purchase' first-touch -- both channels representable
+    assert(got.map(_._1).contains("purchase") || touches.forall(_._2 != "purchase"))
+  }
 }
