@@ -1156,6 +1156,40 @@ object TextPipeline extends QueryGroup {
           round(lit(20.0) - lit(15.0) * $"n_mono".cast("double") / $"n_words", 4)
             .as("forcast_grade"))
         .orderBy($"source")
+    }),
+
+    // Collocation mining — pointwise mutual information of adjacent token
+    // bigrams (Church & Hanks, Computational Linguistics 1990): the
+    // phrase-detection primitive (tokenizer merge candidates, multi-word
+    // expressions) beside the per-doc LM keys. PMI = ln(p(x,y)/(p(x)p(y)))
+    // over the corpus bigram/unigram tables; the ratio is formed in DOUBLE
+    // from exact BIGINT counts in one declared operand order (products of
+    // raw counts would overflow BIGINT at corpus scale — doubles cannot),
+    // ln'd once, round(6). Top-20 by the (cxy DESC, x, y) total order.
+    // Plan: two data-sized hash aggs (unigrams, bigrams — both map-side
+    // combinable); totals ride single-partition windows over the VOCAB-
+    // bounded count frames; the two unigram joins are vocab-sized.
+    "q_text_pmi" -> ((s, dir) => {
+      import s.implicits._
+      val wAll = Window.partitionBy()
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum($"c").over(wAll))
+      val big = toks.withColumn("y", lead($"tok", 1).over(w))
+        .filter($"y".isNotNull)
+        .groupBy($"tok".as("x"), $"y")
+        .agg(count(lit(1)).as("cxy"))
+        .withColumn("nb", sum($"cxy").over(wAll))
+      big
+        .join(uni.select($"tok".as("x"), $"c".as("cx"), $"n"), Seq("x"))
+        .join(uni.select($"tok".as("y"), $"c".as("cy")), Seq("y"))
+        .select($"x", $"y", $"cxy",
+          round(log(($"cxy".cast("double") * $"n" * $"n") /
+            ($"nb".cast("double") * $"cx" * $"cy")), 6).as("pmi"))
+        .orderBy($"cxy".desc, $"x", $"y")
+        .limit(20)
     })
   )
 
@@ -1228,6 +1262,28 @@ object TextPipeline extends QueryGroup {
          |  round(20.0 - 15.0 * CAST(n_mono AS DOUBLE) / n_words, 4)
          |    AS forcast_grade
          |FROM a ORDER BY source""".stripMargin,
+
+    "q_text_pmi" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok,
+        |         unnest(range(1, len(toks) + 1)) AS pos FROM d),
+        |uni AS (
+        |  SELECT tok, COUNT(*) AS c, SUM(COUNT(*)) OVER () AS n
+        |  FROM tk GROUP BY tok),
+        |bg AS (
+        |  SELECT tok AS x,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+        |  FROM tk),
+        |big AS (
+        |  SELECT x, y, COUNT(*) AS cxy, SUM(COUNT(*)) OVER () AS nb
+        |  FROM bg WHERE y IS NOT NULL GROUP BY x, y)
+        |SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+        |  round(ln((CAST(cxy AS DOUBLE) * ux.n * ux.n) /
+        |    (CAST(nb AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+        |FROM big
+        |JOIN uni ux ON ux.tok = x
+        |JOIN uni uy ON uy.tok = y
+        |ORDER BY cxy DESC, x, y LIMIT 20""".stripMargin,
 
     "q_text_urlnorm" ->
       """WITH aug AS (

@@ -361,4 +361,51 @@ class FunctionsSpec extends BaseSpec {
       assert(grade == rnd(20.0 - 15.0 * syls.count(_ == 1L) / nWords.toDouble, 4), src)
     }
   }
+
+  test("q_text_pmi equals a driver bigram recount; a planted collocation tops free pairs") {
+    // planted: 'zq xv' always adjacent (a perfect collocation), 'aa'/'bb'
+    // scattered independently
+    val dir = java.nio.file.Files.createTempDirectory("pmi-plant").toString
+    Seq(
+      (1L, "zq xv aa bb zq xv", "en", "sA", 17L),
+      (2L, "bb aa zq xv aa", "en", "sA", 15L),
+      (3L, "aa zq xv bb bb", "en", "sB", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q_text_pmi")(spark, dir)
+      .as[(String, String, Long, Double)].collect().toList
+    val zx = planted.find(r => r._1 == "zq" && r._2 == "xv").get
+    assert(zx._3 == 4L, "four planted zq->xv bigrams")
+    // the planted collocation's PMI beats every pair of free words
+    planted.filter(r => Set(r._1, r._2).subsetOf(Set("aa", "bb"))).foreach { r =>
+      assert(zx._4 > r._4, s"planted $zx vs free $r")
+    }
+
+    // fixture: exact recount through an independent driver path
+    val got = SparkEntry.queries("q_text_pmi")(spark, sf)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(got.size == 20)
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toList
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, txt) =>
+      val t = txt.split(" ", -1)
+      t.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      t.sliding(2).foreach {
+        case Array(a, b) => big((a, b)) = big.getOrElse((a, b), 0L) + 1L
+        case _ => ()
+      }
+    }
+    val n = uni.values.sum.toDouble
+    val nb = big.values.sum.toDouble
+    def rnd6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // the key's top-20 must equal the driver's (cxy desc, x, y) top-20
+    val want = big.toList.sortBy { case ((x, y), c) => (-c, x, y) }.take(20)
+      .map { case ((x, y), c) =>
+        (x, y, c, rnd6(math.log(c.toDouble * n * n / (nb * uni(x) * uni(y)))))
+      }
+    assert(got == want)
+  }
 }
