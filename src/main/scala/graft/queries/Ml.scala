@@ -121,6 +121,30 @@ object Ml extends QueryGroup {
         .orderBy($"split")
     }),
 
+    // Multilayer perceptron on the SAME planted target — the NONLINEAR
+    // member of the classifier family (logreg/SVM are linear; a 2-4-2 net
+    // can bend the boundary, and on a linear plant it must at least match
+    // them): the neural quadrant of the MLlib mandate. MLlib's MLP trains
+    // by L-BFGS over treeAggregate gradient partials exactly like the
+    // linear fits — one distributed pass per iteration, nothing
+    // driver-sized but the (2·4 + 4·2 + biases) weight vector; seed fixes
+    // the Xavier init, the solver path reads no other randomness. Scoring
+    // broadcasts the weights into a per-row feed-forward.
+    "m_ml_mlp" -> ((s, dir) => {
+      import s.implicits._
+      val d = logregFrame(s, dir)
+      val model = new org.apache.spark.ml.classification
+        .MultilayerPerceptronClassifier()
+        .setLayers(Array(2, 4, 2)).setMaxIter(60).setSeed(7L)
+        .fit(d.filter($"split" === "train"))
+      model.transform(d)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"prediction" === $"label", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", round($"n_correct" / $"n", 4))
+        .orderBy($"split")
+    }),
+
     // Linear regression on a REAL fixture relationship (not planted):
     // documents.n_chars from [whitespace token count, within-doc distinct
     // token count] — n_chars is tokens × (avg token length + 1) − 1, so a

@@ -342,4 +342,18 @@ class MlModelSpec extends BaseSpec {
     val i2 = g.take(2).foldLeft(java.math.BigDecimal.ZERO)(_ add _)
     assert(d.doubleValue / i2.doubleValue == 1.0)
   }
+
+  test("mlp: seeded fit is run-to-run stable, held-out accuracy in the linear band") {
+    def mlp() = SparkEntry.queries("m_ml_mlp")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toList
+    val r1 = mlp()
+    assert(r1 == mlp(), "seeded L-BFGS MLP must refit identically")
+    val byCase = r1.map(r => r._1 -> r).toMap
+    val (_, _, _, accTest) = byCase("test")
+    // a 2-4-2 net on the planted LINEAR ~12% noise boundary: must at least
+    // approach the linear models' band, cannot beat the Bayes rate
+    assert(accTest >= 0.72 && accTest <= 0.95, s"held-out accuracy $accTest")
+    val (_, _, _, accTrain) = byCase("train")
+    assert(accTrain >= accTest - 0.05, s"train $accTrain well below test $accTest")
+  }
 }
