@@ -136,17 +136,23 @@ object Geo extends QueryGroup {
     * of the directed-graph keys (q_graph_recip, m_graph_scc): ONE data-
     * sized window pass, then a distinct that caps the edge set at 162² —
     * everything downstream is lattice-bounded regardless of data volume. */
-  private def cellMoves(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-    pts(s, dir)
-      .withColumn("cell",
-        expr("(((event_id * 37) % 1700) div 200) * 18 + ((event_id * 131) % 3600) div 200"))
-      .withColumn("nxt", lead($"cell", 1).over(w))
-      .filter($"nxt".isNotNull && $"cell" =!= $"nxt")
-      .select($"cell".as("src"), $"nxt".as("dst"))
-      .distinct()
-  }
+  private val movesMemo = new graft.SessionMemo[String, DataFrame]
+  private def cellMoves(s: SparkSession, dir: String): DataFrame =
+    movesMemo.getOrCompute(s, dir) {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      pts(s, dir)
+        .withColumn("cell",
+          expr("(((event_id * 37) % 1700) div 200) * 18 + ((event_id * 131) % 3600) div 200"))
+        .withColumn("nxt", lead($"cell", 1).over(w))
+        .filter($"nxt".isNotNull && $"cell" =!= $"nxt")
+        .select($"cell".as("src"), $"nxt".as("dst"))
+        .distinct()
+        // the lattice-bounded edge set feeds BOTH directed-graph keys and
+        // q_graph_recip's self-transpose join — checkpoint so the data-
+        // sized window derivation runs once per (session, SF), not per use
+        .localCheckpoint(eager = false)
+    }
 
   /** cellMoves' edge CTE for the oracle dialect (DuckDB `//` ↔ Spark `div`). */
   private val cellMovesCte =

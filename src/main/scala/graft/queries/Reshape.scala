@@ -1072,10 +1072,21 @@ object Reshape extends QueryGroup {
           lit("none")))
         .withColumn("ft", first($"event_type").over(w))
         .filter($"event_type" === "purchase")
-      val byLast = a.groupBy($"lt".as("channel"))
-        .agg(count(lit(1)).as("n_last"), r4(dsum($"value")).as("rev_last"))
-      val byFirst = a.groupBy($"ft".as("channel"))
-        .agg(count(lit(1)).as("n_first"), r4(dsum($"value")).as("rev_first"))
+      // ONE fact scan: aggregate to the ≤|types|²-row (lt, ft) pair frame
+      // first, then derive both credit views from it — the per-rule
+      // re-aggregations run on the tiny pair frame, never the fact table
+      val pairs = a.groupBy($"lt", $"ft")
+        .agg(count(lit(1)).as("n"),
+             sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev"))
+        // lazy checkpoint: both credit views read this ≤|types|²-row frame —
+        // without it each branch re-derives the whole windowed fact scan
+        .localCheckpoint(eager = false)
+      val byLast = pairs.groupBy($"lt".as("channel"))
+        .agg(sum($"n").as("n_last"),
+             round(sum($"rev").cast("double"), 4).as("rev_last"))
+      val byFirst = pairs.groupBy($"ft".as("channel"))
+        .agg(sum($"n").as("n_first"),
+             round(sum($"rev").cast("double"), 4).as("rev_first"))
       byLast.join(byFirst, Seq("channel"), "full_outer")
         .select($"channel",
           coalesce($"n_last", lit(0L)).as("n_last"),

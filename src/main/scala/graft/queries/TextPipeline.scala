@@ -1177,6 +1177,9 @@ object TextPipeline extends QueryGroup {
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
         .withColumn("n", sum($"c").over(wAll))
+        // lazy checkpoint: the vocab-sized frame joins in twice (x and y
+        // sides) — without it each join side re-runs the fact-table agg
+        .localCheckpoint(eager = false)
       val big = toks.withColumn("y", lead($"tok", 1).over(w))
         .filter($"y".isNotNull)
         .groupBy($"tok".as("x"), $"y")

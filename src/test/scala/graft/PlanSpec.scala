@@ -596,6 +596,54 @@ class PlanSpec extends BaseSpec {
     assert(shape("q_events_ratelimit") == ((1, 0, false)))
   }
 
+  test("round-12 session-4 additions hold their pinned exchange budgets") {
+    def shape(key: String, allowedBnlj: Int = 0): (Int, Int, Boolean) = {
+      val plan = SparkEntry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$key: cartesian product leaked into the plan:\n$plan")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj == allowedBnlj,
+        s"$key: $bnlj nested-loop joins (declared $allowedBnlj):\n$plan")
+      ("Exchange hashpartitioning".r.findAllIn(plan).size,
+       "Exchange SinglePartition".r.findAllIn(plan).size,
+       plan.contains("BroadcastHashJoin"))
+    }
+    // gini: orders custkey agg + per-segment window; customer broadcast
+    assert(shape("q_stat_gini") == ((2, 0, true)))
+    // periodogram: the grid agg + the 4-period reduce; grid stats broadcast
+    assert(shape("q_time_periodogram") == ((1, 1, true)))
+    // auc / calibration: ONE fact scan into the bin agg + the 1-row /
+    // windowed reduce — the confusion single-scan discipline
+    assert(shape("q_ml_auc") == ((1, 1, false)))
+    assert(shape("q_ml_calibration") == ((1, 1, false)))
+    // ndcg: one user-keyed exchange serves the window AND the per-user agg
+    assert(shape("q_ml_ndcg") == ((1, 0, false)))
+    // qq: the 2-cohort percentile agg + the 9-row decile pivot
+    assert(shape("q_stat_qq") == ((2, 0, false)))
+    // readability: one (source) hash agg over the token explode
+    assert(shape("q_text_readability") == ((1, 0, false)))
+    // recip: reads the memoized lattice-bounded edge checkpoint — only the
+    // 1-row reduce appears; the self-transpose join broadcasts
+    assert(shape("q_graph_recip") == ((0, 1, true)))
+    // sax: (type,h24) agg + the string fold agg; the types×24 lattice
+    // cross is the declared bounded BNLJ
+    assert(shape("q_time_sax", allowedBnlj = 1) == ((2, 0, true)))
+    // attr: the (lt,ft) pair frame is checkpointed (one fact scan at
+    // materialization); both credit views re-agg the tiny frame
+    assert(shape("q_events_attr") == ((2, 0, false)))
+    // pmi: bigram agg over ONE visible scan (unigram frame checkpointed),
+    // vocab joins broadcast, nb rides the single-partition window
+    assert(shape("q_text_pmi") == ((2, 1, true)))
+    // every plan above reads the fact table at most once per declared scan
+    Seq("q_events_attr" -> 0, "q_text_pmi" -> 1).foreach { case (k, n) =>
+      val plan = SparkEntry.queries(k)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Scan parquet".r.findAllIn(plan).size == n,
+        s"$k: expected $n visible parquet scans")
+    }
+  }
+
   test("q_dedup_substring joins on the shingle key only — no pair explosion, no nested loop") {
     // The inverted-index claim as plan shape: every join is an equi hash
     // or sort-merge join (shingle / doc_id keys); a naive all-pairs span
