@@ -311,6 +311,49 @@ class CepProcessor(winUs: Long)
   }
 }
 
+case class AttrEv(user_id: Long, ts_us: Long, event_id: Long,
+                  event_type: String, value: Double)
+case class AttrState(lastTouch: String, firstTouch: String)
+
+/** `StatefulProcessor` behind [[StreamOps.attributionStream]]: the
+  * streaming twin of the batch q_events_attr credit rules — per user,
+  * carry the nearest preceding non-purchase type (last touch, 'none'
+  * until one arrives) and the first event's type (first touch); each
+  * purchase emits ONE (user, ts_us, event_id, last_touch, first_touch,
+  * value) credit row at arrival — the real-time shape a marketing
+  * pipeline wants (credit the conversion the moment it lands, not at the
+  * nightly batch). State = one (string, string) pair per user, bounded by
+  * |users| at any stream length; rows fold in (ts_us, event_id) order
+  * within each micro-batch; the transition is line-for-line the batch
+  * window definition, so batch ≡ stream is structural and StreamingSpec
+  * proves it by replaying the whole fixture through the processor. */
+class AttributionProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, AttrEv, (Long, Long, Long, String, String, Double)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: streaming.ValueState[AttrState] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[AttrState](
+      "touch", Encoders.product[AttrState], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[AttrEv],
+      timerValues: streaming.TimerValues)
+      : Iterator[(Long, Long, Long, String, String, Double)] = {
+    var s = Option(st.get()).getOrElse(AttrState("none", null))
+    val out = Seq.newBuilder[(Long, Long, Long, String, String, Double)]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (s.firstTouch == null) s = AttrState(s.lastTouch, e.event_type)
+      if (e.event_type == "purchase")
+        out += ((key, e.ts_us, e.event_id, s.lastTouch, s.firstTouch, e.value))
+      else s = AttrState(e.event_type, s.firstTouch)
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
 case class RlEv(user_id: Long, ts_us: Long, event_id: Long)
 case class RlState(prev: Long, credit: Long)
 
@@ -687,6 +730,17 @@ object StreamOps {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)
       .transformWithState(new RateLimitProcessor(capUs, costUs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
+  /** Streaming conversion attribution — per-purchase last/first-touch
+    * credit at arrival with one tiny state pair per user; see
+    * [[AttributionProcessor]]. The batch twin is q_events_attr. */
+  def attributionStream(ev: Dataset[AttrEv])
+      : Dataset[(Long, Long, Long, String, String, Double)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 

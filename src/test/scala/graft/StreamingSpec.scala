@@ -1073,4 +1073,67 @@ class StreamingSpec extends BaseSpec {
                    case None    => spark.conf.unset(key) }
     }
   }
+
+  test("attribution stream: state carries across batches; fixture replay equals the batch key") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.AttrEv
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // planted: touch state must survive the batch boundary, and a user
+    // whose first event IS the purchase credits ('none', 'purchase')
+    val input = MemoryStream[AttrEv]
+    val name = nextName()
+    val q = StreamOps.attributionStream(input.toDS())
+      .toDF("user_id", "ts_us", "event_id", "last_touch", "first_touch", "value")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    input.addData(AttrEv(1, 10, 1, "view", 0.0), AttrEv(2, 10, 2, "purchase", 5.0))
+    q.processAllAvailable()
+    input.addData(AttrEv(1, 20, 3, "purchase", 7.0), AttrEv(1, 30, 4, "click", 0.0),
+                  AttrEv(1, 40, 5, "purchase", 9.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+      .select($"event_id", $"last_touch", $"first_touch").as[(Long, String, String)]
+      .collect().toList.sortBy(_._1)
+    assert(got == List((2L, "none", "purchase"),
+                       (3L, "view", "view"), (5L, "click", "view")), s"credits: $got")
+
+    // batch ≡ stream, structurally: replay the WHOLE fixture through the
+    // processor in three chronological chunks, aggregate the emitted
+    // credits, and compare with q_events_attr's output frame
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "event_type", "value")
+      .as[AttrEv].collect().toList.sortBy(e => (e.ts_us, e.event_id))
+    val in2 = MemoryStream[AttrEv]
+    val n2 = nextName()
+    val q2 = StreamOps.attributionStream(in2.toDS())
+      .toDF("user_id", "ts_us", "event_id", "last_touch", "first_touch", "value")
+      .writeStream.format("memory").queryName(n2).outputMode("append").start()
+    ev.grouped((ev.size + 2) / 3).foreach { chunk =>
+      in2.addData(chunk); q2.processAllAvailable()
+    }
+    q2.stop()
+    def dec4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+    val credits = spark.table(n2)
+      .select($"last_touch", $"first_touch", $"value")
+      .as[(String, String, Double)].collect().toList
+    val chans = (credits.map(_._1) ++ credits.map(_._2)).distinct
+    val want = chans.map { ch =>
+      val l = credits.filter(_._1 == ch); val f = credits.filter(_._2 == ch)
+      def rev(xs: List[(String, String, Double)]) =
+        if (xs.isEmpty) 0.0 else xs.map(x => dec4(x._3)).reduce(_ add _).doubleValue
+      (ch, l.size.toLong, rev(l), f.size.toLong, rev(f))
+    }.sortBy(_._1)
+    val batch = SparkEntry.queries("q_events_attr")(spark, sf)
+      .as[(String, Long, Double, Long, Double)].collect().toList.sortBy(_._1)
+    assert(batch == want, s"batch $batch vs stream-derived $want")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(pkey, v)
+                   case None    => spark.conf.unset(pkey) }
+    }
+  }
 }
