@@ -94,7 +94,12 @@ object ScaleProbe {
       // USER graph, 10× users → 10× sources), the zero-shuffle HOF
       // chunker (pure map-side — the flattest line expected), and the
       // single-scan skew audit (3 fact scans total at any volume)
-      "q_graph_closeness", "q_text_cdc", "q_audit_skew")
+      "q_graph_closeness", "q_text_cdc", "q_audit_skew",
+      // session-4 additions: the lattice-bounded directed-graph closure
+      // (cost past the first distinct must NOT grow with volume), the
+      // two-agg PMI (both map-side combinable), the single-scan
+      // attribution window, and the 24-slot SAX lattice
+      "m_graph_scc", "q_text_pmi", "q_events_attr", "q_time_sax")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

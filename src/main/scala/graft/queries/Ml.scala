@@ -597,7 +597,7 @@ object Ml extends QueryGroup {
           org.apache.spark.ml.linalg.Vectors.sparse(vmap.value.size, pairs))
       }.toDF("doc_id", "features")
     val model = new org.apache.spark.ml.clustering.LDA()
-      .setK(k).setMaxIter(15).setSeed(seed).setOptimizer("em")
+      .setK(k).setMaxIter(10).setSeed(seed).setOptimizer("em")
       .fit(vecs)
     val vocabArr = array(vocab.map(lit(_)): _*)
     model.describeTopics(5)
