@@ -147,6 +147,40 @@ object Stats extends QueryGroup {
         .orderBy($"t1", $"t2")
     }),
 
+    // Standardized effect sizes for every type pair — Cohen's d (pooled
+    // sd), Hedges' g (the small-sample bias correction g = d·(1 −
+    // 3/(4n−9)), Hedges & Olkin 1985), and Glass's Δ (control = the
+    // alphabetically first type's sd): the MAGNITUDE companion of
+    // q_stat_welch's t (significance says "not chance"; the effect size
+    // says "big enough to matter" — the report every A/B readout pairs
+    // them in). Same decimal-exact power-sum substrate as welch (ONE fact
+    // hash agg); every downstream op runs on the |types|² broadcast pair
+    // frame with identical double operands, round(4)-pinned.
+    "q_stat_effect" -> ((s, dir) => {
+      import s.implicits._
+      val st = t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             dsum($"value", 6).as("s1"),
+             dsum($"value" * $"value", 6).as("s2"))
+        .withColumn("m", $"s1" / $"n")
+        .withColumn("v", ($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))
+      val a = st.select($"event_type".as("t1"), $"n".as("n1"),
+                        $"m".as("m1"), $"v".as("v1"))
+      val b = st.select($"event_type".as("t2"), $"n".as("n2"),
+                        $"m".as("m2"), $"v".as("v2"))
+      a.join(broadcast(b), $"t1" < $"t2")
+        .withColumn("sp", sqrt((($"n1" - 1) * $"v1" + ($"n2" - 1) * $"v2") /
+          ($"n1" + $"n2" - 2)))
+        .withColumn("d", ($"m1" - $"m2") / $"sp")
+        .select($"t1", $"t2",
+          r4($"d").as("cohen_d"),
+          r4($"d" * (lit(1.0) - lit(3.0) /
+            (lit(4.0) * ($"n1" + $"n2") - 9.0))).as("hedges_g"),
+          r4(($"m1" - $"m2") / sqrt($"v1")).as("glass_delta"))
+        .orderBy($"t1", $"t2")
+    }),
+
     // Two-sample Kolmogorov–Smirnov distance between the click and
     // purchase value distributions, on the DECLARED unit-bin grid
     // (bin = min(floor(value), 999); the fixture's values live in
@@ -722,6 +756,27 @@ object Stats extends QueryGroup {
         |  SELECT event_type, hi, o, n,
         |    CAST(r AS DOUBLE) * c / n AS e
         |  FROM tot)""".stripMargin,
+
+    "q_stat_effect" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |mv AS (
+        |  SELECT event_type, n, s1 / n AS m,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS v
+        |  FROM st),
+        |pr AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, a.n AS n1, b.n AS n2,
+        |    (a.m - b.m) / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+        |      / (a.n + b.n - 2)) AS d,
+        |    (a.m - b.m) / sqrt(a.v) AS gd
+        |  FROM mv a JOIN mv b ON a.event_type < b.event_type)
+        |SELECT t1, t2, round(d, 4) AS cohen_d,
+        |  round(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 4) AS hedges_g,
+        |  round(gd, 4) AS glass_delta
+        |FROM pr ORDER BY t1, t2""".stripMargin,
 
     "q_stat_welch" ->
       """WITH st AS (

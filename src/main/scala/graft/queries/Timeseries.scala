@@ -576,6 +576,74 @@ object Timeseries extends QueryGroup {
             x => x.getField("sym")), "").as("sax"),
           sum($"v").as("n_events"))
         .orderBy($"event_type")
+    }),
+
+    // Lomb–Scargle periodogram (Lomb 1976, Scargle ApJ 1982) of the
+    // purchase VALUE series at its RAW, unevenly spaced event times — the
+    // spectral tool built for exactly the sampling q_time_periodogram's
+    // DFT cannot handle (the DFT needs the gap-filled grid; LS weights
+    // each real observation at its true instant, no resampling bias).
+    // Single-pass form: the τ rotation and the centered projections expand
+    // into 8 per-period trig sums (cos/sin/cos²/sin²/sin·cos/x·cos/x·sin/
+    // double-angle), so ONE fact hash agg serves all four candidate
+    // periods; power = (A²/ΣCC + B²/ΣSS)/(2σ²), the classical
+    // variance-normalized form. Parity: trig arguments range-reduce in
+    // EXACT integer µs (th mod Pµs) before libm; every per-row term
+    // DECIMAL(28,6)-pinned so the big sums are order-free (the
+    // periodogram discipline); everything after the agg is 4-row
+    // arithmetic on identical doubles. min(ts) broadcasts as a 1-row
+    // stats cross join, never a data-sized window.
+    "q_time_lomb" -> ((s, dir) => {
+      import s.implicits._
+      val dec = DecimalType(28, 6)
+      val d6 = DecimalType(18, 6)
+      val ev = t(s, dir, "events").filter($"event_type" === "purchase")
+        .select(unix_micros($"ts").as("tu"), $"value")
+      val mn = ev.agg(min($"tu").as("mn"))
+      val base = ev.crossJoin(broadcast(mn))
+        .withColumn("th", $"tu" - $"mn")
+        .select($"th", $"value",
+          explode(array(lit(6L), lit(12L), lit(24L), lit(168L))).as("p"))
+        .withColumn("pus", $"p" * lit(3600000000L))
+        .withColumn("ang",
+          lit(6.283185307179586) * ($"th" % $"pus").cast("double") / $"pus")
+        .withColumn("c", cos($"ang"))
+        .withColumn("sn", sin($"ang"))
+      base.groupBy($"p")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(d6)).as("sx"),
+          sum(($"value" * $"value").cast(d6)).as("sxx"),
+          sum(($"value" * $"c").cast(dec)).as("sxc"),
+          sum(($"value" * $"sn").cast(dec)).as("sxs"),
+          sum($"c".cast(dec)).as("sc"),
+          sum($"sn".cast(dec)).as("ss"),
+          sum(($"c" * $"c").cast(dec)).as("scc"),
+          sum(($"sn" * $"sn").cast(dec)).as("sss"),
+          sum(($"sn" * $"c").cast(dec)).as("ssc"),
+          sum(sin(lit(2.0) * $"ang").cast(dec)).as("s2s"),
+          sum(cos(lit(2.0) * $"ang").cast(dec)).as("s2c"))
+        .withColumn("xb", $"sx".cast("double") / $"n")
+        .withColumn("vr", ($"sxx".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double") / $"n") / ($"n" - 1))
+        .withColumn("phi",
+          atan2($"s2s".cast("double"), $"s2c".cast("double")) / 2.0)
+        .withColumn("ct", cos($"phi"))
+        .withColumn("st", sin($"phi"))
+        .withColumn("xc", $"sxc".cast("double") - $"xb" * $"sc".cast("double"))
+        .withColumn("xs", $"sxs".cast("double") - $"xb" * $"ss".cast("double"))
+        .withColumn("aa", $"xc" * $"ct" + $"xs" * $"st")
+        .withColumn("bb", $"xs" * $"ct" - $"xc" * $"st")
+        .withColumn("cc2", $"ct" * $"ct" * $"scc".cast("double")
+          + lit(2.0) * $"ct" * $"st" * $"ssc".cast("double")
+          + $"st" * $"st" * $"sss".cast("double"))
+        .withColumn("ss2", $"st" * $"st" * $"scc".cast("double")
+          - lit(2.0) * $"ct" * $"st" * $"ssc".cast("double")
+          + $"ct" * $"ct" * $"sss".cast("double"))
+        .select($"p".as("period_h"), $"n",
+          when($"cc2" > 0.0 && $"ss2" > 0.0 && $"vr" > 0.0,
+            round(($"aa" * $"aa" / $"cc2" + $"bb" * $"bb" / $"ss2")
+              / (lit(2.0) * $"vr"), 4)).as("ls_power"))
+        .orderBy($"period_h")
     })
   )
 
@@ -613,6 +681,60 @@ object Timeseries extends QueryGroup {
         |SELECT event_type, string_agg(s, '' ORDER BY h) AS sax,
         |  CAST(SUM(v) AS BIGINT) AS n_events
         |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_lomb" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tu, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |mn AS (SELECT MIN(tu) AS mn FROM ev),
+        |base AS (
+        |  SELECT tu - mn AS th, value, p.p AS p, p.p * 3600000000 AS pus
+        |  FROM ev, mn, (SELECT unnest([6, 12, 24, 168]) AS p) p),
+        |trg AS (
+        |  SELECT p, value,
+        |    6.283185307179586 * CAST(th % pus AS DOUBLE) / pus AS ang
+        |  FROM base),
+        |ag AS (
+        |  SELECT p, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(value * value AS DECIMAL(18,6))) AS sxx,
+        |    SUM(CAST(value * cos(ang) AS DECIMAL(28,6))) AS sxc,
+        |    SUM(CAST(value * sin(ang) AS DECIMAL(28,6))) AS sxs,
+        |    SUM(CAST(cos(ang) AS DECIMAL(28,6))) AS sc,
+        |    SUM(CAST(sin(ang) AS DECIMAL(28,6))) AS ss,
+        |    SUM(CAST(cos(ang) * cos(ang) AS DECIMAL(28,6))) AS scc,
+        |    SUM(CAST(sin(ang) * sin(ang) AS DECIMAL(28,6))) AS sss,
+        |    SUM(CAST(sin(ang) * cos(ang) AS DECIMAL(28,6))) AS ssc,
+        |    SUM(CAST(sin(2.0 * ang) AS DECIMAL(28,6))) AS s2s,
+        |    SUM(CAST(cos(2.0 * ang) AS DECIMAL(28,6))) AS s2c
+        |  FROM trg GROUP BY p),
+        |fin AS (
+        |  SELECT p, n,
+        |    CAST(sx AS DOUBLE) / n AS xb,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |      / (n - 1) AS vr,
+        |    cos(atan2(CAST(s2s AS DOUBLE), CAST(s2c AS DOUBLE)) / 2.0) AS ct,
+        |    sin(atan2(CAST(s2s AS DOUBLE), CAST(s2c AS DOUBLE)) / 2.0) AS st,
+        |    CAST(sxc AS DOUBLE) AS sxc, CAST(sxs AS DOUBLE) AS sxs,
+        |    CAST(sc AS DOUBLE) AS sc, CAST(ss AS DOUBLE) AS ss,
+        |    CAST(scc AS DOUBLE) AS scc, CAST(sss AS DOUBLE) AS sss,
+        |    CAST(ssc AS DOUBLE) AS ssc
+        |  FROM ag),
+        |prj AS (
+        |  SELECT p, n, vr, ct, st,
+        |    sxc - xb * sc AS xc, sxs - xb * ss AS xs,
+        |    ct * ct * scc + 2.0 * ct * st * ssc + st * st * sss AS cc2,
+        |    st * st * scc - 2.0 * ct * st * ssc + ct * ct * sss AS ss2
+        |  FROM fin),
+        |pw AS (
+        |  SELECT p, n, vr, cc2, ss2,
+        |    xc * ct + xs * st AS aa, xs * ct - xc * st AS bb
+        |  FROM prj)
+        |SELECT CAST(p AS BIGINT) AS period_h, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN cc2 > 0.0 AND ss2 > 0.0 AND vr > 0.0
+        |    THEN round((aa * aa / cc2 + bb * bb / ss2) / (2.0 * vr), 4) END
+        |    AS ls_power
+        |FROM pw ORDER BY period_h""".stripMargin,
 
     "q_time_periodogram" -> (Reshape.resampledCte +
       """,

@@ -696,4 +696,38 @@ class StatsSpec extends BaseSpec {
       case _ => ()
     }
   }
+
+  test("q_stat_effect equals a driver recomputation; correction and sign laws hold") {
+    val got = SparkEntry.queries("q_stat_effect")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(got.nonEmpty)
+    val rows = Tables(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect().toList
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def dec6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    def stats(xs: List[Double]): (Long, Double, Double) = {
+      val n = xs.size.toLong
+      val s1 = xs.map(dec6).reduce(_ add _).doubleValue
+      val s2 = xs.map(x => dec6(x * x)).reduce(_ add _).doubleValue
+      val m = s1 / n
+      (n, m, (s2 - s1 * s1 / n) / (n - 1))
+    }
+    got.foreach { case (t1, t2, d, g, gd) =>
+      val (n1, m1, v1) = stats(rows(t1)); val (n2, m2, v2) = stats(rows(t2))
+      val sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+      val dWant = (m1 - m2) / sp
+      assert(d == rnd(dWant, 4), s"$t1/$t2 d")
+      assert(g == rnd(dWant * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 4), s"$t1/$t2 g")
+      assert(gd == rnd((m1 - m2) / math.sqrt(v1), 4), s"$t1/$t2 glass")
+      // Hedges' correction strictly shrinks magnitude; signs agree
+      assert(math.abs(g) <= math.abs(d) && d * g >= 0.0, s"$t1/$t2 law")
+    }
+    // the statistic itself: {0,0,2,2} vs {1,1,3,3} -> d = -1/sqrt(4/3)
+    val a = List(0.0, 0.0, 2.0, 2.0); val b = List(1.0, 1.0, 3.0, 3.0)
+    val (_, ma, va) = stats(a); val (_, mb, vb) = stats(b)
+    val dd = (ma - mb) / math.sqrt((3 * va + 3 * vb) / 6)
+    assert(math.abs(dd - (-1.0 / math.sqrt(4.0 / 3.0))) < 1e-12)
+  }
 }

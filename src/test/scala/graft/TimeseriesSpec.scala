@@ -525,4 +525,63 @@ class TimeseriesSpec extends BaseSpec {
     val flat = Array.fill(24)(7L)
     assert(24.0 * flat.map(x => x * x).sum - math.pow(flat.sum.toDouble, 2) == 0.0)
   }
+
+  test("q_time_lomb equals a driver recomputation; a planted uneven sinusoid peaks at its period") {
+    def dec6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    def rnd(x: Double, sc: Int) = new java.math.BigDecimal(x)
+      .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue
+    // the full single-pass LS pipeline on the driver (decimal-pinned terms)
+    def lsPower(ts: List[Long], xs: List[Double], periodsH: List[Long])
+        : Map[Long, Option[Double]] = {
+      val mn = ts.min
+      periodsH.map { p =>
+        val pus = p * 3600000000L
+        val ang = ts.map(t => 6.283185307179586 * ((t - mn) % pus).toDouble / pus)
+        def dsum(vs: List[Double]) = vs.map(dec6).reduce(_ add _).doubleValue
+        val n = xs.size
+        val sx = dsum(xs); val sxx = dsum(xs.map(x => x * x))
+        val sxc = dsum(xs.zip(ang).map { case (x, a) => x * math.cos(a) })
+        val sxs = dsum(xs.zip(ang).map { case (x, a) => x * math.sin(a) })
+        val sc = dsum(ang.map(math.cos)); val ss = dsum(ang.map(math.sin))
+        val scc = dsum(ang.map(a => math.cos(a) * math.cos(a)))
+        val sss = dsum(ang.map(a => math.sin(a) * math.sin(a)))
+        val ssc = dsum(ang.map(a => math.sin(a) * math.cos(a)))
+        val s2s = dsum(ang.map(a => math.sin(2.0 * a)))
+        val s2c = dsum(ang.map(a => math.cos(2.0 * a)))
+        val xb = sx / n
+        val vr = (sxx - sx * sx / n) / (n - 1)
+        val phi = math.atan2(s2s, s2c) / 2.0
+        val (ct, st) = (math.cos(phi), math.sin(phi))
+        val xc = sxc - xb * sc; val xsv = sxs - xb * ss
+        val aa = xc * ct + xsv * st; val bb = xsv * ct - xc * st
+        val cc2 = ct * ct * scc + 2.0 * ct * st * ssc + st * st * sss
+        val ss2 = st * st * scc - 2.0 * ct * st * ssc + ct * ct * sss
+        p -> (if (cc2 > 0.0 && ss2 > 0.0 && vr > 0.0)
+          Some(rnd((aa * aa / cc2 + bb * bb / ss2) / (2.0 * vr), 4)) else None)
+      }.toMap
+    }
+    val got = SparkEntry.queries("q_time_lomb")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    assert(got.map(_._1) == List(6L, 12L, 24L, 168L))
+    val ev = Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .selectExpr("unix_micros(ts) AS tu", "value")
+      .as[(Long, Double)].collect().toList.sortBy(_._1)
+    val want = lsPower(ev.map(_._1), ev.map(_._2), List(6L, 12L, 24L, 168L))
+    got.foreach { case (p, n, pw) =>
+      assert(n == ev.size.toLong)
+      assert(pw == want(p), s"period=$p: $pw vs ${want(p)}")
+    }
+    // the statistic itself: an UNEVENLY sampled pure 24h sinusoid (sample
+    // times from integer arithmetic, deliberately irregular) concentrates
+    // its normalized power at 24h — the case the gap-filled DFT cannot see
+    val H = 3600000000L
+    val ts = (0 until 240).map(i => (i * 7L % 720L) * H + (i * 13L % 60L) * 60000000L).toList
+    val xs = ts.map(t => math.sin(2 * math.Pi * (t % (24 * H)).toDouble / (24 * H)))
+    val pw = lsPower(ts, xs, List(6L, 12L, 24L, 168L)).map { case (k, v) => k -> v.get }
+    assert(pw(24L) > 5.0 * pw(12L) && pw(24L) > 5.0 * pw(6L),
+      s"24h sinusoid power not concentrated: $pw")
+  }
 }
