@@ -266,6 +266,45 @@ object Stats extends QueryGroup {
             round(($"h" / $"corr_c" - $"k" + 1L) / ($"n" - $"k"), 6)).as("eps2"))
     }),
 
+    // Friedman test (Friedman JASA 1937) — do the event types keep the
+    // same activity ORDERING across the 24 hour-of-day blocks? The
+    // BLOCKED nonparametric twin of q_stat_kruskal (kruskal = independent
+    // groups; friedman ranks WITHIN each block, so a global volume shift
+    // per hour cancels — the repeated-measures design). Measurements =
+    // the full |types|×24 count lattice (absent cells are real zeros);
+    // doubled midranks (2·(rank−1)+ties+1, the spearman discipline) keep
+    // every moment integer-exact: with r' = 2r the tie-corrected
+    // statistic is χ² = (k−1)·Σⱼ(R'ⱼ−b(k+1))² / (A'−bk(k+1)²) — one
+    // exact-int division, round(4); all-tied blocks ⇒ zero denominator ⇒
+    // NULL (the kruskal corr_c convention). One data-sized (type,h24)
+    // agg; ranks ride windows over the 120-row lattice.
+    "q_stat_friedman" -> ((s, dir) => {
+      import s.implicits._
+      val counts = t(s, dir, "events")
+        .groupBy($"event_type", hour($"ts").cast("long").as("h"))
+        .agg(count(lit(1)).as("v"))
+      val lattice = counts.select($"event_type").distinct()
+        .crossJoin(s.range(0, 24).select($"id".as("h")))
+      val wB = Window.partitionBy($"h").orderBy($"v")
+      val wTie = Window.partitionBy($"h", $"v")
+      val wAll = Window.partitionBy()
+      lattice.join(counts, Seq("event_type", "h"), "left")
+        .withColumn("v", coalesce($"v", lit(0L)))
+        .withColumn("rx", lit(2L) * (rank().over(wB) - 1L)
+          + count(lit(1)).over(wTie) + 1L)
+        .groupBy($"event_type")
+        .agg(sum($"rx").as("rj"), sum($"rx" * $"rx").as("rj2"))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("dev", $"rj" - lit(24L) * ($"k" + 1L))
+        .agg(max($"k").as("kk"), sum($"dev" * $"dev").as("sdev"),
+             sum($"rj2").as("a2"))
+        .select(lit(24L).as("b"), $"kk".as("k"),
+          when($"a2" - lit(24L) * $"kk" * ($"kk" + 1L) * ($"kk" + 1L) > 0L,
+            r4((($"kk" - 1L) * $"sdev").cast("double") /
+              ($"a2" - lit(24L) * $"kk" * ($"kk" + 1L) * ($"kk" + 1L))
+                .cast("double"))).as("chi2"))
+    }),
+
     // Mann–Whitney U between the click and purchase value samples — the
     // two-sample twin of q_stat_kruskal (rank-sum location test; k=2
     // Kruskal–Wallis is its square), with the tie-corrected normal
@@ -756,6 +795,39 @@ object Stats extends QueryGroup {
         |  SELECT event_type, hi, o, n,
         |    CAST(r AS DOUBLE) * c / n AS e
         |  FROM tot)""".stripMargin,
+
+    "q_stat_friedman" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lat AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) g),
+        |f AS (
+        |  SELECT l.event_type, l.h, COALESCE(c.v, 0) AS v
+        |  FROM lat l LEFT JOIN c ON c.event_type = l.event_type AND c.h = l.h),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * (rank() OVER (PARTITION BY h ORDER BY v) - 1)
+        |      + COUNT(*) OVER (PARTITION BY h, v) + 1 AS rx
+        |  FROM f),
+        |pt AS (
+        |  SELECT event_type, SUM(rx) AS rj, SUM(rx * rx) AS rj2
+        |  FROM r GROUP BY event_type),
+        |wk AS (
+        |  SELECT rj, rj2, COUNT(*) OVER () AS k,
+        |    rj - 24 * (COUNT(*) OVER () + 1) AS dev
+        |  FROM pt),
+        |g AS (
+        |  SELECT MAX(k) AS kk, SUM(dev * dev) AS sdev, SUM(rj2) AS a2
+        |  FROM wk)
+        |SELECT CAST(24 AS BIGINT) AS b, CAST(kk AS BIGINT) AS k,
+        |  CASE WHEN a2 - 24 * kk * (kk + 1) * (kk + 1) > 0
+        |    THEN round(CAST((kk - 1) * sdev AS DOUBLE) /
+        |      CAST(a2 - 24 * kk * (kk + 1) * (kk + 1) AS DOUBLE), 4) END AS chi2
+        |FROM g""".stripMargin,
 
     "q_stat_effect" ->
       """WITH st AS (

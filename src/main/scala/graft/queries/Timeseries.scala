@@ -644,6 +644,38 @@ object Timeseries extends QueryGroup {
             round(($"aa" * $"aa" / $"cc2" + $"bb" * $"bb" / $"ss2")
               / (lit(2.0) * $"vr"), 4)).as("ls_power"))
         .orderBy($"period_h")
+    }),
+
+    // Wald–Wolfowitz runs test (Ann. Math. Stat. 1940) on the gap-filled
+    // hourly count series — the RANDOMNESS screen the diagnostics family
+    // was missing: dichotomize each hour above/below the grid median
+    // (median-equal hours drop, the classical convention), count runs of
+    // consecutive same-side hours, and compare against the exact
+    // null moments μ = 2n₁n₀/n + 1, σ² = 2n₁n₀(2n₁n₀−n)/(n²(n−1)).
+    // Too FEW runs = clustering/trend, too many = oscillation. Counts are
+    // exact BIGINTs; μ/σ²/z are double ops over identical exact operands;
+    // the median is the proven percentile ≡ quantile_cont machinery
+    // broadcast as a 1-row stats join; the one ordered pass rides the
+    // TIME-BOUNDED grid (the q_time_acf scale argument).
+    "q_time_runs" -> ((s, dir) => {
+      import s.implicits._
+      val res = Reshape.resampled(s, dir).select($"bucket_ms", $"n_events")
+      val med = res.agg(percentile($"n_events", lit(0.5)).as("med"))
+      val w = Window.orderBy($"bucket_ms")
+      res.crossJoin(broadcast(med))
+        .filter($"n_events" =!= $"med")
+        .withColumn("sgn", when($"n_events" > $"med", 1L).otherwise(0L))
+        .withColumn("chg", when(lag($"sgn", 1).over(w).isNull ||
+            lag($"sgn", 1).over(w) =!= $"sgn", 1L).otherwise(0L))
+        .agg(sum($"chg").as("n_runs"), sum($"sgn").as("n_above"),
+             (count(lit(1)) - sum($"sgn")).as("n_below"))
+        .withColumn("n", $"n_above" + $"n_below")
+        .withColumn("mu", lit(2.0) * $"n_above" * $"n_below" / $"n" + 1.0)
+        .withColumn("s2", (lit(2.0) * $"n_above" * $"n_below" *
+            (lit(2.0) * $"n_above" * $"n_below" - $"n")) /
+          ($"n".cast("double") * $"n" * ($"n" - 1L)))
+        .select($"n", $"n_runs", $"n_above", $"n_below",
+          when($"s2" > 0.0, r4(($"n_runs" - $"mu") / sqrt($"s2"))).as("z"))
     })
   )
 
@@ -681,6 +713,37 @@ object Timeseries extends QueryGroup {
         |SELECT event_type, string_agg(s, '' ORDER BY h) AS sax,
         |  CAST(SUM(v) AS BIGINT) AS n_events
         |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_runs" -> (Reshape.resampledCte +
+      """,
+        |med AS (SELECT quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS med
+        |        FROM res),
+        |kept AS (
+        |  SELECT bucket_ms,
+        |    CASE WHEN n_events > med THEN 1 ELSE 0 END AS sgn
+        |  FROM res, med WHERE n_events <> med),
+        |runs AS (
+        |  SELECT sgn,
+        |    CASE WHEN lag(sgn) OVER (ORDER BY bucket_ms) IS NULL
+        |           OR lag(sgn) OVER (ORDER BY bucket_ms) <> sgn
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM kept),
+        |a AS (
+        |  SELECT CAST(SUM(chg) AS BIGINT) AS n_runs,
+        |    CAST(SUM(sgn) AS BIGINT) AS n_above,
+        |    CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n_below
+        |  FROM runs),
+        |m AS (
+        |  SELECT n_above + n_below AS n, n_runs, n_above, n_below,
+        |    2.0 * n_above * n_below / (n_above + n_below) + 1.0 AS mu,
+        |    (2.0 * n_above * n_below *
+        |       (2.0 * n_above * n_below - (n_above + n_below))) /
+        |    (CAST(n_above + n_below AS DOUBLE) * (n_above + n_below)
+        |       * (n_above + n_below - 1)) AS s2
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n, n_runs, n_above, n_below,
+        |  CASE WHEN s2 > 0.0 THEN round((n_runs - mu) / sqrt(s2), 4) END AS z
+        |FROM m""".stripMargin),
 
     "q_time_lomb" ->
       """WITH ev AS (

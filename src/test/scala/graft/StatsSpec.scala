@@ -730,4 +730,39 @@ class StatsSpec extends BaseSpec {
     val dd = (ma - mb) / math.sqrt((3 * va + 3 * vb) / 6)
     assert(math.abs(dd - (-1.0 / math.sqrt(4.0 / 3.0))) < 1e-12)
   }
+
+  test("q_stat_friedman equals a driver midrank recomputation; consistency maximum holds") {
+    val Array(row) = SparkEntry.queries("q_stat_friedman")(spark, sf).collect()
+    val (b, k, chi2) = (row.getLong(0), row.getLong(1),
+      if (row.isNullAt(2)) None else Some(row.getDouble(2)))
+    assert(b == 24L)
+    val counts = Tables(spark, sf, "events")
+      .selectExpr("event_type", "CAST(hour(ts) AS INT) AS h")
+      .as[(String, Int)].collect().toList
+    val types = counts.map(_._1).distinct.sorted
+    assert(k == types.size.toLong)
+    val cell = counts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // doubled midranks within each hour block, the statistic from exact ints
+    def friedman(blocks: List[List[Long]]): Option[Double] = {
+      val kk = blocks.head.size
+      val bb = blocks.size
+      val rx = blocks.map { vs =>
+        vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1L)
+      }
+      val rj = (0 until kk).map(j => rx.map(_(j)).sum)
+      val a2 = rx.flatten.map(r => r * r).sum
+      val sdev = rj.map(r => { val d = r - bb * (kk + 1); d * d }).sum
+      val den = a2 - bb.toLong * kk * (kk + 1) * (kk + 1)
+      if (den > 0) Some(rnd((kk - 1).toDouble * sdev / den, 4)) else None
+    }
+    val blocks = (0 until 24).toList.map { h =>
+      types.map(t => cell.getOrElse((t, h), 0L))
+    }
+    assert(chi2 == friedman(blocks), s"got $chi2 want ${friedman(blocks)}")
+    // the statistic itself: perfectly consistent rankings reach the
+    // maximum b·(k−1); fully tied blocks are undefined (NULL)
+    val consistent = List.fill(24)(List(1L, 2L, 3L))
+    assert(friedman(consistent) == Some(48.0))
+    assert(friedman(List.fill(24)(List(5L, 5L, 5L))).isEmpty)
+  }
 }

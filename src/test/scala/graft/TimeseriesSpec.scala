@@ -584,4 +584,37 @@ class TimeseriesSpec extends BaseSpec {
     assert(pw(24L) > 5.0 * pw(12L) && pw(24L) > 5.0 * pw(6L),
       s"24h sinusoid power not concentrated: $pw")
   }
+
+  test("q_time_runs equals a driver recount; clustering and oscillation read opposite signs") {
+    val Array(row) = SparkEntry.queries("q_time_runs")(spark, sf).collect()
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      if (row.isNullAt(4)) None else Some(row.getDouble(4)))
+    val byH = Tables(spark, sf, "events")
+      .selectExpr("unix_millis(ts) div 3600000 AS hb").groupBy($"hb").count()
+      .as[(Long, Long)].collect().toMap
+    val grid = (byH.keys.min to byH.keys.max).map(h => byH.getOrElse(h, 0L)).toList
+    // interpolated median, the quantile_cont contract
+    val sorted = grid.map(_.toDouble).sorted
+    val pos = 0.5 * (sorted.size - 1)
+    val med = sorted(pos.toInt) +
+      (pos - pos.toInt) * (sorted(math.min(pos.toInt + 1, sorted.size - 1)) - sorted(pos.toInt))
+    def runsStat(sgns: List[Long]) = {
+      val nA = sgns.count(_ == 1L).toLong; val nB = sgns.count(_ == 0L).toLong
+      val n = nA + nB
+      val r = if (sgns.isEmpty) 0L
+        else 1L + sgns.sliding(2).count { case List(a, c) => a != c; case _ => false }
+      val mu = 2.0 * nA * nB / n + 1.0
+      val s2 = (2.0 * nA * nB * (2.0 * nA * nB - n)) /
+        (n.toDouble * n * (n - 1))
+      (n, r, nA, nB, if (s2 > 0.0) Some(rnd4((r - mu) / math.sqrt(s2))) else None)
+    }
+    val sgns = grid.filter(_.toDouble != med).map(v => if (v > med) 1L else 0L)
+    assert(got == runsStat(sgns), s"got $got want ${runsStat(sgns)}")
+    // the statistic itself: a perfectly alternating series has the MAXIMUM
+    // run count (z > 0); a two-block series has 2 runs (z < 0)
+    val alt = List.tabulate(40)(i => (i % 2).toLong)
+    val blocks = List.fill(20)(1L) ++ List.fill(20)(0L)
+    assert(runsStat(alt)._5.get > 0.0 && runsStat(blocks)._5.get < 0.0)
+    assert(runsStat(alt)._2 == 40L && runsStat(blocks)._2 == 2L)
+  }
 }
