@@ -266,6 +266,46 @@ object Stats extends QueryGroup {
             round(($"h" / $"corr_c" - $"k" + 1L) / ($"n" - $"k"), 6)).as("eps2"))
     }),
 
+    // Wilcoxon signed-rank test (Biometrics 1945) — purchase vs click
+    // hourly counts PAIRED BY HOUR: the paired twin of q_stat_mwu
+    // (pairing by hour removes the shared diurnal cycle the independent
+    // test dilutes into variance), completing the nonparametric 2×2
+    // (MWU/Kruskal independent; Wilcoxon/Friedman paired/blocked).
+    // d = purchases − clicks per hour bucket; zero differences drop (the
+    // classical convention — hours with no events of either type are
+    // d = 0 and drop with them, so no gap-fill is even needed); doubled
+    // midranks over |d| keep everything integer-exact: with W' = 2W the
+    // tie-corrected z = (2W' − n(n+1)) / sqrt((2n(n+1)(2n+1) − Σ(t³−t))/3)
+    // is exact ints into one double division. One data-sized (hour) hash
+    // agg; ranks ride the TIME-BOUNDED difference frame.
+    "q_stat_wilcoxon" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hb"))
+        .agg((sum(when($"event_type" === "purchase", 1L).otherwise(0L)) -
+              sum(when($"event_type" === "click", 1L).otherwise(0L))).as("d"))
+        .filter($"d" =!= 0L)
+        .withColumn("ad", abs($"d"))
+      val wR = Window.orderBy($"ad")
+      val wT = Window.partitionBy($"ad")
+      val ranked = d
+        .withColumn("rx", lit(2L) * (rank().over(wR) - 1L)
+          + count(lit(1)).over(wT) + 1L)
+      val ties = d.groupBy($"ad").agg(count(lit(1)).as("t"))
+        .agg(sum($"t" * $"t" * $"t" - $"t").as("tt"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(when($"d" > 0L, $"rx").otherwise(0L)).as("w2"),
+          sum(when($"d" > 0L, 1L).otherwise(0L)).as("n_pos"))
+        .crossJoin(broadcast(ties))
+        .select($"n", $"n_pos",
+          ($"w2" / lit(2.0)).as("w_plus"),
+          when(lit(2L) * $"n" * ($"n" + 1L) * (lit(2L) * $"n" + 1L) - $"tt" > 0L,
+            r4((lit(2L) * $"w2" - $"n" * ($"n" + 1L)).cast("double") /
+              sqrt(((lit(2L) * $"n" * ($"n" + 1L) * (lit(2L) * $"n" + 1L)
+                - $"tt").cast("double")) / 3.0))).as("z"))
+    }),
+
     // Friedman test (Friedman JASA 1937) — do the event types keep the
     // same activity ORDERING across the 24 hour-of-day blocks? The
     // BLOCKED nonparametric twin of q_stat_kruskal (kruskal = independent
@@ -795,6 +835,34 @@ object Stats extends QueryGroup {
         |  SELECT event_type, hi, o, n,
         |    CAST(r AS DOUBLE) * c / n AS e
         |  FROM tot)""".stripMargin,
+
+    "q_stat_wilcoxon" ->
+      """WITH d0 AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hb,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) -
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |dd AS (SELECT d, abs(d) AS ad FROM d0 WHERE d <> 0),
+        |r AS (
+        |  SELECT d,
+        |    2 * (rank() OVER (ORDER BY ad) - 1)
+        |      + COUNT(*) OVER (PARTITION BY ad) + 1 AS rx
+        |  FROM dd),
+        |tt AS (
+        |  SELECT SUM(t * t * t - t) AS tt
+        |  FROM (SELECT COUNT(*) AS t FROM dd GROUP BY ad)),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN d > 0 THEN rx ELSE 0 END) AS BIGINT) AS w2,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM r)
+        |SELECT n, n_pos, w2 / 2.0 AS w_plus,
+        |  CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tt > 0
+        |    THEN round(CAST(2 * w2 - n * (n + 1) AS DOUBLE) /
+        |      sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tt AS DOUBLE) / 3.0), 4)
+        |  END AS z
+        |FROM a, tt""".stripMargin,
 
     "q_stat_friedman" ->
       """WITH c AS (

@@ -765,4 +765,40 @@ class StatsSpec extends BaseSpec {
     assert(friedman(consistent) == Some(48.0))
     assert(friedman(List.fill(24)(List(5L, 5L, 5L))).isEmpty)
   }
+
+  test("q_stat_wilcoxon equals a driver midrank recomputation; direction law holds") {
+    val Array(row) = SparkEntry.queries("q_stat_wilcoxon")(spark, sf).collect()
+    val got = (row.getLong(0), row.getLong(1), row.getDouble(2),
+      if (row.isNullAt(3)) None else Some(row.getDouble(3)))
+    val byH = Tables(spark, sf, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .selectExpr("unix_micros(ts) div 3600000000 AS hb", "event_type")
+      .as[(Long, String)].collect().toList.groupBy(_._1)
+    def wilcoxon(ds: List[Long]): (Long, Long, Double, Option[Double]) = {
+      val nz = ds.filter(_ != 0L)
+      val n = nz.size.toLong
+      val ads = nz.map(math.abs)
+      val rx = nz.map { d =>
+        val ad = math.abs(d)
+        2L * ads.count(_ < ad) + ads.count(_ == ad) + 1L
+      }
+      val w2 = nz.zip(rx).collect { case (d, r) if d > 0 => r }.sum
+      val nPos = nz.count(_ > 0).toLong
+      val tt = ads.groupBy(identity).values.map(g => {
+        val t = g.size.toLong; t * t * t - t }).sum
+      val den = 2 * n * (n + 1) * (2 * n + 1) - tt
+      (n, nPos, w2 / 2.0,
+        if (den > 0) Some(rnd((2 * w2 - n * (n + 1)).toDouble /
+          math.sqrt(den.toDouble / 3.0), 4)) else None)
+    }
+    val ds = byH.values.map { es =>
+      es.count(_._2 == "purchase").toLong - es.count(_._2 == "click").toLong
+    }.toList
+    assert(got == wilcoxon(ds), s"got $got want ${wilcoxon(ds)}")
+    // the statistic itself: all-positive differences push z to the maximum
+    // (every rank credited to W+), symmetric differences read z = 0
+    val allPos = wilcoxon(List(1L, 2L, 3L, 4L, 5L))._4.get
+    val sym = wilcoxon(List(-2L, 2L, -3L, 3L))._4.get
+    assert(allPos > 2.0 && sym == 0.0, s"$allPos / $sym")
+  }
 }
