@@ -45,6 +45,7 @@ object Geo extends QueryGroup {
     register("m_graph_betweenness")(graft.operators.Betweenness.lastIterations)
     register("m_graph_ktruss")(graft.operators.KTruss.lastIterations)
     register("m_graph_scc")(graft.operators.Scc.lastIterations)
+    register("m_graph_coreness")(graft.operators.Coreness.lastIterations)
   }
 
   /** Co-traveler pair memo: m_graph_pagerank and q_graph_degree read the
@@ -1409,6 +1410,23 @@ object Geo extends QueryGroup {
         .groupBy($"scc_id").agg(count(lit(1)).as("n_cells"))
         .groupBy($"n_cells").agg(count(lit(1)).as("n_sccs"))
         .orderBy($"n_cells")
+    }),
+
+    // Full core decomposition of the co-traveler graph — the core number
+    // of EVERY vertex (m_graph_kcore answers membership for one fixed k;
+    // this is the whole degeneracy profile): coreness histogram. The
+    // h-index iteration (Lü et al., Nature Comms 2016) converges exactly
+    // to coreness in vertex-keyed join rounds — see operators/Coreness.
+    // No SQL oracle (iterative fixpoint); CorenessSpec pins exact
+    // equality with a driver Batagelj–Zaveršnik peel on planted shapes
+    // (clique+pendant, path, two cliques sharing a vertex) AND the
+    // fixture graph, plus the h-index ≤ degree upper-bound law.
+    "m_graph_coreness" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+      graft.operators.Coreness.run(s, pairs.select($"u1", $"u2"))
+        .groupBy($"coreness").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"coreness")
     }),
 
     // Link prediction on the co-traveler graph (Liben-Nowell & Kleinberg,
