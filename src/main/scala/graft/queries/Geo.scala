@@ -1412,6 +1412,40 @@ object Geo extends QueryGroup {
         .orderBy($"n_cells")
     }),
 
+    // Rich-club coefficient of the co-traveler graph (Zhou & Mondragón
+    // IEEE Comm. Lett. 2004; Colizza et al. Nature Physics 2006):
+    // φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of vertices with
+    // degree > k — do the well-connected travel with EACH OTHER? The
+    // density-profile companion of q_graph_assort's single mixing
+    // coefficient. Exact integer counts into one guarded division per k;
+    // the k sweep rides a 5-way explode of the DEGREE frame (vertex-
+    // bounded) and the min-endpoint-degree edge frame — the fact-sized
+    // work is the one pair-set build every co-traveler key shares.
+    "q_graph_richclub" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+        .select($"u1", $"u2")
+      val deg = pairs.select($"u1".as("u")).unionAll(pairs.select($"u2".as("u")))
+        .groupBy($"u").agg(count(lit(1)).as("deg"))
+      val ks = explode(array((1 to 5).map(k => lit(k.toLong)): _*)).as("k")
+      val nodes = deg.select($"deg", ks)
+        .filter($"deg" > $"k")
+        .groupBy($"k").agg(count(lit(1)).as("n_nodes"))
+      val emin = pairs
+        .join(deg.select($"u".as("u1"), $"deg".as("d1")), Seq("u1"))
+        .join(deg.select($"u".as("u2"), $"deg".as("d2")), Seq("u2"))
+        .select(least($"d1", $"d2").as("md"))
+      val edges = emin.select($"md", ks)
+        .filter($"md" > $"k")
+        .groupBy($"k").agg(count(lit(1)).as("n_edges"))
+      nodes.join(edges, Seq("k"), "left")
+        .select($"k", $"n_nodes", coalesce($"n_edges", lit(0L)).as("n_edges"),
+          when($"n_nodes" > 1L,
+            round(lit(2.0) * coalesce($"n_edges", lit(0L)) /
+              ($"n_nodes" * ($"n_nodes" - 1L)), 6)).as("phi"))
+        .orderBy($"k")
+    }),
+
     // Full core decomposition of the co-traveler graph — the core number
     // of EVERY vertex (m_graph_kcore answers membership for one fixed k;
     // this is the whole degeneracy profile): coreness histogram. The
@@ -2127,6 +2161,37 @@ object Geo extends QueryGroup {
         |  round(CAST(SUM(CAST(coef AS DECIMAL(18,6))) AS DOUBLE) / COUNT(coef), 4)
         |    AS avg_coef
         |FROM co GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    "q_graph_richclub" -> (ptsCte +
+      """,
+        |p AS (
+        |  SELECT DISTINCT user_id, ts_us // 3600000000 AS hb,
+        |    CAST(FLOOR(lat / 20) AS BIGINT) AS cla, CAST(FLOOR(lon / 20) AS BIGINT) AS clo
+        |  FROM pts),
+        |pr AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM p a JOIN p b
+        |    ON a.hb = b.hb AND a.cla = b.cla AND a.clo = b.clo
+        |    AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.hb) >= 2),
+        |deg AS (
+        |  SELECT u, COUNT(*) AS deg FROM (
+        |    SELECT u1 AS u FROM pr UNION ALL SELECT u2 AS u FROM pr)
+        |  GROUP BY u),
+        |ks AS (SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT) AS k),
+        |nodes AS (
+        |  SELECT k, COUNT(*) AS n_nodes FROM deg, ks WHERE deg > k GROUP BY k),
+        |emin AS (
+        |  SELECT LEAST(da.deg, db.deg) AS md
+        |  FROM pr JOIN deg da ON da.u = pr.u1 JOIN deg db ON db.u = pr.u2),
+        |edges AS (
+        |  SELECT k, COUNT(*) AS n_edges FROM emin, ks WHERE md > k GROUP BY k)
+        |SELECT nodes.k AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(COALESCE(n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN n_nodes > 1 THEN round(2.0 * COALESCE(n_edges, 0) /
+        |    (n_nodes * (n_nodes - 1)), 6) END AS phi
+        |FROM nodes LEFT JOIN edges ON nodes.k = edges.k
+        |ORDER BY k""".stripMargin),
 
     "q_graph_recip" -> (cellMovesCte +
       """

@@ -591,4 +591,49 @@ class GeoSpec extends BaseSpec {
       assert(pi == math.min(pr1, pr2) && pi >= 0.0 && pi <= 1.0)
     }
   }
+
+  test("q_graph_richclub equals a driver recount; phi is monotone where defined on a planted core") {
+    val got = SparkEntry.queries("q_graph_richclub")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toList
+    assert(got.map(_._1) == List(1L, 2L, 3L, 4L, 5L))
+    // independent recount over the operator-level pair set (the shared
+    // co-traveler substrate every graph spec re-derives)
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    val es = graft.operators.Convoy.coTravelers(
+      Tables(spark, sf, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS ts_us",
+          "((event_id * 37) % 1700) / 10.0 - 85.0 AS lat",
+          "((event_id * 131) % 3600) / 10.0 - 180.0 AS lon"),
+      cellDeg = 20.0, minHours = 2)
+      .selectExpr("u1", "u2").as[(Long, Long)].collect().toList
+    es.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1L; deg(b) = deg.getOrElse(b, 0L) + 1L
+    }
+    def rnd6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    got.foreach { case (k, nN, nE, phi) =>
+      val nodes = deg.valuesIterator.count(_ > k).toLong
+      val among = es.count { case (a, b) => deg(a) > k && deg(b) > k }.toLong
+      assert(nN == nodes && nE == among, s"k=$k")
+      phi match {
+        case Some(v) =>
+          assert(nodes > 1L)
+          assert(v == rnd6(2.0 * among / (nodes * (nodes - 1))), s"k=$k phi")
+          assert(v >= 0.0 && v <= 1.0)
+        case None => assert(nodes <= 1L, s"k=$k null")
+      }
+    }
+    // the statistic itself: a K4 core with pendant leaves — the club of
+    // degree > 2 is exactly the clique, phi = 1
+    val planted = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 10L), (2L, 11L), (3L, 12L))
+    val d2 = scala.collection.mutable.Map.empty[Long, Long]
+    planted.foreach { case (a, b) =>
+      d2(a) = d2.getOrElse(a, 0L) + 1L; d2(b) = d2.getOrElse(b, 0L) + 1L }
+    val club = d2.iterator.collect { case (v, d) if d > 2 => v }.toSet
+    val amongP = planted.count { case (a, b) => club(a) && club(b) }
+    assert(club == Set(1L, 2L, 3L, 4L) && amongP == 6 &&
+      2.0 * amongP / (club.size * (club.size - 1)) == 1.0)
+  }
 }
