@@ -635,6 +635,25 @@ class PlanSpec extends BaseSpec {
     // pmi: bigram agg over ONE visible scan (unigram frame checkpointed),
     // vocab joins broadcast, nb rides the single-partition window
     assert(shape("q_text_pmi") == ((2, 1, true)))
+    // effect: the welch two-sided substrate shape (a/b branches of the
+    // type agg) + the declared |types|² theta BNLJ
+    assert(shape("q_stat_effect", allowedBnlj = 1) == ((2, 0, false)))
+    // lomb: ONE fact agg serves all four periods; the 1-row min(ts)
+    // stats cross join is the declared BNLJ
+    assert(shape("q_time_lomb", allowedBnlj = 1) == ((1, 1, false)))
+    // friedman: (type,h24) agg + distinct-types + lattice join + per-type
+    // agg; the types×24 lattice cross is the declared BNLJ
+    assert(shape("q_stat_friedman", allowedBnlj = 1) == ((4, 1, true)))
+    // runs: grid agg + 1-row median cross (declared BNLJ); the ordered
+    // runs pass and final reduce ride the TIME-BOUNDED grid singles
+    assert(shape("q_time_runs", allowedBnlj = 1) == ((2, 2, true)))
+    // wilcoxon: (hour) diff agg + tie agg; global rank window + 1-row
+    // reduce are the bounded singles; 1-row tie cross is the BNLJ
+    assert(shape("q_stat_wilcoxon", allowedBnlj = 1) == ((3, 2, false)))
+    // richclub: all seven exchanges are vertex/edge-bounded (degree agg,
+    // two endpoint joins, two k-sweep aggs, final join) — the pair-set
+    // build is the memoized checkpoint
+    assert(shape("q_graph_richclub") == ((7, 0, false)))
     // every plan above reads the fact table at most once per declared scan
     Seq("q_events_attr" -> 0, "q_text_pmi" -> 1).foreach { case (k, n) =>
       val plan = SparkEntry.queries(k)(spark, sf)
