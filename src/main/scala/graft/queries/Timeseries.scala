@@ -646,6 +646,53 @@ object Timeseries extends QueryGroup {
         .orderBy($"period_h")
     }),
 
+    // Peak detection with topographic prominence on the hourly series —
+    // the find_peaks primitive (peak = strict local max; prominence =
+    // height − the higher of the two valley minima between the peak and
+    // its nearest higher ground): WHICH load spikes are real summits vs
+    // shoulders of a bigger one — the question q_time_burst's thresholds
+    // and q_anomaly_zscore's pointwise flags cannot answer. Prominence is
+    // WINDOWED at ±336 h by declaration (the theilsen max-lag lesson:
+    // unbounded crossing searches square with the grid; the window keeps
+    // both theta joins linear in it). Every height/valley/prominence is
+    // an exact BIGINT — no FP anywhere in the key. Top-10 by
+    // (prominence DESC, bucket_ms).
+    "q_time_peaks" -> ((s, dir) => {
+      import s.implicits._
+      val L = 336L
+      val w = Window.orderBy($"bucket_ms")
+      val gi = Reshape.resampled(s, dir)
+        .select($"bucket_ms", $"n_events".as("h"))
+        .withColumn("i", row_number().over(w).cast("long"))
+      val peaks = gi
+        .withColumn("pl", lag($"h", 1).over(w))
+        .withColumn("pr", lead($"h", 1).over(w))
+        .filter($"pl".isNotNull && $"pr".isNotNull &&
+          $"h" > $"pl" && $"h" > $"pr")
+        .select($"i".as("pi"), $"bucket_ms".as("peak_ms"), $"h".as("ph"))
+      val win = gi.select($"i", $"h")
+      // nearest higher ground within the window (or the window edge)
+      val bounds = peaks
+        .join(win, $"i" >= $"pi" - L && $"i" <= $"pi" + L && $"i" =!= $"pi")
+        .groupBy($"pi", $"peak_ms", $"ph")
+        .agg(coalesce(max(when($"i" < $"pi" && $"h" > $"ph", $"i")),
+               min(when($"i" < $"pi", $"i")) - 1L).as("lb"),
+             coalesce(min(when($"i" > $"pi" && $"h" > $"ph", $"i")),
+               max(when($"i" > $"pi", $"i")) + 1L).as("rb"))
+      // valley minima strictly inside (lb, pi) and (pi, rb) — both
+      // non-empty because a strict local max's neighbors are lower
+      bounds
+        .join(win, ($"i" > $"lb" && $"i" < $"pi") ||
+                   ($"i" > $"pi" && $"i" < $"rb"))
+        .groupBy($"peak_ms", $"ph", $"pi")
+        .agg(min(when($"i" < $"pi", $"h")).as("vl"),
+             min(when($"i" > $"pi", $"h")).as("vr"))
+        .select($"peak_ms", $"ph".as("height"),
+          ($"ph" - greatest($"vl", $"vr")).as("prominence"))
+        .orderBy($"prominence".desc, $"peak_ms")
+        .limit(10)
+    }),
+
     // Wald–Wolfowitz runs test (Ann. Math. Stat. 1940) on the gap-filled
     // hourly count series — the RANDOMNESS screen the diagnostics family
     // was missing: dichotomize each hour above/below the grid median
@@ -713,6 +760,38 @@ object Timeseries extends QueryGroup {
         |SELECT event_type, string_agg(s, '' ORDER BY h) AS sax,
         |  CAST(SUM(v) AS BIGINT) AS n_events
         |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_peaks" -> (Reshape.resampledCte +
+      """,
+        |gi AS (
+        |  SELECT bucket_ms, n_events AS h,
+        |    CAST(row_number() OVER (ORDER BY bucket_ms) AS BIGINT) AS i
+        |  FROM res),
+        |peaks AS (
+        |  SELECT i AS pi, bucket_ms AS peak_ms, h AS ph
+        |  FROM (SELECT *, lag(h) OVER (ORDER BY bucket_ms) AS pl,
+        |               lead(h) OVER (ORDER BY bucket_ms) AS pr
+        |        FROM gi)
+        |  WHERE pl IS NOT NULL AND pr IS NOT NULL AND h > pl AND h > pr),
+        |bounds AS (
+        |  SELECT pi, peak_ms, ph,
+        |    COALESCE(MAX(CASE WHEN g.i < pi AND g.h > ph THEN g.i END),
+        |             MIN(CASE WHEN g.i < pi THEN g.i END) - 1) AS lb,
+        |    COALESCE(MIN(CASE WHEN g.i > pi AND g.h > ph THEN g.i END),
+        |             MAX(CASE WHEN g.i > pi THEN g.i END) + 1) AS rb
+        |  FROM peaks JOIN gi g
+        |    ON g.i >= pi - 336 AND g.i <= pi + 336 AND g.i <> pi
+        |  GROUP BY pi, peak_ms, ph),
+        |v AS (
+        |  SELECT peak_ms, ph, pi,
+        |    MIN(CASE WHEN g.i < pi THEN g.h END) AS vl,
+        |    MIN(CASE WHEN g.i > pi THEN g.h END) AS vr
+        |  FROM bounds JOIN gi g
+        |    ON (g.i > lb AND g.i < pi) OR (g.i > pi AND g.i < rb)
+        |  GROUP BY peak_ms, ph, pi)
+        |SELECT peak_ms, CAST(ph AS BIGINT) AS height,
+        |  CAST(ph - GREATEST(vl, vr) AS BIGINT) AS prominence
+        |FROM v ORDER BY prominence DESC, peak_ms LIMIT 10""".stripMargin),
 
     "q_time_runs" -> (Reshape.resampledCte +
       """,

@@ -617,4 +617,43 @@ class TimeseriesSpec extends BaseSpec {
     assert(runsStat(alt)._5.get > 0.0 && runsStat(blocks)._5.get < 0.0)
     assert(runsStat(alt)._2 == 40L && runsStat(blocks)._2 == 2L)
   }
+
+  test("q_time_peaks equals a driver prominence scan; the saddle law holds on planted twin summits") {
+    // independent prominence: direct per-peak walk (no joins)
+    def prominences(h: Array[Long], L: Int = 336): List[(Int, Long, Long)] =
+      (1 until h.length - 1).toList
+        .filter(i => h(i) > h(i - 1) && h(i) > h(i + 1))
+        .map { i =>
+          val lo = math.max(0, i - L); val hi = math.min(h.length - 1, i + L)
+          var j = i - 1; var vl = Long.MaxValue
+          var stop = false
+          while (j >= lo && !stop) {
+            if (h(j) > h(i)) stop = true
+            else { vl = math.min(vl, h(j)); j -= 1 }
+          }
+          var k = i + 1; var vr = Long.MaxValue; stop = false
+          while (k <= hi && !stop) {
+            if (h(k) > h(i)) stop = true
+            else { vr = math.min(vr, h(k)); k += 1 }
+          }
+          (i, h(i), h(i) - math.max(vl, vr))
+        }
+    val byH = Tables(spark, sf, "events")
+      .selectExpr("unix_millis(ts) div 3600000 AS hb").groupBy($"hb").count()
+      .as[(Long, Long)].collect().toMap
+    val (lo, hi) = (byH.keys.min, byH.keys.max)
+    val grid = (lo to hi).map(h => byH.getOrElse(h, 0L)).toArray
+    val want = prominences(grid)
+      .sortBy { case (i, _, p) => (-p, i) }.take(10)
+      .map { case (i, ht, p) => ((lo + i) * 3600000L, ht, p) }
+    val got = SparkEntry.queries("q_time_peaks")(spark, sf)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == want, s"got $got want $want")
+    assert(got.nonEmpty && got.forall(r => r._3 >= 1L && r._3 <= r._2))
+    // the saddle law: twin summits [0,5,1,4,0] — the big peak's prominence
+    // is its full height over the outer floor, the small one is capped by
+    // the 1-valley saddle (4 - 1 = 3)
+    val twin = prominences(Array(0L, 5L, 1L, 4L, 0L))
+    assert(twin == List((1, 5L, 5L), (3, 4L, 3L)), twin.toString)
+  }
 }
