@@ -99,7 +99,11 @@ object ScaleProbe {
       // (cost past the first distinct must NOT grow with volume), the
       // two-agg PMI (both map-side combinable), the single-scan
       // attribution window, and the 24-slot SAX lattice
-      "m_graph_scc", "q_text_pmi", "q_events_attr", "q_time_sax")
+      "m_graph_scc", "q_text_pmi", "q_events_attr", "q_time_sax",
+      // session-4 wave 2: raw-time trig sums (one fact agg), the grid
+      // peak-prominence theta joins (declared window-bounded), the
+      // time-bounded rank frames, and the full coreness fixpoint
+      "q_time_lomb", "q_time_peaks", "q_stat_wilcoxon", "m_graph_coreness")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)
