@@ -280,38 +280,53 @@ object TextPipeline extends QueryGroup {
         .limit(20)
     }),
 
-    // Bigram language-model quality scoring (r9): the perplexity-filter
-    // stage of a training-data pipeline (CCNet-style — score every document
-    // under a corpus-trained LM; the tail of the score distribution is
-    // boilerplate/garbled text). Model: add-one-smoothed bigram LM trained
-    // on the corpus itself — lp(w1,w2) = ln((c2(w1,w2)+1) / (c1(w1)+V))
-    // with c1 counting w1 as a bigram PREFIX (so Σ_w2 p(w2|w1) = 1) and V
-    // the corpus vocabulary; doc score = mean lp over its bigram
-    // occurrences; output = the 20 most-surprising docs (lowest mean lp).
-    // Determinism: every model input is an exact integer (c2, c1, V), the
-    // per-bigram double is ONE expression rounded to 6 (the tfidf
-    // ln-parity discipline), and the per-doc mean routes through DECIMAL.
-    // Plan/scale: two content-keyed shuffles train the model (bigram,
-    // prefix), the scoring join shuffles on the bigram key, V broadcast —
-    // model tables stay distributed, no all-pairs, no driver state.
+    // Bigram language-model quality scoring (r9, rewritten r13): the
+    // perplexity-filter stage of a training-data pipeline (CCNet-style —
+    // score every document under a corpus-trained LM; the tail of the
+    // score distribution is boilerplate/garbled text). Model:
+    // add-one-smoothed bigram LM trained on the corpus itself —
+    // lp(w1,w2) = ln((c2(w1,w2)+1) / (c1(w1)+V)) with c1 counting w1 as a
+    // bigram PREFIX (so Σ_w2 p(w2|w1) = 1) and V the vocabulary of the
+    // bigram TRAINING corpus (docs with ≥ 2 tokens — the LM's actual
+    // event space, distinct(w1 ∪ w2)); doc score = mean lp over its
+    // bigram occurrences; output = the 20 most-surprising docs.
+    // ONE corpus scan (the q_events_attr discipline): the exploded
+    // bigrams aggregate straight to the per-(doc, w1, w2) count frame,
+    // lazy-checkpointed — c2, c1, V and the scoring join all read the
+    // checkpoint instead of re-deriving scan+explode (the r12 shape
+    // computed the exploded frame THREE times plus a fourth scan for V
+    // and was the suite's slowest key). Determinism: every model input
+    // is an exact integer (c2, c1, V, n), the per-bigram double is ONE
+    // expression rounded to 6 (the tfidf ln-parity discipline), and the
+    // occurrence-weighted doc mean multiplies IN DECIMAL (lp cast to
+    // DECIMAL(18,6) — the proven parity cast — times the exact count n).
+    // Plan/scale: the checkpoint materializes one content-keyed shuffle;
+    // the model re-aggs and the scoring join shuffle on bigram/prefix
+    // keys, V broadcast — model tables stay distributed, no all-pairs,
+    // no driver state.
     "q_text_lmscore" -> ((s, dir) => {
       import s.implicits._
-      val big = t(s, dir, "documents")
+      val bgc = t(s, dir, "documents")
         .withColumn("toks", split($"text", " "))
         .filter(size($"toks") >= 2)
         .select($"doc_id", explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as("bg"))
-        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
-      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      val vocab = tokens(s, dir).agg(countDistinct($"term").as("v"))
-      big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
+      val c2 = bgc.groupBy($"w1", $"w2").agg(sum($"n").as("c2"))
+      val c1 = bgc.groupBy($"w1").agg(sum($"n").as("c1"))
+      val vocab = bgc.select($"w1".as("term"))
+        .union(bgc.select($"w2".as("term")))
+        .agg(countDistinct($"term").as("v"))
+      bgc.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .crossJoin(broadcast(vocab))
         .withColumn("lp", round(log(($"c2" + 1.0) / ($"c1" + $"v")), 6))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-             r4(dsum($"lp", 6) / count(lit(1))).as("avg_lp"))
+        .agg(sum($"n").as("n_bigrams"),
+             r4(sum($"lp".cast(org.apache.spark.sql.types.DecimalType(18, 6)) * $"n")
+               .cast("double") / sum($"n")).as("avg_lp"))
         .orderBy($"avg_lp".asc, $"doc_id")
         .limit(20)
     }),
@@ -1384,24 +1399,25 @@ object TextPipeline extends QueryGroup {
         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_text_lmscore" ->
-      s"""WITH tt AS (
+      """WITH tt AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
          |  WHERE len(string_split(text, ' ')) >= 2),
-         |big AS (
-         |  SELECT doc_id,
-         |    unnest(toks[1:len(toks) - 1]) AS w1,
-         |    unnest(toks[2:len(toks)]) AS w2
-         |  FROM tt),
-         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
-         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+         |bgc AS (
+         |  SELECT doc_id, w1, w2, COUNT(*) AS n FROM (
+         |    SELECT doc_id,
+         |      unnest(toks[1:len(toks) - 1]) AS w1,
+         |      unnest(toks[2:len(toks)]) AS w2
+         |    FROM tt) big GROUP BY doc_id, w1, w2),
+         |c2 AS (SELECT w1, w2, SUM(n) AS c2 FROM bgc GROUP BY w1, w2),
+         |c1 AS (SELECT w1, SUM(n) AS c1 FROM bgc GROUP BY w1),
          |vocab AS (
          |  SELECT COUNT(DISTINCT term) AS v
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u),
+         |  FROM (SELECT w1 AS term FROM bgc UNION ALL SELECT w2 FROM bgc) u),
          |lp AS (
-         |  SELECT big.doc_id, round(ln((c2 + 1.0) / (c1 + v)), 6) AS lp
-         |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
-         |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  round(${oSum("lp", 6)} / COUNT(*), 4) AS avg_lp
+         |  SELECT bgc.doc_id, n, round(ln((c2 + 1.0) / (c1 + v)), 6) AS lp
+         |  FROM bgc JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |  round(CAST(SUM(CAST(lp AS DECIMAL(18,6)) * n) AS DOUBLE) / SUM(n), 4) AS avg_lp
          |FROM lp GROUP BY doc_id ORDER BY avg_lp ASC, doc_id LIMIT 20""".stripMargin,
 
     "q_text_langstats" ->

@@ -218,13 +218,24 @@ object Timeseries extends QueryGroup {
     // same robustness, declared identically on both engines. Each slope
     // is an identical double (BIGINT Δx cast / BIGINT Δt), and the exact
     // interpolated median round(6)-pinned — the q_anomaly_mad precedent.
+    // The pair join is BANDED onto an equi-key (r13, the q_geo_st_join
+    // discipline): band = t div 336; a qualifying pair (t1 < t2 ≤ t1+336)
+    // always has band(t2) ∈ {band(t1), band(t1)+1}, so exploding the t1
+    // side to those two bands and hash-joining on the band makes the
+    // EVALUATED pair count linear in the grid — the pure range predicate
+    // planned as a BroadcastNestedLoopJoin that compared ALL O(n²) pairs
+    // and only then filtered. Each surviving pair matches on exactly one
+    // band value (band(t2)), so no dedup is needed.
     "q_time_theilsen" -> ((s, dir) => {
       import s.implicits._
       val g = Reshape.resampled(s, dir)
         .select(expr("bucket_ms div 3600000").as("t"), $"n_events".as("x"))
       val a = g.select($"t".as("t1"), $"x".as("x1"))
+        .withColumn("bd", explode(array(expr("t1 div 336"), expr("t1 div 336 + 1"))))
       val b = g.select($"t".as("t2"), $"x".as("x2"))
-      a.join(b, $"t1" < $"t2" && $"t2" - $"t1" <= 336)
+        .withColumn("bd", expr("t2 div 336"))
+      a.join(b, Seq("bd"))
+        .filter($"t1" < $"t2" && $"t2" - $"t1" <= 336)
         .withColumn("slope",
           ($"x2" - $"x1").cast("double") / ($"t2" - $"t1"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -654,8 +665,16 @@ object Timeseries extends QueryGroup {
     // and q_anomaly_zscore's pointwise flags cannot answer. Prominence is
     // WINDOWED at ±336 h by declaration (the theilsen max-lag lesson:
     // unbounded crossing searches square with the grid; the window keeps
-    // both theta joins linear in it). Every height/valley/prominence is
-    // an exact BIGINT — no FP anywhere in the key. Top-10 by
+    // both theta joins linear in it). Both window joins are BANDED onto
+    // an equi-key (r13, the q_geo_st_join discipline): band = i div 336;
+    // |i − pi| ≤ 336 forces |band(i) − band(pi)| ≤ 1, so the peak side
+    // explodes to {band−1, band, band+1}, the grid side keys band(i),
+    // and the hash equi-join EVALUATES only the ±1-band neighborhood —
+    // the pure range predicates planned as BroadcastNestedLoopJoins that
+    // compared every (peak, hour) pair and only then filtered. Each
+    // matching pair joins on exactly one band value (band(i)), so no
+    // dedup is needed. Every height/valley/prominence is an exact
+    // BIGINT — no FP anywhere in the key. Top-10 by
     // (prominence DESC, bucket_ms).
     "q_time_peaks" -> ((s, dir) => {
       import s.implicits._
@@ -670,20 +689,26 @@ object Timeseries extends QueryGroup {
         .filter($"pl".isNotNull && $"pr".isNotNull &&
           $"h" > $"pl" && $"h" > $"pr")
         .select($"i".as("pi"), $"bucket_ms".as("peak_ms"), $"h".as("ph"))
-      val win = gi.select($"i", $"h")
+        .withColumn("bd", explode(array(
+          expr("pi div 336 - 1"), expr("pi div 336"), expr("pi div 336 + 1"))))
+      val win = gi.select($"i", $"h").withColumn("bd", expr("i div 336"))
       // nearest higher ground within the window (or the window edge)
       val bounds = peaks
-        .join(win, $"i" >= $"pi" - L && $"i" <= $"pi" + L && $"i" =!= $"pi")
+        .join(win, Seq("bd"))
+        .filter($"i" >= $"pi" - L && $"i" <= $"pi" + L && $"i" =!= $"pi")
         .groupBy($"pi", $"peak_ms", $"ph")
         .agg(coalesce(max(when($"i" < $"pi" && $"h" > $"ph", $"i")),
                min(when($"i" < $"pi", $"i")) - 1L).as("lb"),
              coalesce(min(when($"i" > $"pi" && $"h" > $"ph", $"i")),
                max(when($"i" > $"pi", $"i")) + 1L).as("rb"))
+        .withColumn("bd", explode(array(
+          expr("pi div 336 - 1"), expr("pi div 336"), expr("pi div 336 + 1"))))
       // valley minima strictly inside (lb, pi) and (pi, rb) — both
       // non-empty because a strict local max's neighbors are lower
       bounds
-        .join(win, ($"i" > $"lb" && $"i" < $"pi") ||
-                   ($"i" > $"pi" && $"i" < $"rb"))
+        .join(win, Seq("bd"))
+        .filter(($"i" > $"lb" && $"i" < $"pi") ||
+                ($"i" > $"pi" && $"i" < $"rb"))
         .groupBy($"peak_ms", $"ph", $"pi")
         .agg(min(when($"i" < $"pi", $"h")).as("vl"),
              min(when($"i" > $"pi", $"h")).as("vr"))

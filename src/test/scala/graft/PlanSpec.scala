@@ -1108,4 +1108,33 @@ class PlanSpec extends BaseSpec {
         s"$key native expression sits outside a codegen span:\n${proj.mkString("\n")}")
     }
   }
+
+  test("round-13 plan fixes hold: lmscore one-scan, peaks/theilsen banded equi-joins") {
+    // lmscore: the per-(doc, w1, w2) bigram count frame is checkpointed —
+    // the documents parquet scan happens ONCE at checkpoint
+    // materialization; the visible plan re-aggregates the checkpoint
+    // (0 visible parquet scans, the q_events_attr discipline). The r12
+    // shape recomputed the scan+explode three times plus a fourth scan
+    // for V and was the suite's slowest key in the driver bench.
+    val lm = SparkEntry.queries("q_text_lmscore")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(lm).size == 0,
+      s"q_text_lmscore: corpus scan leaked past the checkpoint:\n$lm")
+    assert(!lm.contains("BroadcastNestedLoopJoin") ||
+           "BroadcastNestedLoopJoin".r.findAllIn(lm).size == 1,
+      s"q_text_lmscore: only the hinted 1-row vocab cross may nest:\n$lm")
+    // peaks/theilsen: the ±336 range joins are banded onto equi-keys
+    // (band = i div 336, probe exploded to the adjacent bands), so they
+    // plan as hash equi-joins whose EVALUATED pair count is linear in
+    // the grid. A BroadcastNestedLoopJoin here means the band regressed
+    // to the pure range predicate that compares all O(n²) pairs before
+    // filtering.
+    for (k <- Seq("q_time_peaks", "q_time_theilsen")) {
+      val p = SparkEntry.queries(k)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"),
+        s"$k: range join regressed to a nested loop:\n$p")
+    }
+  }
 }
