@@ -36,13 +36,18 @@ object Aggregates extends QueryGroup {
   val queries: Map[String, QFn] = Map(
     "q_agg_pricing" -> (pricing _),
 
+    // HAVING on a scale-free ratio (r13 — the r12 absolute count bar of
+    // 250 was vacuous-EMPTY at sf0.001 and vacuous-FULL at sf0.1):
+    // segments where > 91.5% of customers have a positive balance,
+    // integer-exact as n_pos·200 > n_cust·183 so both engines compare
+    // exact BIGINTs. Selective and non-empty at every SF (3/2/1 rows).
     "q_agg_having" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
         .groupBy($"c_mktsegment")
         .agg(count(when($"c_acctbal" > 0, 1)).as("n_pos"),
              count(lit(1)).as("n_cust"))
-        .filter($"n_pos" > 250)
+        .filter($"n_pos" * 200L > $"n_cust" * 183L)
         .orderBy($"c_mktsegment")
     }),
 
@@ -253,7 +258,7 @@ object Aggregates extends QueryGroup {
         |  COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
         |  COUNT(*) AS n_cust
         |FROM customer GROUP BY c_mktsegment
-        |HAVING COUNT(*) FILTER (WHERE c_acctbal > 0) > 250
+        |HAVING COUNT(*) FILTER (WHERE c_acctbal > 0) * 200 > COUNT(*) * 183
         |ORDER BY c_mktsegment""".stripMargin,
 
     "q_agg_distinct" ->

@@ -534,11 +534,14 @@ object Geo extends QueryGroup {
     // HaversineRadiusPruning rewrites the radius test into
     // bbox-conjuncts + radius (sargable range predicates run before the
     // trig; on stored lat/lon columns they'd reach the parquet scan).
+    // Radius 1200 km (r13 — the r12 500 km disc was golden-EMPTY at
+    // sf0.001, where the sparse lattice's nearest point to Paris sits at
+    // 1043.8 km; 1200 keeps every SF non-vacuous and the disc selective).
     "q_geo_radius" -> ((s, dir) => {
       import s.implicits._
       graft.plans.HaversineRadiusPruning.install(s)
       pts(s, dir)
-        .filter(hv($"lat", $"lon", lit(48.85), lit(2.35)) < 500.0)
+        .filter(hv($"lat", $"lon", lit(48.85), lit(2.35)) < 1200.0)
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_close"))
         .orderBy($"user_id")
@@ -1531,6 +1534,24 @@ object Geo extends QueryGroup {
         .orderBy($"role")
     }),
 
+    // Property-tested (StDbscanSpec): exact match vs an in-memory
+    // ST-DBSCAN (Birant & Kut 2007) on planted space-time clusters — two
+    // clusters at the SAME place in different weeks MUST separate, which
+    // plain m_dbscan cannot do. Same spatial params as m_dbscan (ε = 1.0°,
+    // minPts = 5) plus ε_t = 24 h on the event time axis; output adds the
+    // per-role distinct-cluster count so the time-axis splitting is
+    // visible next to m_dbscan's single-axis row counts.
+    "m_stdbscan" -> ((s, dir) => {
+      import s.implicits._
+      val p = withGeo(t(s, dir, "events"))
+        .select($"event_id".as("id"), $"lat".as("y"), $"lon".as("x"),
+          (expr("unix_millis(ts)") / 3600000.0).as("t"))
+      graft.operators.StDbscan.run(s, p, eps = 1.0, epsT = 24.0, minPts = 5)
+        .groupBy($"role").agg(count(lit(1)).as("n"),
+          countDistinct($"cluster").as("n_clusters"))
+        .orderBy($"role")
+    }),
+
     // Property-tested (KmeansSpec): purity vs generator labels, seed-stable.
     "m_kmeans" -> ((s, dir) => {
       import s.implicits._
@@ -1779,7 +1800,7 @@ object Geo extends QueryGroup {
       s"""
          |SELECT user_id, COUNT(*) AS n_close
          |FROM pts
-         |WHERE ${HaversineDist.oracleSql("lat", "lon", "48.85", "2.35")} < 500.0
+         |WHERE ${HaversineDist.oracleSql("lat", "lon", "48.85", "2.35")} < 1200.0
          |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     "q_geo_grid" -> (ptsCte +

@@ -136,11 +136,10 @@ class PlanSpec extends BaseSpec {
     // lat/lon are collapsed into inline arithmetic by the time the rule
     // fires, so look for the injected bound literals themselves.
     val (latLo, latHi, Some((lonLo, lonHi))) =
-      graft.plans.HaversineRadiusPruning.bbox(48.85, 2.35, 500.0)
+      graft.plans.HaversineRadiusPruning.bbox(48.85, 2.35, 1200.0)
     for (b <- Seq(latLo, latHi, lonLo, lonHi))
       assert(opt.contains(b.toString), s"bbox bound $b missing from optimized plan:\n$opt")
-    // Equivalence, with a radius wide enough to match rows at sf0.001
-    // (q_geo_radius's 500 km disc is legitimately empty there — golden 0).
+    // Equivalence, with a radius wide enough to match many rows at sf0.001.
     // Truth is computed driver-side from the collected points, entirely
     // outside the optimizer, so the rule cannot influence both sides.
     val base = Tables(spark, sf, "events")
