@@ -37,6 +37,7 @@ object Geo extends QueryGroup {
     register("m_graph_wpagerank")(graft.operators.PageRank.lastIterations)
     register("m_graph_lp")(graft.operators.LabelProp.lastIterations)
     register("m_graph_modularity")(graft.operators.LabelProp.lastIterations)
+    register("m_graph_louvain")(graft.operators.Louvain.lastIterations)
     register("m_graph_ppr")(graft.operators.Ppr.lastIterations)
     register("m_graph_kcore")(graft.operators.KCore.lastIterations)
     register("q_graph_bfs")(graft.operators.Bfs.lastIterations)
@@ -1189,6 +1190,26 @@ object Geo extends QueryGroup {
         .agg(count(lit(1)).as("n_communities"), max($"m").as("m_edges"),
              round(sum($"q_c".cast(org.apache.spark.sql.types.DecimalType(28, 12)))
                .cast("double"), 6).as("modularity"))
+    }),
+
+    // Community OPTIMIZATION — Louvain level-1 local moves (Blondel et al.
+    // 2008) on the co-traveler graph: where m_graph_lp adopts plurality
+    // labels and m_graph_modularity only SCORES the result, this key moves
+    // each vertex to its best-ΔQ neighbouring community (exact-integer
+    // scores, smallest-id ties, singleton-swap guard — operators/Louvain).
+    // Output is the community-size histogram, the m_graph_lp shape, so the
+    // data-dependent community ids never enter the contract. No oracle
+    // (iterative) — LouvainSpec pins node-wise equality vs an in-memory
+    // reference, planted-clique recovery, fixpoint early-exit, and
+    // Q(louvain) ≥ Q(lp) on the fixture via the modularity fold.
+    "m_graph_louvain" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
+        .select($"u1", $"u2")
+      graft.operators.Louvain.run(s, pairs)
+        .groupBy($"c").agg(count(lit(1)).as("size"))
+        .groupBy($"size").agg(count(lit(1)).as("n_communities"))
+        .orderBy($"size")
     }),
 
     // Multi-source BFS hop distances from the 3 smallest vertex ids of the

@@ -316,6 +316,56 @@ object Timeseries extends QueryGroup {
         .orderBy($"day")
     }),
 
+    // Holt-Winters additive TRIPLE smoothing (α = β = γ = 1/2, season
+    // length 24) over the gap-filled hourly count series — q_time_holt's
+    // level+trend recursion extended with the carried 24-slot seasonal
+    // vector the fixture's diurnal cycle demands (q_time_seasonal /
+    // q_time_periodogram prove the cycle; Holt alone smears it into the
+    // trend). ONE global fold over the whole (day × 24) grid: the state
+    // is a 26-double array [ℓ, b, s₀..s₂₃]; each step updates
+    //   ℓt = (xt − s_old + ℓ + b)/2, bt = ((ℓt − ℓ) + b)/2,
+    //   st = ((xt − ℓt) + s_old)/2
+    // with init DECLARED ℓ0 = x0, b0 = 0, s = 0s. Both engines run the
+    // IDENTICAL fold text (aggregate HOF ↔ list_reduce over a prepended
+    // init, the q_time_holt convention), and every operation is IEEE
+    // +/−/÷2 in the same order, so the states are bit-identical even
+    // after the dyadic denominators outgrow exactness (~50 steps in).
+    // Scale shape: the hour-bucket hash agg is the only data-sized job;
+    // the fold sees (days × 24) elements in one row — time-bounded, not
+    // data-bounded. Output = the end-of-series seasonal profile per slot
+    // with the slot's one-step forecast ℓ + b + s_h.
+    "q_time_hw" -> ((s, dir) => {
+      import s.implicits._
+      val hc = t(s, dir, "events")
+        .groupBy(expr("unix_millis(ts) div 3600000").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      hc.agg(map_from_entries(collect_list(struct($"hr", $"c"))).as("m"),
+             min(expr("hr div 24")).as("lo"), max(expr("hr div 24")).as("hi"))
+        .withColumn("g", expr(
+          "transform(sequence(lo * 24, hi * 24 + 23), " +
+            "hr -> array(CAST(coalesce(element_at(m, hr), CAST(0 AS BIGINT)) AS DOUBLE), " +
+            "CAST(hr % 24 AS DOUBLE)))"))
+        .withColumn("st", expr(
+          """aggregate(
+            |  slice(g, 2, size(g) - 1),
+            |  concat(array(g[0][0]), array_repeat(CAST(0.0 AS DOUBLE), 25)),
+            |  (acc, e) -> concat(
+            |    array(
+            |      (e[0] - element_at(acc, CAST(e[1] AS INT) + 3) + acc[0] + acc[1]) / 2.0D,
+            |      ((e[0] - element_at(acc, CAST(e[1] AS INT) + 3) + acc[0] + acc[1]) / 2.0D - acc[0] + acc[1]) / 2.0D),
+            |    slice(acc, 3, CAST(e[1] AS INT)),
+            |    array((e[0] - (e[0] - element_at(acc, CAST(e[1] AS INT) + 3) + acc[0] + acc[1]) / 2.0D + element_at(acc, CAST(e[1] AS INT) + 3)) / 2.0D),
+            |    slice(acc, CAST(e[1] AS INT) + 4, 23 - CAST(e[1] AS INT))))"""
+            .stripMargin))
+        .select($"st", posexplode(expr("slice(st, 3, 24)")))
+        .select($"pos".cast("long").as("hour"),
+                round(col("st")(0), 6).as("level"),
+                round(col("st")(1), 6).as("trend"),
+                round($"col", 6).as("seasonal"),
+                round(col("st")(0) + col("st")(1) + $"col", 6).as("forecast"))
+        .orderBy($"hour")
+    }),
+
     // Lagged cross-correlation between the hourly click and purchase
     // count series — the lead-lag diagnostic (does click volume LEAD
     // purchase volume?): Pearson r of (clickₜ, purchaseₜ₊L) for L = 0..3
@@ -1130,6 +1180,43 @@ object Timeseries extends QueryGroup {
         |SELECT day, round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
         |       round(lb[1] + lb[2], 6) AS forecast
         |FROM fold ORDER BY day""".stripMargin,
+
+    // the q_time_hw fold mirrors the Spark aggregate HOF op-for-op:
+    // acc = [l, b, s0..s23] (26 doubles), element = [x, hour];
+    // DuckDB brackets are 1-based where Spark's are 0-based.
+    "q_time_hw" ->
+      """WITH hc AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hr,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |mm AS (
+        |  SELECT map_from_entries(list(struct_pack(k := hr, v := c))) AS m,
+        |         min(hr // 24) AS lo, max(hr // 24) AS hi
+        |  FROM hc),
+        |grid AS (
+        |  SELECT list_transform(
+        |           generate_series(lo * 24, hi * 24 + 23),
+        |           hr -> [CAST(coalesce(map_extract(m, hr)[1], CAST(0 AS BIGINT)) AS DOUBLE),
+        |                  CAST(hr % 24 AS DOUBLE)]) AS g
+        |  FROM mm),
+        |fold AS (
+        |  SELECT list_reduce(
+        |    list_prepend(
+        |      list_concat([g[1][1]],
+        |                  list_transform(generate_series(1, 25), i -> CAST(0.0 AS DOUBLE))),
+        |      g[2:]),
+        |    (acc, e) ->
+        |      [ (e[1] - acc[CAST(e[2] AS INT) + 3] + acc[1] + acc[2]) / 2.0,
+        |        ((e[1] - acc[CAST(e[2] AS INT) + 3] + acc[1] + acc[2]) / 2.0 - acc[1] + acc[2]) / 2.0 ]
+        |      || list_slice(acc, 3, CAST(e[2] AS INT) + 2)
+        |      || [ (e[1] - (e[1] - acc[CAST(e[2] AS INT) + 3] + acc[1] + acc[2]) / 2.0 + acc[CAST(e[2] AS INT) + 3]) / 2.0 ]
+        |      || list_slice(acc, CAST(e[2] AS INT) + 4, 26)) AS st
+        |  FROM grid)
+        |SELECT h.i - 1 AS hour, round(st[1], 6) AS level,
+        |       round(st[2], 6) AS trend, round(st[h.i + 2], 6) AS seasonal,
+        |       round(st[1] + st[2] + st[h.i + 2], 6) AS forecast
+        |FROM fold, (SELECT unnest(generate_series(1, 24)) AS i) h
+        |ORDER BY hour""".stripMargin,
 
     "q_time_iat" ->
       """WITH e AS (

@@ -356,4 +356,45 @@ class MlModelSpec extends BaseSpec {
     val (_, _, _, accTrain) = byCase("train")
     assert(accTrain >= accTest - 0.05, s"train $accTrain well below test $accTest")
   }
+
+  test("model persistence: write → load → score parity (logreg, gbt)") {
+    // the MLWritable seam every production pipeline crosses between
+    // training and serving: fit, save, load in a fresh object, and pin
+    // row-for-row IDENTICAL predictions — not just aggregate accuracy
+    import org.apache.spark.ml.classification.{
+      GBTClassificationModel, GBTClassifier,
+      LogisticRegression, LogisticRegressionModel}
+    val d = graft.queries.Ml.logregFrame(spark, sf)
+    val train = d.filter($"split" === "train")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mlio").toString
+
+    def scores(m: org.apache.spark.ml.Transformer): Map[Long, (Double, Double)] =
+      m.transform(d)
+        .select($"event_id",
+          org.apache.spark.ml.functions.vector_to_array($"probability")(1)
+            .as("p1"),
+          $"prediction")
+        .as[(Long, Double, Double)].collect()
+        .map { case (id, p, y) => id -> ((p, y)) }.toMap
+
+    val lr = new LogisticRegression().setMaxIter(50).setRegParam(0.0)
+      .fit(train)
+    lr.write.overwrite().save(s"$tmp/lr")
+    val lr2 = LogisticRegressionModel.load(s"$tmp/lr")
+    assert(lr2.coefficients == lr.coefficients && lr2.intercept == lr.intercept,
+      "loaded logreg coefficients differ from the fitted model")
+    assert(scores(lr2) == scores(lr),
+      "loaded logreg must score every row identically")
+
+    val gbt = new GBTClassifier()
+      .setMaxIter(10).setMaxDepth(3).setStepSize(0.3).setSeed(42L)
+      .fit(train)
+    gbt.write.overwrite().save(s"$tmp/gbt")
+    val gbt2 = GBTClassificationModel.load(s"$tmp/gbt")
+    assert(gbt2.trees.length == gbt.trees.length &&
+           gbt2.treeWeights.toSeq == gbt.treeWeights.toSeq,
+      "loaded GBT ensemble shape differs from the fitted model")
+    assert(scores(gbt2) == scores(gbt),
+      "loaded GBT must score every row identically")
+  }
 }

@@ -1136,4 +1136,19 @@ class PlanSpec extends BaseSpec {
         s"$k: range join regressed to a nested loop:\n$p")
     }
   }
+
+  test("round-13 additions hold their pinned exchange budgets") {
+    // hw: the hour-bucket hash agg is the ONLY data-sized exchange; the
+    // 26-double fold rides the 1-row global agg (SinglePartition) —
+    // anything more means the time-bounded fold went data-sized
+    val p = SparkEntry.queries("q_time_hw")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"q_time_hw: unexpected join shape:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q_time_hw: expected exactly 1 hash exchange (hour buckets):\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"q_time_hw: expected the single 1-row reduce exchange:\n$p")
+  }
 }
