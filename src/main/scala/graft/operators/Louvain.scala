@@ -77,33 +77,37 @@ object Louvain {
       // community totals: Σ degree and size (size feeds the swap guard)
       val cstat = comm.join(deg, Seq("id"))
         .groupBy($"c").agg(sum($"k").as("d_c"), count(lit(1)).as("csize"))
-      // k_{i,c}: edges from i into each neighbouring community
+      // k_{i,c}: edges from i into each neighbouring community. The own
+      // community needs no separate candidate row: when i has a
+      // neighbour in it the tally includes it, and when it doesn't the
+      // own score is −k·(d_c − k) exactly (k_ic = 0), recovered below
+      // from the cstat join — the argmax-vs-own comparison is identical
+      // either way, so no candidate-union re-aggregation is needed.
       val nbr = e.join(comm.select($"id".as("dst"), $"c".as("nc")), Seq("dst"))
         .groupBy($"src".as("id"), $"nc").agg(count(lit(1)).as("k_ic"))
-      // candidate set = neighbour communities ∪ own community (own may
-      // have k_ic = 0 when no neighbour shares it; max() keeps the tally)
-      val cand = nbr.unionByName(
-          comm.select($"id", $"c".as("nc"), lit(0L).as("k_ic")))
-        .groupBy($"id", $"nc").agg(max($"k_ic").as("k_ic"))
-      val scored = cand
+      val scored = nbr
         .join(deg, Seq("id"))
         .join(comm, Seq("id"))
         .join(cstat.select($"c".as("nc"), $"d_c", $"csize"), Seq("nc"))
         .withColumn("d_eff",
           when($"nc" === $"c", $"d_c" - $"k").otherwise($"d_c"))
         .withColumn("score", lit(m2) * $"k_ic" - $"k" * $"d_eff")
-      // argmax by (score desc, community id asc); `cur` picks the single
-      // own-community row (always present via the union above)
+      // argmax by (score desc, community id asc) over the neighbour
+      // communities (own included whenever a neighbour shares it); `cur`
+      // picks the own-community row when present
       val best = scored.groupBy($"id").agg(
         max(struct($"score", (-$"nc").as("negc"), $"csize".as("tsize"))).as("w"),
         max(when($"nc" === $"c", struct($"score", $"csize"))).as("cur"),
-        max($"c").as("c"))
+        max($"c").as("c"), max($"k").as("k"))
       i += 1
       val cadence = i % checkEvery == 0 || i == iterations
       val next = best
+        .join(cstat, Seq("c")) // own-community stats for the k_ic = 0 case
+        .withColumn("curScore",
+          coalesce($"cur.score", -$"k" * ($"d_c" - $"k")))
         .select($"id",
-          when($"w.score" > $"cur.score" &&
-               !($"cur.csize" === 1 && $"w.tsize" === 1 && -$"w.negc" > $"c"),
+          when($"w.score" > $"curScore" &&
+               !($"csize" === 1 && $"w.tsize" === 1 && -$"w.negc" > $"c"),
             -$"w.negc").otherwise($"c").as("c2"),
           $"c".as("c_prev"))
         .select($"id", $"c2".as("c"), ($"c2" =!= $"c_prev").as("changed"))
