@@ -109,6 +109,35 @@ object ScaleProbe {
     // shared SparkContext down with every later key's measurement)
     val probeKeys = args.lift(3)
       .map(s => allKeys.filter(s.split(',').toSet)).getOrElse(allKeys)
+    // Composed pipeline probe (request it as "minhash_after_exact"): the
+    // measured answer to the 100× replication wall. A wholesale-replicated
+    // corpus keeps every LSH bucket under the hot-bucket cap while
+    // multiplying within-bucket pair fanout by depth² — the PAIR LIST is
+    // quadratic in duplication depth by semantics (every cross-copy pair
+    // really is a near-dup), and 100× overflows local spill space. The
+    // production shape runs exact-hash dedup FIRST (all replicas are
+    // byte-identical → depth collapses to 1 linearly), then banding over
+    // the canonical docs — near-dup cost returns to the base corpus size.
+    if (args.lift(3).exists(_.split(',').contains("minhash_after_exact")))
+      for ((label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
+        val t0 = System.nanoTime()
+        try {
+          val docs = Tables(spark, dir, "documents")
+          val canon = docs
+            .groupBy(md5(col("text")).as("h"))
+            .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+            .select(col("doc_id"), col("text"))
+          val pairs = graft.operators.MinHashDedup
+            .candidatePairs(spark, canon, 0.5)
+          val rows = pairs.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"scaleprobe","key":"minhash_after_exact","scale":"$label","sec":${r3(sec)},"rows":$rows}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+          println(s"""{"metric":"scaleprobe","key":"minhash_after_exact","scale":"$label","error":"$m"}""")
+        }
+      }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     for (key <- probeKeys; (label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
       val t0 = System.nanoTime()

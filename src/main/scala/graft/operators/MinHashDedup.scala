@@ -32,8 +32,21 @@ object MinHashDedup {
     * verify step keeps precision at 1.0 regardless. */
   private val numBands = 6
 
+  /** @param maxBucket hot-bucket guard (the inverted-index df ≤ 1000 cap
+    *        applied to banding): a (band, min) bucket of B docs yields
+    *        B²/2 candidate pairs, so ONE viral bucket — boilerplate, or a
+    *        heavily replicated document — costs quadratically in its
+    *        duplication depth (measured: the 100× replicated corpus
+    *        overflows local spill space through exactly this join).
+    *        Buckets larger than the cap are DROPPED, declared: with
+    *        OR-amplified bands a near-dup pair sharing any small bucket
+    *        still surfaces, and pairs that exist only inside a mega-bucket
+    *        are an exact-duplicate crowd whose linear representation is
+    *        hash dedup (q_dedup_exact) / the cluster representative
+    *        (q_dedup_keep), not a quadratic pair list. */
   def candidatePairs(spark: SparkSession, documents: DataFrame,
-                     maxJaccardDistance: Double): DataFrame = {
+                     maxJaccardDistance: Double,
+                     maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
     // Distinct shingle hashes per doc — reused by the band explode and by
     // BOTH sides of the verify join, so materialize once.
@@ -49,7 +62,11 @@ object MinHashDedup {
       s"transform(sequence(0, ${numBands - 1}), i -> array_min(transform(hs, h -> xxhash64(h, i))))"))
       .as(Seq("band", "mh")))
 
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "mh"))
+    val keep = bands.groupBy($"band", $"mh").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" <= maxBucket).select($"band", $"mh")
+    val kept = bands.join(keep, Seq("band", "mh"))
+
+    val cand = kept.as("a").join(kept.as("b"), Seq("band", "mh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()

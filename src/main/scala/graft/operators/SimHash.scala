@@ -67,8 +67,18 @@ object SimHash {
 
   /** All pairs with Hamming(sh) ≤ maxHamming (≤ 3 guaranteed complete
     * with 4 bands; larger thresholds may miss pairs — callers that need
-    * completeness beyond 3 should raise the band count). */
-  def nearDupPairs(spark: SparkSession, documents: DataFrame, maxHamming: Int): DataFrame = {
+    * completeness beyond 3 should raise the band count).
+    *
+    * @param maxBucket hot-bucket guard (the MinHashDedup discipline): a
+    *        (band, bits) bucket of B docs yields B²/2 pairs, so one
+    *        fingerprint crowd — identical or near-identical documents
+    *        replicated at depth — costs quadratically. Buckets past the
+    *        cap are DROPPED, declared: this trades the pigeonhole
+    *        completeness guarantee INSIDE a mega-bucket (an
+    *        exact-duplicate crowd, hash dedup's linear job) for survival
+    *        on replication-heavy corpora. */
+  def nearDupPairs(spark: SparkSession, documents: DataFrame, maxHamming: Int,
+                   maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
     val fp = fingerprints(spark, documents)
     val banded = fp.select($"doc_id", $"sh",
@@ -78,7 +88,10 @@ object SimHash {
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(sh, b * 16) & 65535 AS bits))"))
         .as("bb"))
       .select($"doc_id", $"sh", $"bb.band", $"bb.bits")
-    banded.as("a").join(banded.as("b"), Seq("band", "bits"))
+    val keep = banded.groupBy($"band", $"bits").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" <= maxBucket).select($"band", $"bits")
+    val kept = banded.join(keep, Seq("band", "bits"))
+    kept.as("a").join(kept.as("b"), Seq("band", "bits"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"a.sh".as("sh1"), $"b.sh".as("sh2"))
       .distinct()

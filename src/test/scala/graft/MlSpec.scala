@@ -69,6 +69,47 @@ class MlSpec extends BaseSpec {
     assert(capped.head._3 > 0.9, s"near-dup Jaccard unchanged by the cap: ${capped.head._3}")
   }
 
+  test("minhash hot-bucket cap: a replicated crowd does not explode the band join") {
+    // 40 identical copies of one document — every (band, min) bucket they
+    // form has size 40, so the uncapped band self-join fans out
+    // 40·39/2 = 780 pairs from the crowd alone (the quadratic-in-depth
+    // cost that overflowed spill space on the 100× replicated corpus).
+    // With the cap below the crowd size the mega-buckets leave the
+    // declared universe — the crowd belongs to exact-hash dedup — while
+    // the genuine near-dup pair's own size-2 buckets survive untouched.
+    val crowd = (1L to 40L).map(i =>
+      i -> ("copy of the viral boilerplate " + (1 to 10).map(j => s"c$j").mkString(" ")))
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 15).map(i => s"w$i") ++ (16 to 20).map(i => s"v$i")).mkString(" ")
+    val docs = (crowd :+ (100L -> base) :+ (101L -> near)).toDF("doc_id", "text")
+    val uncapped = MinHashDedup.candidatePairs(spark, docs, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1,
+      s"sanity: uncapped crowd fanout should be 781 pairs, got ${uncapped.size}")
+    val capped = MinHashDedup.candidatePairs(spark, docs, 0.5, maxBucket = 10)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      s"capped candidates must be exactly the true near-dup pair; got $capped")
+  }
+
+  test("simhash hot-bucket cap: a fingerprint crowd does not explode the band join") {
+    // same discipline on the (band, bits) join: 40 identical fingerprints
+    // fill all 4 bands with size-40 buckets; the cap drops them while the
+    // independent duplicate pair's size-2 buckets survive.
+    val crowd = (1L to 40L).map(i =>
+      i -> ("the same viral page text " + (1 to 10).map(j => s"s$j").mkString(" ")))
+    val dup = "another page entirely " + (1 to 10).map(j => s"z$j").mkString(" ")
+    val docs = (crowd :+ (100L -> dup) :+ (101L -> dup)).toDF("doc_id", "text")
+    val uncapped = SimHash.nearDupPairs(spark, docs, maxHamming = 3)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1,
+      s"sanity: uncapped crowd fanout should be 781 pairs, got ${uncapped.size}")
+    val capped = SimHash.nearDupPairs(spark, docs, maxHamming = 3, maxBucket = 10)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      s"capped candidates must be exactly the surviving duplicate pair; got $capped")
+  }
+
   test("SimHash banding finds exactly the brute-force Hamming<=3 pairs") {
     // split(" ", -1) matches Spark's split() semantics (trailing empties
     // kept) so the driver-side reference tokenizes exactly like the plan.
