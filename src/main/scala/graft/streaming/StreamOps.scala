@@ -552,6 +552,79 @@ object DriftProcessor {
   }
 }
 
+/** Holt-Winters state carried by [[HoltWintersProcessor]]: the completed-hour
+  * frontier, the count accumulating inside the open hour, and the smoothing
+  * state [ℓ, b, s₀..s₂₃] — 26 doubles regardless of stream length. `started`
+  * is false until the grid-origin hour has folded (its count initializes ℓ
+  * directly, the batch fold's init element). */
+case class HwSt(cur_hour: Long, cur_count: Long, started: Boolean,
+                level: Double, trend: Double, season: Seq[Double])
+
+/** Online Holt-Winters additive triple smoothing (α = β = γ = ½, season 24)
+  * — the streaming twin of the batch `q_time_hw` fold: one completed hour at
+  * a time, each emitting (hour, ℓ, b, s_h) the moment a later event closes
+  * it; empty hours fold as zero counts (the batch gap-fill), so the emitted
+  * sequence walks the identical grid. The update text mirrors the batch
+  * aggregate HOF / DuckDB list_reduce op-for-op (same IEEE +/−/÷2 order), so
+  * the states are bit-identical to a prefix of the batch fold.
+  *
+  * Keyed by SERIES (the global hourly series here is one key; a production
+  * deployment keys by (metric, entity) — parallelism comes from series
+  * count, since within one series the recursion is inherently sequential,
+  * like any online smoother). State is 26 doubles + 2 longs per series at
+  * any stream length. Events landing behind the completed-hour frontier are
+  * dropped (the watermark-late convention). */
+class HoltWintersProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Ev, (Long, Double, Double, Double)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: streaming.ValueState[HwSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[HwSt](
+      "hwState", Encoders.product[HwSt], streaming.TTLConfig.NONE)
+
+  /** Fold the open hour's count into the smoothing state; returns the next
+    * state (frontier advanced, count reset) and the emitted row. */
+  private def foldHour(s: HwSt): (HwSt, (Long, Double, Double, Double)) = {
+    val h = s.cur_hour
+    val x = s.cur_count.toDouble
+    if (!s.started) {
+      // grid-origin hour: initializes ℓ directly (ℓ0 = x0, b0 = 0, s = 0s)
+      (s.copy(cur_hour = h + 1, cur_count = 0L, started = true,
+         level = x, trend = 0.0), (h, x, 0.0, 0.0))
+    } else {
+      val idx = (h % 24).toInt
+      val sOld = s.season(idx)
+      val l1 = (x - sOld + s.level + s.trend) / 2.0
+      val b1 = (l1 - s.level + s.trend) / 2.0
+      val s1 = (x - l1 + sOld) / 2.0
+      (s.copy(cur_hour = h + 1, cur_count = 0L, level = l1, trend = b1,
+         season = s.season.updated(idx, s1)), (h, l1, b1, s1))
+    }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: streaming.TimerValues): Iterator[(Long, Double, Double, Double)] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var s = Option(st.get()).getOrElse(
+      HwSt(Long.MinValue, 0L, started = false, 0.0, 0.0, Seq.fill(24)(0.0)))
+    val out = Seq.newBuilder[(Long, Double, Double, Double)]
+    sorted.foreach { e =>
+      val h = e.ts_us / 3600000000L
+      if (s.cur_hour == Long.MinValue)
+        s = s.copy(cur_hour = (h / 24) * 24) // grid origin: that day's 00:00
+      while (s.cur_hour < h) {
+        val (ns, o) = foldHour(s); out += o; s = ns
+      }
+      if (h == s.cur_hour) s = s.copy(cur_count = s.cur_count + 1L)
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -633,6 +706,17 @@ object StreamOps {
     ev.groupByKey(_.user_id)
       .transformWithState(new RunningStateProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Online Holt-Winters forecaster over the global hourly count series —
+    * the streaming twin of the batch `q_time_hw` fold (see
+    * [[HoltWintersProcessor]] for the series-keying scale contract).
+    * Emits (hour, level, trend, seasonal) for each COMPLETED hour. */
+  def hwForecastTws(ev: Dataset[Ev]): Dataset[(Long, Double, Double, Double)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_ => 0L)
+      .transformWithState(new HoltWintersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
   /** Stream-stream interval join ("purchase within 20 min of a click by

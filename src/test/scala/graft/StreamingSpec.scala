@@ -416,6 +416,69 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("holt-winters stream: completed hours equal the declared fold, state crosses batches, late rows drop") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 480000L // divisible by 24 → the grid origin lands on it
+      val series = Seq(base + 1 -> 3, base + 2 -> 1, base + 5 -> 2,
+                       base + 26 -> 4, base + 27 -> 1)
+      def evsFor(pairs: Seq[(Long, Int)]): Seq[Ev] = for {
+        (h, n) <- pairs; i <- 1 to n
+      } yield ev(h * 100 + i, h * 3600000000L + i * 1000000L)
+      val input = MemoryStream[Ev]
+      val name = nextName()
+      val q = StreamOps.hwForecastTws(input.toDS())
+        .toDF("hour", "level", "trend", "seasonal")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // batch 1 fed in reverse to prove the in-batch (ts_us, id) re-sort
+      input.addData(evsFor(series.take(3)).reverse: _*)
+      q.processAllAvailable()
+      // batch 2 spans the empty-night gap AND carries a late straggler
+      // behind the completed frontier (hour base+3) — must be dropped
+      input.addData(evsFor(series.drop(3)) :+
+        ev(999L, (base + 3) * 3600000000L): _*)
+      q.processAllAvailable(); q.stop()
+      val got = spark.table(name)
+        .select($"hour", $"level", $"trend", $"seasonal")
+        .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+
+      // driver mirror of the declared recursion (the q_time_hw update
+      // text), over the gap-filled grid of COMPLETED hours; the late
+      // straggler is absent by construction
+      val counts = series.toMap
+      val ref = {
+        var started = false; var l = 0.0; var b = 0.0
+        val s = Array.fill(24)(0.0)
+        (base until (base + 27)).map { h =>
+          val x = counts.getOrElse(h, 0).toDouble
+          if (!started) { started = true; l = x; b = 0.0; (h, x, 0.0, 0.0) }
+          else {
+            val idx = (h % 24).toInt
+            val sOld = s(idx)
+            val l1 = (x - sOld + l + b) / 2.0
+            val b1 = (l1 - l + b) / 2.0
+            val s1 = (x - l1 + sOld) / 2.0
+            l = l1; b = b1; s(idx) = s1
+            (h, l1, b1, s1)
+          }
+        }
+      }
+      assert(got == ref,
+        s"stream fold diverged: got ${got.take(3)}... vs ref ${ref.take(3)}...")
+      // the origin hour (empty) initialized the level, and the seasonal
+      // state visibly absorbed the diurnal spike at base+2 by base+26
+      assert(got.head == ((base, 0.0, 0.0, 0.0)))
+      assert(got.exists { case (h, _, _, sv) => h == base + 26 && sv != 0.0 })
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("geofence alerts: enters/exits emit exactly once, state crosses batches, in-batch order restored") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
