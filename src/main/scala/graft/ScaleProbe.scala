@@ -103,7 +103,12 @@ object ScaleProbe {
       // session-4 wave 2: raw-time trig sums (one fact agg), the grid
       // peak-prominence theta joins (declared window-bounded), the
       // time-bounded rank frames, and the full coreness fixpoint
-      "q_time_lomb", "q_time_peaks", "q_stat_wilcoxon", "m_graph_coreness")
+      "q_time_lomb", "q_time_peaks", "q_stat_wilcoxon", "m_graph_coreness",
+      // round-13 additions: the Louvain local-move rounds (edges grow with
+      // users, exchanges fixed per round), the 3-D-bucketed ST-DBSCAN
+      // (time-disjoint copies add a free partition axis), and the
+      // time-bounded Holt-Winters fold (one hour-bucket agg at any volume)
+      "m_graph_louvain", "m_stdbscan", "q_time_hw")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)
