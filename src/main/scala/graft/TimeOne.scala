@@ -9,7 +9,9 @@ object TimeOne {
     args.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
-      println(s"TIMING $name rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+      val it = graft.operators.LastIterations.get(name)
+        .map(i => s" rounds=$i").getOrElse("")
+      println(s"TIMING $name rows=$n sec=${(System.nanoTime()-t0)/1e9}$it")
     }
     spark.stop()
   }

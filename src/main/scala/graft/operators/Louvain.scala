@@ -3,51 +3,78 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Louvain level-1 community detection (SURVEY §2.10 graph-mining
-  * extension, `m_graph_louvain`) — the local-move phase of Blondel,
-  * Guillaume, Lambiotte & Lefebvre (J. Stat. Mech. 2008, P10008),
-  * expressed as edge-list joins like [[LabelProp]] (no GraphX; the join
-  * IS the message exchange). Where label propagation adopts the
-  * PLURALITY neighbour label, Louvain moves each vertex to the
-  * neighbouring community with the best MODULARITY GAIN — the operator
-  * that OPTIMIZES the Q score `m_graph_modularity` only measures.
+/** Louvain community detection (SURVEY §2.10 graph-mining extension,
+  * `m_graph_louvain`) — Blondel, Guillaume, Lambiotte & Lefebvre
+  * (J. Stat. Mech. 2008, P10008), expressed as edge-list joins like
+  * [[LabelProp]] (no GraphX; the join IS the message exchange). Where
+  * label propagation adopts the PLURALITY neighbour label, Louvain moves
+  * each vertex to the neighbouring community with the best MODULARITY
+  * GAIN — the operator that OPTIMIZES the Q score `m_graph_modularity`
+  * only measures — and [[runMultiLevel]] then CONTRACTS the communities
+  * to a weighted supergraph and repeats, the full published algorithm.
   *
-  * Update rule (synchronous, deterministic): every vertex starts in its
-  * own community. Each round, vertex i scores every community c among
-  * {its neighbours' communities} ∪ {its own}:
+  * Local-move update (synchronous, deterministic, weighted): every
+  * vertex starts in its own community. Each round, vertex i scores every
+  * community c among its neighbours' communities ∪ its own:
   *
-  *   score(i, c) = 2m·k_{i,c} − k_i · d_{c∖i}
+  *   score(i, c) = 2W·w_{i,c} − k_i · d_{c∖i}
   *
   * the modularity gain of joining c, rescaled by the positive constant
-  * 2m² (ΔQ(a→b) = (k_{i,b} − k_{i,a∖i})/m − k_i(d_b − d_{a∖i})/2m²), so
-  * the comparison runs in EXACT integer arithmetic: k_{i,c} = #edges
-  * from i into c, k_i = degree, d_{c∖i} = total degree of c excluding i,
-  * m = #undirected edges. The vertex moves to the argmax — ties broken
-  * toward the SMALLEST community id — iff the move strictly improves on
-  * staying. All moves apply simultaneously; the synchronous schedule
-  * makes the labelling after any round a pure function of the graph
+  * 2W² so the comparison runs in EXACT integer arithmetic: w_{i,c} =
+  * edge weight from i into c (self-loops excluded — they move with i),
+  * k_i = weighted degree including self-loops, d_{c∖i} = community
+  * degree excluding i, W = total edge weight. The vertex moves to the
+  * argmax — ties toward the SMALLEST community id — iff the move
+  * strictly improves on staying. All moves apply simultaneously; the
+  * synchronous schedule makes each level a pure function of the graph
   * (property-testable node-wise, LouvainSpec), at the cost of the known
-  * two-cycle risk, which two guards bound: the strict-improvement rule
+  * two-cycle risk, which two guards bound: strict improvement
   * (equal-score oscillation cannot start) and the singleton-swap rule of
   * Lu, Halappanavar & Kalyanaraman (Parallel Computing 47, 2015): when
-  * BOTH i's community and the target are singletons, the move is allowed
-  * only toward the smaller community id — the deterministic mediator
-  * that collapses the classic pairwise swap cycle of round 1.
+  * BOTH communities are singletons, move only toward the smaller id.
+  * Declared limitation of the synchronous schedule (shared by every
+  * parallel Louvain without sequential tie-making): on a FULLY symmetric
+  * supergraph — e.g. the uniform ring of cliques of Fortunato &
+  * Barthélemy (PNAS 2007) — simultaneous equal-gain moves chase around
+  * the structure instead of settling into pairwise merges; the iteration
+  * cap bounds the churn and LouvainSpec pins that it never LOSES Q.
+  * Where local asymmetry exists (any real degree distribution, or the
+  * paired-clique fixture), the contraction performs the Q-raising
+  * resolution-limit merges level 1 cannot express.
+  *
+  * Contraction keeps weights integer: the directed symmetric
+  * representation sums intra-community weight into a single (c, c) row,
+  * which is automatically 2×intra — the self-loop convention the
+  * weighted degree expects — so every level runs the same exact-integer
+  * scoring. Levels stop when a level moves nothing (every community a
+  * singleton) or at `maxLevels`.
   *
   * Scale shape per round: one (dst ⋈ community) shuffle for the
-  * neighbour-community tallies, one community-keyed aggregate for
-  * (d_c, |c|), one vertex-keyed argmax — all on stable keys; driver
-  * actions follow [[LabelProp]]'s amortized cadence (lazy checkpoints
-  * between probes, fixpoint = a round with zero moves). Integer scores
-  * stay exact while 2m·max(k_ic) < 2⁶³ — at 2m ≈ 10¹⁰ edges that allows
-  * k_ic ≈ 10⁸, far past any real vertex neighbourhood. */
+  * neighbour tallies, one community-keyed aggregate for (d_c, |c|), one
+  * vertex-keyed argmax — all on stable keys; contraction is one
+  * (cs, cd) aggregate per level over the CONTRACTED edge set, which only
+  * shrinks. Driver actions follow [[LabelProp]]'s amortized cadence.
+  * Integer scores stay exact while 2W·max(w_ic) < 2⁶³ — at 2W ≈ 10¹⁰
+  * that allows w_ic ≈ 10⁸, far past any real neighbourhood. */
 object Louvain {
 
-  /** Rounds executed by the most recent [[runCounted]] on this JVM —
-    * read by `graft.Bench`'s note line. Diagnostic only. */
+  /** Checkpoint post-pass: every checkpoint in this operator re-wraps its
+    * LogicalRDD without `originStats` ([[org.apache.spark.sql.execution.GraftStatsCut]]) —
+    * the round plans reference the previous round's frame ~5 times, and
+    * propagated stats would compound as S^(5^rounds), hanging the planner
+    * in million-digit BigInteger products by round ~8. */
+  private def cp(df: DataFrame): DataFrame =
+    org.apache.spark.sql.execution.GraftStatsCut(df)
+
+
+  /** Local-move rounds executed across all levels of the most recent
+    * run on this JVM — read by `graft.Bench`'s note line. Diagnostic. */
   @volatile var lastIterations: Int = -1
 
-  /** @param pairs UNDIRECTED simple graph as distinct (u1, u2) rows,
+  /** Level-1 only (the r12-verdict surface, kept for the spec's
+    * node-wise mirror): local moves on the unweighted simple graph.
+    *
+    * @param pairs UNDIRECTED simple graph as distinct (u1, u2) rows,
     *        u1 ≠ u2, each edge once (the co-traveler pair convention)
     * @return (id, c) for every vertex; vertices sharing c are one
     *         community */
@@ -62,36 +89,201 @@ object Louvain {
                  iterations: Int = 10, checkEvery: Int = 2): (DataFrame, Int) = {
     import spark.implicits._
     val p = pairs.select($"u1".cast("long"), $"u2".cast("long"))
-      .localCheckpoint(eager = true)
     val e = p.select($"u1".as("src"), $"u2".as("dst"))
       .unionAll(p.select($"u2".as("src"), $"u1".as("dst")))
-      .localCheckpoint(eager = true)
-    val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("k"))
-      .localCheckpoint(eager = true)
-    val m2 = e.count() // = 2m; one action, amortized over all rounds
+      .withColumn("w", lit(1L))
+      .localCheckpoint(eager = true).transform(cp)
+    val (comm, iters) = localMoves(spark, e, iterations, checkEvery)
+    lastIterations = iters
+    (comm, iters)
+  }
+
+  /** Full multi-level Louvain: local moves, contract, repeat.
+    *
+    * @param pairs as in [[run]]
+    * @param driverEdgeLimit once the (contracted) directed edge set fits
+    *        under this bound, the remaining levels run driver-local with
+    *        the IDENTICAL update rule — the [[ConnectedComponents]]
+    *        <1M-edge endgame discipline: contraction shrinks the graph by
+    *        orders of magnitude per level, and below the bound each
+    *        distributed round is pure fixed job overhead. LouvainSpec
+    *        pins driver ≡ distributed (`driverEdgeLimit = 0`) node-wise
+    *        on the same graphs.
+    * @return (id, c) mapping every ORIGINAL vertex to its final
+    *         community (community ids are original vertex ids) */
+  def runMultiLevel(spark: SparkSession, pairs: DataFrame,
+                    maxLevels: Int = 5, iterations: Int = 10,
+                    checkEvery: Int = 2,
+                    driverEdgeLimit: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val p = pairs.select($"u1".cast("long"), $"u2".cast("long"))
+    var edges = p.select($"u1".as("src"), $"u2".as("dst"))
+      .unionAll(p.select($"u2".as("src"), $"u1".as("dst")))
+      .withColumn("w", lit(1L))
+      .localCheckpoint(eager = true).transform(cp)
+    var assign: DataFrame = null // original id → current community
+    var level = 0
+    var done = false
+    var itersTotal = 0
+    while (level < maxLevels && !done) {
+      if (edges.count() <= driverEdgeLimit) {
+        // driver endgame: finish every remaining level locally
+        val rows = edges.select($"src", $"dst", $"w")
+          .as[(Long, Long, Long)].collect()
+        val (fmap, it) = driverLevels(rows, maxLevels - level, iterations, checkEvery)
+        itersTotal += it
+        val fdf = fmap.toSeq.sortBy(_._1).toDF("id", "c")
+        assign =
+          if (assign == null) fdf
+          else assign.withColumnRenamed("c", "cp")
+            .join(fdf.select($"id".as("cp"), $"c"), Seq("cp"))
+            .select($"id", $"c")
+        done = true
+      } else {
+        val (comm, iters) = localMoves(spark, edges, iterations, checkEvery)
+        itersTotal += iters
+        level += 1
+        // no NET merge (|communities| = |vertices|) means the level made
+        // no structural progress — identity, or the synchronous
+        // schedule's pure label churn (a permutation) — so further
+        // levels cannot either; one combined action probes both counts
+        val cnt = comm.agg(count(lit(1)), countDistinct($"c")).first()
+        if (cnt.getLong(1) == cnt.getLong(0)) {
+          done = true
+          if (assign == null) assign = comm
+        } else {
+          assign =
+            if (assign == null) comm.localCheckpoint(eager = false).transform(cp)
+            else assign.withColumnRenamed("c", "cp")
+              .join(comm.select($"id".as("cp"), $"c"), Seq("cp"))
+              .select($"id", $"c")
+              .localCheckpoint(eager = false).transform(cp)
+          // contract: both directed copies of an intra-community edge
+          // land in the single (c, c) row, making its weight 2×intra —
+          // the self-loop convention localMoves' weighted degree expects
+          edges = edges
+            .join(comm.select($"id".as("src"), $"c".as("cs")), Seq("src"))
+            .join(comm.select($"id".as("dst"), $"c".as("cd")), Seq("dst"))
+            .groupBy($"cs".as("src"), $"cd".as("dst")).agg(sum($"w").as("w"))
+            .localCheckpoint(eager = true).transform(cp)
+        }
+      }
+    }
+    lastIterations = itersTotal
+    assign
+  }
+
+  /** Driver-local remaining levels — the same update rule, probe cadence,
+    * no-net-merge stop, and contraction convention as the distributed
+    * path, over an in-memory weighted edge map. */
+  private def driverLevels(rows: Array[(Long, Long, Long)], maxLevels: Int,
+                           iterations: Int, checkEvery: Int): (Map[Long, Long], Int) = {
+    var edges: Map[(Long, Long), Long] = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, v) => k -> v.map(_._3).sum }
+    var assign: Map[Long, Long] = null
+    var level = 0
+    var done = false
+    var iters = 0
+    while (level < maxLevels && !done) {
+      val adj: Map[Long, Map[Long, Long]] = edges.toSeq.groupBy(_._1._1)
+        .map { case (s, es) => s -> es.map { case ((_, d), w) => d -> w }.toMap }
+      val (comm, it) = driverMoves(adj, iterations, checkEvery)
+      iters += it
+      level += 1
+      if (comm.values.toSet.size == comm.size) {
+        done = true
+        if (assign == null) assign = comm
+      } else {
+        assign = if (assign == null) comm else assign.view.mapValues(comm).toMap
+        edges = edges.toSeq
+          .groupBy { case ((s, d), _) => (comm(s), comm(d)) }
+          .map { case (k, es) => k -> es.map(_._2).sum }
+      }
+    }
+    if (assign == null) // maxLevels == 0 guard: identity over the vertex set
+      assign = edges.keys.map(_._1).map(v => v -> v).toMap
+    (assign, iters)
+  }
+
+  /** One driver-local level: the localMoves update text verbatim. */
+  private def driverMoves(adj: Map[Long, Map[Long, Long]], iterations: Int,
+                          checkEvery: Int): (Map[Long, Long], Int) = {
+    val deg = adj.map { case (v, ns) => v -> ns.values.sum }
+    val w2 = deg.values.sum
+    var comm: Map[Long, Long] = deg.keys.map(k => k -> k).toMap
+    var i = 0
+    var stable = false
+    var lastCount = Long.MaxValue
+    while (i < iterations && !stable) {
+      val members = comm.keys.toSeq.groupBy(comm)
+      val dC = members.map { case (c, vs) => c -> vs.map(deg).sum }
+      val csize = members.map { case (c, vs) => c -> vs.size }
+      val next = adj.map { case (v, ns) =>
+        val k = deg(v)
+        val c = comm(v)
+        val tally = ns.view.filterKeys(_ != v).toSeq
+          .groupBy { case (n, _) => comm(n) }
+          .map { case (cc, xs) => cc -> xs.map(_._2).sum }
+        def score(cc: Long): Long = {
+          val dEff = if (cc == c) dC(cc) - k else dC(cc)
+          w2 * tally.getOrElse(cc, 0L) - k * dEff
+        }
+        if (tally.isEmpty) v -> c
+        else {
+          val bst = tally.keySet.toSeq.map(cc => (score(cc), -cc)).max
+          val bc = -bst._2
+          val mv = bst._1 > score(c) &&
+            !(csize(c) == 1 && csize(bc) == 1 && bc > c)
+          v -> (if (mv) bc else c)
+        }
+      }
+      i += 1
+      if (i % checkEvery == 0 && i < iterations) {
+        val cnt = next.values.toSet.size.toLong
+        stable = cnt >= lastCount
+        lastCount = cnt
+      }
+      comm = next
+    }
+    (comm, i)
+  }
+
+  /** One level of synchronous weighted local moves over a directed
+    * symmetric edge frame (src, dst, w) whose self-loops appear ONCE
+    * with weight 2×internal. Returns (id → community, rounds run). */
+  private def localMoves(spark: SparkSession, e: DataFrame,
+                         iterations: Int, checkEvery: Int): (DataFrame, Int) = {
+    import spark.implicits._
+    val deg = e.groupBy($"src".as("id")).agg(sum($"w").as("k"))
+      .localCheckpoint(eager = true).transform(cp)
+    val w2 = e.agg(sum($"w")).first().getLong(0) // = 2W; one action
+    val nonSelf = e.filter($"src" =!= $"dst").localCheckpoint(eager = true).transform(cp)
 
     var comm = deg.select($"id", $"id".as("c"))
     var i = 0
     var stable = false
+    var lastCount = Long.MaxValue
     while (i < iterations && !stable) {
       // community totals: Σ degree and size (size feeds the swap guard)
       val cstat = comm.join(deg, Seq("id"))
         .groupBy($"c").agg(sum($"k").as("d_c"), count(lit(1)).as("csize"))
-      // k_{i,c}: edges from i into each neighbouring community. The own
-      // community needs no separate candidate row: when i has a
-      // neighbour in it the tally includes it, and when it doesn't the
-      // own score is −k·(d_c − k) exactly (k_ic = 0), recovered below
-      // from the cstat join — the argmax-vs-own comparison is identical
-      // either way, so no candidate-union re-aggregation is needed.
-      val nbr = e.join(comm.select($"id".as("dst"), $"c".as("nc")), Seq("dst"))
-        .groupBy($"src".as("id"), $"nc").agg(count(lit(1)).as("k_ic"))
+      // w_{i,c}: weight from i into each neighbouring community
+      // (self-loops excluded — they move with i and cancel in the
+      // comparison). The own community needs no separate candidate row:
+      // when a neighbour shares it the tally includes it, and when none
+      // does the own score is −k·(d_c − k) exactly (w_ic = 0), recovered
+      // below from the cstat join — the argmax-vs-own comparison is
+      // identical either way.
+      val nbr = nonSelf
+        .join(comm.select($"id".as("dst"), $"c".as("nc")), Seq("dst"))
+        .groupBy($"src".as("id"), $"nc").agg(sum($"w").as("w_ic"))
       val scored = nbr
         .join(deg, Seq("id"))
         .join(comm, Seq("id"))
         .join(cstat.select($"c".as("nc"), $"d_c", $"csize"), Seq("nc"))
         .withColumn("d_eff",
           when($"nc" === $"c", $"d_c" - $"k").otherwise($"d_c"))
-        .withColumn("score", lit(m2) * $"k_ic" - $"k" * $"d_eff")
+        .withColumn("score", lit(w2) * $"w_ic" - $"k" * $"d_eff")
       // argmax by (score desc, community id asc) over the neighbour
       // communities (own included whenever a neighbour shares it); `cur`
       // picks the own-community row when present
@@ -101,22 +293,33 @@ object Louvain {
         max($"c").as("c"), max($"k").as("k"))
       i += 1
       val cadence = i % checkEvery == 0 || i == iterations
-      val next = best
-        .join(cstat, Seq("c")) // own-community stats for the k_ic = 0 case
+      val moves = best
+        .join(cstat, Seq("c")) // own-community stats for the w_ic = 0 case
         .withColumn("curScore",
           coalesce($"cur.score", -$"k" * ($"d_c" - $"k")))
         .select($"id",
           when($"w.score" > $"curScore" &&
                !($"csize" === 1 && $"w.tsize" === 1 && -$"w.negc" > $"c"),
-            -$"w.negc").otherwise($"c").as("c2"),
-          $"c".as("c_prev"))
+            -$"w.negc").otherwise($"c").as("c2"))
+      // left join back onto the full vertex set: a vertex with ONLY a
+      // self-loop (a contracted community with no external edges) has no
+      // nbr rows, hence no `moves` row — it stays put, never drops out
+      val next = comm.join(moves, Seq("id"), "left")
+        .select($"id", coalesce($"c2", $"c").as("c2"), $"c".as("c_prev"))
         .select($"id", $"c2".as("c"), ($"c2" =!= $"c_prev").as("changed"))
-        .localCheckpoint(eager = cadence)
-      if (cadence && i < iterations)
-        stable = next.filter($"changed").isEmpty
+        .localCheckpoint(eager = cadence).transform(cp)
+      if (cadence && i < iterations) {
+        // plateau probe: rounds whose moves no longer REDUCE the
+        // community count are churn (the synchronous schedule's label
+        // chase) or a fixpoint — either way no structural progress, stop
+        // the level. Declared: both the operator and the LouvainSpec
+        // mirror stop on the identical cadence probe.
+        val cnt = next.agg(countDistinct($"c")).first().getLong(0)
+        stable = cnt >= lastCount
+        lastCount = cnt
+      }
       comm = next.drop("changed")
     }
-    lastIterations = i
     (comm, i)
   }
 }

@@ -1192,21 +1192,23 @@ object Geo extends QueryGroup {
                .cast("double"), 6).as("modularity"))
     }),
 
-    // Community OPTIMIZATION — Louvain level-1 local moves (Blondel et al.
+    // Community OPTIMIZATION — full multi-level Louvain (Blondel et al.
     // 2008) on the co-traveler graph: where m_graph_lp adopts plurality
     // labels and m_graph_modularity only SCORES the result, this key moves
     // each vertex to its best-ΔQ neighbouring community (exact-integer
-    // scores, smallest-id ties, singleton-swap guard — operators/Louvain).
-    // Output is the community-size histogram, the m_graph_lp shape, so the
-    // data-dependent community ids never enter the contract. No oracle
-    // (iterative) — LouvainSpec pins node-wise equality vs an in-memory
-    // reference, planted-clique recovery, fixpoint early-exit, and
-    // Q(louvain) ≥ Q(lp) on the fixture via the modularity fold.
+    // scores, smallest-id ties, singleton-swap guard), contracts the
+    // communities to a weighted supergraph, and repeats until a level
+    // merges nothing (operators/Louvain). Output is the community-size
+    // histogram, the m_graph_lp shape, so the data-dependent community
+    // ids never enter the contract. No oracle (iterative) — LouvainSpec
+    // pins node-wise equality vs an in-memory mirror at both levels and
+    // per-level Q monotonicity on the fixture plus the planted
+    // ring-of-cliques resolution-limit merge.
     "m_graph_louvain" -> ((s, dir) => {
       import s.implicits._
       val pairs = coTravelerPairs(s, dir, cellDeg = 20.0, minHours = 2)
         .select($"u1", $"u2")
-      graft.operators.Louvain.run(s, pairs)
+      graft.operators.Louvain.runMultiLevel(s, pairs)
         .groupBy($"c").agg(count(lit(1)).as("size"))
         .groupBy($"size").agg(count(lit(1)).as("n_communities"))
         .orderBy($"size")
