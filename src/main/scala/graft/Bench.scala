@@ -46,6 +46,17 @@ object Bench {
     // regression. A failed run is -1 and never the reported min unless both
     // attempts fail.
     val samples = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // Host-load markers (r13 verdict finding #1: a 159.6→189.4 s driver/local
+    // divergence was unattributable because only the slowest-10 carried A/B
+    // samples and nothing recorded host contention). 1-min loadavg sampled
+    // around each key's two runs; with every key's A/B pair emitted below,
+    // a swing is attributable in one read: both samples slow + load ≈ idle
+    // → plan cost; one stall or load ≫ cpus → host.
+    val loads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loadStart = load1()
     val iters = scala.collection.mutable.LinkedHashMap[String, Int]()
     // First exception message per failed key: a -1.000 entry alone cost a
     // round of diagnosis (BENCH_r09 — the events ts layout change failed 33
@@ -66,8 +77,10 @@ object Bench {
           -1.0
         }
       }
+      val l0 = load1()
       val a = once()
       val b = once()
+      loads(name) = (l0, load1())
       samples(name) = (a, b)
       // Executed-round counts for the iterative keys (set by the run the
       // min came from or its twin — both run the same fixed-cap loop), so
@@ -108,6 +121,21 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries","part":${ci + 1},"of":${chunks.size},"unit":"sec","sf":"$sfDir","queries":$qs}""")
     }
+    // Full attribution map (verdict r13 ask #2): EVERY key's raw A/B run
+    // pair plus the 1-min loadavg sampled immediately before run A and
+    // after run B — the bench is self-attributing without the repo's own
+    // local numbers. Same ≤10-key self-describing chunk discipline as the
+    // queries map, same reverse emission order for tail survival.
+    val abChunks = results.toSeq.sortBy(_._1).grouped(10).toSeq
+    abChunks.zipWithIndex.reverse.foreach { case (chunk, ci) =>
+      val qs = chunk.map { case (k, _) =>
+        val (a, b) = samples(k)
+        val (l0, l1) = loads(k)
+        "\"" + k + "\":[" + r3(a) + "," + r3(b) + "," + r3(l0) + "," + r3(l1) + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"ab","part":${ci + 1},"of":${abChunks.size},"unit":"sec_sec_load1_load1","sf":"$sfDir","ab":$qs}""")
+    }
+    println(s"""{"metric":"host","cpus":"$cpus","load1_start":${r3(loadStart)},"load1_end":${r3(load1())},"note":"load1 ~ cpus while the bench itself runs local[$cpus]; load1 well past that = external contention"}""")
     // Attribution lines (verdict r8 ask #3), printed LAST-but-one so any
     // tail capture keeps them: both raw samples for the 10 slowest keys —
     // "both runs slow" (plan cost) vs "one stall" (host noise) is readable

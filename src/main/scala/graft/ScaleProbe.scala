@@ -133,7 +133,7 @@ object ScaleProbe {
             .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
             .select(col("doc_id"), col("text"))
           val pairs = graft.operators.MinHashDedup
-            .candidatePairs(spark, canon, 0.5)
+            .candidatePairs(spark, canon, 0.5, maxBucket = 1000)
           val rows = pairs.count()
           val sec = (System.nanoTime() - t0) / 1e9
           println(s"""{"metric":"scaleprobe","key":"minhash_after_exact","scale":"$label","sec":${r3(sec)},"rows":$rows}""")

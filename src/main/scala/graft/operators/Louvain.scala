@@ -54,8 +54,19 @@ import org.apache.spark.sql.functions._
   * vertex-keyed argmax — all on stable keys; contraction is one
   * (cs, cd) aggregate per level over the CONTRACTED edge set, which only
   * shrinks. Driver actions follow [[LabelProp]]'s amortized cadence.
-  * Integer scores stay exact while 2W·max(w_ic) < 2⁶³ — at 2W ≈ 10¹⁰
-  * that allows w_ic ≈ 10⁸, far past any real neighbourhood. */
+  *
+  * Exactness envelope — BOTH product terms of the score: 2W·w_ic and
+  * k·d_eff are each bounded by (2W)² (w_ic ≤ k ≤ 2W, d_eff ≤ 2W; after
+  * contraction a hub supernode scoring a giant community really does
+  * approach that bound), so integer scoring is exact, wrap-free, iff
+  * (2W)² < 2⁶³, i.e. 2W ≤ 3 037 000 499. Past that — ~1.5e9 total edge
+  * weight — Spark's non-ANSI Long eval would wrap silently, so both the
+  * distributed path and the driver mirror switch TOGETHER to double
+  * scoring on the one already-collected 2W value (guard costs no extra
+  * action). Declared: in the double regime score comparisons carry
+  * double rounding (ULP ≈ 2¹¹ at 4W² ≈ 2⁶⁴) — near-exact ties may
+  * resolve differently than exact integer argmax, but moves remain
+  * Q-non-decreasing and no product ever wraps. */
 object Louvain {
 
   /** Checkpoint post-pass: every checkpoint in this operator re-wraps its
@@ -65,6 +76,10 @@ object Louvain {
     * in million-digit BigInteger products by round ~8. */
   private def cp(df: DataFrame): DataFrame =
     org.apache.spark.sql.execution.GraftStatsCut(df)
+
+  /** Largest 2W for which (2W)² < 2⁶³ — the exact-integer scoring
+    * envelope (scaladoc above). floor(sqrt(2⁶³ − 1)). */
+  private val ExactW2Max = 3037000499L
 
 
   /** Local-move rounds executed across all levels of the most recent
@@ -210,6 +225,7 @@ object Louvain {
                           checkEvery: Int): (Map[Long, Long], Int) = {
     val deg = adj.map { case (v, ns) => v -> ns.values.sum }
     val w2 = deg.values.sum
+    val useDouble = w2 > ExactW2Max // same envelope as localMoves
     var comm: Map[Long, Long] = deg.keys.map(k => k -> k).toMap
     var i = 0
     var stable = false
@@ -224,16 +240,25 @@ object Louvain {
         val tally = ns.view.filterKeys(_ != v).toSeq
           .groupBy { case (n, _) => comm(n) }
           .map { case (cc, xs) => cc -> xs.map(_._2).sum }
-        def score(cc: Long): Long = {
+        def scoreL(cc: Long): Long = {
           val dEff = if (cc == c) dC(cc) - k else dC(cc)
           w2 * tally.getOrElse(cc, 0L) - k * dEff
         }
+        def scoreD(cc: Long): Double = {
+          val dEff = if (cc == c) dC(cc) - k else dC(cc)
+          w2.toDouble * tally.getOrElse(cc, 0L) - k.toDouble * dEff
+        }
         if (tally.isEmpty) v -> c
         else {
-          val bst = tally.keySet.toSeq.map(cc => (score(cc), -cc)).max
-          val bc = -bst._2
-          val mv = bst._1 > score(c) &&
-            !(csize(c) == 1 && csize(bc) == 1 && bc > c)
+          val (better, bc) =
+            if (useDouble) {
+              val bst = tally.keySet.toSeq.map(cc => (scoreD(cc), -cc)).max
+              (bst._1 > scoreD(c), -bst._2)
+            } else {
+              val bst = tally.keySet.toSeq.map(cc => (scoreL(cc), -cc)).max
+              (bst._1 > scoreL(c), -bst._2)
+            }
+          val mv = better && !(csize(c) == 1 && csize(bc) == 1 && bc > c)
           v -> (if (mv) bc else c)
         }
       }
@@ -257,6 +282,10 @@ object Louvain {
     val deg = e.groupBy($"src".as("id")).agg(sum($"w").as("k"))
       .localCheckpoint(eager = true).transform(cp)
     val w2 = e.agg(sum($"w")).first().getLong(0) // = 2W; one action
+    // Overflow guard (scaladoc envelope): both score products are
+    // ≤ (2W)², so integer scoring is exact iff 2W ≤ ExactW2Max; beyond
+    // that, score in double — no extra action, no silent Long wrap.
+    val useDouble = w2 > ExactW2Max
     val nonSelf = e.filter($"src" =!= $"dst").localCheckpoint(eager = true).transform(cp)
 
     var comm = deg.select($"id", $"id".as("c"))
@@ -283,7 +312,10 @@ object Louvain {
         .join(cstat.select($"c".as("nc"), $"d_c", $"csize"), Seq("nc"))
         .withColumn("d_eff",
           when($"nc" === $"c", $"d_c" - $"k").otherwise($"d_c"))
-        .withColumn("score", lit(w2) * $"w_ic" - $"k" * $"d_eff")
+        .withColumn("score",
+          if (useDouble)
+            lit(w2).cast("double") * $"w_ic" - $"k".cast("double") * $"d_eff"
+          else lit(w2) * $"w_ic" - $"k" * $"d_eff")
       // argmax by (score desc, community id asc) over the neighbour
       // communities (own included whenever a neighbour shares it); `cur`
       // picks the own-community row when present
@@ -296,7 +328,9 @@ object Louvain {
       val moves = best
         .join(cstat, Seq("c")) // own-community stats for the w_ic = 0 case
         .withColumn("curScore",
-          coalesce($"cur.score", -$"k" * ($"d_c" - $"k")))
+          coalesce($"cur.score",
+            if (useDouble) -$"k".cast("double") * ($"d_c" - $"k")
+            else -$"k" * ($"d_c" - $"k")))
         .select($"id",
           when($"w.score" > $"curScore" &&
                !($"csize" === 1 && $"w.tsize" === 1 && -$"w.negc" > $"c"),

@@ -33,20 +33,24 @@ object MinHashDedup {
   private val numBands = 6
 
   /** @param maxBucket hot-bucket guard (the inverted-index df ≤ 1000 cap
-    *        applied to banding): a (band, min) bucket of B docs yields
-    *        B²/2 candidate pairs, so ONE viral bucket — boilerplate, or a
+    *        applied to banding), OPT-IN — the default is uncapped, so
+    *        candidate recall is exact for every caller that does not ask
+    *        otherwise. A (band, min) bucket of B docs yields B²/2
+    *        candidate pairs, so ONE viral bucket — boilerplate, or a
     *        heavily replicated document — costs quadratically in its
     *        duplication depth (measured: the 100× replicated corpus
     *        overflows local spill space through exactly this join).
-    *        Buckets larger than the cap are DROPPED, declared: with
-    *        OR-amplified bands a near-dup pair sharing any small bucket
-    *        still surfaces, and pairs that exist only inside a mega-bucket
-    *        are an exact-duplicate crowd whose linear representation is
-    *        hash dedup (q_dedup_exact) / the cluster representative
-    *        (q_dedup_keep), not a quadratic pair list. */
+    *        When a cap IS passed, buckets larger than it are DROPPED and
+    *        the caller owns the recall contract: a mega-bucket is usually
+    *        an exact-duplicate crowd whose linear representation is hash
+    *        dedup (q_dedup_exact) / the cluster representative
+    *        (q_dedup_keep) — but a templated NEAR-duplicate family can
+    *        also fill every band's bucket, so capped call sites must run
+    *        behind an exact-dedup first pass (the m_dedup_minhash /
+    *        ScaleProbe composition) or accept the loss. */
   def candidatePairs(spark: SparkSession, documents: DataFrame,
                      maxJaccardDistance: Double,
-                     maxBucket: Int = 1000): DataFrame = {
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     // Distinct shingle hashes per doc — reused by the band explode and by
     // BOTH sides of the verify join, so materialize once.
@@ -62,9 +66,12 @@ object MinHashDedup {
       s"transform(sequence(0, ${numBands - 1}), i -> array_min(transform(hs, h -> xxhash64(h, i))))"))
       .as(Seq("band", "mh")))
 
-    val keep = bands.groupBy($"band", $"mh").agg(count(lit(1)).as("bsz"))
-      .filter($"bsz" <= maxBucket).select($"band", $"mh")
-    val kept = bands.join(keep, Seq("band", "mh"))
+    // Uncapped path pays no bucket-census shuffle at all.
+    val kept = if (maxBucket == Int.MaxValue) bands else {
+      val keep = bands.groupBy($"band", $"mh").agg(count(lit(1)).as("bsz"))
+        .filter($"bsz" <= maxBucket).select($"band", $"mh")
+      bands.join(keep, Seq("band", "mh"))
+    }
 
     val cand = kept.as("a").join(kept.as("b"), Seq("band", "mh"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -65,20 +65,25 @@ object SimHash {
       .select($"doc_id", fold.as("sh"))
   }
 
-  /** All pairs with Hamming(sh) ≤ maxHamming (≤ 3 guaranteed complete
-    * with 4 bands; larger thresholds may miss pairs — callers that need
-    * completeness beyond 3 should raise the band count).
+  /** All pairs with Hamming(sh) ≤ maxHamming. At the default (uncapped)
+    * maxBucket the 4-band pigeonhole guarantee is unconditional: every
+    * pair at Hamming ≤ 3 shares at least one intact 16-bit band and IS
+    * returned. When a maxBucket cap is passed, that completeness becomes
+    * CONDITIONAL on every shared (band, bits) bucket holding ≤ maxBucket
+    * fingerprints — pairs living only in over-cap buckets are dropped.
+    * Thresholds above 3 may miss pairs either way — raise the band count
+    * for completeness beyond 3.
     *
-    * @param maxBucket hot-bucket guard (the MinHashDedup discipline): a
-    *        (band, bits) bucket of B docs yields B²/2 pairs, so one
-    *        fingerprint crowd — identical or near-identical documents
-    *        replicated at depth — costs quadratically. Buckets past the
-    *        cap are DROPPED, declared: this trades the pigeonhole
-    *        completeness guarantee INSIDE a mega-bucket (an
-    *        exact-duplicate crowd, hash dedup's linear job) for survival
-    *        on replication-heavy corpora. */
+    * @param maxBucket hot-bucket guard (the MinHashDedup discipline),
+    *        OPT-IN — default uncapped. A (band, bits) bucket of B docs
+    *        yields B²/2 pairs, so one fingerprint crowd — identical or
+    *        near-identical documents replicated at depth — costs
+    *        quadratically. Capped call sites trade in-bucket completeness
+    *        (usually an exact-duplicate crowd, hash dedup's linear job)
+    *        for survival on replication-heavy corpora, and should run
+    *        behind an exact-dedup first pass. */
   def nearDupPairs(spark: SparkSession, documents: DataFrame, maxHamming: Int,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val fp = fingerprints(spark, documents)
     val banded = fp.select($"doc_id", $"sh",
@@ -88,9 +93,12 @@ object SimHash {
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(sh, b * 16) & 65535 AS bits))"))
         .as("bb"))
       .select($"doc_id", $"sh", $"bb.band", $"bb.bits")
-    val keep = banded.groupBy($"band", $"bits").agg(count(lit(1)).as("bsz"))
-      .filter($"bsz" <= maxBucket).select($"band", $"bits")
-    val kept = banded.join(keep, Seq("band", "bits"))
+    // Uncapped path pays no bucket-census shuffle at all.
+    val kept = if (maxBucket == Int.MaxValue) banded else {
+      val keep = banded.groupBy($"band", $"bits").agg(count(lit(1)).as("bsz"))
+        .filter($"bsz" <= maxBucket).select($"band", $"bits")
+      banded.join(keep, Seq("band", "bits"))
+    }
     kept.as("a").join(kept.as("b"), Seq("band", "bits"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"a.sh".as("sh1"), $"b.sh".as("sh2"))

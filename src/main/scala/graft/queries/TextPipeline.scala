@@ -1070,11 +1070,19 @@ object TextPipeline extends QueryGroup {
     }),
 
     // Scalable near-dup paths — property-tested vs q_dedup_jaccard truth.
+    // maxBucket = 1000 is the PIPELINE's choice, made here rather than in
+    // the operators (whose defaults are uncapped/exact-recall): these keys
+    // are the replication-survival path, declared to run behind / beside
+    // exact-hash dedup (q_dedup_exact), so an over-cap band bucket — an
+    // exact-duplicate crowd at fixture semantics — is linear work already
+    // done elsewhere, not lost recall.
     "m_dedup_minhash" -> ((s, dir) =>
-      graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5)),
+      graft.operators.MinHashDedup.candidatePairs(s, t(s, dir, "documents"), 0.5,
+        maxBucket = 1000)),
 
     "m_dedup_simhash" -> ((s, dir) =>
-      graft.operators.SimHash.nearDupPairs(s, t(s, dir, "documents"), maxHamming = 3)),
+      graft.operators.SimHash.nearDupPairs(s, t(s, dir, "documents"), maxHamming = 3,
+        maxBucket = 1000)),
 
     // BPE merge training (operators/Bpe — Sennrich ACL'16): the
     // tokenizer-training step of an LLM data build. One corpus-sized

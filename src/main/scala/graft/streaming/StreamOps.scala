@@ -573,7 +573,14 @@ case class HwSt(cur_hour: Long, cur_count: Long, started: Boolean,
   * count, since within one series the recursion is inherently sequential,
   * like any online smoother). State is 26 doubles + 2 longs per series at
   * any stream length. Events landing behind the completed-hour frontier are
-  * dropped (the watermark-late convention). */
+  * dropped (the watermark-late convention), and events more than
+  * [[HoltWintersProcessor.MaxAheadHours]] ahead of it are dropped as
+  * corrupt — the forward mirror of the late-drop: the catch-up loop emits
+  * one row per empty hour between frontier and event, so a single
+  * far-future timestamp (a year-9999 ts_us) would otherwise force the task
+  * to fold and emit billions of rows. A real decade-long gap in a live
+  * series is indistinguishable from corruption at this seam and is the
+  * operator's declared restart boundary (re-seed the key). */
 class HoltWintersProcessor
   extends org.apache.spark.sql.streaming.StatefulProcessor[
     Long, Ev, (Long, Double, Double, Double)] {
@@ -615,14 +622,25 @@ class HoltWintersProcessor
       val h = e.ts_us / 3600000000L
       if (s.cur_hour == Long.MinValue)
         s = s.copy(cur_hour = (h / 24) * 24) // grid origin: that day's 00:00
-      while (s.cur_hour < h) {
-        val (ns, o) = foldHour(s); out += o; s = ns
+      // Forward corruption guard (scaladoc): bounded catch-up only. Late
+      // events (h < cur_hour) still fall through to the silent drop below.
+      if (h - s.cur_hour <= HoltWintersProcessor.MaxAheadHours) {
+        while (s.cur_hour < h) {
+          val (ns, o) = foldHour(s); out += o; s = ns
+        }
+        if (h == s.cur_hour) s = s.copy(cur_count = s.cur_count + 1L)
       }
-      if (h == s.cur_hour) s = s.copy(cur_count = s.cur_count + 1L)
     }
     st.update(s)
     out.result().iterator
   }
+}
+
+object HoltWintersProcessor {
+  /** Largest tolerated frontier jump: one decade of hours. Catch-up work
+    * and emitted rows per input event are bounded by this, whatever a
+    * corrupt timestamp says. */
+  val MaxAheadHours: Long = 24L * 3653 * 10 // 10 years of 365.3-day years
 }
 
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.

@@ -19,6 +19,9 @@ import org.apache.spark.sql.classic
   * same RDD with `originStats = None` resets the leaf to the configured
   * default size — zero data movement, zero semantic change; the loop's
   * joins simply stop pretending to know a size that was fiction anyway.
+  * `originConstraints` carries no such blow-up and can still buy the
+  * optimizer pruning on the checkpointed frame, so it is PRESERVED —
+  * only the stats annotation is cleared.
   *
   * Frames whose plan is not a bare [[LogicalRDD]] pass through unchanged. */
 object GraftStatsCut {
@@ -27,7 +30,10 @@ object GraftStatsCut {
       val session = df.sparkSession.asInstanceOf[classic.SparkSession]
       classic.Dataset.ofRows(session,
         LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
-          l.isStreaming, l.stream)(session, None, None))
+          // originConstraints itself is a private ctor val; the public
+          // `constraints` IS its materialization on this exact output
+          // attribute set, so re-wrapping with it is lossless.
+          l.isStreaming, l.stream)(session, None, Some(l.constraints)))
     case _ => df
   }
 }
