@@ -108,7 +108,11 @@ object ScaleProbe {
       // users, exchanges fixed per round), the 3-D-bucketed ST-DBSCAN
       // (time-disjoint copies add a free partition axis), and the
       // time-bounded Holt-Winters fold (one hour-bucket agg at any volume)
-      "m_graph_louvain", "m_stdbscan", "q_time_hw")
+      "m_graph_louvain", "m_stdbscan", "q_time_hw",
+      // round-14 additions: the track-DP pair scan (10× users → 100× pairs
+      // — the DECLARED U² signature wall, linear per-pair cost; the probe
+      // documents the wall's measured shape, it is not expected flat)
+      "m_traj_frechet", "m_traj_lcss")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

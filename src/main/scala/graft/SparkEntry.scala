@@ -9,7 +9,7 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
     Scans, Filters, Joins, Aggregates, Windows, SortsSets, Scalars,
     StreamingQueries, Geo, TextPipeline, Similarity, Custom, Reshape, Mining,
-    Ml, Timeseries, Stats
+    Ml, Timeseries, Stats, Trajectory
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -126,9 +126,28 @@ object Geo extends QueryGroup {
        |            ELSE CASE WHEN dlon >= 0.0$d THEN 'S+' ELSE 'S-' END END
        |END""".stripMargin
 
-  private def pts(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def pts(s: SparkSession, dir: String): DataFrame = {
     HaversineDist.register(s)
     withGeo(t(s, dir, "events")).withColumn("ts_us", unix_micros(col("ts")))
+  }
+
+  /** 704-bit visited-cell bitmap per user — the trajectory-similarity
+    * signature substrate (see q_traj_sim's scaladoc for the cell lattice
+    * and the scale rationale). Shared with [[Trajectory]]'s track keys,
+    * whose candidate pairs come from this signature scan, never all-pairs.
+    * Columns: user_id, w0..w{SigWords-1} (bit_or-aggregated longs). */
+  private[queries] val SigWords = 11 // ceil(703 / 64)
+  private[queries] def cellBitmap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cid ∈ [0, 702]: lat row (floor(lat/10)+9) ∈ [0,18], lon col
+    // (floor(lon/10)+18) ∈ [0,36] on the closed domain; out-of-domain
+    // input would still alias, so the domain assumption lives here.
+    val cid = ((floor($"lat" / 10.0) + 9L) * 37L + (floor($"lon" / 10.0) + 18L)).cast("int")
+    val cells = pts(s, dir).select($"user_id", cid.as("cid")).distinct()
+    val words = (0 until SigWords).map(w =>
+      expr(s"bit_or(CASE WHEN cid div 64 = $w THEN shiftleft(1L, cid % 64) ELSE 0L END)")
+        .as(s"w$w"))
+    cells.groupBy($"user_id").agg(words.head, words.tail: _*)
   }
 
   /** Distinct DIRECTED cell-transition edges — each user's consecutive
@@ -985,16 +1004,8 @@ object Geo extends QueryGroup {
     // MinHash-LSH over the same cell sets (m_dedup_minhash machinery).
     "q_traj_sim" -> ((s, dir) => {
       import s.implicits._
-      val W = 11 // ceil(703 / 64)
-      // cid ∈ [0, 702]: lat row (floor(lat/10)+9) ∈ [0,18], lon col
-      // (floor(lon/10)+18) ∈ [0,36] on the closed domain; out-of-domain
-      // input would still alias, so the domain assumption lives here.
-      val cid = ((floor($"lat" / 10.0) + 9L) * 37L + (floor($"lon" / 10.0) + 18L)).cast("int")
-      val cells = pts(s, dir).select($"user_id", cid.as("cid")).distinct()
-      val words = (0 until W).map(w =>
-        expr(s"bit_or(CASE WHEN cid div 64 = $w THEN shiftleft(1L, cid % 64) ELSE 0L END)")
-          .as(s"w$w"))
-      val bm = cells.groupBy($"user_id").agg(words.head, words.tail: _*)
+      val W = SigWords
+      val bm = cellBitmap(s, dir)
       val lhs = bm.select($"user_id".as("u1") +: (0 until W).map(w => col(s"w$w").as(s"a$w")): _*)
       val rhs = bm.select($"user_id".as("u2") +: (0 until W).map(w => col(s"w$w").as(s"b$w")): _*)
       val nInter = (0 until W).map(w => expr(s"bit_count(a$w & b$w)")).reduce(_ + _)

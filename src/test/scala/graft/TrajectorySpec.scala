@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FrechetDist, HaversineDist, LcssMatches}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** SURVEY §2.10 — track-level trajectory similarity (m_traj_frechet,
+  * m_traj_lcss): kernel axioms + equality vs an independent recursive-memo
+  * reference computed in PLAIN HAVERSINE km (proving the kernels' chord²
+  * monotone-transform rewrite exact up to libm ulps), planted-corridor
+  * geometry, and key-level equality against an exact all-pairs driver
+  * recomputation at fixture scale. */
+class TrajectorySpec extends BaseSpec {
+  import spark.implicits._
+
+  private def arr(xs: Array[Double]): ArrayData = ArrayData.toArrayData(xs)
+
+  /** Interleaved lat/lon track. */
+  private def trk(pts: (Double, Double)*): Array[Double] =
+    pts.flatMap(p => Seq(p._1, p._2)).toArray
+
+  /** lat/lon interleaved → unit-vector interleaved (the kernels' input
+    * layout; same Math.cos/sin the codegen'd SQL transform compiles to). */
+  private def xyz(ll: Array[Double]): Array[Double] =
+    ll.grouped(2).flatMap { case Array(lat, lon) =>
+      val (la, lo) = (math.toRadians(lat), math.toRadians(lon))
+      Seq(math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la))
+    }.toArray
+
+  /** Independent reference: textbook recursive-memo discrete Fréchet
+    * (Eiter & Mannila 1994) DIRECTLY in haversine km — different recursion
+    * shape AND different distance path than the rolling-row chord² kernel. */
+  private def refFrechet(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length / 2; val m = b.length / 2
+    val memo = Array.fill(n, m)(-1.0)
+    def d(i: Int, j: Int) =
+      HaversineDist.km(a(2 * i), a(2 * i + 1), b(2 * j), b(2 * j + 1))
+    def c(i: Int, j: Int): Double = {
+      if (memo(i)(j) >= 0) return memo(i)(j)
+      val v =
+        if (i == 0 && j == 0) d(0, 0)
+        else if (i == 0) math.max(c(0, j - 1), d(0, j))
+        else if (j == 0) math.max(c(i - 1, 0), d(i, 0))
+        else math.max(d(i, j),
+          math.min(c(i - 1, j), math.min(c(i - 1, j - 1), c(i, j - 1))))
+      memo(i)(j) = v; v
+    }
+    c(n - 1, m - 1)
+  }
+
+  /** Independent reference: full-matrix LCSS in haversine km. */
+  private def refLcss(a: Array[Double], b: Array[Double], eps: Double): Long = {
+    val n = a.length / 2; val m = b.length / 2
+    val t = Array.ofDim[Long](n + 1, m + 1)
+    for (i <- 1 to n; j <- 1 to m) {
+      val d = HaversineDist.km(a(2 * (i - 1)), a(2 * (i - 1) + 1),
+        b(2 * (j - 1)), b(2 * (j - 1) + 1))
+      t(i)(j) = if (d <= eps) t(i - 1)(j - 1) + 1
+                else math.max(t(i - 1)(j), t(i)(j - 1))
+    }
+    t(n)(m)
+  }
+
+  private def frechet(a: Array[Double], b: Array[Double]): Double =
+    FrechetDist.compute(arr(xyz(a)), arr(xyz(b)))
+
+  private def lcss(a: Array[Double], b: Array[Double], eps: Double): Long =
+    LcssMatches.compute(arr(xyz(a)), arr(xyz(b)), eps)
+
+  test("frechet kernel: axioms + equality with independent haversine recursive reference") {
+    val rnd = new scala.util.Random(421)
+    def randTrack(len: Int): Array[Double] =
+      trk(Seq.fill(len)((rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 340 - 170)): _*)
+    for (_ <- 1 to 40) {
+      val a = randTrack(1 + rnd.nextInt(12))
+      val b = randTrack(1 + rnd.nextInt(12))
+      val f = frechet(a, b)
+      val ref = refFrechet(a, b)
+      // chord²-DP + one asin vs per-cell haversine: same math, different FP
+      // path — equal to libm ulps (≪ the round(4) every consumer applies)
+      assert(math.abs(f - ref) < 1e-6, s"chord² DP $f != haversine reference $ref")
+      assert(frechet(b, a) == f, "not symmetric")
+      assert(frechet(a, a) == 0.0, "identity not 0")
+      // endpoint lower bound: both leashes start and end attached
+      val ep = math.max(
+        HaversineDist.km(a(0), a(1), b(0), b(1)),
+        HaversineDist.km(a(a.length - 2), a(a.length - 1),
+          b(b.length - 2), b(b.length - 1)))
+      assert(f >= ep - 1e-6, s"frechet $f below endpoint bound $ep")
+      // LCSS reference equality on the same pair (integer counts — a flip
+      // needs a distance within ulps of the 800 km threshold)
+      assert(lcss(a, b, 800.0) == refLcss(a, b, 800.0), "lcss != reference")
+      assert(lcss(a, b, 800.0) == lcss(b, a, 800.0), "lcss not symmetric")
+    }
+  }
+
+  test("planted corridors: parallel offset reads ~offset; reversal reads far; LCSS outlier-robust") {
+    // corridor along the equator, one-degree steps; lat offset 0.5° ≈ 55.6 km
+    val base = trk((0 until 20).map(i => (0.0, i.toDouble)): _*)
+    val shifted = trk((0 until 20).map(i => (0.5, i.toDouble)): _*)
+    val offKm = HaversineDist.km(0.0, 0.0, 0.5, 0.0)
+    assert(math.abs(frechet(base, shifted) - offKm) < 0.5,
+      s"parallel corridor: ${frechet(base, shifted)} vs offset $offKm")
+    // reversed corridor: same cells, opposite order — Fréchet sees it, the
+    // cell-Jaccard key cannot (the whole point of the track-level measure);
+    // the leash must span the full corridor length (~2100 km) at the turn
+    val reversed = trk((0 until 20).map(i => (0.0, (19 - i).toDouble)): _*)
+    assert(frechet(base, reversed) > 10 * offKm,
+      s"reversal should read far: ${frechet(base, reversed)}")
+    // one wild fix: Fréchet jumps to ~the outlier distance; LCSS loses ≤ 1
+    val spiked = trk((0 until 20).map(i =>
+      if (i == 10) (60.0, 120.0) else (0.0, i.toDouble)): _*)
+    assert(frechet(base, spiked) > 5000.0, "outlier must cap frechet from below")
+    assert(lcss(base, spiked, 60.0) >= 19, "LCSS must lose at most one match")
+    assert(lcss(base, base, 60.0) == 20)
+  }
+
+  test("m_traj_frechet / m_traj_lcss: keys match exact all-pairs driver DP at fixture scale") {
+    // rebuild the downsampled tracks independently: same derivation SQL,
+    // driver-side stride arithmetic and unit-vector conversion
+    val cap = 64
+    val fixes = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
+      .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select($"user_id", $"ts_us", $"event_id", $"lat", $"lon")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val tracks = fixes.groupBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val stride = math.max(1, (ordered.length + cap - 1) / cap)
+      val kept = ordered.zipWithIndex.collect { case (r, i) if i % stride == 0 => (r._4, r._5) }
+      (u, (ordered.length.toLong, xyz(trk(kept.toIndexedSeq: _*))))
+    }
+    val users = tracks.keys.toSeq.sorted
+    val allPairs = for {
+      i <- users.indices; j <- (i + 1) until users.size
+    } yield {
+      val (u1, u2) = (users(i), users(j))
+      val (ta, tb) = (arr(tracks(u1)._2), arr(tracks(u2)._2))
+      (u1, u2, math.rint(FrechetDist.compute(ta, tb) * 10000) / 10000,
+        LcssMatches.compute(ta, tb, 500.0))
+    }
+
+    val wantF = allPairs.sortBy(p => (p._3, p._1, p._2)).take(10)
+      .map(p => (p._1, p._2, tracks(p._1)._1, tracks(p._2)._1, p._3))
+    val gotF = SparkEntry.queries("m_traj_frechet")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotF == wantF, s"frechet top-10:\n got=$gotF\nwant=$wantF")
+
+    val wantL = allPairs.map { p =>
+      val nMin = math.min(math.min(tracks(p._1)._1, tracks(p._2)._1), cap.toLong)
+      (p._1, p._2, tracks(p._1)._1, tracks(p._2)._1, p._4,
+        math.rint(p._4 * 10000.0 / nMin) / 10000)
+    }.sortBy(p => (-p._6, p._1, p._2)).take(10)
+    val gotL = SparkEntry.queries("m_traj_lcss")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotL == wantL, s"lcss top-10:\n got=$gotL\nwant=$wantL")
+  }
+}
