@@ -112,7 +112,11 @@ object ScaleProbe {
       // round-14 additions: the track-DP pair scan (10× users → 100× pairs
       // — the DECLARED U² signature wall, linear per-pair cost; the probe
       // documents the wall's measured shape, it is not expected flat)
-      "m_traj_frechet", "m_traj_lcss")
+      "m_traj_frechet", "m_traj_lcss",
+      // TRACLUS: MDL partition is user-local; the candidate grid is
+      // bounded by the transit band (per-segment replication ≤
+      // maxSeg/cell + 1), so growth tracks the clustered-band pair count
+      "m_traj_traclus")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

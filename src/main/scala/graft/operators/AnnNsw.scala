@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-navigable ANN — a distributed NSW beam search (Malkov, Ponomarenko,
+  * Logvinov & Krylov, "Approximate nearest neighbor algorithm based on
+  * navigable small world graphs", Information Systems 2014; the single-layer
+  * core that HNSW stacks) — SURVEY §2.11 `m_sim_hnsw`. Completes the ANN
+  * family's graph side next to the quantization side (LSH / IVF / PQ /
+  * IVFADC): state-of-the-art recall comes from walking a neighbor graph,
+  * not from probing cells.
+  *
+  * Scale design:
+  *  - **Graph build** is a one-off batch job: a k-means coarse partition
+  *    assigns every vector its TWO nearest cells (the multi-assignment is
+  *    what creates cross-cell edges near boundaries — single-cell kNN
+  *    graphs disconnect), candidate pairs come from a cell equi-join
+  *    (bucket-local, never N² — cell population stays constant when nlist
+  *    scales ∝ N), and each node keeps its top-M cosine neighbors: the
+  *    index is (src, dst) rows, ≤ M per node, a DISTRIBUTED adjacency
+  *    relation — nothing graph-sized ever reaches the driver.
+  *  - **Query** is a fixed-round beam search: the frontier is PROBE-sized
+  *    (|probes| × ef rows) and broadcasts against the adjacency relation;
+  *    candidate vectors come back through an equi-join on vec_id (the
+  *    same point-lookup shape as IVFADC's re-rank). Each round widens the
+  *    beam by at most ef × M; `rounds` plays the role of NSW's greedy-walk
+  *    termination with a deterministic bound (the recall property in
+  *    MlSpec enforces that the bound suffices at the operating point).
+  *  - Seeds are the per-cell medoids (nlist rows, broadcast): every probe
+  *    starts its walk from all cells, so a disconnected far component is
+  *    still reachable — the multi-seed entry NSW uses against its known
+  *    cold-start weakness.
+  *
+  * Property-tested (MlSpec): recall@5 ≥ 0.9 vs exact kNN at the declared
+  * operating point, neighbor lists bounded by M, no data-sized collect. */
+object AnnNsw {
+
+  /** (vectors, adjacency, seeds) memo per (embeddings plan, M, nlist) —
+    * the graph build is the one-off batch job; queries only walk it. */
+  private val graphMemo =
+    new graft.SessionMemo[(DataFrame, Int, Int), (DataFrame, DataFrame, DataFrame)]
+
+  private def cosExpr(a: String, b: String): String = s"cosine_sim($a, $b)"
+
+  /** Squared euclidean between two double arrays (codegen HOF — only used
+    * against the nlist-row broadcast centroid frame). */
+  private def eDistSq(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (s, d) -> s + d)"
+
+  /** Build (or reuse) the NSW index for an embeddings table.
+    * @return (vecs = (vec_id, v), adjacency = (src, dst) with ≤ M rows per
+    *         src, seeds = (vec_id) — the nlist cell medoids) */
+  def buildGraph(spark: SparkSession, embeddings: DataFrame, m: Int,
+                 nlist: Int): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    graphMemo.getOrCompute(spark, (embeddings, m, nlist)) {
+      val emb = embeddings
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("features", array_to_vector($"embedding"))
+      val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+        .setInitMode("random").fit(emb)
+      val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }.toSeq.toDF("cell", "cv")
+      val vecs = emb.select($"vec_id", $"v").localCheckpoint(eager = false)
+
+      // Two nearest cells per vector (the cross-cell edge source). The
+      // centroid frame is nlist rows — the crossJoin is the declared
+      // broadcast stats-join pattern, |N| × nlist.
+      val wc = Window.partitionBy($"vec_id").orderBy($"cdist", $"cell")
+      val asg2 = vecs.crossJoin(broadcast(centroids))
+        .withColumn("cdist", expr(eDistSq("v", "cv")))
+        .withColumn("crank", row_number().over(wc))
+        .filter($"crank" <= 2)
+        .localCheckpoint(eager = false)
+
+      // Top-M cosine neighbors among cell-sharing candidates.
+      val a = asg2.select($"cell", $"vec_id".as("src"), $"v".as("sv"))
+      val b = asg2.select($"cell", $"vec_id".as("dst"), $"v".as("dv"))
+      val wn = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+      val adjacency = a.join(b, Seq("cell"))
+        .filter($"src" =!= $"dst")
+        .select($"src", $"dst", expr(cosExpr("sv", "dv")).as("cos"))
+        .distinct()
+        .withColumn("rn", row_number().over(wn))
+        .filter($"rn" <= m)
+        .select($"src", $"dst")
+        .localCheckpoint(eager = false)
+
+      // Seeds: each cell's medoid (closest-to-centroid PRIMARY member).
+      val ws = Window.partitionBy($"cell").orderBy($"cdist", $"vec_id")
+      val seeds = asg2.filter($"crank" === 1)
+        .withColumn("srank", row_number().over(ws))
+        .filter($"srank" === 1)
+        .select($"vec_id")
+        .localCheckpoint(eager = false)
+      (vecs, adjacency, seeds)
+    }
+  }
+
+  /** Top-k cosine neighbours per probe id via beam search over the NSW
+    * graph. `ef` is the beam width (≥ k), `rounds` the expansion bound. */
+  def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
+           k: Int, m: Int = 8, ef: Int = 32, nlist: Int = 16,
+           rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (vecs, adjacency, seeds) = buildGraph(spark, embeddings, m, nlist)
+    val probes = vecs.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+
+    val wb = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    def scoreTop(cands: DataFrame, width: Int): DataFrame = cands
+      .join(vecs, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", expr(cosExpr("pv", "v")))
+      .withColumn("rn", row_number().over(wb))
+      .filter($"rn" <= width)
+      .select($"probe_id", $"vec_id", $"cos")
+
+    // Round 0: every probe scores all cell medoids (full-coverage entry).
+    var beam = scoreTop(
+      probes.select($"probe_id").crossJoin(broadcast(seeds)), ef)
+      .localCheckpoint(eager = false)
+
+    // Fixed-round expansion: beam ∪ neighbors(beam), re-scored, top-ef.
+    // Frontier stays |probes| × ef — broadcast against the adjacency
+    // relation; the checkpoint per round cuts the growing lineage.
+    var r = 0
+    while (r < rounds) {
+      // NSW edges are undirected (Malkov §3): the stored relation keeps
+      // ≤ M out-rows per node, the walk traverses both directions.
+      val frontier = broadcast(beam.select($"probe_id", $"vec_id".as("src")))
+      val expand = frontier.join(adjacency, Seq("src"))
+        .select($"probe_id", $"dst".as("vec_id"))
+        .unionAll(frontier
+          .join(adjacency, frontier("src") === adjacency("dst"))
+          .select($"probe_id", adjacency("src").as("vec_id")))
+      val cands = beam.select($"probe_id", $"vec_id")
+        .unionAll(expand).distinct()
+      beam = scoreTop(cands, ef).localCheckpoint(eager = false)
+      r += 1
+    }
+
+    beam.filter($"vec_id" =!= $"probe_id")
+      .withColumn("rank", row_number().over(wb).cast("long"))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"probe_id", $"rank")
+  }
+}

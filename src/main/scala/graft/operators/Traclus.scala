@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{HaversineDist, TraclusFns}
+
+/** Distributed TRACLUS — Lee, Han & Whang's partition-and-group trajectory
+  * clustering (SIGMOD 2007), composed Spark-first (SURVEY §2.10
+  * `m_traj_traclus`): MDL partitioning turns each trajectory into a few
+  * characteristic SEGMENTS, then the segments are density-clustered under
+  * the paper's three-component distance (d⊥ + d∥ + dθ) — so two corridors
+  * that merely CROSS stay separate (their segments are far in dθ) while
+  * parallel traffic along one corridor groups, the distinction no
+  * point-density clustering (m_dbscan / m_stdbscan) can draw.
+  *
+  * Scale design, in pipeline order (all geometry in the R³ chord embedding
+  * — [[graft.functions.TraclusPartition]] scaladoc):
+  *  1. **Per-user MDL partition** ([[graft.functions.TraclusPartition]],
+  *     whole-stage codegen): one pass over per-user downsampled tracks —
+  *     the user-partitioned shape trajectories already have, zero new
+  *     shuffles, per-user cost ≤ cap³ by the declared track cap.
+  *  2. **Grid-bucketed candidate pairs, exact by a stated lemma.** If
+  *     dist(Li, Lj) ≤ ε then every component is ≤ ε; d⊥ ≤ ε bounds the
+  *     larger endpoint-to-line perpendicular by 2ε (d⊥ ≥ max²/(max+min) ≥
+  *     max/2), and d∥ ≤ ε puts some Lj-endpoint's projection within ε of
+  *     an Li ENDPOINT — hence within ε of the segment along its line — so
+  *     that Lj endpoint is within √((2ε)² + ε²) = ε√5 of the Li SEGMENT. Hence: index every segment by the 3-D grid cells of
+  *     points sampled along it at spacing ≤ cell (any segment point is
+  *     within cell/2 of a sample), probe with each segment's two endpoint
+  *     cells ± 1 in each axis, cell = 5ε — an endpoint at ε√5 from the
+  *     segment is within ε√5 + cell/2 < cell Euclidean ≤ cell Chebyshev of
+  *     a sample, inside the 27-cell halo. Build-side replication is
+  *     len/cell + 1 cells per segment (linear in length, never quadratic);
+  *     probe side is a flat ≤ 54 rows per segment. The candidate set is a
+  *     strict superset of all ε-pairs; the exact distance filter below
+  *     decides membership, so the output is EXACT (pinned by TraclusSpec
+  *     vs a brute-force all-pairs reference).
+  *  3. **Exact ε-filter** via the codegen'd `traclus_dist` on the deduped
+  *     candidate id pairs (segment arrays re-attached by key join — 48 B
+  *     payloads, hash joins on sid).
+  *  4. **Density grouping** (§4.2): core = segments with ≥ minLns
+  *     ε-neighbors (self included), clusters = connected components of the
+  *     core-core ε-graph ([[ConnectedComponents]] star contraction),
+  *     border = non-core ε-reachable from a core (min cluster id for
+  *     determinism), then the paper's TRAJECTORY-CARDINALITY filter:
+  *     clusters drawing segments from < minUsers distinct trajectories are
+  *     demoted to noise (one tiny per-cluster aggregate, broadcast back).
+  *
+  * Cluster ids are the minimum member segment id → deterministic. */
+object Traclus {
+
+  /** MDL-partition per-user tracks into characteristic segments.
+    *
+    * @param tracks (user_id, track) — track interleaved [x,y,z,...] UNIT
+    *               vectors, time-ordered (the Trajectory.tracks layout)
+    * @return (sid, user_id, seg_idx, seg, len_km) — seg a 6-element
+    *         [ax,ay,az,bx,by,bz] array in km (chord embedding); sid a
+    *         dense unique id (user-major, stable) */
+  def partition(spark: SparkSession, tracks: DataFrame): DataFrame = {
+    import spark.implicits._
+    TraclusFns.register(spark)
+    val r = HaversineDist.EarthRadiusKm
+    // Characteristic-point indices, then consecutive CP pairs → segments.
+    // Bracket indexing is 0-based in Spark SQL; tracks with a single fix
+    // yield cps=[0] and an empty segment array (the explode drops them).
+    tracks
+      .withColumn("cps", expr("traclus_partition(track)"))
+      .select($"user_id", posexplode(when(size($"cps") >= 2,
+        expr(
+          s"""transform(sequence(0, size(cps) - 2), k -> array(
+             |  track[cps[k] * 3] * $r,     track[cps[k] * 3 + 1] * $r,
+             |  track[cps[k] * 3 + 2] * $r, track[cps[k + 1] * 3] * $r,
+             |  track[cps[k + 1] * 3 + 1] * $r, track[cps[k + 1] * 3 + 2] * $r))
+             |""".stripMargin))
+        .otherwise(array().cast("array<array<double>>"))).as(Seq("seg_idx", "seg")))
+      .withColumn("len_km", expr(
+        "sqrt(pow(seg[3] - seg[0], 2) + pow(seg[4] - seg[1], 2) + pow(seg[5] - seg[2], 2))"))
+      // Dense stable sid: user-major, segment-minor. Users are < 2^31 in
+      // every fixture; the shift keeps ids collision-free and monotone.
+      .withColumn("sid", $"user_id" * 1000000L + $"seg_idx")
+  }
+
+  /** Density-cluster segments under the Lee-Han-Whang distance.
+    *
+    * @param segs (sid, user_id, seg) — seg a 6-element km array
+    * @param epsKm distance threshold (chord km)
+    * @param minLns core threshold: ε-neighbors incl. self
+    * @param minUsers trajectory-cardinality filter: clusters with fewer
+    *                 distinct users are demoted to noise (paper §4.2)
+    * @param maxSegKm segments LONGER than this are TRANSIT JUMPS — two
+    *                 consecutive fixes so far apart carry no corridor
+    *                 evidence (a data gap / teleport, the q_traj_trips gap
+    *                 convention) — and are emitted as role = 'transit',
+    *                 cluster = -1 without entering density grouping. This
+    *                 is also the replication bound that keeps the candidate
+    *                 grid linear: every clustered segment covers at most
+    *                 maxSegKm/cell + 1 build cells, so a pathological input
+    *                 of planet-spanning chords (each crossing a constant
+    *                 fraction of ALL grid cells — the shape that turns any
+    *                 position grid quadratic) cannot blow up the join.
+    *                 Default ∞ = cluster everything (exact TRACLUS).
+    * @return (sid, user_id, role ∈ {core,border,noise,transit},
+    *         cluster — -1 for noise/transit) */
+  def run(spark: SparkSession, segs: DataFrame, epsKm: Double, minLns: Int,
+          minUsers: Int = 1, maxSegKm: Double = Double.MaxValue): DataFrame = {
+    import spark.implicits._
+    TraclusFns.register(spark)
+    val cell = 5.0 * epsKm // the ε√5 + cell/2 < cell cover bound (scaladoc)
+    val lenExpr = expr(
+      """sqrt(pow(seg[3] - seg[0], 2) + pow(seg[4] - seg[1], 2) +
+        |     pow(seg[5] - seg[2], 2))""".stripMargin)
+    val all = segs.select($"sid", $"user_id", $"seg", lenExpr.as("len_km"))
+      .localCheckpoint(eager = false)
+    val transit = all.filter($"len_km" > maxSegKm)
+      .select($"sid", $"user_id", lit("transit").as("role"), lit(-1L).as("cluster"))
+    val s = all.filter($"len_km" <= maxSegKm).drop("len_km")
+      .localCheckpoint(eager = false)
+
+    // Build side: distinct cells of points sampled along the segment at
+    // spacing ≤ cell (endpoints always included via t=0 and t=nst).
+    val build = s
+      .withColumn("nst", greatest(lit(1), ceil(expr(
+        """sqrt(pow(seg[3] - seg[0], 2) + pow(seg[4] - seg[1], 2) +
+          |     pow(seg[5] - seg[2], 2))""".stripMargin) / cell).cast("int")))
+      .select($"sid", explode(array_distinct(expr(
+        s"""transform(sequence(0, nst), t -> struct(
+           |  floor((seg[0] + (seg[3] - seg[0]) * t / nst) / $cell) AS cx,
+           |  floor((seg[1] + (seg[4] - seg[1]) * t / nst) / $cell) AS cy,
+           |  floor((seg[2] + (seg[5] - seg[2]) * t / nst) / $cell) AS cz))
+           |""".stripMargin))).as("c"))
+      .select($"sid".as("sid1"), $"c.cx", $"c.cy", $"c.cz")
+
+    // Probe side: both endpoint cells, each with its 27-cell halo.
+    val probe = s.select($"sid", explode(array_distinct(expr(
+      s"""flatten(flatten(transform(sequence(-1, 1), dx ->
+         |  transform(sequence(-1, 1), dy -> flatten(
+         |    transform(sequence(-1, 1), dz -> array(
+         |      struct(floor(seg[0] / $cell) + dx AS cx,
+         |             floor(seg[1] / $cell) + dy AS cy,
+         |             floor(seg[2] / $cell) + dz AS cz),
+         |      struct(floor(seg[3] / $cell) + dx AS cx,
+         |             floor(seg[4] / $cell) + dy AS cy,
+         |             floor(seg[5] / $cell) + dz AS cz))))))))
+         |""".stripMargin))).as("c"))
+      .select($"sid".as("sid2"), $"c.cx", $"c.cy", $"c.cz")
+
+    // Unordered candidate id pairs (both role directions covered because
+    // every segment is on both sides), then the exact ε-filter on
+    // re-attached 48 B segment payloads.
+    val cand = build.join(probe, Seq("cx", "cy", "cz"))
+      .filter($"sid1" < $"sid2")
+      .select($"sid1", $"sid2").distinct()
+    val pairs = cand
+      .join(s.select($"sid".as("sid1"), $"seg".as("seg1")), Seq("sid1"))
+      .join(s.select($"sid".as("sid2"), $"seg".as("seg2")), Seq("sid2"))
+      .filter(expr(s"traclus_dist(seg1, seg2) <= $epsKm"))
+      .select($"sid1", $"sid2")
+      .localCheckpoint(eager = false)
+
+    // Density roles over the symmetric neighbor relation (+1 = self).
+    val deg = pairs.select($"sid1".as("sid"))
+      .unionAll(pairs.select($"sid2".as("sid")))
+      .groupBy($"sid").agg((count(lit(1)) + 1L).as("deg"))
+    val core = s.select($"sid").join(deg, Seq("sid"), "left")
+      .filter(coalesce($"deg", lit(1L)) >= minLns)
+      .select($"sid".as("core_sid"))
+      .localCheckpoint(eager = false)
+
+    val coreEdges = pairs
+      .join(core, pairs("sid1") === core("core_sid")).drop("core_sid")
+      .join(core, pairs("sid2") === core("core_sid")).drop("core_sid")
+    val cc = ConnectedComponents.run(spark,
+        core.select($"core_sid".as("id")),
+        coreEdges.select($"sid1".as("src"), $"sid2".as("dst")))
+      .withColumnRenamed("comp", "cluster")
+      .localCheckpoint(eager = false)
+
+    val coreRows = cc.select($"id".as("sid"), lit("core").as("role"), $"cluster")
+    val nonCore = s.select($"sid")
+      .join(core.select($"core_sid".as("sid")), Seq("sid"), "left_anti")
+    val borderRows = pairs.select($"sid1".as("sid"), $"sid2".as("nb"))
+      .unionAll(pairs.select($"sid2".as("sid"), $"sid1".as("nb")))
+      .join(nonCore, Seq("sid"))
+      .join(cc.select($"id".as("nb"), $"cluster"), Seq("nb"))
+      .groupBy($"sid").agg(min($"cluster").as("cluster"))
+      .select($"sid", lit("border").as("role"), $"cluster")
+    val assigned = coreRows.unionAll(borderRows)
+
+    // Trajectory-cardinality filter (§4.2): a cluster supported by too few
+    // distinct users is noise. Per-cluster distinct-user counts are
+    // cluster-sized (tiny) — broadcast back.
+    val keep = assigned.join(s.select($"sid", $"user_id"), Seq("sid"))
+      .groupBy($"cluster").agg(countDistinct($"user_id").as("nu"))
+      .filter($"nu" >= minUsers).select($"cluster")
+    val kept = assigned.join(broadcast(keep), Seq("cluster"))
+      .select($"sid", $"role", $"cluster")
+
+    val noise = s.select($"sid")
+      .join(kept.select($"sid"), Seq("sid"), "left_anti")
+      .select($"sid", lit("noise").as("role"), lit(-1L).as("cluster"))
+
+    s.select($"sid", $"user_id")
+      .join(kept.unionAll(noise), Seq("sid"))
+      .select($"sid", $"user_id", $"role", $"cluster")
+      .unionAll(transit)
+  }
+}

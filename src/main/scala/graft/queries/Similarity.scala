@@ -337,7 +337,17 @@ object Similarity extends QueryGroup {
     "m_sim_ivfpq" -> ((s, dir) =>
       graft.operators.AnnIvfPq.topK(s, t(s, dir, "embeddings"),
         probeIds = (0L until 10L), k = 5, nlist = 16, nprobe = 10,
-        m = 8, ksub = 32, rerank = 150))
+        m = 8, ksub = 32, rerank = 150)),
+
+    // NSW graph ANN (r14): beam search over a distributed top-M cosine
+    // neighbor graph — the graph-navigable side of the family
+    // ([[graft.operators.AnnNsw]]). Property-tested (MlSpec recall@5 ≥
+    // 0.9 + per-node degree bound); no SQL oracle (k-means build + an
+    // iterative walk have no DuckDB analog).
+    "m_sim_hnsw" -> ((s, dir) =>
+      graft.operators.AnnNsw.topK(s, t(s, dir, "embeddings"),
+        probeIds = (0L until 10L), k = 5, m = 8, ef = 32, nlist = 16,
+        rounds = 4))
   )
 
   val oracle: Map[String, String] = Map(

@@ -59,7 +59,7 @@ object Trajectory extends QueryGroup {
     * share one window+aggregate derivation instead of recomputing the
     * data-sized pass per key side. */
   private val tracksMemo = new graft.SessionMemo[String, DataFrame]
-  private def tracks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tracks(s: SparkSession, dir: String): DataFrame =
     tracksMemo.getOrCompute(s, dir) { buildTracks(s, dir).localCheckpoint(eager = false) }
 
   private def buildTracks(s: SparkSession, dir: String): DataFrame = {
@@ -123,6 +123,37 @@ object Trajectory extends QueryGroup {
         .select($"u1", $"u2", $"n_a", $"n_b", $"frechet_km")
         .orderBy($"frechet_km", $"u1", $"u2")
         .limit(10)
+    }),
+
+    // TRACLUS partition-and-group (Lee, Han & Whang, SIGMOD 2007): MDL-
+    // partition every user's track into characteristic segments, density-
+    // cluster the segments under d⊥ + d∥ + dθ, report per-cluster support.
+    // Parameters sized to the fixture lattice (users step the same
+    // deterministic lat/lon pattern at different phases, so parallel
+    // corridor segments exist at multi-hundred-km offsets): ε = 1000 km
+    // chord, minLns = 3, ≥ 2 distinct users per cluster (the paper's
+    // trajectory-cardinality filter), and segments past 2500 km are
+    // TRANSIT JUMPS (no corridor evidence between fixes that far apart —
+    // most of this synthetic fixture's hops, declared as such in the
+    // output) which also bounds the candidate grid's per-segment
+    // replication. Candidate generation is exact at any ε for the
+    // clustered band (the lemma in [[graft.operators.Traclus]]); no SQL
+    // oracle (MDL partitioning + density CC have no DuckDB form — the
+    // m_dbscan precedent); TraclusSpec pins the kernels against hand
+    // geometry, the pipeline against a brute-force all-pairs reference,
+    // and planted crossing corridors separate with noise staying noise.
+    "m_traj_traclus" -> ((s, dir) => {
+      import s.implicits._
+      val segs = graft.operators.Traclus.partition(s, tracks(s, dir))
+      graft.operators.Traclus.run(s, segs, epsKm = 1000.0, minLns = 3,
+          minUsers = 2, maxSegKm = 2500.0)
+        .filter($"cluster" >= 0L)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_segs"),
+          countDistinct($"user_id").as("n_users"),
+          sum(when($"role" === "core", 1L).otherwise(0L)).as("n_core"))
+        .orderBy($"n_segs".desc, $"cluster")
+        .limit(20)
     }),
 
     // LCSS similarity (Vlachos et al., ICDE 2002) over the same pair scan

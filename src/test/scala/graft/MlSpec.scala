@@ -308,6 +308,33 @@ class MlSpec extends BaseSpec {
     assert(bad == 0, s"$bad vectors break the IVFADC layout invariant")
   }
 
+  test("NSW graph ANN recall@5 >= 0.9 vs exact kNN; degree bounded by M") {
+    // The graph-navigable side of the family: a 4-round beam search from
+    // the cell medoids must reach the true neighbors through the top-M
+    // cosine adjacency — recall failure isolates to either connectivity
+    // (raise nlist multi-assignment / rounds) or beam width (raise ef).
+    val exact = SparkEntry.queries("q_sim_knn_vec")(spark, sf)
+      .select($"probe_id", $"neighbor").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = graft.operators.AnnNsw.topK(spark, emb, (0L until 10L),
+        k = 5, m = 8, ef = 32, nlist = 16, rounds = 4)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, t) =>
+      t.count(approx.getOrElse(p, Set.empty)).toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean NSW recall@5 $mean")
+    // Layout invariant: the index is ≤ M adjacency rows per node, and
+    // every probe returns exactly k ranked rows.
+    val (_, adjacency, seeds) = graft.operators.AnnNsw.buildGraph(spark, emb, 8, 16)
+    val overM = adjacency.groupBy($"src").count().filter($"count" > 8).count()
+    assert(overM == 0, s"$overM nodes exceed the M=8 degree bound")
+    assert(seeds.count() == 16, "one medoid seed per cell")
+    val perProbe = approx.view.mapValues(_.size).toMap
+    assert(perProbe.values.forall(_ == 5), s"ragged top-k: $perProbe")
+  }
+
   test("GK quantile sketch stays within rank-error bounds of exact percentiles") {
     // percentile_approx(accuracy=10000) guarantees rank error ≤ 1e-4;
     // asserting against the exact quantiles at ±0.01 rank leaves two
