@@ -151,6 +151,63 @@ object ScaleProbe {
           println(s"""{"metric":"scaleprobe","key":"minhash_after_exact","scale":"$label","error":"$m"}""")
         }
       }
+    // SimHash twin of the composed probe (request "simhash_after_exact"):
+    // same wall, same fix — exact-hash dedup collapses replication depth
+    // to 1, then 64-bit banding runs over canonical docs only.
+    if (args.lift(3).exists(_.split(',').contains("simhash_after_exact")))
+      for ((label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
+        val t0 = System.nanoTime()
+        try {
+          val docs = Tables(spark, dir, "documents")
+          val canon = docs
+            .groupBy(md5(col("text")).as("h"))
+            .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+            .select(col("doc_id"), col("text"))
+          val pairs = graft.operators.SimHash
+            .nearDupPairs(spark, canon, maxHamming = 3, maxBucket = 1000)
+          val rows = pairs.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"scaleprobe","key":"simhash_after_exact","scale":"$label","sec":${r3(sec)},"rows":$rows}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+          println(s"""{"metric":"scaleprobe","key":"simhash_after_exact","scale":"$label","error":"$m"}""")
+        }
+      }
+
+    // Time-RANGE probe (request "hw_decade"): q_time_hw's declared
+    // contract is "cost grows with the time range only" — the hour-bucket
+    // hash agg is the single data-sized job and the HW fold sees
+    // hours-in-range elements in one row. Pin it at a DECADE: the same
+    // event rows with inter-event gaps stretched ×120 (sf0.1's ~1 month →
+    // ~10 years, 87.6k hour slots), so volume is IDENTICAL and only the
+    // range moves. The expected shape is sec(decade) ≈ sec(base) + the
+    // fold's 87.6k-element cost — single-digit seconds, NOT 120×.
+    if (args.lift(3).exists(_.split(',').contains("hw_decade"))) {
+      val decadeDir = s"$scaled-decade"
+      if (!new java.io.File(s"$decadeDir/events.parquet").exists()) {
+        val ev = Tables(spark, base, "events")
+        val minUs = ev.agg(min(unix_micros(col("ts")))).first().getLong(0)
+        ev.withColumn("ts", timestamp_micros(
+            lit(minUs) + (unix_micros(col("ts")) - lit(minUs)) * lit(120L)))
+          .write.mode("overwrite").parquet(s"$decadeDir/events.parquet")
+      }
+      for ((label, dir) <- Seq("base" -> base, "decade" -> decadeDir)) {
+        val t0 = System.nanoTime()
+        try {
+          val df = SparkEntry.queries("q_time_hw")(spark, dir)
+          val rows = df.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val ex = countShuffles(df.queryExecution.executedPlan)
+          println(s"""{"metric":"scaleprobe","key":"hw_decade","scale":"$label","sec":${r3(sec)},"rows":$rows,"exchanges":$ex}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+          println(s"""{"metric":"scaleprobe","key":"hw_decade","scale":"$label","error":"$m"}""")
+        }
+      }
+    }
+
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     for (key <- probeKeys; (label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
       val t0 = System.nanoTime()

@@ -397,4 +397,72 @@ class MlModelSpec extends BaseSpec {
     assert(scores(gbt2) == scores(gbt),
       "loaded GBT must score every row identically")
   }
+
+  test("ml.Pipeline: assembler → logreg composes, saves, loads, scores row-identically") {
+    // The composition seam every production MLlib user crosses: raw
+    // columns → VectorAssembler → estimator inside ONE Pipeline, fit as a
+    // unit, persisted as a unit, reloaded in a fresh object — predictions
+    // must match row for row, not just in aggregate.
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val d = graft.queries.Ml.logregFrame(spark, sf).drop("features")
+    val train = d.filter($"split" === "train")
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("x1", "x2"))
+        .setOutputCol("features"),
+      new LogisticRegression().setMaxIter(50).setRegParam(0.0)))
+    val pm = pipe.fit(train)
+
+    def scores(m: org.apache.spark.ml.Transformer): Map[Long, Double] =
+      m.transform(d).select($"event_id", $"prediction")
+        .as[(Long, Double)].collect().toMap
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipeio").toString
+    pm.write.overwrite().save(s"$tmp/pipe")
+    val pm2 = PipelineModel.load(s"$tmp/pipe")
+    assert(pm2.stages.length == 2, "loaded pipeline must keep both stages")
+    assert(scores(pm2) == scores(pm),
+      "loaded pipeline must score every row identically")
+    // quality floor: the composed fit is the same model the persistence
+    // test pins, so it must sit in the same planted-margin band
+    val acc = pm.transform(d.filter($"split" === "test"))
+      .select(avg(when($"prediction" === $"label", 1.0).otherwise(0.0)))
+      .as[Double].head()
+    assert(acc >= 0.78, s"pipeline held-out accuracy $acc below floor")
+  }
+
+  test("TrainValidationSplit picks the working grid point over the collapsed one") {
+    // The tuning seam: an L1 regParam grid where one point (10.0) zeroes
+    // every coefficient — AUC 0.5 by construction — and the other (0.001)
+    // barely regularizes. A correct TVS must (a) score the working point
+    // higher on its validation split and (b) return it as bestModel.
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+    val train = graft.queries.Ml.logregFrame(spark, sf).drop("features")
+      .filter($"split" === "train")
+    val lr = new LogisticRegression().setMaxIter(50).setElasticNetParam(1.0)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("x1", "x2"))
+        .setOutputCol("features"), lr))
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(10.0, 0.001)).build()
+    val tvs = new TrainValidationSplit().setEstimator(pipe)
+      .setEvaluator(new BinaryClassificationEvaluator()) // areaUnderROC
+      .setEstimatorParamMaps(grid).setTrainRatio(0.75).setSeed(42L)
+    val tm = tvs.fit(train)
+
+    val metrics = grid.map(_.get(lr.regParam).get).zip(tm.validationMetrics).toMap
+    assert(metrics(0.001) > metrics(10.0) + 0.2,
+      s"validation AUCs $metrics must separate the collapsed L1 point")
+    val bestLr = tm.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .stages(1).asInstanceOf[LogisticRegressionModel]
+    assert(bestLr.getRegParam == 0.001,
+      s"best regParam ${bestLr.getRegParam}, want the working point 0.001")
+    assert(bestLr.coefficients.toArray.exists(_ != 0.0),
+      "best model must carry non-zero coefficients")
+  }
 }

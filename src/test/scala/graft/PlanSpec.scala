@@ -1138,17 +1138,24 @@ class PlanSpec extends BaseSpec {
   }
 
   test("round-13 additions hold their pinned exchange budgets") {
-    // hw: the hour-bucket hash agg is the ONLY data-sized exchange; the
-    // 26-double fold rides the 1-row global agg (SinglePartition) —
-    // anything more means the time-bounded fold went data-sized
+    // hw (r14 shape): the hour-bucket hash agg runs once inside the lazy
+    // checkpoint (shared by the bounds and gap-fill consumers, so its
+    // exchange is not in this plan); the gap-fill is a BROADCAST join of
+    // the tiny hour-count frame against the generated grid — the r14 fix
+    // for the quadratic element_at gap-fill the hw_decade probe caught —
+    // and the only shuffle left is the 1-row bounds reduce. A hash
+    // exchange or SMJ appearing here means the gap-fill went data-sized.
     val p = SparkEntry.queries("q_time_hw")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
-           !p.contains("BroadcastNestedLoopJoin"),
+           !p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("SortMergeJoin"),
       s"q_time_hw: unexpected join shape:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"q_time_hw: expected exactly 1 hash exchange (hour buckets):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_time_hw: gap-fill must broadcast the hour counts:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"q_time_hw: no visible hash exchange expected (hour agg is checkpointed):\n$p")
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
-      s"q_time_hw: expected the single 1-row reduce exchange:\n$p")
+      s"q_time_hw: expected the single 1-row bounds reduce exchange:\n$p")
   }
 }
