@@ -117,21 +117,25 @@ object Traclus {
       .localCheckpoint(eager = false)
 
     // Build side: distinct cells of points sampled along the segment at
-    // spacing ≤ cell (endpoints always included via t=0 and t=nst).
+    // spacing ≤ cell (endpoints always included via t=0 and t=nst). The
+    // 48 B segment payload rides along so the exact ε-filter can run
+    // MAP-SIDE on the join output — the alternative (ids only, distinct,
+    // re-join payloads) shuffles the full pre-filter candidate list,
+    // which is the big relation here.
     val build = s
       .withColumn("nst", greatest(lit(1), ceil(expr(
         """sqrt(pow(seg[3] - seg[0], 2) + pow(seg[4] - seg[1], 2) +
           |     pow(seg[5] - seg[2], 2))""".stripMargin) / cell).cast("int")))
-      .select($"sid", explode(array_distinct(expr(
+      .select($"sid", $"seg", explode(array_distinct(expr(
         s"""transform(sequence(0, nst), t -> struct(
            |  floor((seg[0] + (seg[3] - seg[0]) * t / nst) / $cell) AS cx,
            |  floor((seg[1] + (seg[4] - seg[1]) * t / nst) / $cell) AS cy,
            |  floor((seg[2] + (seg[5] - seg[2]) * t / nst) / $cell) AS cz))
            |""".stripMargin))).as("c"))
-      .select($"sid".as("sid1"), $"c.cx", $"c.cy", $"c.cz")
+      .select($"sid".as("sid1"), $"seg".as("seg1"), $"c.cx", $"c.cy", $"c.cz")
 
     // Probe side: both endpoint cells, each with its 27-cell halo.
-    val probe = s.select($"sid", explode(array_distinct(expr(
+    val probe = s.select($"sid", $"seg", explode(array_distinct(expr(
       s"""flatten(flatten(transform(sequence(-1, 1), dx ->
          |  transform(sequence(-1, 1), dy -> flatten(
          |    transform(sequence(-1, 1), dz -> array(
@@ -142,19 +146,15 @@ object Traclus {
          |             floor(seg[4] / $cell) + dy AS cy,
          |             floor(seg[5] / $cell) + dz AS cz))))))))
          |""".stripMargin))).as("c"))
-      .select($"sid".as("sid2"), $"c.cx", $"c.cy", $"c.cz")
+      .select($"sid".as("sid2"), $"seg".as("seg2"), $"c.cx", $"c.cy", $"c.cz")
 
-    // Unordered candidate id pairs (both role directions covered because
-    // every segment is on both sides), then the exact ε-filter on
-    // re-attached 48 B segment payloads.
-    val cand = build.join(probe, Seq("cx", "cy", "cz"))
-      .filter($"sid1" < $"sid2")
+    // Cell equi-join (both role directions covered because every segment
+    // is on both sides) → codegen'd exact ε-filter IMMEDIATELY on the
+    // join output → distinct on the tiny post-filter id pairs. Only
+    // ε-pairs ever reach a shuffle.
+    val pairs = build.join(probe, Seq("cx", "cy", "cz"))
+      .filter($"sid1" < $"sid2" && expr(s"traclus_dist(seg1, seg2) <= $epsKm"))
       .select($"sid1", $"sid2").distinct()
-    val pairs = cand
-      .join(s.select($"sid".as("sid1"), $"seg".as("seg1")), Seq("sid1"))
-      .join(s.select($"sid".as("sid2"), $"seg".as("seg2")), Seq("sid2"))
-      .filter(expr(s"traclus_dist(seg1, seg2) <= $epsKm"))
-      .select($"sid1", $"sid2")
       .localCheckpoint(eager = false)
 
     // Density roles over the symmetric neighbor relation (+1 = self).
