@@ -112,7 +112,7 @@ object ScaleProbe {
       // round-14 additions: the track-DP pair scan (10× users → 100× pairs
       // — the DECLARED U² signature wall, linear per-pair cost; the probe
       // documents the wall's measured shape, it is not expected flat)
-      "m_traj_frechet", "m_traj_lcss",
+      "m_traj_frechet", "m_traj_lcss", "m_traj_edr",
       // TRACLUS: MDL partition is user-local; the candidate grid is
       // bounded by the transit band (per-segment replication ≤
       // maxSeg/cell + 1), so growth tracks the clustered-band pair count

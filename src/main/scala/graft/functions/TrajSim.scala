@@ -182,6 +182,71 @@ object LcssMatches {
   }
 }
 
+/** EDR — Edit Distance on Real sequence (Chen, Özsu & Oria, SIGMOD 2005) —
+  * between two interleaved unit-vector tracks: the minimum number of
+  * insert/delete/substitute edits (unit cost each) turning one track into
+  * the other, where two fixes "match" (cost 0) when within `epsKm`
+  * great-circle km. The third member of the canonical trajectory-DP
+  * family: like LCSS it is outlier-robust (one wild fix costs one edit),
+  * but unlike LCSS it PENALIZES unmatched gaps — two tracks sharing a
+  * corridor but one carrying a long detour read similar under LCSS
+  * (matches normalized by the shorter track) and far under EDR (every
+  * detour fix is an edit). Same chord²-threshold rewrite as
+  * [[LcssMatches]] (file scaladoc); callers normalize by max(|a|, |b|). */
+case class EdrDist(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any, eps: Any): Any =
+    EdrDist.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      eps.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, eps) =>
+      s"${ev.value} = graft.functions.EdrDist.compute($a, $b, $eps);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "edr_dist"
+}
+
+object EdrDist {
+
+  /** edr(i,j) = edr(i-1,j-1) on a match, else 1 + min(sub, del, ins);
+    * borders edr(i,0) = i, edr(0,j) = j — rolling two rows. */
+  def compute(a: ArrayData, b: ArrayData, epsKm: Double): Long = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    FrechetDist.checkTrack(xs, ys, "edr_dist")
+    val n = xs.length / 3
+    val m = ys.length / 3
+    val s = 2.0 * math.sin(epsKm / (2.0 * HaversineDist.EarthRadiusKm))
+    val epsC2 = s * s
+    var prev = Array.tabulate[Long](m + 1)(_.toLong) // edr(0, j) = j
+    var cur = new Array[Long](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i.toLong // edr(i, 0) = i
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (FrechetDist.chordSq(xs, i - 1, ys, j - 1) <= epsC2) prev(j - 1)
+          else 1L + math.min(prev(j - 1), math.min(prev(j), cur(j - 1)))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+}
+
 object TrajSim {
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -190,10 +255,15 @@ object TrajSim {
       "frechet_km", exprs => FrechetDist(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "lcss_matches", exprs => LcssMatches(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "edr_dist", exprs => EdrDist(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   def frechetKm(a: Column, b: Column): Column = call_function("frechet_km", a, b)
 
   def lcssMatches(a: Column, b: Column, epsKm: Column): Column =
     call_function("lcss_matches", a, b, epsKm)
+
+  def edrDist(a: Column, b: Column, epsKm: Column): Column =
+    call_function("edr_dist", a, b, epsKm)
 }

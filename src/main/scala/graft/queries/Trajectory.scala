@@ -125,6 +125,31 @@ object Trajectory extends QueryGroup {
         .limit(10)
     }),
 
+    // EDR — Edit Distance on Real sequence (Chen, Özsu & Oria, SIGMOD
+    // 2005) over the same pair scan — the third canonical trajectory DP:
+    // outlier-robust like LCSS (one wild fix = one edit) but GAP-AWARE
+    // (a long detour costs an edit per fix, where LCSS's shorter-track
+    // normalization forgives it). Normalized by the longer track; top-10
+    // LOWEST pairs. Same chord²-threshold kernel discipline; no SQL
+    // oracle (2-D DP, the m_time_dtw precedent) — TrajectorySpec pins
+    // kernel equality vs a full-matrix haversine reference, identity/
+    // symmetry, the ≤1-edit wild-fix bound, the LCSS duality on planted
+    // detours, and key top-10 equality vs an exact all-pairs driver DP.
+    "m_traj_edr" -> ((s, dir) => {
+      import s.implicits._
+      pairedTracks(s, dir)
+        .withColumn("n_edits",
+          TrajSim.edrDist($"ta", $"tb", lit(MatchEpsKm)))
+        // normalize by the longer DOWNSAMPLED track (its exact point
+        // count is size(track)/3 — stride rounding makes it ≤ cap but
+        // not always min(n, cap))
+        .withColumn("edr", round($"n_edits" * lit(3.0) /
+          greatest(size($"ta"), size($"tb")), 4))
+        .select($"u1", $"u2", $"n_a", $"n_b", $"n_edits", $"edr")
+        .orderBy($"edr", $"u1", $"u2")
+        .limit(10)
+    }),
+
     // TRACLUS partition-and-group (Lee, Han & Whang, SIGMOD 2007): MDL-
     // partition every user's track into characteristic segments, density-
     // cluster the segments under d⊥ + d∥ + dθ, report per-cluster support.

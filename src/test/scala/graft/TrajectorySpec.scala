@@ -67,6 +67,25 @@ class TrajectorySpec extends BaseSpec {
   private def lcss(a: Array[Double], b: Array[Double], eps: Double): Long =
     LcssMatches.compute(arr(xyz(a)), arr(xyz(b)), eps)
 
+  private def edr(a: Array[Double], b: Array[Double], eps: Double): Long =
+    graft.functions.EdrDist.compute(arr(xyz(a)), arr(xyz(b)), eps)
+
+  /** Independent reference: full-matrix EDR in haversine km (Chen et al.
+    * SIGMOD 2005, Def. 5 — unit-cost edits, ε-match). */
+  private def refEdr(a: Array[Double], b: Array[Double], eps: Double): Long = {
+    val n = a.length / 2; val m = b.length / 2
+    val t = Array.ofDim[Long](n + 1, m + 1)
+    for (i <- 0 to n) t(i)(0) = i
+    for (j <- 0 to m) t(0)(j) = j
+    for (i <- 1 to n; j <- 1 to m) {
+      val d = HaversineDist.km(a(2 * (i - 1)), a(2 * (i - 1) + 1),
+        b(2 * (j - 1)), b(2 * (j - 1) + 1))
+      t(i)(j) = if (d <= eps) t(i - 1)(j - 1)
+                else 1 + math.min(t(i - 1)(j - 1), math.min(t(i - 1)(j), t(i)(j - 1)))
+    }
+    t(n)(m)
+  }
+
   test("frechet kernel: axioms + equality with independent haversine recursive reference") {
     val rnd = new scala.util.Random(421)
     def randTrack(len: Int): Array[Double] =
@@ -91,7 +110,33 @@ class TrajectorySpec extends BaseSpec {
       // needs a distance within ulps of the 800 km threshold)
       assert(lcss(a, b, 800.0) == refLcss(a, b, 800.0), "lcss != reference")
       assert(lcss(a, b, 800.0) == lcss(b, a, 800.0), "lcss not symmetric")
+      // EDR reference equality + axioms on the same pair
+      assert(edr(a, b, 800.0) == refEdr(a, b, 800.0), "edr != reference")
+      assert(edr(a, b, 800.0) == edr(b, a, 800.0), "edr not symmetric")
+      assert(edr(a, a, 800.0) == 0L, "edr identity not 0")
+      // length-difference lower bound, longer-length upper bound
+      val (la, lb) = (a.length / 2, b.length / 2)
+      assert(edr(a, b, 800.0) >= math.abs(la - lb) &&
+             edr(a, b, 800.0) <= math.max(la, lb), "edr out of bounds")
     }
+  }
+
+  test("EDR: one wild fix costs exactly one edit; detours penalized where LCSS forgives") {
+    val base = trk((0 until 20).map(i => (0.0, i.toDouble)): _*)
+    val spiked = trk((0 until 20).map(i =>
+      if (i == 10) (60.0, 120.0) else (0.0, i.toDouble)): _*)
+    assert(edr(base, spiked, 60.0) == 1L, "one wild fix must cost one edit")
+    // detour: second track shares the corridor but inserts 10 far fixes —
+    // LCSS (normalized by the SHORTER track) reads them near-identical,
+    // EDR charges every detour fix. The gap-awareness that motivates
+    // carrying all three DPs.
+    val detour = trk(((0 until 10).map(i => (0.0, i.toDouble)) ++
+      (0 until 10).map(i => (50.0, 60.0 + i)) ++
+      (10 until 20).map(i => (0.0, i.toDouble))): _*)
+    val lcssSim = lcss(base, detour, 60.0).toDouble / 20 // shorter = 20
+    assert(lcssSim == 1.0, s"LCSS must forgive the detour (got $lcssSim)")
+    assert(edr(base, detour, 60.0) == 10L,
+      s"EDR must charge all 10 detour fixes (got ${edr(base, detour, 60.0)})")
   }
 
   test("planted corridors: parallel offset reads ~offset; reversal reads far; LCSS outlier-robust") {
@@ -138,7 +183,8 @@ class TrajectorySpec extends BaseSpec {
       val (u1, u2) = (users(i), users(j))
       val (ta, tb) = (arr(tracks(u1)._2), arr(tracks(u2)._2))
       (u1, u2, math.rint(FrechetDist.compute(ta, tb) * 10000) / 10000,
-        LcssMatches.compute(ta, tb, 500.0))
+        LcssMatches.compute(ta, tb, 500.0),
+        graft.functions.EdrDist.compute(ta, tb, 500.0))
     }
 
     val wantF = allPairs.sortBy(p => (p._3, p._1, p._2)).take(10)
@@ -155,5 +201,14 @@ class TrajectorySpec extends BaseSpec {
     val gotL = SparkEntry.queries("m_traj_lcss")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(gotL == wantL, s"lcss top-10:\n got=$gotL\nwant=$wantL")
+
+    val wantE = allPairs.map { p =>
+      val nMax = math.max(tracks(p._1)._2.length, tracks(p._2)._2.length) / 3
+      (p._1, p._2, tracks(p._1)._1, tracks(p._2)._1, p._5,
+        math.rint(p._5 * 10000.0 / nMax) / 10000)
+    }.sortBy(p => (p._6, p._1, p._2)).take(10)
+    val gotE = SparkEntry.queries("m_traj_edr")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotE == wantE, s"edr top-10:\n got=$gotE\nwant=$wantE")
   }
 }
