@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -224,6 +224,119 @@ object TraclusDist {
   }
 }
 
+/** Representative trajectory of one cluster (Lee-Han-Whang §4.3): rotate
+  * the cluster's segments so X' is the average direction, sweep the
+  * segment endpoints in X' order, and at every sweep position crossed by
+  * ≥ minLns member segments emit the average Y' of the crossings —
+  * un-rotated back to lat/lon. Input is the cluster's member segments as
+  * ARRAY<ARRAY<DOUBLE>> (each a 6-element km segment), output the
+  * representative polyline as interleaved [lat0, lon0, lat1, ...].
+  *
+  * The paper's sweep is planar; here the cluster (a LOCAL corridor by
+  * construction — its diameter is bounded by the ε-chaining) is projected
+  * onto the tangent plane at its centroid, swept there, and the emitted
+  * points are re-normalized onto the sphere — the declared local-plane
+  * adaptation, exact in the limit the clustering regime operates at.
+  * Per-row cost is O(|C| log |C| + |C|·sweep) on a CLUSTER-sized array
+  * (clusters are output-sized; the caller's groupBy(cluster) +
+  * collect_list is the only shuffle). */
+case class TraclusRep(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(ArrayType(DoubleType)), IntegerType, DoubleType)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(segs: Any, minLns: Any, gammaKm: Any): Any =
+    TraclusRep.compute(segs.asInstanceOf[ArrayData],
+      minLns.asInstanceOf[Int], gammaKm.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, m, g) =>
+      s"${ev.value} = graft.functions.TraclusRep.compute($s, $m, $g);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "traclus_rep"
+}
+
+object TraclusRep {
+
+  def compute(segsData: ArrayData, minLns: Int, gammaKm: Double): ArrayData = {
+    val n = segsData.numElements()
+    val segs = Array.tabulate(n)(i =>
+      segsData.getArray(i).toDoubleArray())
+    require(segs.forall(_.length == 6),
+      "traclus_rep: every segment must be a 6-element [ax,ay,az,bx,by,bz] array")
+
+    // Average direction + centroid in R³ km.
+    val v = new Array[Double](3)
+    val o = new Array[Double](3)
+    segs.foreach { s =>
+      var k = 0
+      while (k < 3) {
+        v(k) += s(3 + k) - s(k); o(k) += (s(k) + s(3 + k)) / 2.0; k += 1
+      }
+    }
+    var k = 0
+    while (k < 3) { o(k) /= n; k += 1 }
+    val oNorm = math.sqrt(o(0) * o(0) + o(1) * o(1) + o(2) * o(2))
+    // Degenerate direction (balanced opposite flows): fall back to the
+    // first segment's direction so the sweep is still well-defined.
+    if (math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2)) < 1e-9) {
+      v(0) = segs(0)(3) - segs(0)(0); v(1) = segs(0)(4) - segs(0)(1)
+      v(2) = segs(0)(5) - segs(0)(2)
+    }
+    // Tangent-plane basis at the sphere-projected centroid.
+    val nh = Array(o(0) / oNorm, o(1) / oNorm, o(2) / oNorm)
+    val vn = v(0) * nh(0) + v(1) * nh(1) + v(2) * nh(2)
+    val e1 = Array(v(0) - vn * nh(0), v(1) - vn * nh(1), v(2) - vn * nh(2))
+    val e1n = math.sqrt(e1(0) * e1(0) + e1(1) * e1(1) + e1(2) * e1(2))
+    k = 0; while (k < 3) { e1(k) /= e1n; k += 1 }
+    val e2 = Array(nh(1) * e1(2) - nh(2) * e1(1),
+      nh(2) * e1(0) - nh(0) * e1(2), nh(0) * e1(1) - nh(1) * e1(0))
+
+    // Project endpoints: per segment (x'a, y'a, x'b, y'b).
+    def proj(s: Array[Double], off: Int): (Double, Double) = {
+      val px = s(off) - o(0); val py = s(off + 1) - o(1); val pz = s(off + 2) - o(2)
+      (px * e1(0) + py * e1(1) + pz * e1(2), px * e2(0) + py * e2(1) + pz * e2(2))
+    }
+    val pr = segs.map { s =>
+      val (xa, ya) = proj(s, 0); val (xb, yb) = proj(s, 3)
+      if (xa <= xb) (xa, ya, xb, yb) else (xb, yb, xa, ya)
+    }
+
+    // Sweep the sorted endpoint X' values; emit where ≥ minLns segments
+    // cross, spacing consecutive emissions ≥ gammaKm apart in X'.
+    val xs = pr.flatMap(p => Seq(p._1, p._3)).sorted
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    var lastX = Double.NegativeInfinity
+    for (x <- xs if x - lastX >= gammaKm || lastX == Double.NegativeInfinity) {
+      val hit = pr.filter(p => p._1 <= x && x <= p._3)
+      if (hit.length >= minLns) {
+        val ySum = hit.map { case (xa, ya, xb, yb) =>
+          if (xb - xa < 1e-9) (ya + yb) / 2.0
+          else ya + (yb - ya) * (x - xa) / (xb - xa)
+        }.sum
+        val y = ySum / hit.length
+        // Back to the sphere: O + x·e1 + y·e2, renormalized to radius R.
+        val p = Array(o(0) + x * e1(0) + y * e2(0),
+          o(1) + x * e1(1) + y * e2(1), o(2) + x * e1(2) + y * e2(2))
+        val pn = math.sqrt(p(0) * p(0) + p(1) * p(1) + p(2) * p(2))
+        val lat = math.toDegrees(math.asin(p(2) / pn))
+        val lon = math.toDegrees(math.atan2(p(1), p(0)))
+        out += lat += lon
+        lastX = x
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+}
+
 object TraclusFns {
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -232,9 +345,14 @@ object TraclusFns {
       "traclus_partition", exprs => TraclusPartition(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "traclus_dist", exprs => TraclusDist(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "traclus_rep", exprs => TraclusRep(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   def traclusPartition(track: Column): Column = call_function("traclus_partition", track)
 
   def traclusDist(a: Column, b: Column): Column = call_function("traclus_dist", a, b)
+
+  def traclusRep(segs: Column, minLns: Column, gammaKm: Column): Column =
+    call_function("traclus_rep", segs, minLns, gammaKm)
 }

@@ -204,4 +204,29 @@ object Traclus {
       .select($"sid", $"user_id", $"role", $"cluster")
       .unionAll(transit)
   }
+
+  /** Representative trajectory per cluster (paper §4.3): the average-
+    * direction sweep over each cluster's member segments, emitted where
+    * ≥ minLns segments cross ([[graft.functions.TraclusRep]] holds the
+    * kernel and the tangent-plane adaptation note). One groupBy(cluster)
+    * over the assignment — clusters are output-sized, so the collected
+    * member array is bounded by cluster support, never by data volume.
+    *
+    * @param gammaKm minimum X'-spacing between consecutive emitted points
+    * @return (cluster, n_segs, rep) — rep interleaved [lat0, lon0, ...] */
+  def representatives(spark: SparkSession, segs: DataFrame, epsKm: Double,
+                      minLns: Int, minUsers: Int = 1,
+                      maxSegKm: Double = Double.MaxValue,
+                      gammaKm: Double = 50.0): DataFrame = {
+    import spark.implicits._
+    val assigned = run(spark, segs, epsKm, minLns, minUsers, maxSegKm)
+    assigned.filter($"cluster" >= 0L)
+      .join(segs.select($"sid", $"seg"), Seq("sid"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_segs"), collect_list($"seg").as("members"))
+      .select($"cluster", $"n_segs",
+        graft.functions.TraclusFns
+          .traclusRep($"members", lit(minLns), lit(gammaKm)).as("rep"))
+      .orderBy($"cluster")
+  }
 }

@@ -205,6 +205,33 @@ class TraclusSpec extends BaseSpec {
     assert(got(400L) == ("transit", -1L), s"planet hop must be transit: ${got(400L)}")
   }
 
+  test("representative trajectory runs along the planted corridor's center") {
+    // 5 parallel east-bound segments on the equator at lat 0.00..0.04°,
+    // lon extents STAGGERED by 0.1° so the sweep sees 10 distinct
+    // endpoint positions: the §4.3 sweep must emit a polyline (a) inside
+    // the corridor's lat band, centered near its mean lat 0.02°, (b)
+    // spanning the corridor's lon extent, (c) in sweep (west→east) order.
+    val segs = (0 until 5).map(u => (10L + u, u.toLong,
+      seg(0.01 * u, 0.1 * u, 0.01 * u, 2 + 0.1 * u)))
+    val df = segs.map(s => (s._1, s._2, s._3.toSeq)).toDF("sid", "user_id", "seg")
+    val rep = graft.operators.Traclus
+      .representatives(spark, df, epsKm = 60.0, minLns = 3, gammaKm = 10.0)
+      .select($"cluster", $"n_segs", $"rep")
+      .as[(Long, Long, Seq[Double])].collect()
+    assert(rep.length == 1 && rep.head._2 == 5, s"one 5-member cluster: ${rep.toSeq}")
+    val pts = rep.head._3.grouped(2).map(p => (p(0), p(1))).toSeq
+    assert(pts.size >= 3, s"sweep must emit a polyline, got $pts")
+    assert(pts.forall { case (lat, _) => lat >= -0.005 && lat <= 0.045 },
+      s"representative must stay inside the corridor band: $pts")
+    val meanLat = pts.map(_._1).sum / pts.size
+    assert(math.abs(meanLat - 0.02) < 0.01,
+      s"representative mean lat $meanLat far from corridor center 0.02")
+    assert(pts.map(_._2) == pts.map(_._2).sorted,
+      s"sweep order must be west→east: $pts")
+    assert(pts.last._2 - pts.head._2 > 1.0,
+      s"representative must span the corridor: $pts")
+  }
+
   test("m_traj_traclus key: non-vacuous, schema, deterministic rerun") {
     val q = SparkEntry.queries("m_traj_traclus")
     val r1 = q(spark, sf).collect()
