@@ -247,6 +247,72 @@ object EdrDist {
   }
 }
 
+/** Symmetric Hausdorff distance in km between two interleaved unit-vector
+  * tracks: max(h(A→B), h(B→A)) with h(A→B) = max over a∈A of min over b∈B
+  * of d(a, b) — the SET-BASED, order-FREE member of the trajectory distance
+  * family (Huttenlocher, Klanderman & Rucklidge, TPAMI 1993). Completes the
+  * quartet: Fréchet is the order-aware leash, LCSS/EDR are the edit twins,
+  * Hausdorff asks only "does every fix of one track have a nearby fix on
+  * the other" — so a corridor traced in REVERSE reads 0 under Hausdorff
+  * and far under Fréchet, the diagnostic pair for "same route, which
+  * direction?". Same chord² rewrite as [[FrechetDist]]: max and min both
+  * commute with the monotone chord²→km map, so the O(n·m) scan runs on
+  * pure arithmetic and only the final value pays an asin. The inner loop
+  * early-exits when the running min drops below the best-so-far outer max
+  * (the classic Hausdorff cutoff — sub-O(n·m) on similar tracks). */
+case class HausdorffKm(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HausdorffKm.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HausdorffKm.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "hausdorff_km"
+}
+
+object HausdorffKm {
+
+  /** Directed Hausdorff on chord²: max over xs-points of (min over
+    * ys-points), with the best-so-far cutoff — once a ys-point is closer
+    * than the current outer max, this xs-point cannot raise it. */
+  private def directedC2(xs: Array[Double], ys: Array[Double]): Double = {
+    val n = xs.length / 3
+    val m = ys.length / 3
+    var best = 0.0
+    var i = 0
+    while (i < n) {
+      var minD = Double.MaxValue
+      var j = 0
+      while (j < m && minD > best) {
+        val d = FrechetDist.chordSq(xs, i, ys, j)
+        if (d < minD) minD = d
+        j += 1
+      }
+      if (minD > best) best = minD
+      i += 1
+    }
+    best
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    FrechetDist.checkTrack(xs, ys, "hausdorff_km")
+    FrechetDist.chordSqToKm(math.max(directedC2(xs, ys), directedC2(ys, xs)))
+  }
+}
+
 object TrajSim {
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -257,6 +323,8 @@ object TrajSim {
       "lcss_matches", exprs => LcssMatches(exprs(0), exprs(1), exprs(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "edr_dist", exprs => EdrDist(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "hausdorff_km", exprs => HausdorffKm(exprs(0), exprs(1)), "scala_udf")
   }
 
   def frechetKm(a: Column, b: Column): Column = call_function("frechet_km", a, b)
@@ -266,4 +334,6 @@ object TrajSim {
 
   def edrDist(a: Column, b: Column, epsKm: Column): Column =
     call_function("edr_dist", a, b, epsKm)
+
+  def hausdorffKm(a: Column, b: Column): Column = call_function("hausdorff_km", a, b)
 }

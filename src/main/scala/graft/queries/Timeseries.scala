@@ -606,6 +606,67 @@ object Timeseries extends QueryGroup {
         .orderBy($"type_a", $"type_b")
     }),
 
+    // Matrix profile per event type (Yeh et al., ICDM 2016; STOMP
+    // recurrence, Zhu et al., ICDM 2016) over the gap-filled hourly count
+    // series, window m = 24 (one day): for every day-long subsequence, the
+    // z-normalized distance to its nearest non-trivial neighbor — one
+    // parameter-free pass that surfaces the strongest MOTIF (most-repeated
+    // daily shape: the profile minimum, with its nearest-neighbor index =
+    // the motif's twin) and the strongest DISCORD (the day least like any
+    // other: the profile maximum) — the modern successor to picking
+    // periodicity (q_time_periodogram) or changepoints (q_time_cusum) by
+    // hand. Plan: the (type, hour) hash agg is the only data-sized job;
+    // the per-type dense grid is the q_time_hw EQUI-JOIN gap-fill (never
+    // the quadratic map-lookup), and the O(n²) STOMP kernel runs once per
+    // type inside whole-stage codegen, n bounded by the TIME RANGE, not
+    // the data volume (the declared wall + SCRIMP++ escape hatch in
+    // functions/MatrixProfile.scala). Ties are pinned: motif = (d asc,
+    // i asc), discord = (d desc, i asc), nn = first j at the strict min.
+    // No SQL oracle (a rolling-dot-product O(n²) scan has no tractable
+    // SQL form — the m_time_dtw precedent); TimeseriesSpec pins the kernel
+    // against a brute-force z-normalize-then-scan reference, the planted
+    // motif/discord geometry, and the flat-window conventions.
+    "m_time_matrixprofile" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.MatrixProfileExpr.register(s)
+      val m = 24
+      val hc = t(s, dir, "events")
+        .groupBy($"event_type", expr("unix_millis(ts) div 3600000").as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // one fact scan feeds bounds + join
+      val grid = hc.groupBy($"event_type")
+        .agg(min($"hr").as("lo"), max($"hr").as("hi"))
+        .select($"event_type", explode(expr("sequence(lo, hi)")).as("hr"))
+      val series = grid.join(hc, Seq("event_type", "hr"), "left")
+        .select($"event_type", $"hr", coalesce($"c", lit(0L)).as("c"))
+        .groupBy($"event_type")
+        .agg(array_sort(collect_list(struct($"hr", $"c"))).as("e"))
+        .withColumn("x", expr("transform(e, p -> CAST(p.c AS DOUBLE))"))
+        // kernel precondition (it throws below 2m — a silent empty
+        // profile would read as "no motif"); a type must span ≥ 2 days
+        .filter(size($"x") >= 2 * m)
+      series
+        .withColumn("mp",
+          graft.functions.MatrixProfileExpr.matrixProfile($"x", lit(m)))
+        .select($"event_type", size($"x").as("n_hours"),
+          posexplode(expr(
+            """transform(sequence(0, size(mp) div 2 - 1),
+              |  i -> struct(mp[2*i] AS d, CAST(mp[2*i+1] AS INT) AS nn))"""
+              .stripMargin)))
+        .select($"event_type", $"n_hours", $"pos".cast("long").as("i"),
+          $"col.d".as("d"), $"col.nn".cast("long").as("nn"))
+        .groupBy($"event_type")
+        .agg(max($"n_hours").as("n_hours"),
+          min(struct($"d", $"i", $"nn")).as("motif"),
+          max(struct($"d", (-$"i").as("negi"))).as("disc"))
+        .select($"event_type", $"n_hours",
+          ($"n_hours" - lit(m - 1)).as("n_windows"),
+          $"motif.i".as("motif_i"), $"motif.nn".as("motif_nn"),
+          round($"motif.d", 4).as("motif_d"),
+          (-$"disc.negi").as("discord_i"), round($"disc.d", 4).as("discord_d"))
+        .orderBy($"event_type")
+    }),
+
     // SAX symbolization of each type's hour-of-day activity profile (Lin,
     // Keogh, Wei & Lonardi, DMKD 2007) — the discretization that turns a
     // series into a WORD so sequence tooling (hashing, suffix indexes,

@@ -181,6 +181,28 @@ object Trajectory extends QueryGroup {
         .limit(20)
     }),
 
+    // Symmetric Hausdorff distance (Huttenlocher et al., TPAMI 1993) over
+    // the same pair scan — the SET-BASED, order-free fourth member of the
+    // family: max over either track's fixes of the distance to the nearest
+    // fix on the other. Read NEXT TO m_traj_frechet it answers "same
+    // route, which direction?" — a reversed corridor is Hausdorff-0 but
+    // Fréchet-far. Top-10 closest pairs. Same chord² discipline (max/min
+    // commute with the monotone map, one final asin); inner loop carries
+    // the classic best-so-far cutoff. No SQL oracle (the max-min scan has
+    // no tractable SQL form at this shape — the DP-family precedent);
+    // TrajectorySpec pins kernel ≡ a brute-force haversine max-min
+    // reference, identity/symmetry, the Hausdorff ≤ Fréchet dominance
+    // axiom, reversed-corridor-reads-0, and key top-10 vs an exact
+    // all-pairs driver recomputation.
+    "m_traj_hausdorff" -> ((s, dir) => {
+      import s.implicits._
+      pairedTracks(s, dir)
+        .withColumn("hausdorff_km", round(TrajSim.hausdorffKm($"ta", $"tb"), 4))
+        .select($"u1", $"u2", $"n_a", $"n_b", $"hausdorff_km")
+        .orderBy($"hausdorff_km", $"u1", $"u2")
+        .limit(10)
+    }),
+
     // LCSS similarity (Vlachos et al., ICDE 2002) over the same pair scan
     // — matches within MatchEpsKm, normalized by the shorter track: the
     // outlier-robust twin (one wild fix caps Fréchet from below but costs

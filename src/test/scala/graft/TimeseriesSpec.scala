@@ -656,4 +656,151 @@ class TimeseriesSpec extends BaseSpec {
     val twin = prominences(Array(0L, 5L, 1L, 4L, 0L))
     assert(twin == List((1, 5L, 5L), (3, 4L, 3L)), twin.toString)
   }
+
+  // ---- m_time_matrixprofile ------------------------------------------
+
+  /** Kernel wrapper: interleaved [d, nn, ...] → (profile, nn indices). */
+  private def mp(x: Array[Double], m: Int): (Array[Double], Array[Int]) = {
+    val out = graft.functions.MatrixProfileExpr
+      .compute(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(x), m)
+      .toDoubleArray()
+    val w = out.length / 2
+    (Array.tabulate(w)(i => out(2 * i)), Array.tabulate(w)(i => out(2 * i + 1).toInt))
+  }
+
+  /** Brute-force reference: EXPLICITLY z-normalize every window, Euclidean
+    * distance, same exclusion zone and flat-window conventions — no rolling
+    * dot product anywhere (different algorithm, different FP path). */
+  private def bruteMp(x: Array[Double], m: Int): Array[Double] = {
+    val n = x.length; val w = n - m + 1; val excl = m / 2
+    def stats(a: Int): (Double, Double) = {
+      val s = (a until a + m).map(x(_))
+      val mu = s.sum / m
+      (mu, math.sqrt(s.map(v => (v - mu) * (v - mu)).sum / m))
+    }
+    def d(i: Int, j: Int): Double = {
+      val (mi, si) = stats(i); val (mj, sj) = stats(j)
+      if (si < 1e-12 && sj < 1e-12) 0.0
+      else if (si < 1e-12 || sj < 1e-12) math.sqrt(2.0 * m)
+      else math.sqrt((0 until m).map { k =>
+        val z = (x(i + k) - mi) / si - (x(j + k) - mj) / sj; z * z
+      }.sum)
+    }
+    Array.tabulate(w)(i =>
+      (0 until w).filter(j => math.abs(i - j) >= excl).map(d(i, _)).min)
+  }
+
+  test("matrix profile kernel equals a brute z-normalize-then-scan reference; nn attains the min") {
+    val rnd = new scala.util.Random(1417)
+    for (trial <- 1 to 8) {
+      val n = 40 + rnd.nextInt(80)
+      val m = 4 + 2 * rnd.nextInt(4) // 4..10
+      val x = Array.tabulate(n) { i =>
+        // mix of noise, a diurnal-ish wave, and (some trials) flat stretches
+        if (trial % 3 == 0 && i / 10 % 3 == 0) 5.0
+        else math.rint((math.sin(i * 0.7) * 3 + rnd.nextDouble() * 4) * 10) / 10
+      }
+      if (n >= 2 * m) {
+        val (prof, nn) = mp(x, m)
+        val ref = bruteMp(x, m)
+        assert(prof.length == n - m + 1)
+        prof.indices.foreach { i =>
+          assert(math.abs(prof(i) - ref(i)) < 1e-6,
+            s"trial $trial i=$i: kernel ${prof(i)} != brute ${ref(i)}")
+          // the stored nn must itself attain the minimum (within FP), and
+          // sit outside the exclusion zone
+          assert(math.abs(nn(i) - i) >= m / 2, s"nn inside exclusion at $i")
+        }
+      }
+    }
+    // precondition is loud, not silent
+    intercept[IllegalArgumentException] { mp(Array.fill(10)(1.0), 8) }
+  }
+
+  test("matrix profile: planted motif pair reads 0 and points at its twin; discord covers the oddity") {
+    val rnd = new scala.util.Random(99)
+    val m = 8
+    val x = Array.tabulate(120)(_ => math.rint(rnd.nextDouble() * 40) / 10)
+    val pattern = Array(0.0, 5.0, 1.0, 6.0, 2.0, 7.0, 3.0, 8.0)
+    pattern.indices.foreach { k => x(20 + k) = pattern(k); x(80 + k) = pattern(k) }
+    val (prof, nn) = mp(x, m)
+    assert(prof(20) < 1e-9 && prof(80) < 1e-9, "planted twins must read 0")
+    assert(nn(20) == 80 && nn(80) == 20, s"twins must point at each other (${nn(20)}, ${nn(80)})")
+    // Discord needs a structurally unique SHAPE, not a big value —
+    // z-normalization is scale-invariant, so a giant spike matches any
+    // window with a bump in the same slot. Periodic series (every window
+    // has an exact twin one period away, outside the m/2 exclusion) with
+    // one alternating-shape disturbance: only windows overlapping the
+    // disturbance lack a twin, so the discord must land on one of them.
+    val p = Array(0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0)
+    val z = Array.tabulate(120)(i => p(i % 8))
+    (0 until 8).foreach(k => z(60 + k) = if (k % 2 == 0) 4.0 else 0.0)
+    val (prof3, _) = mp(z, m)
+    prof3.indices.foreach { i =>
+      if (i + m <= 60 || i >= 68)
+        assert(prof3(i) < 1e-9, s"periodic window $i must have an exact twin: ${prof3(i)}")
+    }
+    val discordI = prof3.indices.maxBy(i => (prof3(i), -i))
+    assert(discordI > 60 - m && discordI < 68,
+      s"discord must overlap the disturbance: $discordI")
+    assert(prof3(discordI) > 1.0, s"disturbance must read far: ${prof3(discordI)}")
+  }
+
+  test("matrix profile flat-window conventions: constant series is all-0; flat vs moving is sqrt(2m)") {
+    val m = 8
+    val (flatProf, _) = mp(Array.fill(40)(5.0), m)
+    assert(flatProf.forall(_ == 0.0), "constant series must profile to 0")
+    // one ramp in an otherwise flat series: fully-flat windows still find
+    // another flat window (0) — including flat windows AFTER a long mixed
+    // prefix, the case an epsilon-on-σ flatness test gets wrong — and the
+    // ramp window's best match is bounded by the declared r=0 flat-vs-
+    // moving distance sqrt(2m) (a partial-overlap window may be closer)
+    val y = Array.fill(64)(5.0)
+    (0 until m).foreach(k => y(20 + k) = k.toDouble)
+    val (prof2, _) = mp(y, m)
+    assert(prof2(0) == 0.0, "flat window must match another flat window at 0")
+    assert(prof2(40) == 0.0, "flat window after the mixed prefix must still read flat")
+    assert(prof2(20) <= math.sqrt(2.0 * m) + 1e-9,
+      s"moving window's profile must be bounded by the flat match: ${prof2(20)}")
+    assert(prof2(20) > 1.0, s"ramp must not read as matching a flat: ${prof2(20)}")
+  }
+
+  test("m_time_matrixprofile equals a driver recomputation from the raw parquet") {
+    val m = 24
+    val byType = Tables(spark, sf, "events")
+      .select($"event_type", expr("unix_millis(ts) div 3600000").as("hr"))
+      .groupBy($"event_type", $"hr").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues { rows =>
+        val counts = rows.map(r => r._2 -> r._3).toMap
+        val lo = counts.keys.min; val hi = counts.keys.max
+        (lo to hi).map(h => counts.getOrElse(h, 0L).toDouble).toArray
+      }.toMap
+    val want = byType.toSeq.filter(_._2.length >= 2 * m).map { case (tp, x) =>
+      val ref = bruteMp(x, m)
+      val w = ref.length
+      val motifI = ref.indices.minBy(i => (ref(i), i))
+      val discordI = ref.indices.minBy(i => (-ref(i), i))
+      (tp, x.length.toLong, w.toLong, motifI.toLong, rnd4(ref(motifI)),
+        discordI.toLong, rnd4(ref(discordI)))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("m_time_matrixprofile")(spark, sf)
+      .select($"event_type", $"n_hours", $"n_windows", $"motif_i",
+        $"motif_d", $"discord_i", $"discord_d")
+      .as[(String, Long, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == want.map(_._1), s"types: ${got.map(_._1)} vs ${want.map(_._1)}")
+    got.zip(want).foreach { case (g, w0) =>
+      assert(g._2 == w0._2 && g._3 == w0._3, s"${g._1}: grid shape $g vs $w0")
+      assert(g._4 == w0._4 && g._6 == w0._6, s"${g._1}: argext $g vs $w0")
+      assert(math.abs(g._5 - w0._5) < 1e-3 && math.abs(g._7 - w0._7) < 1e-3,
+        s"${g._1}: values $g vs $w0")
+    }
+    // and the key's motif_nn attains the motif distance in the reference
+    val gotNn = SparkEntry.queries("m_time_matrixprofile")(spark, sf)
+      .select($"event_type", $"motif_i", $"motif_nn").as[(String, Long, Long)]
+      .collect()
+    gotNn.foreach { case (tp, i, j) =>
+      assert(math.abs(i - j) >= m / 2, s"$tp: nn $j inside exclusion of $i")
+    }
+  }
 }

@@ -64,6 +64,21 @@ class TrajectorySpec extends BaseSpec {
   private def frechet(a: Array[Double], b: Array[Double]): Double =
     FrechetDist.compute(arr(xyz(a)), arr(xyz(b)))
 
+  private def hausdorff(a: Array[Double], b: Array[Double]): Double =
+    graft.functions.HausdorffKm.compute(arr(xyz(a)), arr(xyz(b)))
+
+  /** Independent reference: brute-force symmetric Hausdorff directly in
+    * haversine km (no cutoff, no chord² rewrite). */
+  private def refHausdorff(a: Array[Double], b: Array[Double]): Double = {
+    def directed(p: Array[Double], q: Array[Double]): Double =
+      (0 until p.length / 2).map { i =>
+        (0 until q.length / 2).map { j =>
+          HaversineDist.km(p(2 * i), p(2 * i + 1), q(2 * j), q(2 * j + 1))
+        }.min
+      }.max
+    math.max(directed(a, b), directed(b, a))
+  }
+
   private def lcss(a: Array[Double], b: Array[Double], eps: Double): Long =
     LcssMatches.compute(arr(xyz(a)), arr(xyz(b)), eps)
 
@@ -118,6 +133,16 @@ class TrajectorySpec extends BaseSpec {
       val (la, lb) = (a.length / 2, b.length / 2)
       assert(edr(a, b, 800.0) >= math.abs(la - lb) &&
              edr(a, b, 800.0) <= math.max(la, lb), "edr out of bounds")
+      // Hausdorff: reference equality (pins both the chord² rewrite and the
+      // best-so-far cutoff output-invisible), symmetry/identity, and the
+      // dominance axiom — the Fréchet leash admits only forward moves, so
+      // the unconstrained nearest-fix max can never exceed it
+      val h = hausdorff(a, b)
+      assert(math.abs(h - refHausdorff(a, b)) < 1e-6,
+        s"hausdorff $h != brute-force reference ${refHausdorff(a, b)}")
+      assert(hausdorff(b, a) == h, "hausdorff not symmetric")
+      assert(hausdorff(a, a) == 0.0, "hausdorff identity not 0")
+      assert(h <= f + 1e-6, s"hausdorff $h above frechet $f")
     }
   }
 
@@ -158,6 +183,12 @@ class TrajectorySpec extends BaseSpec {
     assert(frechet(base, spiked) > 5000.0, "outlier must cap frechet from below")
     assert(lcss(base, spiked, 60.0) >= 19, "LCSS must lose at most one match")
     assert(lcss(base, base, 60.0) == 20)
+    // the diagnostic pair: a REVERSED corridor is the same point set, so
+    // Hausdorff reads 0 where Fréchet spans the corridor — "same route,
+    // which direction?" needs both measures side by side
+    assert(hausdorff(base, reversed) == 0.0,
+      s"reversed corridor must be Hausdorff-0: ${hausdorff(base, reversed)}")
+    assert(frechet(base, reversed) > 2000.0)
   }
 
   test("m_traj_frechet / m_traj_lcss: keys match exact all-pairs driver DP at fixture scale") {
@@ -184,7 +215,8 @@ class TrajectorySpec extends BaseSpec {
       val (ta, tb) = (arr(tracks(u1)._2), arr(tracks(u2)._2))
       (u1, u2, math.rint(FrechetDist.compute(ta, tb) * 10000) / 10000,
         LcssMatches.compute(ta, tb, 500.0),
-        graft.functions.EdrDist.compute(ta, tb, 500.0))
+        graft.functions.EdrDist.compute(ta, tb, 500.0),
+        math.rint(graft.functions.HausdorffKm.compute(ta, tb) * 10000) / 10000)
     }
 
     val wantF = allPairs.sortBy(p => (p._3, p._1, p._2)).take(10)
@@ -210,5 +242,11 @@ class TrajectorySpec extends BaseSpec {
     val gotE = SparkEntry.queries("m_traj_edr")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(gotE == wantE, s"edr top-10:\n got=$gotE\nwant=$wantE")
+
+    val wantH = allPairs.sortBy(p => (p._6, p._1, p._2)).take(10)
+      .map(p => (p._1, p._2, tracks(p._1)._1, tracks(p._2)._1, p._6))
+    val gotH = SparkEntry.queries("m_traj_hausdorff")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotH == wantH, s"hausdorff top-10:\n got=$gotH\nwant=$wantH")
   }
 }
