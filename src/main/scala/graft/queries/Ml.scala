@@ -4,6 +4,7 @@ import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, Ra
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.ml.regression.LinearRegression
+import graft.operators.IsolationForest
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -68,6 +69,21 @@ object Ml extends QueryGroup {
       .withColumn("y", when($"x" + $"noise" > 100.0, 1.0).otherwise(0.0))
       .select($"x", $"y")
   }
+
+  /** The m_ml_iforest feature frame — one row per event with the joint
+    * (value, time-of-day, day-of-week) feature vector. Shared with
+    * IForestSpec (the logregFrame discipline). */
+  private[graft] def iforestFrame(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"value",
+        array(log1p($"value"),
+          hour($"ts").cast("double"),
+          dayofweek($"ts").cast("double")).as("f"))
+  }
+
+  private val iforestMemo = new graft.SessionMemo[String, IsolationForest.Model]
 
   val queries: Map[String, QFn] = Map(
     // Binary logistic regression over events with a PLANTED noisy-linear
@@ -343,6 +359,33 @@ object Ml extends QueryGroup {
     // basis orthonormality and equality with a driver eigendecomposition.
     // evr is round(6): the Gram's double partials carry partition-order
     // ulps (~1e-15), far below the reported precision.
+    // Isolation forest anomaly scores (Liu, Ting & Zhou, ICDM 2008) over
+    // per-event features (log1p value, hour-of-day, day-of-week) — the
+    // UNSUPERVISED anomaly quadrant next to the model-based screens
+    // (q_anomaly_zscore/mad assume a location/scale model per dimension;
+    // the forest ranks "few and different" joint outliers with no model
+    // and no ε). Fit = the paper's own sub-sampling (T=32 trees × ψ=256
+    // content-keyed sample rows — smallest md5(event_id), the ONE
+    // probe-sized collect; seeded per-tree PRNG), so the forest is
+    // bit-deterministic; scoring = the broadcast forest walking every row
+    // inside whole-stage codegen (operators/IsolationForest), no shuffle
+    // before the top-10. No SQL oracle (a randomized tree ensemble has no
+    // DuckDB form); IForestSpec pins c(n) hand values, planted-outlier
+    // separation, bit-determinism, codegen ≡ driver scoring, and the key
+    // against a driver re-ranking under the same model.
+    "m_ml_iforest" -> ((s, dir) => {
+      import s.implicits._
+      val d = iforestFrame(s, dir)
+      val model = iforestMemo.getOrCompute(s, dir) {
+        IsolationForest.fitFromFrame(d, "event_id", "f")
+      }
+      IsolationForest.register(s, model, "iforest_score")
+      d.withColumn("score", IsolationForest.scoreCol("iforest_score", $"f"))
+        .orderBy($"score".desc, $"event_id")
+        .limit(10)
+        .select($"event_id", $"value", round($"score", 4).as("score"))
+    }),
+
     "m_ml_pca" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "embeddings")
