@@ -1216,6 +1216,55 @@ object TextPipeline extends QueryGroup {
             ($"nb".cast("double") * $"cx" * $"cy")), 6).as("pmi"))
         .orderBy($"cxy".desc, $"x", $"y")
         .limit(20)
+    }),
+
+    // DSIR — data selection with importance resampling (Xie et al.,
+    // NeurIPS 2023): per-doc importance weight log p_target(x) −
+    // log p_raw(x) under HASHED-BIGRAM bag models — the principled
+    // "pick raw-corpus docs that look like the target domain" estimator
+    // (the published upgrade over q_text_pfilter's hard heuristics;
+    // target here = the 'en' slice, the domain the fixture labels).
+    // Features are md5-hashed bigram buckets (B = 1024 — the paper's
+    // hashing trick makes the model a FIXED-width count vector however
+    // large the vocabulary); both bucket models are add-1 smoothed.
+    // Weight = Σ_buckets c_doc(b) · log-ratio(b). Scale shape: bigram
+    // explode → ONE (doc, bucket) hash agg (map-side combinable) feeds
+    // BOTH the per-doc counts and (re-aggregated, B-bounded) the two
+    // corpus models; the B-row log-ratio table broadcasts back; top-20
+    // is TakeOrderedAndProject. Parity: ratio forms in DOUBLE from exact
+    // BIGINT counts in ONE declared operand order, ln'd once,
+    // round(6)-pinned BEFORE the weight sum, which routes through
+    // DECIMAL (dsum) — exact regardless of summation order.
+    "q_text_dsir" -> ((s, dir) => {
+      import s.implicits._
+      val B = 1024L
+      val wAll = Window.partitionBy()
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", $"lang", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val docB = toks.withColumn("y", lead($"tok", 1).over(w))
+        .filter($"y".isNotNull)
+        .withColumn("b",
+          conv(substring(md5(concat_ws(" ", $"tok", $"y")), 1, 8), 16, 10)
+            .cast("long") % B)
+        .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+        // one fact-sized agg feeds both the per-doc side and the models
+        .localCheckpoint(eager = false)
+      val model = docB.groupBy($"b")
+        .agg(sum($"c").as("cr"),
+          sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"))
+        .withColumn("nr", sum($"cr").over(wAll))
+        .withColumn("nt", sum($"ct").over(wAll))
+        .select($"b", round(log(
+          (($"ct" + 1L).cast("double") / ($"nt" + lit(B)).cast("double")) /
+            (($"cr" + 1L).cast("double") / ($"nr" + lit(B)).cast("double"))), 6)
+          .as("lr"))
+      docB.join(broadcast(model), Seq("b"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"c").as("n_bigrams"),
+          round(dsum($"c" * $"lr", 6), 6).as("dsir_w"))
+        .orderBy($"dsir_w".desc, $"doc_id")
+        .limit(20)
     })
   )
 
@@ -1310,6 +1359,38 @@ object TextPipeline extends QueryGroup {
         |JOIN uni ux ON ux.tok = x
         |JOIN uni uy ON uy.tok = y
         |ORDER BY cxy DESC, x, y LIMIT 20""".stripMargin,
+
+    "q_text_dsir" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang, unnest(toks) AS tok,
+        |         unnest(range(1, len(toks) + 1)) AS pos FROM d),
+        |bg AS (
+        |  SELECT doc_id, lang, tok AS x,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+        |  FROM tk),
+        |db AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(x || ' ' || y), 1, 8) AS BIGINT) % 1024 AS b,
+        |    COUNT(*) AS c
+        |  FROM bg WHERE y IS NOT NULL GROUP BY doc_id, lang, b),
+        |model AS (
+        |  SELECT b, SUM(c) AS cr,
+        |    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+        |    SUM(SUM(c)) OVER () AS nr,
+        |    SUM(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END)) OVER () AS nt
+        |  FROM db GROUP BY b),
+        |lrm AS (
+        |  SELECT b, round(ln(
+        |    (CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) /
+        |    (CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))), 6) AS lr
+        |  FROM model)
+        |SELECT db.doc_id, db.lang,
+        |  CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+        |  round(${oSum("db.c * lrm.lr", 6)}, 6) AS dsir_w
+        |FROM db JOIN lrm USING (b)
+        |GROUP BY db.doc_id, db.lang
+        |ORDER BY dsir_w DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_text_urlnorm" ->
       """WITH aug AS (
