@@ -1158,4 +1158,56 @@ class PlanSpec extends BaseSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
       s"q_time_hw: expected the single 1-row bounds reduce exchange:\n$p")
   }
+
+  test("round-14 additions hold their plan shapes") {
+    // m_time_matrixprofile: the per-type gap-fill is the q_time_hw
+    // BROADCAST equi-join (the tiny per-type hour counts against the
+    // generated grid), and the STOMP kernel is a codegen'd projection —
+    // a SMJ/BNLJ/cartesian here means the gap-fill went data-sized.
+    val mp = SparkEntry.queries("m_time_matrixprofile")(spark, sf)
+    mp.collect()
+    val mpP = mp.queryExecution.executedPlan.toString
+    assert(!mpP.contains("CartesianProduct") &&
+           !mpP.contains("BroadcastNestedLoopJoin") &&
+           !mpP.contains("SortMergeJoin"),
+      s"m_time_matrixprofile: unexpected join shape:\n$mpP")
+    assert(mpP.contains("BroadcastHashJoin"),
+      s"m_time_matrixprofile: gap-fill must broadcast the hour counts:\n$mpP")
+    val mpProj = mpP.linesIterator.filter(_.contains("matrix_profile")).toList
+    assert(mpProj.exists(_.contains("*(")),
+      s"m_time_matrixprofile: kernel fell out of codegen:\n${mpProj.mkString("\n")}")
+
+    // m_ml_iforest: scoring is scan → codegen'd ensemble walk →
+    // TakeOrderedAndProject — ZERO shuffle exchanges; any exchange means
+    // the top-10 regressed to a global sort or the scoring picked up a
+    // join.
+    val ifo = SparkEntry.queries("m_ml_iforest")(spark, sf)
+    ifo.collect()
+    val ifoP = ifo.queryExecution.executedPlan.toString
+    assert(ifoP.contains("TakeOrderedAndProject"),
+      s"m_ml_iforest: top-10 must be TakeOrderedAndProject:\n$ifoP")
+    assert(!ifoP.contains("Exchange"),
+      s"m_ml_iforest: scoring plan must not shuffle:\n$ifoP")
+    val ifoProj = ifoP.linesIterator.filter(_.contains("iforest_score")).toList
+    assert(ifoProj.exists(_.contains("*(")),
+      s"m_ml_iforest: forest walk fell out of codegen:\n${ifoProj.mkString("\n")}")
+
+    // q_text_dsir: the B-row log-ratio model joins back with an explicit
+    // broadcast hint — an SMJ here means the hint (and with it the
+    // shuffle-free scoring side) was lost.
+    val ds = SparkEntry.queries("q_text_dsir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ds.contains("BroadcastHashJoin") && !ds.contains("SortMergeJoin"),
+      s"q_text_dsir: model join must broadcast:\n$ds")
+
+    // m_traj_hausdorff rides the SAME pairedTracks scan as the DP trio:
+    // the u1 < u2 pair scan against the broadcast signature frame IS the
+    // declared BroadcastNestedLoopJoin (a theta join moves no data twice);
+    // anything heavier (cartesian, SMJ) is a regression.
+    val hd = SparkEntry.queries("m_traj_hausdorff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hd.contains("BroadcastNestedLoopJoin") &&
+           !hd.contains("CartesianProduct") && !hd.contains("SortMergeJoin"),
+      s"m_traj_hausdorff: pair scan shape regressed:\n$hd")
+  }
 }
