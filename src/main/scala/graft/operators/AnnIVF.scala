@@ -32,25 +32,34 @@ object AnnIVF {
   /** (assigned vectors, probed cells) — the shared coarse-quantizer step:
     * `assigned` = (vec_id, v, cell) for the whole table, `probeCells` =
     * (probe_id, pv, cell) for each probe's nprobe closest cells. */
+  /** The memoized coarse-quantizer step, exposed for every consumer that
+    * rides the same one-off batch job (m_sim_ivf, q_sim_knn_vec,
+    * m_sim_hnsw seeds, m_dedup_semantic): `_1` = (vec_id, v, cell) for the
+    * whole table, `_2` = the (cell, cv) centroid frame (nlist rows). */
+  def assignments(spark: SparkSession, embeddings: DataFrame, nlist: Int)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    kmMemo.getOrCompute(spark, (embeddings, nlist)) {
+      val emb = embeddings
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("features", array_to_vector($"embedding"))
+      val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+        .setInitMode("random").fit(emb)
+      val asg = km.transform(emb).select($"vec_id", $"v", $"prediction".as("cell"))
+        .localCheckpoint(eager = false)
+      val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }.toSeq.toDF("cell", "cv")
+      (asg, cents)
+    }
+  }
+
   private def assignAndProbe(spark: SparkSession, embeddings: DataFrame,
                              probeIds: Seq[Long], nlist: Int, nprobe: Int)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
-    graft.functions.VectorOps.register(spark)
-    val (assigned, centroids) =
-      kmMemo.getOrCompute(spark, (embeddings, nlist)) {
-        val emb = embeddings
-          .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-          .withColumn("features", array_to_vector($"embedding"))
-        val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
-          .setInitMode("random").fit(emb)
-        val asg = km.transform(emb).select($"vec_id", $"v", $"prediction".as("cell"))
-          .localCheckpoint(eager = false)
-        val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray.toSeq)
-        }.toSeq.toDF("cell", "cv")
-        (asg, cents)
-      }
+    val (assigned, centroids) = assignments(spark, embeddings, nlist)
 
     val probes = assigned.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"v".as("pv"))

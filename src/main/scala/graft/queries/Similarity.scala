@@ -318,6 +318,30 @@ object Similarity extends QueryGroup {
         .orderBy($"rank")
     }),
 
+    // SemDeDup (Abbas et al. 2023): corpus-level semantic dedup — k-means
+    // cells bound the pair search, near-dup groups collapse to the member
+    // LEAST similar to its centroid (the paper's diversity-preserving keep
+    // rule, which a pairwise radius join cannot express). Rides the SAME
+    // memoized k-means as the IVF/NSW keys; the declared trade-off vs
+    // q_dedup_embcos's LSH (guaranteed recall at the radius) is that a
+    // pair split across cells is missed — the published behavior. τ = 0.4
+    // matches the embcos radius so the two passes are comparable. Output:
+    // per-cell dedup summary. No SQL oracle (k-means + CC); SemDedupSpec
+    // pins planted-duplicate collapse, the keep rule, the within-cell
+    // pair-completeness invariant, and the key against a driver
+    // recomputation under the same assignment.
+    "m_dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val (assigned, centroids) =
+        graft.operators.AnnIVF.assignments(s, t(s, dir, "embeddings"), nlist = 16)
+      graft.operators.SemDedup.run(s, assigned, centroids, tauCos = 0.4)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct($"comp").as("n_groups"),
+          sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy($"cell")
+    }),
+
     // Approximate paths — property-tested for recall, no SQL oracle.
     "m_sim_lsh" -> ((s, dir) =>
       graft.operators.VectorLSH.candidatePairs(s, t(s, dir, "embeddings"), 1.2)),
