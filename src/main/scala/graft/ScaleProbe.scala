@@ -116,7 +116,19 @@ object ScaleProbe {
       // TRACLUS: MDL partition is user-local; the candidate grid is
       // bounded by the transit band (per-segment replication ≤
       // maxSeg/cell + 1), so growth tracks the clustered-band pair count
-      "m_traj_traclus")
+      "m_traj_traclus",
+      // round-14 session-2 additions: Hausdorff rides the same U² pair
+      // scan as the DP trio (documented wall, cutoff makes per-pair cost
+      // sub-cap²); matrixprofile is TIME-RANGE-bounded (10× time-shifted
+      // copies → 10× grid → ~100× kernel cells per type — the declared
+      // O(range²) wall, see mp_decade for the pure-range point); iforest
+      // scoring is linear with a fixed broadcast forest (flat expected
+      // past the probe-sized refit); semantic dedup at FIXED nlist=16
+      // documents the per-cell quadratic (production scales nlist ∝ N —
+      // the cell self-join is then partition-local and bounded); dsir is
+      // two map-side-combinable aggs + a broadcast (near-linear expected)
+      "m_traj_hausdorff", "m_time_matrixprofile", "m_ml_iforest",
+      "m_dedup_semantic", "q_text_dsir")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)
@@ -204,6 +216,37 @@ object ScaleProbe {
           val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
           println(s"""{"metric":"scaleprobe","key":"hw_decade","scale":"$label","error":"$m"}""")
+        }
+      }
+    }
+
+    // Matrix-profile time-RANGE probe (request "mp_decade"): the key's
+    // declared wall is O(hours²) PER TYPE, volume-independent — measure it
+    // at the same ×120-stretched decade grid as hw_decade (87.6k hour
+    // slots → ~7.7G STOMP cells/type, types run in parallel). The expected
+    // shape is core-minute class, and the published escape hatch past it
+    // (SCRIMP++ anytime / chunked-min-merge) is documented at the kernel.
+    if (args.lift(3).exists(_.split(',').contains("mp_decade"))) {
+      val decadeDir = s"$scaled-decade"
+      if (!new java.io.File(s"$decadeDir/events.parquet").exists()) {
+        val ev = Tables(spark, base, "events")
+        val minUs = ev.agg(min(unix_micros(col("ts")))).first().getLong(0)
+        ev.withColumn("ts", timestamp_micros(
+            lit(minUs) + (unix_micros(col("ts")) - lit(minUs)) * lit(120L)))
+          .write.mode("overwrite").parquet(s"$decadeDir/events.parquet")
+      }
+      for ((label, dir) <- Seq("base" -> base, "decade" -> decadeDir)) {
+        val t0 = System.nanoTime()
+        try {
+          val df = SparkEntry.queries("m_time_matrixprofile")(spark, dir)
+          val rows = df.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val ex = countShuffles(df.queryExecution.executedPlan)
+          println(s"""{"metric":"scaleprobe","key":"mp_decade","scale":"$label","sec":${r3(sec)},"rows":$rows,"exchanges":$ex}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+          println(s"""{"metric":"scaleprobe","key":"mp_decade","scale":"$label","error":"$m"}""")
         }
       }
     }
