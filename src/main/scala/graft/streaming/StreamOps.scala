@@ -643,6 +643,52 @@ object HoltWintersProcessor {
   val MaxAheadHours: Long = 24L * 3653 * 10 // 10 years of 365.3-day years
 }
 
+/** Serialized ADWIN window for [[DriftProcessor]]: the bucket vector as
+  * parallel sequences (one Encoders.product round-trip, no nested
+  * case-class encoding). */
+case class AdwinSt(sums: Seq[Double], sqs: Seq[Double], ns: Seq[Long])
+
+/** `StatefulProcessor` behind [[StreamOps.driftTws]] (named to not collide
+  * with the PSI [[DriftProcessor]] above): per-event-type ADWIN
+  * change detection on the value stream ([[graft.operators.Adwin]] — the
+  * pure core is shared with the spec's driver mirror, so streamed
+  * detections are bit-identical to a driver fold over the same arrival
+  * order, the HoltWintersProcessor discipline). Rows fold in (ts_us,
+  * event_id) order within each micro-batch; state = the O(M·log n)
+  * exponential-histogram bucket vector; one output row per DETECTED drift
+  * (window shrink): (event_type, trigger event_id, window n after cut,
+  * window mean after cut). Batch-split invariant by construction — the
+  * fold is per-element, so micro-batch boundaries cannot move a
+  * detection. */
+class AdwinDriftProcessor(delta: Double = 0.002)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, Ev, (String, Long, Long, Double)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+  import graft.operators.Adwin
+
+  @transient private var st: streaming.ValueState[AdwinSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[AdwinSt](
+      "adwinState", Encoders.product[AdwinSt], streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[Ev],
+      timerValues: streaming.TimerValues): Iterator[(String, Long, Long, Double)] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var bs = Option(st.get())
+      .map(s => s.sums.indices.map(i => Adwin.B(s.sums(i), s.sqs(i), s.ns(i))).toVector)
+      .getOrElse(Vector.empty[Adwin.B])
+    val out = Seq.newBuilder[(String, Long, Long, Double)]
+    sorted.foreach { e =>
+      val step = Adwin.add(bs, e.value, delta)
+      bs = step.buckets
+      if (step.drift) out += ((key, e.event_id, step.n, step.mean))
+    }
+    st.update(AdwinSt(bs.map(_.sum), bs.map(_.sumSq), bs.map(_.n)))
+    out.result().iterator
+  }
+}
+
 /** SURVEY §2.9 — the streaming wiring of the batch-declared query shapes.
   *
   * Every aggregation body is written once as DataFrame → DataFrame and works
@@ -734,6 +780,17 @@ object StreamOps {
     import ev.sparkSession.implicits._
     ev.groupByKey(_ => 0L)
       .transformWithState(new HoltWintersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
+  /** Streaming concept-drift detection per event type — ADWIN (Bifet &
+    * Gavaldà, SDM 2007) over the value stream (see [[DriftProcessor]] /
+    * [[graft.operators.Adwin]]). Emits one row per detected drift. */
+  def driftTws(ev: Dataset[Ev], delta: Double = 0.002)
+      : Dataset[(String, Long, Long, Double)] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.event_type)
+      .transformWithState(new AdwinDriftProcessor(delta),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 

@@ -479,6 +479,51 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("adwin drift stream: planted shift detected once, streamed hits equal the driver fold, stable type silent") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 'shifty' jumps from a 0.5/1.5 wobble to +5 at element 400;
+      // 'steady' wobbles forever. Values are a pure function of event_id,
+      // so the driver mirror folds the identical sequence.
+      def valueOf(typ: String, i: Long): Double =
+        (if (i % 2 == 0) 0.5 else 1.5) + (if (typ == "shifty" && i >= 400) 5.0 else 0.0)
+      def evs(typ: String, range: Range): Seq[Ev] =
+        range.map(i => ev(i.toLong, 1000000L + i * 1000L, typ = typ,
+          value = valueOf(typ, i.toLong)))
+      val input = MemoryStream[Ev]
+      val name = nextName()
+      val q = StreamOps.driftTws(input.toDS())
+        .toDF("event_type", "event_id", "win_n", "win_mean")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // batch 1 ends mid-regime; in-batch arrival REVERSED to prove the
+      // (ts_us, id) re-sort; batch 2 carries the shift across the boundary
+      input.addData((evs("shifty", 0 until 300) ++ evs("steady", 0 until 300)).reverse: _*)
+      q.processAllAvailable()
+      input.addData(evs("shifty", 300 until 600) ++ evs("steady", 300 until 600): _*)
+      q.processAllAvailable(); q.stop()
+      val got = spark.table(name)
+        .select($"event_type", $"event_id", $"win_n", $"win_mean")
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got.forall(_._1 == "shifty"), s"stable type must stay silent: $got")
+      // driver mirror: the same pure kernel over the same arrival order
+      var bs = Vector.empty[graft.operators.Adwin.B]
+      val want = (0 until 600).flatMap { i =>
+        val st = graft.operators.Adwin.add(bs, valueOf("shifty", i.toLong))
+        bs = st.buckets
+        if (st.drift) Some(("shifty", i.toLong, st.n, st.mean)) else None
+      }
+      assert(got == want, s"\n got=$got\nwant=$want")
+      assert(got.nonEmpty && got.head._2 >= 400, s"drift before the shift: $got")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("geofence alerts: enters/exits emit exactly once, state crosses batches, in-batch order restored") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
