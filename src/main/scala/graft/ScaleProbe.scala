@@ -128,7 +128,15 @@ object ScaleProbe {
       // the cell self-join is then partition-local and bounded); dsir is
       // two map-side-combinable aggs + a broadcast (near-linear expected)
       "m_traj_hausdorff", "m_time_matrixprofile", "m_ml_iforest",
-      "m_dedup_semantic", "q_text_dsir")
+      "m_dedup_semantic", "q_text_dsir",
+      // round-14 session-3 additions: kendall's day-pair enumeration is
+      // TIME-RANGE-bounded (volume replication leaves the daily grid
+      // unchanged — flat expected; range growth is the declared O(days²)
+      // wall), tortuosity/circvar are one window pass + one hash agg
+      // (linear expected), ljungbox rides the acf hour-grid substrate
+      // (time-bounded past the one fact agg)
+      "q_stat_kendall", "q_traj_tortuosity", "q_traj_circvar",
+      "q_time_ljungbox")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

@@ -960,6 +960,83 @@ object Geo extends QueryGroup {
         .orderBy($"user_id")
     }),
 
+    // Tortuosity / straightness index (Benhamou, J. Theor. Biol. 2004 —
+    // the standard movement-ecology path-efficiency ratio): net
+    // displacement between a user's FIRST and LAST fix over the total
+    // path length. 1 = beeline, →0 = space-filling wander; the one-number
+    // "is this vehicle going somewhere or circling" classifier that
+    // complements rog (dispersion) and trips (segmentation). Endpoints
+    // are picked by integer rank over the (ts_us, event_id) total order —
+    // never FP — and folded via MAX(CASE) in the SAME user-keyed
+    // aggregate that sums the path (the segments substrate window
+    // already ordered the fixes, so the rank costs no extra exchange).
+    // Path length rides the q_geo_haversine DECIMAL route; the ratio
+    // divides the identical operands in both engines, round(4); single-
+    // fix users (no movement) are declared NULL.
+    "q_traj_tortuosity" -> ((s, dir) => {
+      import s.implicits._
+      val ranked = pts(s, dir)
+        .withColumn("rn", row_number().over(trajW))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .withColumn("plat", lag($"lat", 1).over(trajW))
+        .withColumn("plon", lag($"lon", 1).over(trajW))
+        .withColumn("seg_km", hv($"plat", $"plon", $"lat", $"lon"))
+      ranked.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pts"),
+             max(when($"rn" === 1, $"lat")).as("flat"),
+             max(when($"rn" === 1, $"lon")).as("flon"),
+             max(when($"rn" === $"nn", $"lat")).as("llat"),
+             max(when($"rn" === $"nn", $"lon")).as("llon"),
+             dsum($"seg_km", 4).as("path_km"))
+        .withColumn("net_km", hv($"flat", $"flon", $"llat", $"llon"))
+        .select($"user_id", $"n_pts",
+          round($"path_km", 1).as("path_km"),
+          round($"net_km", 1).as("net_km"),
+          when($"path_km" > 0.0,
+            round($"net_km" / $"path_km", 4)).as("straightness"))
+        .orderBy($"user_id")
+    }),
+
+    // Circular movement-direction statistics (Mardia & Jupp, "Directional
+    // Statistics", Wiley 2000 §2.3): per-user mean resultant direction and
+    // circular variance of the consecutive-fix bearings — the "does this
+    // user have a preferred heading" summary that q_traj_heading's
+    // fleet-wide octant histogram cannot answer per entity. Deliberately
+    // TRIG-FREE on the per-row side (the q_traj_heading discipline): the
+    // unit direction components are cos = dlat/r, sin = dlon/r with
+    // r = √(dlat²+dlon²) — identities for the planar bearing from north,
+    // no atan2 anywhere, so every per-row value is a correctly-rounded
+    // IEEE sqrt/divide identical in both engines. Component sums route
+    // through DECIMAL(18,8) (order-free); R̄ = √(Σc² + Σs²)/n, circular
+    // variance 1 − R̄ ∈ [0,1] (0 = one fixed heading, 1 = isotropic), the
+    // mean direction reported as its exact (cos, sin) pair rather than a
+    // final atan2 degree (an angle output would re-introduce the one libm
+    // call the whole chain avoids). Zero-movement segments excluded
+    // (declared, as in q_traj_heading). One window pass + one hash agg.
+    "q_traj_circvar" -> ((s, dir) => {
+      import s.implicits._
+      val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val seg = segments(s, dir)
+        .filter($"plat".isNotNull)
+        .withColumn("dlat", $"lat" - $"plat")
+        .withColumn("dlon", $"lon" - $"plon")
+        .filter($"dlat" =!= 0.0 || $"dlon" =!= 0.0)
+        .withColumn("r", sqrt($"dlat" * $"dlat" + $"dlon" * $"dlon"))
+      seg.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_moves"),
+             sum(($"dlat" / $"r").cast(dec8)).as("sc"),
+             sum(($"dlon" / $"r").cast(dec8)).as("ss"))
+        .withColumn("scd", $"sc".cast("double"))
+        .withColumn("ssd", $"ss".cast("double"))
+        .withColumn("rbar",
+          sqrt($"scd" * $"scd" + $"ssd" * $"ssd") / $"n_moves")
+        .select($"user_id", $"n_moves",
+          round($"scd" / $"n_moves", 6).as("mean_cos"),
+          round($"ssd" / $"n_moves", 6).as("mean_sin"),
+          round(lit(1.0) - $"rbar", 6).as("circ_var"))
+        .orderBy($"user_id")
+    }),
+
     // Trajectory SIMPLIFICATION — radial-distance polyline reduction per
     // user (the telemetry compaction step: keep a fix only when it moves
     // ≥ ε from the LAST KEPT fix; O(n) one-pass cousin of
@@ -2143,6 +2220,59 @@ object Geo extends QueryGroup {
          |             / COUNT(*)), 1) AS rog_km,
          |  round(MAX(d), 1) AS max_km
          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "q_traj_tortuosity" -> (ptsCte +
+      s""",
+         |r AS (
+         |  SELECT user_id, lat, lon,
+         |    row_number() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS nn,
+         |    lag(lat, 1) OVER w AS plat, lag(lon, 1) OVER w AS plon
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT user_id, COUNT(*) AS n_pts,
+         |    MAX(CASE WHEN rn = 1 THEN lat END) AS flat,
+         |    MAX(CASE WHEN rn = 1 THEN lon END) AS flon,
+         |    MAX(CASE WHEN rn = nn THEN lat END) AS llat,
+         |    MAX(CASE WHEN rn = nn THEN lon END) AS llon,
+         |    ${Q.oSum(s"CASE WHEN plat IS NULL THEN NULL ELSE ${
+               HaversineDist.oracleSql("plat", "plon", "lat", "lon")} END")}
+         |      AS path_km
+         |  FROM r GROUP BY user_id),
+         |f AS (
+         |  SELECT user_id, n_pts, path_km,
+         |    ${HaversineDist.oracleSql("flat", "flon", "llat", "llon")} AS net_km
+         |  FROM g)
+         |SELECT user_id, n_pts,
+         |  round(path_km, 1) AS path_km, round(net_km, 1) AS net_km,
+         |  CASE WHEN path_km > 0.0 THEN round(net_km / path_km, 4) END
+         |    AS straightness
+         |FROM f ORDER BY user_id""".stripMargin),
+
+    "q_traj_circvar" -> (ptsCte +
+      s""",
+         |dl AS (
+         |  SELECT user_id,
+         |    lat - lag(lat, 1) OVER w AS dlat,
+         |    lon - lag(lon, 1) OVER w AS dlon
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |seg AS (
+         |  SELECT user_id, dlat, dlon,
+         |    sqrt(dlat * dlat + dlon * dlon) AS r
+         |  FROM dl
+         |  WHERE dlat IS NOT NULL AND (dlat <> 0.0 OR dlon <> 0.0)),
+         |g AS (
+         |  SELECT user_id, COUNT(*) AS n_moves,
+         |    CAST(SUM(CAST((dlat / r) AS DECIMAL(18,8))) AS DOUBLE) AS scd,
+         |    CAST(SUM(CAST((dlon / r) AS DECIMAL(18,8))) AS DOUBLE) AS ssd
+         |  FROM seg GROUP BY user_id)
+         |SELECT user_id, n_moves,
+         |  round(scd / n_moves, 6) AS mean_cos,
+         |  round(ssd / n_moves, 6) AS mean_sin,
+         |  round(1.0 - sqrt(scd * scd + ssd * ssd) / n_moves, 6) AS circ_var
+         |FROM g ORDER BY user_id""".stripMargin),
 
     "q_traj_convoy" -> (ptsCte +
       """,

@@ -574,6 +574,85 @@ object Ml extends QueryGroup {
         .orderBy($"bin")
     }),
 
+    // Murphy decomposition of the Brier score (Murphy, J. Appl. Meteor.
+    // 1973): brier = reliability − resolution + uncertainty over the
+    // calibration key's OWN decile bins — the diagnostic split a forecast
+    // consumer reads ABOVE the raw Brier number (reliability = how far
+    // bin confidence sits from bin outcome, the fixable part; resolution
+    // = how much the bins separate outcomes, the earned part; uncertainty
+    // = the outcome base rate's irreducible floor). Same single fact scan
+    // and integer bin rule as q_ml_calibration (shared substrate — the
+    // two keys can never disagree on binning); the per-bin (p̄−ō)² and
+    // (ō−ō̄)² terms are doubles built from exact integer/decimal operands
+    // in one declared op order, then DECIMAL(28,8)-routed so the ≤10-term
+    // sums are order-free. One row out.
+    "q_ml_brier" -> ((s, dir) => {
+      import s.implicits._
+      val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val dec28 = org.apache.spark.sql.types.DecimalType(28, 8)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("y", when($"event_type" === "purchase", 1.0).otherwise(0.0))
+        .withColumn("p", $"value" / 500.0)
+        .withColumn("bin", least(floor($"value" / 50.0).cast("long"), lit(9L)))
+        .withColumn("sq", (($"p" - $"y") * ($"p" - $"y")).cast(dec8))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"p".cast(dec8)).as("sp"),
+             sum(when($"y" === 1.0, 1L).otherwise(0L)).as("npos"),
+             sum($"sq").as("ssq"))
+        .withColumn("nn", sum($"n").over(wAll))
+        .withColumn("obar", sum($"npos").over(wAll).cast("double") /
+          sum($"n").over(wAll))
+        .withColumn("pb", $"sp".cast("double") / $"n")
+        .withColumn("ob", $"npos".cast("double") / $"n")
+        .withColumn("rel_t",
+          ($"n" * ($"pb" - $"ob") * ($"pb" - $"ob")).cast(dec28))
+        .withColumn("res_t",
+          ($"n" * ($"ob" - $"obar") * ($"ob" - $"obar")).cast(dec28))
+        .groupBy()
+        .agg(max($"nn").as("n"), max($"obar").as("ob_all"),
+             sum($"rel_t").as("rel"), sum($"res_t").as("res"),
+             sum($"ssq").as("tssq"))
+        .select($"n",
+          round($"tssq".cast("double") / $"n", 6).as("brier"),
+          round($"rel".cast("double") / $"n", 6).as("reliability"),
+          round($"res".cast("double") / $"n", 6).as("resolution"),
+          round($"ob_all" * (lit(1.0) - $"ob_all"), 6).as("uncertainty"))
+    }),
+
+    // Decile lift / cumulative-gains table (the campaign-targeting read
+    // of the same planted scores: "mail the top k deciles, capture what
+    // share of purchasers at what lift over random?"). Deciles are the
+    // calibration key's integer score bins read HIGH-CONFIDENCE FIRST;
+    // per-decile lift and the cumulative capture/lift ride two window
+    // sums over the ≤10-row bin frame. Every ratio is ONE division of
+    // exact BIGINT products (lift = pos·N / (n·P) — never a ratio of
+    // ratios, so no intermediate FP op can drift), round(6). The fact
+    // table is scanned exactly once.
+    "q_ml_lift" -> ((s, dir) => {
+      import s.implicits._
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy($"bin".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .withColumn("bin", least(floor($"value" / 50.0).cast("long"), lit(9L)))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("npos"))
+        .withColumn("nn", sum($"n").over(wAll))
+        .withColumn("tp", sum($"npos").over(wAll))
+        .withColumn("cum_n", sum($"n").over(wCum))
+        .withColumn("cum_pos", sum($"npos").over(wCum))
+        .select($"bin", $"n", $"npos",
+          round(($"npos" * $"nn").cast("double") / ($"n" * $"tp"), 6).as("lift"),
+          round($"cum_pos".cast("double") / $"tp", 6).as("cum_capture"),
+          round(($"cum_pos" * $"nn").cast("double") / ($"cum_n" * $"tp"), 6)
+            .as("cum_lift"))
+        .orderBy($"bin".desc)
+    }),
+
     // Ranking quality — per-user NDCG@10 of the value-score ordering on
     // purchase relevance (Järvelin & Kekäläinen TOIS 2002): the recsys
     // evaluation completing the family (confusion = thresholded, AUC =
@@ -742,6 +821,65 @@ object Ml extends QueryGroup {
         |  round(CAST(sp AS DOUBLE) / n, 6) AS mean_pred,
         |  round(CAST(npos AS DOUBLE) / n, 6) AS frac_pos,
         |  round(CAST(SUM(ssq) OVER () AS DOUBLE) / SUM(n) OVER (), 6) AS brier
-        |FROM b ORDER BY bin""".stripMargin
+        |FROM b ORDER BY bin""".stripMargin,
+
+    // The calibration bin chain, then the Murphy terms in identical op
+    // order with DECIMAL(28,8)-routed ≤10-term sums.
+    "q_ml_brier" ->
+      """WITH e AS (
+        |  SELECT value / 500.0 AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+        |    LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |b AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    SUM(CAST(p AS DECIMAL(18,8))) AS sp,
+        |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+        |    SUM(CAST((p - y) * (p - y) AS DECIMAL(18,8))) AS ssq
+        |  FROM e GROUP BY bin),
+        |w AS (
+        |  SELECT bin, n, npos, ssq,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS nn,
+        |    CAST(SUM(npos) OVER () AS DOUBLE) / SUM(n) OVER () AS obar,
+        |    CAST(sp AS DOUBLE) / n AS pb,
+        |    CAST(npos AS DOUBLE) / n AS ob
+        |  FROM b),
+        |t AS (
+        |  SELECT MAX(nn) AS n, MAX(obar) AS ob_all,
+        |    SUM(CAST(n * (pb - ob) * (pb - ob) AS DECIMAL(28,8))) AS rel,
+        |    SUM(CAST(n * (ob - obar) * (ob - obar) AS DECIMAL(28,8))) AS res,
+        |    SUM(ssq) AS tssq
+        |  FROM w)
+        |SELECT n,
+        |  round(CAST(tssq AS DOUBLE) / n, 6) AS brier,
+        |  round(CAST(rel AS DOUBLE) / n, 6) AS reliability,
+        |  round(CAST(res AS DOUBLE) / n, 6) AS resolution,
+        |  round(ob_all * (1.0 - ob_all), 6) AS uncertainty
+        |FROM t""".stripMargin,
+
+    "q_ml_lift" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |b AS (
+        |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+        |  FROM e GROUP BY bin),
+        |w AS (
+        |  SELECT bin, n, npos,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS nn,
+        |    CAST(SUM(npos) OVER () AS BIGINT) AS tp,
+        |    CAST(SUM(n) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n,
+        |    CAST(SUM(npos) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos
+        |  FROM b)
+        |SELECT bin, n, npos,
+        |  round(CAST(npos * nn AS DOUBLE) / (n * tp), 6) AS lift,
+        |  round(CAST(cum_pos AS DOUBLE) / tp, 6) AS cum_capture,
+        |  round(CAST(cum_pos * nn AS DOUBLE) / (cum_n * tp), 6) AS cum_lift
+        |FROM w ORDER BY bin DESC""".stripMargin
   )
 }

@@ -34,6 +34,36 @@ object Stats extends QueryGroup {
   private def binCol: Column = least(floor(col("value")).cast("long"), lit(999L))
   private val binSql = "least(CAST(floor(value) AS BIGINT), 999)"
 
+  /** Per-type central moments from DECIMAL-exact power sums — the ONE
+    * definition behind q_stat_moments AND q_stat_jarque (shared substrate
+    * so the two keys can never drift). Columns: event_type, n, mean,
+    * stddev (round 4), skewness, kurtosis (excess, round 6). */
+  private def momentsFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           dsum($"value", 6).as("s1"),
+           sum(($"value" * $"value").cast(DecimalType(38, 6)))
+             .cast("double").as("s2"),
+           sum(($"value" * $"value" * $"value").cast(DecimalType(38, 6)))
+             .cast("double").as("s3"),
+           sum(($"value" * $"value" * $"value" * $"value")
+             .cast(DecimalType(38, 6))).cast("double").as("s4"))
+      .withColumn("m", $"s1" / $"n")
+      .withColumn("m2", $"s2" / $"n" - $"m" * $"m")
+      .withColumn("m3", $"s3" / $"n" - lit(3.0) * $"m" * ($"s2" / $"n")
+        + lit(2.0) * $"m" * $"m" * $"m")
+      .withColumn("m4", $"s4" / $"n" - lit(4.0) * $"m" * ($"s3" / $"n")
+        + lit(6.0) * $"m" * $"m" * ($"s2" / $"n")
+        - lit(3.0) * $"m" * $"m" * $"m" * $"m")
+      .select($"event_type", $"n",
+        r4($"m").as("mean"),
+        r4(sqrt($"m2")).as("stddev"),
+        round($"m3" / ($"m2" * sqrt($"m2")), 6).as("skewness"),
+        round($"m4" / ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis"))
+  }
+
   /** click/purchase per-bin counts — the q_stat_ks / q_stat_mwu substrate
     * (the one data-sized aggregate both keys share). */
   /** Shared time-to-event substrate of q_stat_km / q_stat_logrank: per
@@ -391,30 +421,25 @@ object Stats extends QueryGroup {
     // Σx⁴ rides a DECIMAL(38,6) (560⁴ ≈ 1e11 per row — the default
     // 18-digit dsum would overflow its integer part at fixture counts).
     // One fact hash-agg; everything after is per-type scalar arithmetic.
-    "q_stat_moments" -> ((s, dir) => {
+    "q_stat_moments" -> ((s, dir) => momentsFrame(s, dir).orderBy(col("event_type"))),
+
+    // Jarque–Bera normality test (Jarque & Bera, Econ. Lett. 1980) per
+    // event type: JB = n/6 · (S² + K²/4) from the SAME round(6)-pinned
+    // skewness S and excess kurtosis K the moments key publishes (the
+    // pacf discipline — shared substrate, so the two keys can never
+    // drift, and parity is identical pinned inputs through one formula
+    // text). χ²(2) under normality; the fixture's uniform-ish value
+    // column reads as a large JB (platykurtic, K ≈ −1.2), which is the
+    // point — the test DETECTS non-normality before a Welch/ANOVA key's
+    // normal-theory p-values get trusted. Constant-size after the one
+    // shared moment aggregate.
+    "q_stat_jarque" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "events")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-             dsum($"value", 6).as("s1"),
-             sum(($"value" * $"value").cast(DecimalType(38, 6)))
-               .cast("double").as("s2"),
-             sum(($"value" * $"value" * $"value").cast(DecimalType(38, 6)))
-               .cast("double").as("s3"),
-             sum(($"value" * $"value" * $"value" * $"value")
-               .cast(DecimalType(38, 6))).cast("double").as("s4"))
-        .withColumn("m", $"s1" / $"n")
-        .withColumn("m2", $"s2" / $"n" - $"m" * $"m")
-        .withColumn("m3", $"s3" / $"n" - lit(3.0) * $"m" * ($"s2" / $"n")
-          + lit(2.0) * $"m" * $"m" * $"m")
-        .withColumn("m4", $"s4" / $"n" - lit(4.0) * $"m" * ($"s3" / $"n")
-          + lit(6.0) * $"m" * $"m" * ($"s2" / $"n")
-          - lit(3.0) * $"m" * $"m" * $"m" * $"m")
-        .select($"event_type", $"n",
-          r4($"m").as("mean"),
-          r4(sqrt($"m2")).as("stddev"),
-          round($"m3" / ($"m2" * sqrt($"m2")), 6).as("skewness"),
-          round($"m4" / ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis"))
+      momentsFrame(s, dir)
+        .select($"event_type", $"n", $"skewness", $"kurtosis",
+          round(($"n" / lit(6.0)) *
+            ($"skewness" * $"skewness"
+              + $"kurtosis" * $"kurtosis" / lit(4.0)), 4).as("jb"))
         .orderBy($"event_type")
     }),
 
@@ -544,6 +569,63 @@ object Stats extends QueryGroup {
         .select($"t1", $"t2", $"n_hours",
           pearsonR($"n_hours", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("rho"))
+        .orderBy($"t1", $"t2")
+    }),
+
+    // Kendall τ-b between every pair of event types' DAILY count series —
+    // the concordance-based association measure next to Spearman's ρ
+    // (τ counts order agreements pair-by-pair, so one wild day moves it
+    // by at most 2/n₀ where ρ can swing on a single extreme rank; the
+    // tie-corrected τ-b form because a zero-inflated daily grid is all
+    // ties). Day pairs are enumerated WITHOUT a self-join of the fact
+    // scan: the series folds to one time-bounded list per type pair
+    // (≤ grid days) and explodes twice under d1 < d2 — concordant /
+    // discordant / tied counts are then BIGINT-exact, and
+    // τ-b = (C − D) / (√(n₀−T_x)·√(n₀−T_y)) divides identical integer
+    // operands in both engines (the sqrt·sqrt overflow-safe form),
+    // round(6), NULL when either tie term consumes all pairs. Scale:
+    // the grid is DAILY deliberately — the pair count grows with the
+    // time RANGE only (decade ≈ 6.7M day pairs per type pair, never
+    // data-sized); past that range the standard swap-in is the
+    // O(n log n) merge-inversion count, declared here.
+    "q_stat_kendall" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "events")
+        .withColumn("d", expr("(unix_millis(ts) div 86400000) * 86400000"))
+        .groupBy($"d", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val grid = agg.agg(min($"d").as("lo"), max($"d").as("hi"))
+        .select(explode(expr("sequence(lo, hi, 86400000)")).as("d"))
+      val types = agg.select($"event_type").distinct()
+      val ser = grid.crossJoin(broadcast(types))
+        .join(agg, Seq("d", "event_type"), "left")
+        .select($"d", $"event_type", coalesce($"c", lit(0L)).as("c"))
+      val perDay = ser.groupBy($"d")
+        .agg(collect_list(struct($"event_type", $"c")).as("lst"))
+      val p = perDay
+        .select($"d", explode($"lst").as("p1"), $"lst")
+        .select($"d", $"p1.event_type".as("t1"), $"p1.c".as("x"),
+                explode($"lst").as("p2"))
+        .filter($"t1" < $"p2.event_type")
+        .select($"t1", $"p2.event_type".as("t2"), $"d", $"x", $"p2.c".as("y"))
+      p.groupBy($"t1", $"t2")
+        .agg(collect_list(struct($"d", $"x", $"y")).as("lst"))
+        .select($"t1", $"t2", explode($"lst").as("a"), $"lst")
+        .select($"t1", $"t2", $"a", explode($"lst").as("b"))
+        .filter($"a.d" < $"b.d")
+        .groupBy($"t1", $"t2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(($"a.x" < $"b.x" && $"a.y" < $"b.y")
+            || ($"a.x" > $"b.x" && $"a.y" > $"b.y"), 1L).otherwise(0L)).as("n_conc"),
+          sum(when(($"a.x" < $"b.x" && $"a.y" > $"b.y")
+            || ($"a.x" > $"b.x" && $"a.y" < $"b.y"), 1L).otherwise(0L)).as("n_disc"),
+          sum(when($"a.x" === $"b.x", 1L).otherwise(0L)).as("stx"),
+          sum(when($"a.y" === $"b.y", 1L).otherwise(0L)).as("sty"))
+        .select($"t1", $"t2", $"n_pairs", $"n_conc", $"n_disc",
+          when($"n_pairs" - $"stx" > 0L && $"n_pairs" - $"sty" > 0L,
+            round(($"n_conc" - $"n_disc").cast("double") /
+              (sqrt(($"n_pairs" - $"stx").cast("double")) *
+               sqrt(($"n_pairs" - $"sty").cast("double"))), 6)).as("tau_b"))
         .orderBy($"t1", $"t2")
     }),
 
@@ -1032,6 +1114,33 @@ object Stats extends QueryGroup {
          |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
          |FROM mom ORDER BY event_type""".stripMargin,
 
+    // The moments CTE chain, then JB from the identical round(6)-pinned
+    // skewness/kurtosis in identical op order.
+    "q_stat_jarque" ->
+      s"""WITH st AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    ${Q.oSum("value", 6)} AS s1,
+         |    CAST(SUM(CAST((value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST((value * value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         |    CAST(SUM(CAST((value * value * value * value) AS DECIMAL(38,6))) AS DOUBLE) AS s4
+         |  FROM events GROUP BY event_type),
+         |mom AS (
+         |  SELECT event_type, n, m,
+         |    s2 / n - m * m AS m2,
+         |    s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS m3,
+         |    s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n)
+         |      - 3.0 * m * m * m * m AS m4
+         |  FROM (SELECT event_type, n, s1, s2, s3, s4, s1 / n AS m FROM st) x),
+         |fin AS (
+         |  SELECT event_type, CAST(n AS BIGINT) AS n,
+         |    round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+         |    round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+         |  FROM mom)
+         |SELECT event_type, n, skewness, kurtosis,
+         |  round((n / 6.0) * (skewness * skewness
+         |    + kurtosis * kurtosis / 4.0), 4) AS jb
+         |FROM fin ORDER BY event_type""".stripMargin,
+
     "q_stat_bf" ->
       s"""WITH med AS (
          |  SELECT event_type,
@@ -1122,6 +1231,48 @@ object Stats extends QueryGroup {
         |    n_hours * syy - sy * sy AS d2
         |  FROM st) z
         |ORDER BY t1, t2""".stripMargin,
+
+    "q_stat_kendall" ->
+      """WITH agg AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) * 86400000 AS d,
+        |    event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT MIN(d) FROM agg), (SELECT MAX(d) FROM agg),
+        |    86400000)) AS d),
+        |types AS (SELECT DISTINCT event_type FROM agg),
+        |ser AS (
+        |  SELECT grid.d, types.event_type, COALESCE(agg.c, 0) AS c
+        |  FROM grid CROSS JOIN types
+        |  LEFT JOIN agg ON grid.d = agg.d AND types.event_type = agg.event_type),
+        |p AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, a.d, a.c AS x, b.c AS y
+        |  FROM ser a JOIN ser b
+        |    ON a.d = b.d AND a.event_type < b.event_type),
+        |j AS (
+        |  SELECT p1.t1, p1.t2,
+        |    CASE WHEN (p1.x < p2.x AND p1.y < p2.y)
+        |           OR (p1.x > p2.x AND p1.y > p2.y) THEN 1 ELSE 0 END AS conc,
+        |    CASE WHEN (p1.x < p2.x AND p1.y > p2.y)
+        |           OR (p1.x > p2.x AND p1.y < p2.y) THEN 1 ELSE 0 END AS disc,
+        |    CASE WHEN p1.x = p2.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN p1.y = p2.y THEN 1 ELSE 0 END AS ty
+        |  FROM p p1 JOIN p p2
+        |    ON p1.t1 = p2.t1 AND p1.t2 = p2.t2 AND p1.d < p2.d),
+        |g AS (
+        |  SELECT t1, t2, COUNT(*) AS n_pairs,
+        |    CAST(SUM(conc) AS BIGINT) AS n_conc,
+        |    CAST(SUM(disc) AS BIGINT) AS n_disc,
+        |    CAST(SUM(tx) AS BIGINT) AS stx,
+        |    CAST(SUM(ty) AS BIGINT) AS sty
+        |  FROM j GROUP BY t1, t2)
+        |SELECT t1, t2, n_pairs, n_conc, n_disc,
+        |  CASE WHEN n_pairs - stx > 0 AND n_pairs - sty > 0 THEN
+        |    round(CAST(n_conc - n_disc AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs - stx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs - sty AS DOUBLE))), 6) END AS tau_b
+        |FROM g ORDER BY t1, t2""".stripMargin,
 
     "q_stat_anova" ->
       s"""WITH st AS (

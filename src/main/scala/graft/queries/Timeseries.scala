@@ -114,6 +114,31 @@ object Timeseries extends QueryGroup {
         .orderBy($"lag")
     }),
 
+    // Ljung–Box portmanteau test (Ljung & Box, Biometrika 1978) on the
+    // hourly event-count series at h = 3 lags — the "is this whiteness"
+    // companion the ACF/PACF pair reads informally: Q = n(n+2)·Σ_k
+    // ρ̂_k²/(n−k), χ²(h) under the null of no autocorrelation. Reads the
+    // acf key's OWN round(4)-pinned r's and n_pairs = n − k from the same
+    // acfFrame substrate (the pacf discipline — the two keys can never
+    // drift, and parity is trivial: identical pinned inputs through one
+    // pivoted formula text with a FIXED term order, never a 3-row SUM
+    // whose accumulation order the engines could disagree on). The only
+    // data-sized job remains the substrate's hour aggregate; everything
+    // after the 3-row pivot is constant-size.
+    "q_time_ljungbox" -> ((s, dir) => {
+      import s.implicits._
+      acfFrame(s, dir)
+        .agg(max($"n_pairs" + $"lag").as("n"), // n_pairs + lag = n, every row
+             max(when($"lag" === 1, $"acf")).as("r1"),
+             max(when($"lag" === 2, $"acf")).as("r2"),
+             max(when($"lag" === 3, $"acf")).as("r3"))
+        .select($"n".as("n_hours"), lit(3).as("h"),
+          round(($"n" * ($"n" + lit(2L))).cast("double") *
+            ($"r1" * $"r1" / ($"n" - lit(1L))
+              + $"r2" * $"r2" / ($"n" - lit(2L))
+              + $"r3" * $"r3" / ($"n" - lit(3L))), 4).as("q_lb"))
+    }),
+
     // Recency-weighted daily activity level, α = 1/2: within each UTC day
     // the hourly counts are combined with weights (1/2)^(23−hour) — the
     // end-of-day EWMA state of the classic recursive smoother, written in
@@ -1125,6 +1150,47 @@ object Timeseries extends QueryGroup {
         |UNION ALL
         |SELECT 3, r3, round(phi33, 6) FROM p4
         |ORDER BY lag""".stripMargin),
+
+    // The acf CTE chain re-pivoted; Q assembled in the identical fixed
+    // term order (never an order-free 3-row SUM of doubles).
+    "q_time_ljungbox" -> (Reshape.resampledCte +
+      s""",
+        |lagged AS (
+        |  SELECT n_events AS x,
+        |    lag(n_events, 1) OVER (ORDER BY bucket_ms) AS l1,
+        |    lag(n_events, 2) OVER (ORDER BY bucket_ms) AS l2,
+        |    lag(n_events, 3) OVER (ORDER BY bucket_ms) AS l3
+        |  FROM res),
+        |pairs AS (
+        |  SELECT 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2 AS lag, x, l2 AS y FROM lagged WHERE l2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 3 AS lag, x, l3 AS y FROM lagged WHERE l3 IS NOT NULL),
+        |st AS (
+        |  SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM pairs GROUP BY lag),
+        |ac AS (
+        |  SELECT lag, n_pairs, ${Q.oPearson()} AS acf
+        |  FROM (
+        |    SELECT lag, n_pairs,
+        |      n_pairs * sxy - sx * sy AS num,
+        |      n_pairs * sxx - sx * sx AS d1,
+        |      n_pairs * syy - sy * sy AS d2
+        |    FROM st)),
+        |pv AS (
+        |  SELECT MAX(n_pairs + lag) AS n,
+        |    MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |    MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+        |  FROM ac)
+        |SELECT CAST(n AS BIGINT) AS n_hours, 3 AS h,
+        |  round(CAST(n * (n + 2) AS DOUBLE) *
+        |    (r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3)), 4)
+        |    AS q_lb
+        |FROM pv""".stripMargin),
 
     "q_time_ewma" -> (Reshape.resampledCte +
       """
