@@ -136,7 +136,11 @@ object ScaleProbe {
       // (linear expected), ljungbox rides the acf hour-grid substrate
       // (time-bounded past the one fact agg)
       "q_stat_kendall", "q_traj_tortuosity", "q_traj_circvar",
-      "q_time_ljungbox")
+      "q_time_ljungbox",
+      // adf/hurst ride the hour grid (time-bounded past the fact agg);
+      // predict is one window pass + a lattice-bounded broadcast model
+      // (linear expected)
+      "q_time_adf", "q_time_hurst", "q_traj_predict")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

@@ -280,6 +280,13 @@ object Geo extends QueryGroup {
 
   // ---- oracle-side shared SQL ----------------------------------------------
 
+  /** Per-segment km with the leading NULL row declared NULL — the
+    * q_traj_tortuosity oracle's inner operand (kept out of the map
+    * literal so the interpolation stays single-level). */
+  private val tortSegKmSql: String =
+    "CASE WHEN plat IS NULL THEN NULL ELSE " +
+      HaversineDist.oracleSql("plat", "plon", "lat", "lon") + " END"
+
   private val ptsCte =
     """WITH pts AS (
       |  SELECT event_id, user_id, event_type, value,
@@ -1034,6 +1041,43 @@ object Geo extends QueryGroup {
           round($"scd" / $"n_moves", 6).as("mean_cos"),
           round($"ssd" / $"n_moves", 6).as("mean_sin"),
           round(lit(1.0) - $"rbar", 6).as("circ_var"))
+        .orderBy($"user_id")
+    }),
+
+    // First-order Markov next-cell prediction accuracy (the mobility-
+    // predictability measure in the Song/Qin/Barabási Science 2010
+    // tradition, resubstitution form — DECLARED: the model trains on the
+    // same fleet history it scores, the standard first read of "how
+    // regular is this fleet's movement"): fleet-wide transition counts
+    // between 20° cells (the cellMoves lattice — integer-exact cell ids
+    // from the event_id formula, no FP decides a cell), predictor =
+    // per-source argmax transition (ties broken to the SMALLEST target
+    // id — declared total order, never hash order), scored back over
+    // every user's actual moves. Self-transitions are excluded on BOTH
+    // sides (staying put is not a move). Scale: one data-sized window
+    // pass builds the moves; the model is lattice-bounded (≤162² rows)
+    // and BROADCASTS back — the score join never shuffles the fact side
+    // on a new key; per-user counts are integer-exact, one division.
+    "q_traj_predict" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val moves = pts(s, dir)
+        .withColumn("cell", expr(
+          "(((event_id * 37) % 1700) div 200) * 18 + ((event_id * 131) % 3600) div 200"))
+        .withColumn("nxt", lead($"cell", 1).over(w))
+        .filter($"nxt".isNotNull && $"cell" =!= $"nxt")
+        .select($"user_id", $"cell".as("src"), $"nxt".as("dst"))
+      val model = moves.groupBy($"src", $"dst").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"src").orderBy($"cnt".desc, $"dst")))
+        .filter($"rk" === 1)
+        .select($"src", $"dst".as("pred"))
+      moves.join(broadcast(model), Seq("src"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_moves"),
+             sum(when($"dst" === $"pred", 1L).otherwise(0L)).as("n_correct"))
+        .select($"user_id", $"n_moves", $"n_correct",
+          round($"n_correct".cast("double") / $"n_moves", 6).as("accuracy"))
         .orderBy($"user_id")
     }),
 
@@ -2236,9 +2280,7 @@ object Geo extends QueryGroup {
          |    MAX(CASE WHEN rn = 1 THEN lon END) AS flon,
          |    MAX(CASE WHEN rn = nn THEN lat END) AS llat,
          |    MAX(CASE WHEN rn = nn THEN lon END) AS llon,
-         |    ${Q.oSum(s"CASE WHEN plat IS NULL THEN NULL ELSE ${
-               HaversineDist.oracleSql("plat", "plon", "lat", "lon")} END")}
-         |      AS path_km
+         |    ${Q.oSum(tortSegKmSql)} AS path_km
          |  FROM r GROUP BY user_id),
          |f AS (
          |  SELECT user_id, n_pts, path_km,
@@ -2273,6 +2315,34 @@ object Geo extends QueryGroup {
          |  round(ssd / n_moves, 6) AS mean_sin,
          |  round(1.0 - sqrt(scd * scd + ssd * ssd) / n_moves, 6) AS circ_var
          |FROM g ORDER BY user_id""".stripMargin),
+
+    "q_traj_predict" ->
+      """WITH mv AS (
+        |  SELECT user_id,
+        |    (((event_id * 37) % 1700) // 200) * 18
+        |      + ((event_id * 131) % 3600) // 200 AS cell,
+        |    lead((((event_id * 37) % 1700) // 200) * 18
+        |      + ((event_id * 131) % 3600) // 200, 1) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS nxt
+        |  FROM events),
+        |moves AS (
+        |  SELECT user_id, cell AS src, nxt AS dst
+        |  FROM mv WHERE nxt IS NOT NULL AND cell <> nxt),
+        |model AS (
+        |  SELECT src, dst AS pred FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY COUNT(*) DESC, dst) AS rk
+        |    FROM moves GROUP BY src, dst) t
+        |  WHERE rk = 1)
+        |SELECT m.user_id, COUNT(*) AS n_moves,
+        |  CAST(SUM(CASE WHEN m.dst = p.pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(SUM(CASE WHEN m.dst = p.pred THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS accuracy
+        |FROM moves m JOIN model p ON m.src = p.src
+        |GROUP BY m.user_id ORDER BY user_id""".stripMargin,
 
     "q_traj_convoy" -> (ptsCte +
       """,

@@ -38,6 +38,20 @@ object Timeseries extends QueryGroup {
 
   /** q_time_acf's body, shared with q_time_pacf so the Durbin–Levinson
     * recursion reads the SAME round(4)-pinned r's the acf key declares. */
+  /** Hurst R/S block design — sizes, ln(m) abscissae and the closed-form
+    * OLS denominator, computed ONCE here and embedded as identical
+    * literals in BOTH dialects (the ndcg gain discipline). ln(m) values
+    * are pinned at 1e-10 before any use; `toString` round-trips the
+    * exact double into the oracle text. */
+  private val HurstMs: Seq[Int] = Seq(8, 16, 32, 64)
+  private val HurstLnM: Map[Int, Double] =
+    HurstMs.map(m => m -> math.round(math.log(m) * 1e10) / 1e10).toMap
+  private val HurstLmSum: Double = HurstMs.map(HurstLnM).sum
+  private val HurstDen: Double = {
+    val s2 = HurstMs.map(m => HurstLnM(m) * HurstLnM(m)).sum
+    4.0 * s2 - HurstLmSum * HurstLmSum
+  }
+
   private def acfFrame(s: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -137,6 +151,114 @@ object Timeseries extends QueryGroup {
             ($"r1" * $"r1" / ($"n" - lit(1L))
               + $"r2" * $"r2" / ($"n" - lit(2L))
               + $"r3" * $"r3" / ($"n" - lit(3L))), 4).as("q_lb"))
+    }),
+
+    // Dickey–Fuller unit-root test (Dickey & Fuller, JASA 1979; the
+    // no-augmentation form) on the hourly count series: regress
+    // Δx_t = a + b·x_{t−1} and report τ = b̂/se(b̂) — b near 0 (τ above
+    // ≈ −2.86) says random-walk-like level wandering, deeply negative τ
+    // says mean-reverting/stationary: THE admissibility gate for every
+    // key that models the series level (holt/hw forecasts, theilsen/mk
+    // trends assume the thing they measure is not a unit root). All six
+    // regression power sums are BIGINT-exact (counts and their lag
+    // differences are integers) in DECIMAL(38,0); b̂, SSE and τ then
+    // form in DOUBLE through one declared op-order chain — division and
+    // sqrt of bit-identical operands on both engines. One window pass
+    // over the gap-filled grid; everything after the hour agg is
+    // time-bounded (the q_time_acf argument). Degenerate den/SSE
+    // guarded NULL.
+    "q_time_adf" -> ((s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.orderBy($"bucket_ms")
+      val d = Reshape.resampled(s, dir)
+        .select($"bucket_ms", $"n_events".as("x"))
+        .withColumn("z", lag($"x", 1).over(w))
+        .filter($"z".isNotNull)
+        .withColumn("y", $"x" - $"z")
+      d.agg(count(lit(1)).as("n"),
+            sum($"z".cast(dec)).as("sz"), sum($"y".cast(dec)).as("sy"),
+            sum(($"z" * $"y").cast(dec)).as("szy"),
+            sum(($"z" * $"z").cast(dec)).as("szz"),
+            sum(($"y" * $"y").cast(dec)).as("syy"))
+        .withColumn("nD", $"n".cast(dec))
+        .withColumn("numd", ($"nD" * $"szy" - $"sz" * $"sy").cast("double"))
+        .withColumn("dend", ($"nD" * $"szz" - $"sz" * $"sz").cast("double"))
+        .withColumn("syyc", ($"nD" * $"syy" - $"sy" * $"sy").cast("double"))
+        .withColumn("bb", when($"dend" > 0.0, $"numd" / $"dend"))
+        .withColumn("sse", ($"syyc" - $"numd" * $"numd" / $"dend") / $"n")
+        .withColumn("s2", $"sse" / ($"n" - lit(2L)))
+        .select($"n".as("n_obs"),
+          round($"bb", 6).as("slope"),
+          when($"s2" > 0.0,
+            round($"bb" / sqrt($"s2" * $"n" / $"dend"), 4)).as("tau"))
+    }),
+
+    // Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot &
+    // Wallis 1969) over the hourly count series — the long-range-
+    // dependence diagnostic completing the short-range ACF family:
+    // H ≈ 0.5 says increments forget, H > 0.5 says persistent trends
+    // (bursts beget bursts — and q_time_burst's thresholds should then
+    // expect longer runs than Poisson). Block design, DECLARED: sizes
+    // m ∈ {8,16,32,64} hours, full blocks only; per block R = range of
+    // the cumulative deviations from the block mean and S = population
+    // σ, both from INTEGER-exact within-block sums (cum, Σx, Σx² ride
+    // windows over the grid); zero-variance / zero-range blocks dropped
+    // on both engines (declared). ln(R/S) round(6)-pinned per block
+    // (the km-curve ln discipline), DECIMAL-averaged per m; H = the
+    // 4-point log-log OLS slope whose ln(m) abscissae and closed-form
+    // denominator are computed ONCE in Scala and embedded as literals
+    // in BOTH dialects (the ndcg gain discipline — no engine libm is
+    // consulted for the axis). Requires ≥ 64 grid hours (declared).
+    // Everything past the hour agg is time-bounded.
+    "q_time_hurst" -> ((s, dir) => {
+      import s.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val dec28 = org.apache.spark.sql.types.DecimalType(28, 8)
+      val wOrd = Window.orderBy($"bucket_ms")
+      val wAll = Window.partitionBy()
+      val base = Reshape.resampled(s, dir)
+        .select($"bucket_ms", $"n_events".as("x"))
+        .withColumn("rn", row_number().over(wOrd).cast("long") - 1L)
+        .withColumn("nn", count(lit(1)).over(wAll))
+      val rows = base
+        .select($"rn", $"x", $"nn",
+          explode(array(HurstMs.map(m => lit(m)): _*)).as("m"))
+        .filter(expr("rn < m * (nn div m)"))
+        .withColumn("blk", expr("rn div m"))
+      val wB = Window.partitionBy($"m", $"blk").orderBy($"rn")
+      val wBa = Window.partitionBy($"m", $"blk")
+      val blkStats = rows
+        .withColumn("cum", sum($"x").over(wB))
+        .withColumn("j", row_number().over(wB))
+        .withColumn("sx", sum($"x").over(wBa))
+        .withColumn("sxx", sum($"x" * $"x").over(wBa))
+        .withColumn("mu", $"sx".cast("double") / $"m")
+        .withColumn("wdev", $"cum" - $"j" * $"mu")
+        .groupBy($"m", $"blk")
+        .agg(max($"wdev").as("wmax"), min($"wdev").as("wmin"),
+             max($"mu").as("mu"), max($"sxx").as("sxx"))
+        .withColumn("s2", $"sxx".cast("double") / $"m" - $"mu" * $"mu")
+        .filter($"s2" > 0.0)
+        .withColumn("rs", ($"wmax" - $"wmin") / sqrt($"s2"))
+        .filter($"rs" > 0.0)
+        .withColumn("lrs", round(log($"rs"), 6))
+      blkStats.groupBy($"m")
+        .agg(count(lit(1)).as("n_blocks"), sum($"lrs".cast(dec6)).as("sl"))
+        .withColumn("mean_log_rs",
+          round($"sl".cast("double") / $"n_blocks", 6))
+        .withColumn("lm",
+          HurstMs.tail.foldLeft(when($"m" === HurstMs.head, lit(HurstLnM(HurstMs.head)))) {
+            (c, m) => c.when($"m" === m, lit(HurstLnM(m)))
+          })
+        .withColumn("slmy",
+          sum(($"lm" * $"mean_log_rs").cast(dec28)).over(wAll))
+        .withColumn("sy", sum($"mean_log_rs".cast(dec6)).over(wAll))
+        .select($"m", $"n_blocks", $"mean_log_rs",
+          round((lit(4.0) * $"slmy".cast("double")
+            - lit(HurstLmSum) * $"sy".cast("double")) / lit(HurstDen), 4)
+            .as("h_est"))
+        .orderBy($"m")
     }),
 
     // Recency-weighted daily activity level, α = 1/2: within each UTC day
@@ -1191,6 +1313,92 @@ object Timeseries extends QueryGroup {
         |    (r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3)), 4)
         |    AS q_lb
         |FROM pv""".stripMargin),
+
+    // Δx on lag(x) regression from BIGINT-exact sums; τ chain in the
+    // identical declared op order.
+    "q_time_adf" -> (Reshape.resampledCte +
+      """,
+        |d AS (
+        |  SELECT x - z AS y, z FROM (
+        |    SELECT n_events AS x,
+        |      lag(n_events, 1) OVER (ORDER BY bucket_ms) AS z
+        |    FROM res) t
+        |  WHERE z IS NOT NULL),
+        |st AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(z) AS sz, SUM(y) AS sy, SUM(z*y) AS szy,
+        |    SUM(z*z) AS szz, SUM(y*y) AS syy
+        |  FROM d),
+        |f AS (
+        |  SELECT n,
+        |    CAST(n * szy - sz * sy AS DOUBLE) AS numd,
+        |    CAST(n * szz - sz * sz AS DOUBLE) AS dend,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS syyc
+        |  FROM st),
+        |g AS (
+        |  SELECT n, numd, dend,
+        |    CASE WHEN dend > 0.0 THEN numd / dend END AS bb,
+        |    ((syyc - numd * numd / dend) / n) / (n - 2) AS s2
+        |  FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_obs,
+        |  round(bb, 6) AS slope,
+        |  CASE WHEN s2 > 0.0
+        |    THEN round(bb / sqrt(s2 * n / dend), 4) END AS tau
+        |FROM g""".stripMargin),
+
+    // Block R/S from integer-exact window sums; ln(m) axis and the OLS
+    // denominator are the SAME Scala-pinned literals the Spark side uses.
+    "q_time_hurst" -> (Reshape.resampledCte +
+      s""",
+        |b0 AS (
+        |  SELECT n_events AS x,
+        |    row_number() OVER (ORDER BY bucket_ms) - 1 AS rn,
+        |    COUNT(*) OVER () AS nn
+        |  FROM res),
+        |e AS (SELECT rn, x, nn, unnest([${HurstMs.mkString(", ")}]) AS m
+        |      FROM b0),
+        |r AS (SELECT rn, x, m, rn // m AS blk FROM e
+        |      WHERE rn < m * (nn // m)),
+        |w AS (
+        |  SELECT m, blk, rn, x,
+        |    SUM(x) OVER (PARTITION BY m, blk ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (PARTITION BY m, blk ORDER BY rn) AS j,
+        |    SUM(x) OVER (PARTITION BY m, blk) AS sx,
+        |    SUM(x * x) OVER (PARTITION BY m, blk) AS sxx
+        |  FROM r),
+        |wd1 AS (SELECT m, blk, cum, j, sxx,
+        |          CAST(sx AS DOUBLE) / m AS mu FROM w),
+        |wd AS (SELECT m, blk, sxx, mu, cum - j * mu AS wdev FROM wd1),
+        |bs AS (
+        |  SELECT m, blk, MAX(wdev) AS wmax, MIN(wdev) AS wmin,
+        |    MAX(mu) AS mu, MAX(sxx) AS sxx
+        |  FROM wd GROUP BY m, blk),
+        |s2c AS (SELECT m, wmax, wmin,
+        |          CAST(sxx AS DOUBLE) / m - mu * mu AS s2 FROM bs),
+        |rsc AS (SELECT m, (wmax - wmin) / sqrt(s2) AS rs FROM s2c
+        |        WHERE s2 > 0.0),
+        |lr AS (SELECT m, round(ln(rs), 6) AS lrs FROM rsc WHERE rs > 0.0),
+        |pm AS (
+        |  SELECT m, COUNT(*) AS n_blocks,
+        |    SUM(CAST(lrs AS DECIMAL(18,6))) AS sl
+        |  FROM lr GROUP BY m),
+        |pm2 AS (SELECT m, n_blocks,
+        |          round(CAST(sl AS DOUBLE) / n_blocks, 6) AS mean_log_rs
+        |        FROM pm),
+        |lmj AS (
+        |  SELECT m, n_blocks, mean_log_rs,
+        |    CASE m ${HurstMs.map(m => s"WHEN $m THEN ${HurstLnM(m)}").mkString(" ")} END AS lm
+        |  FROM pm2),
+        |fin AS (
+        |  SELECT m, n_blocks, mean_log_rs,
+        |    SUM(CAST(lm * mean_log_rs AS DECIMAL(28,8))) OVER () AS slmy,
+        |    SUM(CAST(mean_log_rs AS DECIMAL(18,6))) OVER () AS sy
+        |  FROM lmj)
+        |SELECT CAST(m AS INT) AS m, n_blocks, mean_log_rs,
+        |  round((4.0 * CAST(slmy AS DOUBLE)
+        |    - $HurstLmSum * CAST(sy AS DOUBLE)) / $HurstDen, 4) AS h_est
+        |FROM fin ORDER BY m""".stripMargin),
 
     "q_time_ewma" -> (Reshape.resampledCte +
       """
