@@ -140,7 +140,9 @@ object ScaleProbe {
       // adf/hurst ride the hour grid (time-bounded past the fact agg);
       // predict is one window pass + a lattice-bounded broadcast model
       // (linear expected)
-      "q_time_adf", "q_time_hurst", "q_traj_predict")
+      "q_time_adf", "q_time_hurst", "q_traj_predict",
+      // AD is one fact scan + bin-bounded windows (flat-past-scan expected)
+      "q_stat_ad")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

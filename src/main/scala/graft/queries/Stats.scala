@@ -243,6 +243,57 @@ object Stats extends QueryGroup {
           (-$"top.nb").as("at_bin"))
     }),
 
+    // k-sample Anderson–Darling (Scholz & Stephens, JASA 1987 — the
+    // midrank/tie-adjusted A²akN, k = 2 on click vs purchase values):
+    // the TAIL-SENSITIVE shape test beside KS (KS sees the one biggest
+    // CDF gap, AD integrates the squared gap with 1/(F(1−F)) weighting,
+    // so tail divergence counts) on the same declared unit-bin grid.
+    // Tie handling is structural: every bin is a tie group, so the
+    // midrank form is THE applicable variant. Integer discipline: the
+    // doubled midrank cumulants 2M_ij and 2B_j keep every operand
+    // BIGINT-exact; each bin's term reduces to l·q²/(N·den) with
+    // q = N·2M − nᵢ·2B and den = 2B·(2N−2B) − N·l (the /4s cancel),
+    // evaluated in DOUBLE with every operand explicitly cast in the
+    // SAME op order on both engines, then the ≤1000-bin term sums are
+    // DECIMAL-routed (order-free). Degenerate den ≤ 0 bins (all mass in
+    // one bin) dropped on both engines (declared). One fact scan;
+    // everything after is bin-bounded.
+    "q_stat_ad" -> ((s, dir) => {
+      import s.implicits._
+      val dec28 = DecimalType(28, 8)
+      val wOrd = Window.orderBy($"bin")
+      val wExcl = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      cpBins(s, dir)
+        .withColumn("l", $"c1" + $"c2")
+        .withColumn("m2a",
+          lit(2L) * coalesce(sum($"c1").over(wExcl), lit(0L)) + $"c1")
+        .withColumn("m2b",
+          lit(2L) * coalesce(sum($"c2").over(wExcl), lit(0L)) + $"c2")
+        .withColumn("b2",
+          lit(2L) * coalesce(sum($"l").over(wExcl), lit(0L)) + $"l")
+        .withColumn("na", sum($"c1").over(wAll))
+        .withColumn("nb", sum($"c2").over(wAll))
+        .withColumn("nn", $"na" + $"nb")
+        .withColumn("den", $"b2" * (lit(2L) * $"nn" - $"b2") - $"nn" * $"l")
+        .filter($"den" > 0L)
+        .withColumn("qa", $"nn".cast("double") * $"m2a".cast("double")
+          - $"na".cast("double") * $"b2".cast("double"))
+        .withColumn("qb", $"nn".cast("double") * $"m2b".cast("double")
+          - $"nb".cast("double") * $"b2".cast("double"))
+        .withColumn("ta",
+          $"l" * ($"qa" * $"qa") / ($"nn" * $"den".cast("double")))
+        .withColumn("tb",
+          $"l" * ($"qb" * $"qb") / ($"nn" * $"den".cast("double")))
+        .agg(max($"na").as("n1"), max($"nb").as("n2"),
+             count(lit(1)).as("n_bins"),
+             sum($"ta".cast(dec28)).as("sa"), sum($"tb".cast(dec28)).as("sb"))
+        .select($"n1", $"n2", $"n_bins",
+          round((($"n1" + $"n2" - lit(1L)).cast("double") / ($"n1" + $"n2")) *
+            ($"sa".cast("double") / $"n1" + $"sb".cast("double") / $"n2"), 4)
+            .as("a2_akn"))
+    }),
+
     // Kruskal–Wallis H across ALL event types' value distributions —
     // the nonparametric one-way ANOVA (does at least one type's value
     // level differ?), tie-corrected, on the same declared unit-bin grid
@@ -1036,6 +1087,47 @@ object Stats extends QueryGroup {
         |  round(CAST(d AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
         |  bin AS at_bin
         |FROM top""".stripMargin,
+
+    // Doubled-midrank A²akN terms in the identical cast/op order;
+    // DECIMAL-routed term sums.
+    "q_stat_ad" ->
+      s"""WITH $cpBinsCte,
+        |cum AS (
+        |  SELECT bin, c1, c2, c1 + c2 AS l,
+        |    2 * COALESCE(SUM(c1) OVER (ORDER BY bin ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c1 AS m2a,
+        |    2 * COALESCE(SUM(c2) OVER (ORDER BY bin ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c2 AS m2b,
+        |    2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY bin ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (c1 + c2) AS b2,
+        |    SUM(c1) OVER () AS na, SUM(c2) OVER () AS nb
+        |  FROM perbin),
+        |d AS (
+        |  SELECT l, m2a, m2b, b2, na, nb, na + nb AS nn,
+        |    b2 * (2 * (na + nb) - b2) - (na + nb) * l AS den
+        |  FROM cum),
+        |q AS (
+        |  SELECT l, na, nb, nn, den,
+        |    CAST(nn AS DOUBLE) * CAST(m2a AS DOUBLE)
+        |      - CAST(na AS DOUBLE) * CAST(b2 AS DOUBLE) AS qa,
+        |    CAST(nn AS DOUBLE) * CAST(m2b AS DOUBLE)
+        |      - CAST(nb AS DOUBLE) * CAST(b2 AS DOUBLE) AS qb
+        |  FROM d WHERE den > 0),
+        |tm AS (
+        |  SELECT na, nb,
+        |    l * (qa * qa) / (nn * CAST(den AS DOUBLE)) AS ta,
+        |    l * (qb * qb) / (nn * CAST(den AS DOUBLE)) AS tb
+        |  FROM q),
+        |g AS (
+        |  SELECT CAST(MAX(na) AS BIGINT) AS n1, CAST(MAX(nb) AS BIGINT) AS n2,
+        |    COUNT(*) AS n_bins,
+        |    SUM(CAST(ta AS DECIMAL(28,8))) AS sa,
+        |    SUM(CAST(tb AS DECIMAL(28,8))) AS sb
+        |  FROM tm)
+        |SELECT n1, n2, n_bins,
+        |  round((CAST(n1 + n2 - 1 AS DOUBLE) / (n1 + n2)) *
+        |    (CAST(sa AS DOUBLE) / n1 + CAST(sb AS DOUBLE) / n2), 4) AS a2_akn
+        |FROM g""".stripMargin,
 
     "q_stat_kruskal" ->
       s"""WITH bt AS (
