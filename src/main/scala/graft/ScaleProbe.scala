@@ -142,7 +142,10 @@ object ScaleProbe {
       // (linear expected)
       "q_time_adf", "q_time_hurst", "q_traj_predict",
       // AD is one fact scan + bin-bounded windows (flat-past-scan expected)
-      "q_stat_ad")
+      "q_stat_ad",
+      // hull is one user-keyed collect + an O(n log n) kernel per group
+      // (linear expected; per-group cost bounded by device rate)
+      "m_geo_hull")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

@@ -1081,6 +1081,33 @@ object Geo extends QueryGroup {
         .orderBy($"user_id")
     }),
 
+    // Convex activity footprint — per-user convex hull (Andrew's monotone
+    // chain, IPL 1979) of all fixes in planar (lon, lat) degrees: vertex
+    // count, shoelace area, perimeter. The footprint POLYGON that rog (a
+    // radius) and bbox (an axis-aligned box) only bound — hull area per
+    // fix is the standard "how spread out is this vehicle's range"
+    // normalizer. No SQL oracle (DuckDB has no hull without the spatial
+    // extension — declared); HullSpec pins hand geometry (squares,
+    // collinear chains, interior-point invariance) and key-level equality
+    // vs an independent gift-wrapping reference. Scale: one user-keyed
+    // collect (device-rate-bounded per user, the q_traj_simplify
+    // discipline), kernel O(n log n) per group inside codegen.
+    "m_geo_hull" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.HullStats.register(s)
+      pts(s, dir)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"lat", $"lon"))).as("a"),
+             count(lit(1)).as("n_pts"))
+        .withColumn("h", graft.functions.HullStats.hullStats(
+          expr("flatten(transform(a, p -> array(p.lat, p.lon)))")))
+        .select($"user_id", $"n_pts",
+          $"h"(0).cast("long").as("n_hull"),
+          round($"h"(1), 4).as("area_deg2"),
+          round($"h"(2), 4).as("perim_deg"))
+        .orderBy($"user_id")
+    }),
+
     // Trajectory SIMPLIFICATION — radial-distance polyline reduction per
     // user (the telemetry compaction step: keep a fix only when it moves
     // ≥ ε from the LAST KEPT fix; O(n) one-pass cousin of
