@@ -145,7 +145,9 @@ object ScaleProbe {
       "q_stat_ad",
       // hull is one user-keyed collect + an O(n log n) kernel per group
       // (linear expected; per-group cost bounded by device rate)
-      "m_geo_hull")
+      "m_geo_hull",
+      // entropy is one (user, cell) hash agg + lattice-bounded windows
+      "q_traj_entropy")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

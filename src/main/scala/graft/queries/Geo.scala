@@ -1081,6 +1081,37 @@ object Geo extends QueryGroup {
         .orderBy($"user_id")
     }),
 
+    // Mobility entropy (Song, Qin, Barabási, Science 2010 — the
+    // entropy side of the predictability bound q_traj_predict measures
+    // empirically): per user, Shannon entropy of the 20°-cell visitation
+    // distribution, the log cell-count random-entropy ceiling, and the
+    // normalized ratio (1 = uniform wanderer, →0 = one dominant
+    // location). Same lattice as q_traj_predict (integer-exact cells);
+    // the q_time_entropy FP discipline verbatim — per-term ln round(6)-
+    // pinned, DECIMAL(28,12)-routed term sums, the norm a division of
+    // pinned values. One (user, cell) hash agg is the only data-sized
+    // job; everything after is lattice-bounded per user.
+    "q_traj_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val wU = Window.partitionBy($"user_id")
+      pts(s, dir)
+        .withColumn("cell", expr(
+          "(((event_id * 37) % 1700) div 200) * 18 + ((event_id * 131) % 3600) div 200"))
+        .groupBy($"user_id", $"cell")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum($"c").over(wU))
+        .withColumn("p", $"c".cast("double") / $"n")
+        .withColumn("term", $"p" * round(log($"p"), 6))
+        .groupBy($"user_id")
+        .agg(max($"n").as("n_fixes"), count(lit(1)).as("n_cells"),
+             round(-sum($"term".cast(dec)).cast("double"), 6).as("entropy"))
+        .withColumn("rand_entropy", round(log($"n_cells".cast("double")), 6))
+        .withColumn("entropy_norm",
+          when($"n_cells" > 1L, round($"entropy" / $"rand_entropy", 4)))
+        .orderBy($"user_id")
+    }),
+
     // Convex activity footprint — per-user convex hull (Andrew's monotone
     // chain, IPL 1979) of all fixes in planar (lon, lat) degrees: vertex
     // count, shoelace area, perimeter. The footprint POLYGON that rog (a
@@ -2370,6 +2401,31 @@ object Geo extends QueryGroup {
         |    AS DOUBLE) / COUNT(*), 6) AS accuracy
         |FROM moves m JOIN model p ON m.src = p.src
         |GROUP BY m.user_id ORDER BY user_id""".stripMargin,
+
+    "q_traj_entropy" ->
+      """WITH bc AS (
+        |  SELECT user_id,
+        |    (((event_id * 37) % 1700) // 200) * 18
+        |      + ((event_id * 131) % 3600) // 200 AS cell,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, c,
+        |    SUM(c) OVER (PARTITION BY user_id) AS n
+        |  FROM bc),
+        |tm AS (SELECT user_id, n, CAST(c AS DOUBLE) / n AS p FROM w),
+        |g AS (
+        |  SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_fixes,
+        |    COUNT(*) AS n_cells,
+        |    round(-CAST(SUM(CAST(p * round(ln(p), 6) AS DECIMAL(28,12)))
+        |      AS DOUBLE), 6) AS entropy
+        |  FROM tm GROUP BY user_id)
+        |SELECT user_id, n_fixes, n_cells, entropy,
+        |  round(ln(CAST(n_cells AS DOUBLE)), 6) AS rand_entropy,
+        |  CASE WHEN n_cells > 1 THEN
+        |    round(entropy / round(ln(CAST(n_cells AS DOUBLE)), 6), 4) END
+        |    AS entropy_norm
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q_traj_convoy" -> (ptsCte +
       """,

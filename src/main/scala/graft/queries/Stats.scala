@@ -641,10 +641,14 @@ object Stats extends QueryGroup {
     // O(n log n) merge-inversion count, declared here.
     "q_stat_kendall" -> ((s, dir) => {
       import s.implicits._
+      // the (day, type) agg is grid-sized and read THREE times (bounds,
+      // type list, gap-fill join) — a lazy local checkpoint collapses all
+      // three to one fact scan (the cellMoves idiom; PlanSpec pins it)
       val agg = t(s, dir, "events")
         .withColumn("d", expr("(unix_millis(ts) div 86400000) * 86400000"))
         .groupBy($"d", $"event_type")
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
       val grid = agg.agg(min($"d").as("lo"), max($"d").as("hi"))
         .select(explode(expr("sequence(lo, hi, 86400000)")).as("d"))
       val types = agg.select($"event_type").distinct()

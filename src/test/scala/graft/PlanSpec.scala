@@ -1210,4 +1210,61 @@ class PlanSpec extends BaseSpec {
            !hd.contains("CartesianProduct") && !hd.contains("SortMergeJoin"),
       s"m_traj_hausdorff: pair scan shape regressed:\n$hd")
   }
+
+  test("round-14 session-3 additions hold their plan shapes") {
+    // q_traj_predict: the ≤162²-row argmax model must join BACK via a
+    // broadcast — an SMJ means the fact side reshuffled on the cell key.
+    val pr = planOf("q_traj_predict")
+    assert(pr.contains("BroadcastHashJoin") && !pr.contains("SortMergeJoin"),
+      s"q_traj_predict: model join must broadcast:\n$pr")
+
+    // q_stat_kendall: day pairs come from the list-explode trick — a
+    // SECOND events scan means the pair formation regressed to a fact
+    // self-join (two full scans, the spearman anti-pattern).
+    val kd = planOf("q_stat_kendall")
+    val kdScans = kd.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(kdScans <= 1, // 1 before the checkpoint materializes, 0 after
+      s"q_stat_kendall: expected at most 1 events scan, got $kdScans:\n$kd")
+    // the one BNLJ is the tiny grid×types expansion (the spearman shape);
+    // cartesian or an SMJ on the gap-fill join is a regression
+    assert(!kd.contains("CartesianProduct") && !kd.contains("SortMergeJoin"),
+      s"q_stat_kendall: pair formation regressed to a physical join:\n$kd")
+    assert(kd.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"q_stat_kendall: more than the one grid-expansion BNLJ:\n$kd")
+
+    // q_stat_ad: one fact scan, bin-bounded windows after — no joins of
+    // any kind should appear.
+    val ad = planOf("q_stat_ad")
+    val adScans = ad.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(adScans == 1 && !ad.contains("Join"),
+      s"q_stat_ad: expected 1 scan and no joins:\n$ad")
+
+    // m_geo_hull: the kernel is one Project call per GROUP row above the
+    // ObjectHashAggregate (collect_list blocks whole-stage codegen there —
+    // 15 calls at fixture scale, per-user at any scale, so the stage
+    // boundary is irrelevant); the pin is the shape: kernel in a plain
+    // projection, no join anywhere, exactly the one user-keyed exchange.
+    val huP = planOf("m_geo_hull")
+    // the kernel call is folded into the agg's result expressions (the
+    // plan string shows only output NAMES there) — the visible pins are
+    // the shape: object hash agg, no join, exactly the user exchange +
+    // the output-order range exchange
+    assert(!huP.contains("Join"), s"m_geo_hull: unexpected join:\n$huP")
+    assert(huP.contains("ObjectHashAggregate"),
+      s"m_geo_hull: per-user collect must be an object hash agg:\n$huP")
+    assert(huP.linesIterator.count(_.contains("Exchange")) == 2,
+      s"m_geo_hull: expected user + sort exchanges only:\n$huP")
+
+    // the new grid keys stay join-light: adf/hurst/ljungbox may join the
+    // generated grid but never via cartesian/BNLJ
+    Seq("q_time_adf", "q_time_hurst", "q_time_ljungbox",
+        "q_traj_tortuosity", "q_traj_circvar").foreach { k =>
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$k: unexpected cartesian/BNLJ:\n$p")
+    }
+  }
 }
