@@ -147,7 +147,10 @@ object ScaleProbe {
       // (linear expected; per-group cost bounded by device rate)
       "m_geo_hull",
       // entropy is one (user, cell) hash agg + lattice-bounded windows
-      "q_traj_entropy")
+      "q_traj_entropy",
+      // winnow is two doc-partitioned window passes + a ×4 banded
+      // equi-join (linear expected)
+      "q_text_winnow")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

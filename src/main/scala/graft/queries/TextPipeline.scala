@@ -465,6 +465,54 @@ object TextPipeline extends QueryGroup {
         .orderBy($"doc_id")
     }),
 
+    // TRUE winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003) — per-window minima over positional 3-gram hashes,
+    // window w = 4, RIGHTMOST-min tie convention (the paper's robust
+    // winnowing): the published guarantee q_text_fingerprint's single
+    // global min cannot give — any shared token run of ≥ w+2 tokens
+    // shares a selected fingerprint, and expected density is 2/(w+1).
+    // Selection is expressed relationally: a per-doc ordered window MIN
+    // (frame CURRENT..w−1 FOLLOWING) names each window's min hash, and
+    // the "which position" join is a BANDED EQUI-JOIN — candidates
+    // explode to their w covering windows (offset 0..w−1), so the match
+    // is (doc, window-start) keyed, never a range join (the
+    // q_time_peaks banding discipline). Everything is exact md5-string
+    // comparison; density is one division of exact longs. Scale: two
+    // window passes + one equi-join, all doc-partitioned; fanout is a
+    // fixed ×w on the gram rows.
+    "q_text_winnow" -> ((s, dir) => {
+      import s.implicits._
+      val w = 4
+      val g = t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")))
+        .withColumnRenamed("col", "h")
+      val wDoc = Window.partitionBy($"doc_id")
+      val wins = g
+        .withColumn("gg", count(lit(1)).over(wDoc))
+        .withColumn("wmin", min($"h").over(
+          Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, w - 1)))
+        .filter($"pos" <= $"gg" - w)
+        .select($"doc_id", $"pos".as("j"), $"wmin", $"gg")
+      val cand = g
+        .select($"doc_id", explode(expr(s"sequence(0, ${w - 1})")).as("k"),
+                $"pos", $"h")
+        .select($"doc_id", ($"pos" - $"k").as("j"), $"pos".as("p"), $"h")
+      wins.join(cand, Seq("doc_id", "j"))
+        .filter($"h" === $"wmin")
+        .groupBy($"doc_id", $"j")
+        .agg(max($"gg").as("gg"), max($"wmin").as("fp"), max($"p").as("fpos"))
+        .groupBy($"doc_id")
+        .agg(max($"gg").as("n_grams"),
+             countDistinct($"fp", $"fpos").as("n_fp"))
+        .withColumn("n_windows", $"n_grams" - lit(w - 1).cast("long"))
+        .select($"doc_id", $"n_grams", $"n_windows", $"n_fp",
+          round($"n_fp".cast("double") / $"n_windows", 6).as("density"))
+        .orderBy($"doc_id")
+    }),
+
     "q_token_count" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -1603,6 +1651,44 @@ object TextPipeline extends QueryGroup {
     "q_text_fingerprint" -> (shinglesCte +
       """
         |SELECT doc_id, MIN(md5(s)) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Positional 3-gram hashes (parallel unnests zip), window minima over
+    // the ordered frame, and the rightmost-min pick via the same banded
+    // equi-join.
+    "q_text_winnow" ->
+      """WITH tt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(toks) - 1)) - 1 AS pos,
+        |    unnest([md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |            for i in range(1, len(toks) - 1)]) AS h
+        |  FROM tt),
+        |wins AS (
+        |  SELECT doc_id, pos AS j, wmin, gg FROM (
+        |    SELECT doc_id, pos,
+        |      COUNT(*) OVER (PARTITION BY doc_id) AS gg,
+        |      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |    FROM g) t
+        |  WHERE pos <= gg - 4),
+        |cand AS (
+        |  SELECT doc_id, pos - k AS j, pos AS p, h
+        |  FROM g, LATERAL unnest([0, 1, 2, 3]) AS u(k)),
+        |sel AS (
+        |  SELECT w.doc_id, w.j, MAX(w.gg) AS gg, MAX(w.wmin) AS fp,
+        |    MAX(c.p) AS fpos
+        |  FROM wins w JOIN cand c
+        |    ON w.doc_id = c.doc_id AND w.j = c.j AND c.h = w.wmin
+        |  GROUP BY w.doc_id, w.j),
+        |agg AS (
+        |  SELECT doc_id, CAST(MAX(gg) AS BIGINT) AS n_grams,
+        |    COUNT(DISTINCT (fp, fpos)) AS n_fp
+        |  FROM sel GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_grams - 3 AS n_windows, n_fp,
+        |  round(CAST(n_fp AS DOUBLE) / (n_grams - 3), 6) AS density
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT source, COUNT(*) AS n_docs,
