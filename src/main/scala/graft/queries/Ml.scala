@@ -85,6 +85,21 @@ object Ml extends QueryGroup {
 
   private val iforestMemo = new graft.SessionMemo[String, IsolationForest.Model]
 
+  /** PCA-8 projection of the embedding table — the m_ml_gmm input (see
+    * the key's scaladoc for why GMM fits reduced coordinates) and the
+    * MlSpec baseline fixture. Column `features` is the 8-dim vector. */
+  private[graft] def gmmFrame(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = t(s, dir, "embeddings")
+      .withColumn("raw", array_to_vector(org.apache.spark.sql.functions.col("embedding")))
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol("raw").setOutputCol("features").setK(8)
+      .fit(emb).transform(emb)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("features"))
+  }
+
   val queries: Map[String, QFn] = Map(
     // Binary logistic regression over events with a PLANTED noisy-linear
     // target — declared honestly: the fixture's natural labels
@@ -346,6 +361,43 @@ object Ml extends QueryGroup {
              lit(model.boundaries.size).as("n_boundaries"),
              r4(davg(($"y" - $"prediction") * ($"y" - $"prediction"), 8))
                .as("mse"))
+    }),
+
+    // Gaussian mixture — EM soft clustering over the embedding table: the
+    // DENSITY-model clustering quadrant next to m_kmeans' hard Lloyd's
+    // (GMM gives per-point responsibilities and per-component covariance,
+    // the generative view retrieval/quantization pipelines calibrate
+    // against). Fit runs on a PCA-8 projection, DECLARED: a full-
+    // covariance Gaussian in raw 64-dim needs ~d²/2 well-conditioned
+    // parameters per component (here it also trips breeze's symmetry
+    // check as the accumulated 64×64 suff-stats drift off-symmetric at
+    // corpus size) — reduce-then-mix is the standard composition and the
+    // scale path (EM cost ∝ d²). k = 5, seeded; per-cluster
+    // hard-assignment sizes + fitted mixing weights. Both stages are one
+    // treeAggregate per pass (partial-aggregation shape, nothing
+    // driver-sized beyond the basis and the k Gaussians). No SQL oracle
+    // (iterative EM); MlSpec pins seed-stability, weight normalization,
+    // per-row responsibility normalization, log-likelihood ≥ the k=2
+    // baseline, and size totals.
+    "m_ml_gmm" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.GaussianMixture
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = gmmFrame(s, dir)
+      val model = new GaussianMixture()
+        .setK(5).setSeed(42L).setMaxIter(20).fit(emb)
+      val wts = model.weights.zipWithIndex
+        .map { case (w, i) => (i.toLong, math.rint(w * 1e4) / 1e4) }
+        .toSeq.toDF("cluster", "weight")
+      val sizes = model.transform(emb)
+        .groupBy($"prediction")
+        .agg(count(lit(1)).as("n"))
+        .select($"prediction".cast("long").as("cluster"), $"n")
+      // LEFT from the weight table: a low-weight component can win zero
+      // hard assignments (soft mass only) and must still be reported
+      broadcast(wts).join(sizes, Seq("cluster"), "left")
+        .select($"cluster", coalesce($"n", lit(0L)).as("n"), $"weight")
+        .orderBy($"n".desc, $"cluster")
     }),
 
     // Dimensionality reduction — PCA over the 64-dim embedding table: the

@@ -386,6 +386,32 @@ class MlSpec extends BaseSpec {
     assert(sz.size == 10 && sz.map(_._2).sum == emb.count(), s"sizes $sz")
   }
 
+  test("GMM: seed-stable, weights and responsibilities normalize, loglik beats k=1") {
+    import org.apache.spark.ml.clustering.GaussianMixture
+    import org.apache.spark.ml.functions.vector_to_array
+    def rows() = SparkEntry.queries("m_ml_gmm")(spark, sf)
+      .as[(Long, Long, Double)].collect().toList
+    assert(rows() == rows(), "same seed must give identical mixture")
+    val sz = rows()
+    assert(sz.map(_._2).sum == emb.count(), s"sizes must cover all rows: $sz")
+    assert(math.abs(sz.map(_._3).sum - 1.0) < 5e-4,
+      s"rounded weights must sum to ~1: $sz")
+
+    val data = queries.Ml.gmmFrame(spark, sf)
+    val m5 = new GaussianMixture().setK(5).setSeed(42L).setMaxIter(20).fit(data)
+    assert(math.abs(m5.weights.sum - 1.0) < 1e-9, "weights must normalize")
+    m5.transform(data).select(vector_to_array($"probability"))
+      .as[Seq[Double]].take(50)
+      .foreach(p => assert(math.abs(p.sum - 1.0) < 1e-6,
+        s"responsibilities must normalize: $p"))
+    // MLlib requires k ≥ 2; more components must fit the training data at
+    // least as well up to EM's finite-iteration wobble (0.1% tolerance)
+    val m2 = new GaussianMixture().setK(2).setSeed(42L).setMaxIter(20).fit(data)
+    val (l5, l2) = (m5.summary.logLikelihood, m2.summary.logLikelihood)
+    assert(l5 >= l2 - math.abs(l2) * 1e-3,
+      s"k=5 loglik $l5 must not fall below the k=2 baseline $l2")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val rows = SparkEntry.queries("q_agg_approx")(spark, sf)
       .select($"approx_parts", $"exact_parts").as[(Long, Long)].collect()
