@@ -150,7 +150,9 @@ object ScaleProbe {
       "q_traj_entropy",
       // winnow is two doc-partitioned window passes + a ×4 banded
       // equi-join (linear expected)
-      "q_text_winnow")
+      "q_text_winnow",
+      // gmm is PCA + EM, one treeAggregate per pass (linear expected)
+      "m_ml_gmm")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)
