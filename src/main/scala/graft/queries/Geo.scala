@@ -1104,8 +1104,15 @@ object Geo extends QueryGroup {
         .withColumn("p", $"c".cast("double") / $"n")
         .withColumn("term", $"p" * round(log($"p"), 6))
         .groupBy($"user_id")
+        // round the DECIMAL, then convert: the term sum is an exact
+        // decimal and can land exactly on a 5e-7 tie (observed at sf0.1)
+        // — rounding after the double conversion resolves the tie by
+        // double-string semantics in Spark but double-arithmetic
+        // semantics in DuckDB. Decimal-domain round is half-away-from-
+        // zero in BOTH engines, and the scale-6 result converts to
+        // double exactly.
         .agg(max($"n").as("n_fixes"), count(lit(1)).as("n_cells"),
-             round(-sum($"term".cast(dec)).cast("double"), 6).as("entropy"))
+             round(-sum($"term".cast(dec)), 6).cast("double").as("entropy"))
         .withColumn("rand_entropy", round(log($"n_cells".cast("double")), 6))
         .withColumn("entropy_norm",
           when($"n_cells" > 1L, round($"entropy" / $"rand_entropy", 4)))
@@ -2417,8 +2424,8 @@ object Geo extends QueryGroup {
         |g AS (
         |  SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_fixes,
         |    COUNT(*) AS n_cells,
-        |    round(-CAST(SUM(CAST(p * round(ln(p), 6) AS DECIMAL(28,12)))
-        |      AS DOUBLE), 6) AS entropy
+        |    CAST(round(-SUM(CAST(p * round(ln(p), 6) AS DECIMAL(28,12))), 6)
+        |      AS DOUBLE) AS entropy
         |  FROM tm GROUP BY user_id)
         |SELECT user_id, n_fixes, n_cells, entropy,
         |  round(ln(CAST(n_cells AS DOUBLE)), 6) AS rand_entropy,

@@ -636,9 +636,12 @@ object Timeseries extends QueryGroup {
         .withColumn("p", $"c".cast("double") / $"n")
         .withColumn("term", $"p" * round(log($"p"), 6))
         .groupBy($"event_type")
+        // decimal-domain round (the q_traj_entropy tie fix): the exact
+        // term sum can land on a 5e-7 tie that double-domain rounding
+        // resolves differently across engines
         .agg(max($"n").as("n_events"),
              count(lit(1)).as("n_slots"),
-             round(-sum($"term".cast(DecimalType(28, 12))).cast("double"), 6)
+             round(-sum($"term".cast(DecimalType(28, 12))), 6).cast("double")
                .as("entropy"))
         .withColumn("entropy_norm", round($"entropy" / lit(Ln24), 4))
         .orderBy($"event_type")
@@ -1642,7 +1645,7 @@ object Timeseries extends QueryGroup {
         |ent AS (
         |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
         |    COUNT(*) AS n_slots,
-        |    round(-CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    CAST(round(-SUM(CAST(term AS DECIMAL(28,12))), 6) AS DOUBLE)
         |      AS entropy
         |  FROM terms GROUP BY event_type)
         |SELECT event_type, n_events, n_slots, entropy,
