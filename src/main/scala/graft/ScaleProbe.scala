@@ -152,7 +152,10 @@ object ScaleProbe {
       // equi-join (linear expected)
       "q_text_winnow",
       // gmm is PCA + EM, one treeAggregate per pass (linear expected)
-      "m_ml_gmm")
+      "m_ml_gmm",
+      // NSW graph ANN: build is neighbor-list bounded (M per node),
+      // search beam-bounded — near-linear build, flat search expected
+      "m_sim_hnsw")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)
