@@ -50,6 +50,62 @@ object Trajectory extends QueryGroup {
     * "same cell"). */
   private[queries] val MatchEpsKm = 500.0
 
+  /** Great-circle km between two 3-element unit-vector array columns —
+    * the endpoint-prune arithmetic, inline so it rides whole-stage
+    * codegen (same chord → 2R·asin(√c²/2) identity as the DP kernels). */
+  private def chordKm(a: org.apache.spark.sql.Column,
+                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dx = a.getItem(0) - b.getItem(0)
+    val dy = a.getItem(1) - b.getItem(1)
+    val dz = a.getItem(2) - b.getItem(2)
+    val c2 = dx * dx + dy * dy + dz * dz
+    lit(2.0 * graft.functions.HaversineDist.EarthRadiusKm) *
+      asin(least(sqrt(c2) / lit(2.0), lit(1.0)))
+  }
+
+  /** m_traj_frechet's large-U path: endpoint-lower-bound prune, then the
+    * exact DP on survivors only. Stage 1 pair-scans ENDPOINTS (12 doubles
+    * per user, not the 1.5 KB tracks) into a light (u1, u2, lb) frame
+    * under a lazy local checkpoint; lb = max endpoint chord ≤ dF (every
+    * coupling pairs (0,0) and (end,end) — the axiom TrajectorySpec pins).
+    * The threshold is the 10th-smallest EXACT distance among the 50
+    * smallest-lb candidates — any ≥10-pair subset's 10th-smallest exact
+    * is ≥ the global d₁₀, so pruning lb > thr + 1e-4 can never drop a
+    * true top-10 pair, and the 1e-4 margin keeps excluded pairs strictly
+    * after every kept row even at round(4). Survivors re-attach tracks
+    * via broadcast equi-joins and pay the cap² DP. Output provably ≡ the
+    * all-pairs scan. */
+  private[graft] def frechetPruned(s: SparkSession, tr: DataFrame): DataFrame = {
+    import s.implicits._
+    val ep = tr.select($"user_id",
+      expr("slice(track, 1, 3)").as("h"),
+      expr("slice(track, size(track) - 2, 3)").as("t"))
+    val eLhs = ep.select($"user_id".as("u1"), $"h".as("h1"), $"t".as("t1"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val eRhs = ep.select($"user_id".as("u2"), $"h".as("h2"), $"t".as("t2"))
+    val light = eLhs.join(broadcast(eRhs), $"u1" < $"u2")
+      .select($"u1", $"u2",
+        greatest(chordKm($"h1", $"h2"), chordKm($"t1", $"t2")).as("lb_km"))
+      .localCheckpoint(eager = false)
+    def attach(df: DataFrame) = df
+      .join(broadcast(tr.select($"user_id".as("u1"),
+        $"n_fixes".as("n_a"), $"track".as("ta"))), Seq("u1"))
+      .join(broadcast(tr.select($"user_id".as("u2"),
+        $"n_fixes".as("n_b"), $"track".as("tb"))), Seq("u2"))
+    val thr = attach(light.orderBy($"lb_km", $"u1", $"u2").limit(50)
+        .select($"u1", $"u2"))
+      .select(TrajSim.frechetKm($"ta", $"tb").as("d"))
+      .orderBy($"d").limit(10)
+      .agg(max($"d").as("t"))
+      .select(coalesce($"t", lit(Double.MaxValue)))
+      .as[Double].head()
+    attach(light.filter($"lb_km" <= thr + 1e-4).select($"u1", $"u2"))
+      .withColumn("frechet_km", round(TrajSim.frechetKm($"ta", $"tb"), 4))
+      .select($"u1", $"u2", $"n_a", $"n_b", $"frechet_km")
+      .orderBy($"frechet_km", $"u1", $"u2")
+      .limit(10)
+  }
+
   /** One row per user: (user_id, n_fixes, track) where track is the
     * interleaved [x0, y0, z0, x1, ...] unit-vector array of the ≤ TrackCap
     * downsampled time-ordered fixes. The rank/stride arithmetic is integer-
@@ -116,13 +172,41 @@ object Trajectory extends QueryGroup {
     // Discrete Fréchet distance (Eiter & Mannila 1994) between user tracks
     // — top-10 CLOSEST pairs. The shortest-leash measure: order-aware, so
     // a reversed corridor reads far where cell Jaccard reads identical.
+    //
+    // EXACT two-stage prune (round-14 probe finding: the full cap² DP on
+    // every pair was the dominant ×10 cost — 139 s at 10× users, and the
+    // pair join itself materializes 3 KB of track payload per pair).
+    // Stage 1 pair-scans ENDPOINTS ONLY (12 doubles per user): the
+    // endpoint chord lower bound lb ≤ dF (every coupling pairs (0,0) and
+    // (end,end) — the axiom TrajectorySpec pins), kept as a light
+    // (u1, u2, lb) frame under a lazy local checkpoint. The threshold is
+    // the 10th-smallest EXACT distance among the 50 smallest-lb
+    // candidates — any ≥10-pair subset's 10th-smallest exact is ≥ the
+    // global d₁₀, so pruning lb > thr + 1e-4 can never drop a true
+    // top-10 pair, and the 1e-4 margin makes excluded pairs sort
+    // strictly after every kept row even at round(4). Survivors alone
+    // re-attach tracks via broadcast equi-joins and pay the cap² DP.
+    // Output provably ≡ the all-pairs scan — TrajectorySpec pins
+    // frechetPruned ≡ the direct path on the fixture (forcing the
+    // large-U branch) on top of the key-level ≡ driver-DP test.
     "m_traj_frechet" -> ((s, dir) => {
       import s.implicits._
-      pairedTracks(s, dir)
-        .withColumn("frechet_km", round(TrajSim.frechetKm($"ta", $"tb"), 4))
-        .select($"u1", $"u2", $"n_a", $"n_b", $"frechet_km")
-        .orderBy($"frechet_km", $"u1", $"u2")
-        .limit(10)
+      TrajSim.register(s)
+      val tr = tracks(s, dir)
+      // Adaptive gate, DECLARED: below ~5M pairs the direct exact scan is
+      // cheaper than the prune's extra jobs (one count on the memoized
+      // track frame decides); above it the two-stage prune pays for
+      // itself — and on production corridor-sharing fleets (d₁₀ ~ tens
+      // of km, not this fixture's ~5000 km random-walk floor) the
+      // threshold collapses and the DP tier touches almost nothing.
+      val nUsers = tr.count()
+      if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
+        pairedTracks(s, dir)
+          .withColumn("frechet_km", round(TrajSim.frechetKm($"ta", $"tb"), 4))
+          .select($"u1", $"u2", $"n_a", $"n_b", $"frechet_km")
+          .orderBy($"frechet_km", $"u1", $"u2")
+          .limit(10)
+      else frechetPruned(s, tr)
     }),
 
     // EDR — Edit Distance on Real sequence (Chen, Özsu & Oria, SIGMOD

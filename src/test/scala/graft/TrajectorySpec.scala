@@ -120,6 +120,9 @@ class TrajectorySpec extends BaseSpec {
         HaversineDist.km(a(0), a(1), b(0), b(1)),
         HaversineDist.km(a(a.length - 2), a(a.length - 1),
           b(b.length - 2), b(b.length - 1)))
+      // this endpoint bound IS m_traj_frechet's prune tier (the key drops
+      // pairs whose endpoint lb exceeds a proven ≥ d₁₀ threshold) — the
+      // axiom here is what makes the pruned top-10 exact
       assert(f >= ep - 1e-6, s"frechet $f below endpoint bound $ep")
       // LCSS reference equality on the same pair (integer counts — a flip
       // needs a distance within ulps of the 800 km threshold)
@@ -224,6 +227,12 @@ class TrajectorySpec extends BaseSpec {
     val gotF = SparkEntry.queries("m_traj_frechet")(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(gotF == wantF, s"frechet top-10:\n got=$gotF\nwant=$wantF")
+    // the large-U prune branch, forced on the same fixture: the
+    // endpoint-lb threshold prune must be output-invisible
+    val gotFP = queries.Trajectory
+      .frechetPruned(spark, queries.Trajectory.tracks(spark, sf))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotFP == wantF, s"pruned frechet top-10:\n got=$gotFP\nwant=$wantF")
 
     val wantL = allPairs.map { p =>
       val nMin = math.min(math.min(tracks(p._1)._1, tracks(p._2)._1), cap.toLong)
