@@ -26,11 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * DPs combine distances only through max / min / ≤-threshold, which
   * commute with monotone transforms — so running the DP on chord² and
   * converting ONLY the final value (d_km = 2R·asin(√chord²/2)) yields
-  * exactly the great-circle-km Fréchet, at ~30× less CPU per cell. That is
-  * what turns the candidate problem into a non-problem: the exact DP is
-  * cheap enough to run on EVERY signature pair of the broadcast pair scan
-  * (the q_traj_sim substrate) — no lossy candidate tier between the scan
-  * and the answer.
+  * exactly the great-circle-km Fréchet, at ~30× less CPU per cell. That
+  * makes the exact DP cheap enough to run on every signature pair at
+  * moderate U; above [[graft.queries.Trajectory]]'s adaptive pair gate
+  * the Fréchet key additionally prunes pairs with an EXACT endpoint
+  * lower bound before any DP runs — still never a lossy candidate tier.
   *
   * Both kernels are rolling-row DPs like [[graft.operators.Dtw]], but
   * unlike Dtw they run DISTRIBUTED — one evaluation per pair inside

@@ -21,17 +21,19 @@ import Q._
   *     user only widens the stride. Each kept fix converts once to a unit
   *     3-vector (codegen `transform`), making the DP inner cell pure
   *     arithmetic ([[graft.functions.FrechetDist]] scaladoc).
-  *  2. **EXACT DP on every pair of the broadcast signature scan** — the
-  *     q_traj_sim pair-scan shape (u1 < u2 against a broadcast signature
-  *     frame of TrackCap·3 doubles per user), scored by the full
-  *     chord²-DP inside whole-stage codegen. No lossy candidate tier: at
-  *     ~12 ns per DP cell the exact scan costs ~4 CPU-min per 10⁶ pairs,
-  *     so the result is the true top-10 over the downsampled tracks by
-  *     construction. The U² pair scan is the same declared wall as
-  *     q_traj_sim, with the same documented path for unbounded user
-  *     counts: MinHash-LSH over visited-cell sets (m_dedup_minhash
-  *     machinery) pre-filters the scan to plausibly-near pairs before the
-  *     DP spends anything.
+  *  2. **EXACT DP on the broadcast signature scan** — the q_traj_sim
+  *     pair-scan shape (u1 < u2 against a broadcast signature frame of
+  *     TrackCap·3 doubles per user), scored by the full chord²-DP inside
+  *     whole-stage codegen. No lossy candidate tier: at ~12 ns per DP
+  *     cell the exact scan costs ~4 CPU-min per 10⁶ pairs, so the result
+  *     is the true top-10 over the downsampled tracks by construction.
+  *     Above an adaptive 5M-pair gate the Fréchet key inserts an EXACT
+  *     endpoint-lower-bound prune (see [[frechetPruned]]) so only
+  *     plausibly-near pairs pay the DP — output provably unchanged. The
+  *     U² scan is the same declared wall as q_traj_sim, with the same
+  *     documented path for unbounded user counts: MinHash-LSH over
+  *     visited-cell sets (m_dedup_minhash machinery) pre-filters the
+  *     scan before the DP spends anything.
   *
   * No SQL oracle (a 2-D DP has no tractable SQL form — the m_time_dtw
   * precedent); TrajectorySpec pins kernel equality with an independent
