@@ -155,7 +155,9 @@ object ScaleProbe {
       "m_ml_gmm",
       // NSW graph ANN: build is neighbor-list bounded (M per node),
       // search beam-bounded — near-linear build, flat search expected
-      "m_sim_hnsw")
+      "m_sim_hnsw",
+      // DW rides the hour grid like adf (time-bounded past the fact agg)
+      "q_time_dw")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

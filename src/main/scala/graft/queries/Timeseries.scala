@@ -194,6 +194,49 @@ object Timeseries extends QueryGroup {
             round($"bb" / sqrt($"s2" * $"n" / $"dend"), 4)).as("tau"))
     }),
 
+    // Durbin–Watson test (Durbin & Watson, Biometrika 1950) on the
+    // residuals of the hourly count series' linear-trend fit —
+    // DW = Σ(e_t − e_{t−1})²/Σe_t² ∈ [0,4], ≈ 2(1 − ρ₁): THE standard
+    // "are my regression errors independent" diagnostic read next to any
+    // OLS slope (q_stat_ols fits per-type trends; a DW ≪ 2 here says
+    // their standard errors are optimistic because the hourly errors
+    // drag). Fit coefficients come from the adf key's BIGINT-exact power
+    // sums (one declared double op-order chain); residuals are doubles
+    // from bit-identical inputs; the two quadratic-form sums route
+    // through DECIMAL(28,10) so summation order is free. The 1-row
+    // coefficient frame broadcasts back (the declared 1-row stats
+    // cross). One window pass, time-bounded past the hour agg.
+    "q_time_dw" -> ((s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
+      val w = Window.orderBy($"bucket_ms")
+      val base = Reshape.resampled(s, dir)
+        .select($"bucket_ms", $"n_events".as("y"))
+        .withColumn("t", row_number().over(w).cast("long") - 1L)
+      val coefs = base
+        .agg(count(lit(1)).as("n"),
+             sum($"t".cast(dec)).as("st"), sum($"y".cast(dec)).as("sy"),
+             sum(($"t" * $"y").cast(dec)).as("sty"),
+             sum(($"t" * $"t").cast(dec)).as("stt"))
+        .withColumn("nD", $"n".cast(dec))
+        .withColumn("bb", ($"nD" * $"sty" - $"st" * $"sy").cast("double") /
+          ($"nD" * $"stt" - $"st" * $"st").cast("double"))
+        .withColumn("aa",
+          ($"sy".cast("double") - $"bb" * $"st".cast("double")) / $"n")
+        .select($"n".as("nn"), $"aa", $"bb")
+      base.crossJoin(broadcast(coefs))
+        .withColumn("e", $"y" - $"aa" - $"bb" * $"t")
+        .withColumn("pe", lag($"e", 1).over(w))
+        .agg(max($"nn").as("n_hours"), max($"bb").as("slope_raw"),
+             sum((($"e" - $"pe") * ($"e" - $"pe")).cast(dec10)).as("num"),
+             sum(($"e" * $"e").cast(dec10)).as("den"))
+        .select($"n_hours",
+          round($"slope_raw", 6).as("slope"),
+          when($"den".cast("double") > 0.0,
+            round($"num".cast("double") / $"den".cast("double"), 4)).as("dw"))
+    }),
+
     // Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot &
     // Wallis 1969) over the hourly count series — the long-range-
     // dependence diagnostic completing the short-range ACF family:
@@ -1348,6 +1391,44 @@ object Timeseries extends QueryGroup {
         |  CASE WHEN s2 > 0.0
         |    THEN round(bb / sqrt(s2 * n / dend), 4) END AS tau
         |FROM g""".stripMargin),
+
+    // The adf power-sum chain refit to the trend regression, residuals in
+    // the identical op order, DECIMAL-routed quadratic forms.
+    "q_time_dw" -> (Reshape.resampledCte +
+      """,
+        |b0 AS (
+        |  SELECT n_events AS y,
+        |    row_number() OVER (ORDER BY bucket_ms) - 1 AS t,
+        |    bucket_ms
+        |  FROM res),
+        |st AS (
+        |  SELECT COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+        |    SUM(t*y) AS sty, SUM(t*t) AS stt
+        |  FROM b0),
+        |cf AS (
+        |  SELECT n, st, sy,
+        |    CAST(n * sty - st * sy AS DOUBLE)
+        |      / CAST(n * stt - st * st AS DOUBLE) AS bb
+        |  FROM st),
+        |cf2 AS (
+        |  SELECT n AS nn, bb,
+        |    (CAST(sy AS DOUBLE) - bb * CAST(st AS DOUBLE)) / n AS aa
+        |  FROM cf),
+        |e AS (
+        |  SELECT b0.bucket_ms, b0.y - cf2.aa - cf2.bb * b0.t AS e,
+        |    cf2.nn, cf2.bb
+        |  FROM b0, cf2),
+        |l AS (
+        |  SELECT nn, bb, e, lag(e, 1) OVER (ORDER BY bucket_ms) AS pe
+        |  FROM e)
+        |SELECT CAST(MAX(nn) AS BIGINT) AS n_hours,
+        |  round(MAX(bb), 6) AS slope,
+        |  CASE WHEN CAST(SUM(CAST(e * e AS DECIMAL(28,10))) AS DOUBLE) > 0.0
+        |    THEN round(
+        |      CAST(SUM(CAST((e - pe) * (e - pe) AS DECIMAL(28,10))) AS DOUBLE)
+        |      / CAST(SUM(CAST(e * e AS DECIMAL(28,10))) AS DOUBLE), 4) END
+        |    AS dw
+        |FROM l""".stripMargin),
 
     // Block R/S from integer-exact window sums; ln(m) axis and the OLS
     // denominator are the SAME Scala-pinned literals the Spark side uses.
