@@ -156,8 +156,8 @@ object ScaleProbe {
       // NSW graph ANN: build is neighbor-list bounded (M per node),
       // search beam-bounded — near-linear build, flat search expected
       "m_sim_hnsw",
-      // DW rides the hour grid like adf (time-bounded past the fact agg)
-      "q_time_dw")
+      // DW/KPSS ride the hour grid like adf (time-bounded past the agg)
+      "q_time_dw", "q_time_kpss")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)

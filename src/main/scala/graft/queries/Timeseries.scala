@@ -194,6 +194,41 @@ object Timeseries extends QueryGroup {
             round($"bb" / sqrt($"s2" * $"n" / $"dend"), 4)).as("tau"))
     }),
 
+    // KPSS stationarity test (Kwiatkowski, Phillips, Schmidt & Shin,
+    // J. Econometrics 1992; level form, lag-0 variance — DECLARED: no
+    // Newey-West HAC correction, the textbook short-memory variant) on
+    // the hourly count series: η = (Σ S_t²/n²)/σ̂² where S_t are the
+    // partial sums of mean deviations — the NULL-REVERSED complement to
+    // q_time_adf (ADF's null is a unit root, KPSS's null is
+    // stationarity; reading both is the standard inference protocol —
+    // agree ⇒ confident, disagree ⇒ near-integrated). Partial sums ride
+    // the integer cumulative (S_t = cum − t·ȳ with exact cum and one
+    // declared double product); both quadratic forms DECIMAL(38,6)-
+    // routed so summation order is free. One window pass, time-bounded
+    // past the hour agg.
+    "q_time_kpss" -> ((s, dir) => {
+      import s.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val w = Window.orderBy($"bucket_ms")
+      val wAll = Window.partitionBy()
+      Reshape.resampled(s, dir)
+        .select($"bucket_ms", $"n_events".as("y"))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum",
+          sum($"y").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nn", count(lit(1)).over(wAll))
+        .withColumn("ybar", sum($"y").over(wAll).cast("double") / $"nn")
+        .withColumn("st", $"cum" - $"t" * $"ybar")
+        .withColumn("e", $"y" - $"ybar")
+        .agg(max($"nn").as("n"),
+             sum(($"st" * $"st").cast(dec6)).as("ssq"),
+             sum(($"e" * $"e").cast(dec6)).as("esq"))
+        .select($"n".as("n_hours"),
+          when($"esq".cast("double") > 0.0,
+            round(($"ssq".cast("double") / ($"n" * $"n")) /
+              ($"esq".cast("double") / $"n"), 4)).as("kpss"))
+    }),
+
     // Durbin–Watson test (Durbin & Watson, Biometrika 1950) on the
     // residuals of the hourly count series' linear-trend fit —
     // DW = Σ(e_t − e_{t−1})²/Σe_t² ∈ [0,4], ≈ 2(1 − ρ₁): THE standard
@@ -1390,6 +1425,31 @@ object Timeseries extends QueryGroup {
         |  round(bb, 6) AS slope,
         |  CASE WHEN s2 > 0.0
         |    THEN round(bb / sqrt(s2 * n / dend), 4) END AS tau
+        |FROM g""".stripMargin),
+
+    // Integer cumulative + one declared double product per row; both
+    // quadratic forms DECIMAL-routed in the identical op order.
+    "q_time_kpss" -> (Reshape.resampledCte +
+      """,
+        |b0 AS (
+        |  SELECT n_events AS y,
+        |    row_number() OVER (ORDER BY bucket_ms) AS t,
+        |    SUM(n_events) OVER (ORDER BY bucket_ms ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER () AS nn,
+        |    CAST(SUM(n_events) OVER () AS DOUBLE) / COUNT(*) OVER () AS ybar
+        |  FROM res),
+        |d AS (
+        |  SELECT nn, cum - t * ybar AS st, y - ybar AS e FROM b0),
+        |g AS (
+        |  SELECT CAST(MAX(nn) AS BIGINT) AS n,
+        |    SUM(CAST(st * st AS DECIMAL(38,6))) AS ssq,
+        |    SUM(CAST(e * e AS DECIMAL(38,6))) AS esq
+        |  FROM d)
+        |SELECT n AS n_hours,
+        |  CASE WHEN CAST(esq AS DOUBLE) > 0.0 THEN
+        |    round((CAST(ssq AS DOUBLE) / (n * n))
+        |      / (CAST(esq AS DOUBLE) / n), 4) END AS kpss
         |FROM g""".stripMargin),
 
     // The adf power-sum chain refit to the trend regression, residuals in
