@@ -57,6 +57,16 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loadStart = load1()
+    // Cumulative GC wall-time across all collectors (r14 verdict finding:
+    // the lda/svm B-sample stalls were unattributable between plan cost,
+    // host noise and GC — the per-key GC delta names the cause directly).
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val gcs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // Per-sample GC deltas for the A and B runs separately: a B-stall with
+    // gcB >> gcA is a heap/GC event, not a plan regression.
+    val gcAB = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val iters = scala.collection.mutable.LinkedHashMap[String, Int]()
     // First exception message per failed key: a -1.000 entry alone cost a
     // round of diagnosis (BENCH_r09 — the events ts layout change failed 33
@@ -78,10 +88,15 @@ object Bench {
         }
       }
       val l0 = load1()
+      val g0 = gcMs()
       val a = once()
+      val g1 = gcMs()
       val b = once()
+      val g2 = gcMs()
       loads(name) = (l0, load1())
       samples(name) = (a, b)
+      gcs(name) = g2 - g0
+      gcAB(name) = (g1 - g0, g2 - g1)
       // Executed-round counts for the iterative keys (set by the run the
       // min came from or its twin — both run the same fixed-cap loop), so
       // a slow sample is attributable to rounds × actions, not guessed.
@@ -147,6 +162,14 @@ object Bench {
     println(s"""{"metric":"samples","unit":"sec","sf":"$sfDir","slowest10_ab":$slowest}""")
     val itLine = iters.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"iterations","sf":"$sfDir","rounds":$itLine}""")
+    // Per-sample GC deltas for the 10 GC-heaviest keys (human-readable twin
+    // of the gz map's gc field): gcB ≫ gcA on a slow B sample = heap/GC
+    // event, not plan cost — the r14 lda/svm B-stall question, answered.
+    val gcTop = gcs.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, _) =>
+        val (ga, gb) = gcAB(k); "\"" + k + "\":[" + ga + "," + gb + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"gc","unit":"ms_ab","sf":"$sfDir","top10_gc_ab":$gcTop}""")
     if (errors.nonEmpty) {
       // ≤10 keys, messages already whitespace/quote-scrubbed above; printed
       // in the always-captured tail region so a failed key is attributable
@@ -156,6 +179,44 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"errors","failed":${errors.size},"first10":$errLine}""")
     }
+    // Full attribution map in ONE tail-survivable line (r14 verdict ask #3:
+    // the plain-text ab parts above lose 30 of 31 chunks to the driver's
+    // 2000-char tail capture). 2000 chars cannot carry 308 self-describing
+    // key NAMES (they alone zlib to ~1.5 KB), so names are IMPLICIT — the
+    // query keys sorted ascending, the exact key set of the same round's
+    // CORRECTNESS json and of the "queries" parts above — and the payload
+    // is 6 quantized bytes per key, zlib'd and base64'd. Quantization is
+    // log-scale (2.2%/step — attribution-grade, not timing-grade; the
+    // exact A/B doubles stay in the plain parts for local reads). Printed
+    // immediately before the final total line so both always survive the
+    // tail cut.
+    val q = (v: Double) => math.min(255L,
+      math.max(0L, math.round(32.0 * math.log(1.0 + v) / math.log(2.0)))).toInt
+    val ordered = results.keys.toSeq.sorted
+    val blob = new java.io.ByteArrayOutputStream()
+    ordered.foreach { k =>
+      val (a, b) = samples(k)
+      val (l0, l1) = loads(k)
+      // failed samples (-1) encode as 255 (a legal timing would need 248 s)
+      def qt(v: Double) = if (v < 0) 255 else q(v * 10.0)
+      blob.write(qt(a)); blob.write(qt(b))
+      blob.write(math.min(255L, math.max(0L, math.round(math.max(l0, l1) * 10.0))).toInt)
+      blob.write(q(gcs.getOrElse(k, 0L) / 100.0))
+      blob.write(math.min(255, iters.getOrElse(k, 0)))
+    }
+    val defl = new java.util.zip.Deflater(9)
+    defl.setInput(blob.toByteArray); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val b64 = java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    // Decoder spec, printed on its own (clippable) line AND kept in
+    // SURVEY §6: per sorted key 5 bytes [q(a_ds), q(b_ds), load1max_x10,
+    // q(gc_ms/100), iter_rounds], q(v)=round(32*log2(1+v)) (2.2%/step),
+    // 255 in a time byte = failed sample; a/b deciseconds.
+    println("""{"metric":"ab_gz_fmt","text":"zlib+base64; keys = query names sorted asc (the round's CORRECTNESS json key set); 5 bytes/key: q(a_ds), q(b_ds), load1max_x10, q(gc_ms/100), iter_rounds; q(v)=round(32*log2(1+v)); 255 time byte = failed sample"}""")
+    println(s"""{"metric":"ab_gz","n":${ordered.size},"cpus":"$cpus","l1_start":${r3(loadStart)},"l1_end":${r3(load1())},"fmt":"v1-5B-sorted-zlib-b64","data":"$b64"}""")
     println(totalLine)
     spark.stop()
   }

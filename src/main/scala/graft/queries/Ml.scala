@@ -386,8 +386,12 @@ object Ml extends QueryGroup {
       val emb = gmmFrame(s, dir)
       val model = new GaussianMixture()
         .setK(5).setSeed(42L).setMaxIter(20).fit(emb)
+      // BigDecimal HALF_UP, not math.rint (half-to-even): one rounding
+      // convention across keys — a weight landing exactly on a 5e-5 tie
+      // must round the same way every other key's round(4) does
       val wts = model.weights.zipWithIndex
-        .map { case (w, i) => (i.toLong, math.rint(w * 1e4) / 1e4) }
+        .map { case (w, i) => (i.toLong,
+          BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
         .toSeq.toDF("cluster", "weight")
       val sizes = model.transform(emb)
         .groupBy($"prediction")
@@ -697,10 +701,17 @@ object Ml extends QueryGroup {
         .withColumn("tp", sum($"npos").over(wAll))
         .withColumn("cum_n", sum($"n").over(wCum))
         .withColumn("cum_pos", sum($"npos").over(wCum))
+        // tp = 0 (a slice with zero purchase rows) would divide by zero —
+        // NaN/Inf in Spark, engine-dependent in SQL; declare it NULL (the
+        // sibling keys' when(...)-guard discipline for degenerate
+        // denominators)
         .select($"bin", $"n", $"npos",
-          round(($"npos" * $"nn").cast("double") / ($"n" * $"tp"), 6).as("lift"),
-          round($"cum_pos".cast("double") / $"tp", 6).as("cum_capture"),
-          round(($"cum_pos" * $"nn").cast("double") / ($"cum_n" * $"tp"), 6)
+          when($"tp" > 0L,
+            round(($"npos" * $"nn").cast("double") / ($"n" * $"tp"), 6)).as("lift"),
+          when($"tp" > 0L,
+            round($"cum_pos".cast("double") / $"tp", 6)).as("cum_capture"),
+          when($"tp" > 0L,
+            round(($"cum_pos" * $"nn").cast("double") / ($"cum_n" * $"tp"), 6))
             .as("cum_lift"))
         .orderBy($"bin".desc)
     }),
@@ -929,9 +940,12 @@ object Ml extends QueryGroup {
         |      AS cum_pos
         |  FROM b)
         |SELECT bin, n, npos,
-        |  round(CAST(npos * nn AS DOUBLE) / (n * tp), 6) AS lift,
-        |  round(CAST(cum_pos AS DOUBLE) / tp, 6) AS cum_capture,
-        |  round(CAST(cum_pos * nn AS DOUBLE) / (cum_n * tp), 6) AS cum_lift
+        |  CASE WHEN tp > 0 THEN
+        |    round(CAST(npos * nn AS DOUBLE) / (n * tp), 6) END AS lift,
+        |  CASE WHEN tp > 0 THEN
+        |    round(CAST(cum_pos AS DOUBLE) / tp, 6) END AS cum_capture,
+        |  CASE WHEN tp > 0 THEN
+        |    round(CAST(cum_pos * nn AS DOUBLE) / (cum_n * tp), 6) END AS cum_lift
         |FROM w ORDER BY bin DESC""".stripMargin
   )
 }

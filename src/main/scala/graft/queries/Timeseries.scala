@@ -332,9 +332,16 @@ object Timeseries extends QueryGroup {
         .withColumn("slmy",
           sum(($"lm" * $"mean_log_rs").cast(dec28)).over(wAll))
         .withColumn("sy", sum($"mean_log_rs".cast(dec6)).over(wAll))
+        // the OLS abscissae/denominator literals hardcode ALL FOUR m-tiers
+        // surviving; if a tier drops (grid < 64 hours, or every block of a
+        // tier filtered as zero-variance/zero-range) the constants are
+        // wrong for the rows that remain — declare that degenerate case
+        // NULL instead of silently reporting a mis-constant slope
+        .withColumn("nm", count(lit(1)).over(wAll))
         .select($"m", $"n_blocks", $"mean_log_rs",
-          round((lit(4.0) * $"slmy".cast("double")
-            - lit(HurstLmSum) * $"sy".cast("double")) / lit(HurstDen), 4)
+          when($"nm" === HurstMs.size,
+            round((lit(4.0) * $"slmy".cast("double")
+              - lit(HurstLmSum) * $"sy".cast("double")) / lit(HurstDen), 4))
             .as("h_est"))
         .orderBy($"m")
     }),
@@ -1537,11 +1544,12 @@ object Timeseries extends QueryGroup {
         |fin AS (
         |  SELECT m, n_blocks, mean_log_rs,
         |    SUM(CAST(lm * mean_log_rs AS DECIMAL(28,8))) OVER () AS slmy,
-        |    SUM(CAST(mean_log_rs AS DECIMAL(18,6))) OVER () AS sy
+        |    SUM(CAST(mean_log_rs AS DECIMAL(18,6))) OVER () AS sy,
+        |    COUNT(*) OVER () AS nm
         |  FROM lmj)
         |SELECT CAST(m AS INT) AS m, n_blocks, mean_log_rs,
-        |  round((4.0 * CAST(slmy AS DOUBLE)
-        |    - $HurstLmSum * CAST(sy AS DOUBLE)) / $HurstDen, 4) AS h_est
+        |  CASE WHEN nm = ${HurstMs.size} THEN round((4.0 * CAST(slmy AS DOUBLE)
+        |    - $HurstLmSum * CAST(sy AS DOUBLE)) / $HurstDen, 4) END AS h_est
         |FROM fin ORDER BY m""".stripMargin),
 
     "q_time_ewma" -> (Reshape.resampledCte +
