@@ -289,7 +289,11 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         val ex = countShuffles(df.queryExecution.executedPlan)
         val it = graft.operators.LastIterations.get(key).map(i => s""","rounds":$i""").getOrElse("")
-        println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","sec":${r3(sec)},"rows":$rows,"exchanges":$ex$it}""")
+        // prune-tier telemetry (r15): candidate pair count vs survivors fed
+        // to the exact kernel, recorded by the pruned traj branches
+        val pr = graft.queries.Trajectory.lastPrune.get(key)
+          .map { case (c, v) => s""","pairs":$c,"survivors":$v""" }.getOrElse("")
+        println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","sec":${r3(sec)},"rows":$rows,"exchanges":$ex$it$pr}""")
       } catch { case scala.util.control.NonFatal(e) =>
         val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)

@@ -69,15 +69,14 @@ case class MatrixProfileExpr(left: Expression, right: Expression)
 
 object MatrixProfileExpr {
 
-  def compute(a: ArrayData, m: Int): ArrayData = {
-    val x = a.toDoubleArray()
+  /** Per-window stats shared by the single-series kernel and the tiled
+    * diagonal-block kernel ([[MatrixProfileBlockExpr]]): (mu, sig, flat),
+    * computed by EXACTLY the arithmetic the original kernel used — the
+    * tiled tier's bit-identity to the kernel rests on this sharing. */
+  private[functions] def windowStats(x: Array[Double], m: Int)
+      : (Array[Double], Array[Double], Array[Boolean]) = {
     val n = x.length
-    if (m < 2 || n < 2 * m)
-      throw new IllegalArgumentException(
-        s"matrix_profile: need window m >= 2 and series length >= 2m (got m=$m, n=$n)")
     val w = n - m + 1
-    val excl = m / 2 // trivial-match zone: skip |i - j| < excl
-
     // Flat windows are detected EXACTLY (constant-run scan: window j is
     // flat iff the equal-value run ending at j+m−1 spans the window), not
     // by an epsilon on σ — the prefix-sum σ below carries cancellation
@@ -123,24 +122,44 @@ object MatrixProfileExpr {
       }
       i += 1
     }
+    (mu, sig, flat)
+  }
+
+  /** z-normalized distance from the sliding dot product — one formula for
+    * both kernels (bit-identity, see [[windowStats]]). */
+  @inline private[functions] def znDist(qt: Double, i: Int, j: Int, m: Int,
+      mu: Array[Double], sig: Array[Double], flat: Array[Boolean]): Double = {
+    val twoM = 2.0 * m
+    val fi = flat(i)
+    val fj = flat(j)
+    if (fi && fj) 0.0
+    else if (fi || fj) math.sqrt(twoM) // r = 0 by declaration
+    else {
+      val r = (qt - m * mu(i) * mu(j)) / (m * sig(i) * sig(j))
+      math.sqrt(twoM * (1.0 - math.max(-1.0, math.min(1.0, r))))
+    }
+  }
+
+  def compute(a: ArrayData, m: Int): ArrayData = {
+    val x = a.toDoubleArray()
+    val n = x.length
+    if (m < 2 || n < 2 * m)
+      throw new IllegalArgumentException(
+        s"matrix_profile: need window m >= 2 and series length >= 2m (got m=$m, n=$n)")
+    val w = n - m + 1
+    val excl = m / 2 // trivial-match zone: skip |i - j| < excl
+
+    val (mu, sig, flat) = windowStats(x, m)
 
     val prof = Array.fill(w)(Double.MaxValue)
     val nn = new Array[Int](w)
-    val twoM = 2.0 * m
 
-    @inline def dist(qt: Double, i: Int, j: Int): Double = {
-      val fi = flat(i)
-      val fj = flat(j)
-      if (fi && fj) 0.0
-      else if (fi || fj) math.sqrt(twoM) // r = 0 by declaration
-      else {
-        val r = (qt - m * mu(i) * mu(j)) / (m * sig(i) * sig(j))
-        math.sqrt(twoM * (1.0 - math.max(-1.0, math.min(1.0, r))))
-      }
-    }
+    @inline def dist(qt: Double, i: Int, j: Int): Double =
+      znDist(qt, i, j, m, mu, sig, flat)
     @inline def consider(i: Int, j: Int, d: Double): Unit = {
       if (d < prof(i)) { prof(i) = d; nn(i) = j }
     }
+    var i = 0
 
     // row 0: brute dot products (O(n·m) once — the MASS/FFT path is the
     // published alternative; at m = 24 the brute row is cheaper)
@@ -197,8 +216,112 @@ object MatrixProfileExpr {
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "matrix_profile", exprs => MatrixProfileExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "matrix_profile_block",
+      exprs => MatrixProfileBlockExpr(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
   }
 
   def matrixProfile(series: Column, m: Column): Column =
     org.apache.spark.sql.functions.call_function("matrix_profile", series, m)
+
+  def matrixProfileBlock(series: Column, m: Column, k0: Column, k1: Column): Column =
+    org.apache.spark.sql.functions.call_function("matrix_profile_block", series, m, k0, k1)
+}
+
+/** Diagonal-block partial matrix profile — the DISTRIBUTED exact tier the
+  * r14 verdict asked for behind `m_time_matrixprofile`'s O(range²) wall
+  * (built instead of the sampled-SCRIMP swap-in the kernel scaladoc had
+  * named: range-partitioning the STOMP diagonals across the cluster keeps
+  * the profile EXACT — bit-identical distances — where sampling would
+  * trade error for time; the anytime/sampled path remains the published
+  * escape hatch past even this).
+  *
+  * Evaluates the STOMP recurrence over diagonals k ∈ [k0, k1) only: each
+  * diagonal starts from its own O(m) dot product at row 0 and rolls down
+  * with the same one-multiply-add update — the EXACT arithmetic chain the
+  * full kernel's row sweep performs for those cells (the full kernel's
+  * QT(i, j) is derived by rolling the (0, j−i) dot down the diagonal, so
+  * per-diagonal evaluation reproduces it bit-for-bit; [[MatrixProfileExpr
+  * .windowStats]]/[[MatrixProfileExpr.znDist]] are shared so μ/σ/flat and
+  * the distance formula are the same code). Returns the partial profile
+  * interleaved [d₀, j₀, ...] with untouched windows at +∞/−1; callers
+  * merge blocks with min(struct(d, nn)) — so the merged nn is the
+  * SMALLEST j attaining the minimum (the tier's declared tie rule; the
+  * in-kernel scan order keeps a different j only when two distances tie
+  * EXACTLY, which the d-values themselves are blind to).
+  *
+  * Scale shape: the series broadcasts once (types × grid doubles), the
+  * chunk spine repartitions freely, each task pays (k1−k0)·w̄ cells, and
+  * only (i, d, nn) triples shuffle into the merge — the O(range²) work
+  * distributes over the cluster instead of serializing one core per
+  * series. */
+case class MatrixProfileBlockExpr(first: Expression, second: Expression,
+                                  third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), IntegerType, IntegerType, IntegerType)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any, m: Any, k0: Any, k1: Any): Any =
+    MatrixProfileBlockExpr.compute(a.asInstanceOf[ArrayData], m.asInstanceOf[Int],
+      k0.asInstanceOf[Int], k1.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m, k0, k1) =>
+      s"${ev.value} = graft.functions.MatrixProfileBlockExpr.compute($a, $m, $k0, $k1);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+
+  override def prettyName: String = "matrix_profile_block"
+}
+
+object MatrixProfileBlockExpr {
+
+  def compute(a: ArrayData, m: Int, k0: Int, k1: Int): ArrayData = {
+    val x = a.toDoubleArray()
+    val n = x.length
+    if (m < 2 || n < 2 * m)
+      throw new IllegalArgumentException(
+        s"matrix_profile_block: need window m >= 2 and series length >= 2m (got m=$m, n=$n)")
+    val w = n - m + 1
+    val excl = m / 2
+    val (mu, sig, flat) = MatrixProfileExpr.windowStats(x, m)
+    val prof = Array.fill(w)(Double.PositiveInfinity)
+    val nn = Array.fill(w)(-1)
+    @inline def consider(i: Int, j: Int, d: Double): Unit =
+      if (d < prof(i) || (d == prof(i) && j < nn(i))) { prof(i) = d; nn(i) = j }
+    var k = math.max(k0, excl)
+    val kEnd = math.min(k1, w)
+    while (k < kEnd) {
+      // diagonal k: cells (i, i+k) for i ∈ [0, w−k); fresh O(m) dot at
+      // the top, then the STOMP O(1) roll — the full kernel's own chain
+      var qt = 0.0
+      var t = 0
+      while (t < m) { qt += x(t) * x(k + t); t += 1 }
+      var d = MatrixProfileExpr.znDist(qt, 0, k, m, mu, sig, flat)
+      consider(0, k, d)
+      consider(k, 0, d)
+      var i = 1
+      while (i < w - k) {
+        qt = qt - x(i - 1) * x(i + k - 1) + x(i + m - 1) * x(i + k + m - 1)
+        d = MatrixProfileExpr.znDist(qt, i, i + k, m, mu, sig, flat)
+        consider(i, i + k, d)
+        consider(i + k, i, d)
+        i += 1
+      }
+      k += 1
+    }
+    val out = new Array[Double](2 * w)
+    var i = 0
+    while (i < w) {
+      out(2 * i) = prof(i)
+      out(2 * i + 1) = nn(i).toDouble
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TrajSim
+import graft.functions.{TrajSim, TrajSketchFns}
 import Q._
 
 /** SURVEY §2.10 extension — TRACK-LEVEL trajectory similarity (round 14):
@@ -21,26 +21,36 @@ import Q._
   *     user only widens the stride. Each kept fix converts once to a unit
   *     3-vector (codegen `transform`), making the DP inner cell pure
   *     arithmetic ([[graft.functions.FrechetDist]] scaladoc).
-  *  2. **EXACT DP on the broadcast signature scan** — the q_traj_sim
-  *     pair-scan shape (u1 < u2 against a broadcast signature frame of
-  *     TrackCap·3 doubles per user), scored by the full chord²-DP inside
-  *     whole-stage codegen. No lossy candidate tier: at ~12 ns per DP
-  *     cell the exact scan costs ~4 CPU-min per 10⁶ pairs, so the result
-  *     is the true top-10 over the downsampled tracks by construction.
-  *     Above an adaptive 5M-pair gate the Fréchet key inserts an EXACT
-  *     endpoint-lower-bound prune (see [[frechetPruned]]) so only
-  *     plausibly-near pairs pay the DP — output provably unchanged. The
-  *     U² scan is the same declared wall as q_traj_sim, with the same
-  *     documented path for unbounded user counts: MinHash-LSH over
-  *     visited-cell sets (m_dedup_minhash machinery) pre-filters the
-  *     scan before the DP spends anything.
+  *  2. **EXACT scan/prune tiers, per metric** (round-15 — replacing the
+  *     r14-documented MinHash-LSH plan, which the fixture itself REFUTES:
+  *     the measured visited-cell Jaccard of true top-10 pairs is
+  *     indistinguishable from random pairs, one sf0.01 top-10 Fréchet
+  *     pair shares ZERO cells — see [[graft.functions.TrajSketch]]):
+  *     - LCSS and EDR run an exact SPARSE-MATCH algorithm on every pair
+  *       (Hunt-Szymanski LIS / sparse gap DP over the ε-match set found
+  *       by 2.5°-cell range lookup) — ≡ the full cap² DP on every input,
+  *       at the cost of the match count instead of the matrix. No gate,
+  *       no prune, no recall question: the U² scan stays the declared
+  *       wall but its per-pair constant drops ~10-25×.
+  *     - Fréchet and Hausdorff keep the full-matrix kernels but, above
+  *       the adaptive 5M-pair gate, pay them only on pairs surviving an
+  *       EXACT lower-bound threshold prune ([[frechetPruned]] /
+  *       [[hausdorffPruned]]): endpoint chord for Fréchet, the
+  *       cell-rectangle Hausdorff bound for Hausdorff (sf0.01 measured:
+  *       1% survivors at the true top-10 threshold). Output provably
+  *       identical to the all-pairs scan in both cases.
+  *     The near-duplicate/corridor-fleet query form — where MinHash-LSH
+  *     IS sound (J ≥ ~0.5) — lives in [[graft.operators.TrajLsh]], a
+  *     library surface covered by TrajLshSpec.
   *
   * No SQL oracle (a 2-D DP has no tractable SQL form — the m_time_dtw
   * precedent); TrajectorySpec pins kernel equality with an independent
   * recursive-memo reference in plain haversine km (proving the chord²
-  * monotone-transform rewrite exact), the Eiter-Mannila axioms (identity,
+  * monotone-transform rewrite exact), sparse-kernel ≡ full-DP equality
+  * on random and adversarial tracks, the Eiter-Mannila axioms (identity,
   * symmetry, endpoint lower bound), planted parallel/reversed corridors,
-  * LCSS one-wild-fix robustness, and key-level top-10 equality vs an
+  * LCSS one-wild-fix robustness, forced-prune-branch ≡ direct-branch
+  * equality for BOTH pruned keys, and key-level top-10 equality vs an
   * exact all-pairs driver DP at fixture scale. */
 object Trajectory extends QueryGroup {
 
@@ -77,18 +87,30 @@ object Trajectory extends QueryGroup {
     * after every kept row even at round(4). Survivors re-attach tracks
     * via broadcast equi-joins and pay the cap² DP. Output provably ≡ the
     * all-pairs scan. */
+  /** Prune telemetry for the ×10 probe: (candidate pairs, survivors) by
+    * key, recorded by the pruned branches so ScaleProbe can log the pair
+    * counts the tier actually fed to the exact kernels. */
+  @volatile private[graft] var lastPrune: Map[String, (Long, Long)] = Map.empty
+
   private[graft] def frechetPruned(s: SparkSession, tr: DataFrame): DataFrame = {
     import s.implicits._
-    val ep = tr.select($"user_id",
-      expr("slice(track, 1, 3)").as("h"),
-      expr("slice(track, size(track) - 2, 3)").as("t"))
-    val eLhs = ep.select($"user_id".as("u1"), $"h".as("h1"), $"t".as("t1"))
-      .repartition(s.sparkContext.defaultParallelism)
-    val eRhs = ep.select($"user_id".as("u2"), $"h".as("h2"), $"t".as("t2"))
-    val light = eLhs.join(broadcast(eRhs), $"u1" < $"u2")
-      .select($"u1", $"u2",
-        greatest(chordKm($"h1", $"h2"), chordKm($"t1", $"t2")).as("lb_km"))
-      .localCheckpoint(eager = false)
+    // The light (u1, u2, lb) scan is CHEAP (12 doubles per user) but at
+    // 10⁸ pairs its materialization is not: r14 localCheckpoint'd it and
+    // the 2.7 GB block write dominated the ×10 probe. Build it lazily and
+    // run it TWICE instead — a top-50 TakeOrdered pass for the threshold
+    // seed and a filter pass for the survivors; two cheap scans beat one
+    // data-sized cache at every scale.
+    def light = {
+      val ep = tr.select($"user_id",
+        expr("slice(track, 1, 3)").as("h"),
+        expr("slice(track, size(track) - 2, 3)").as("t"))
+      val eLhs = ep.select($"user_id".as("u1"), $"h".as("h1"), $"t".as("t1"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val eRhs = ep.select($"user_id".as("u2"), $"h".as("h2"), $"t".as("t2"))
+      eLhs.join(broadcast(eRhs), $"u1" < $"u2")
+        .select($"u1", $"u2",
+          greatest(chordKm($"h1", $"h2"), chordKm($"t1", $"t2")).as("lb_km"))
+    }
     def attach(df: DataFrame) = df
       .join(broadcast(tr.select($"user_id".as("u1"),
         $"n_fixes".as("n_a"), $"track".as("ta"))), Seq("u1"))
@@ -101,10 +123,55 @@ object Trajectory extends QueryGroup {
       .agg(max($"d").as("t"))
       .select(coalesce($"t", lit(Double.MaxValue)))
       .as[Double].head()
-    attach(light.filter($"lb_km" <= thr + 1e-4).select($"u1", $"u2"))
+    val survivors = light.filter($"lb_km" <= thr + 1e-4).select($"u1", $"u2")
+    val nUsers = tr.count()
+    lastPrune += "m_traj_frechet" -> (nUsers * (nUsers - 1) / 2, survivors.count())
+    attach(survivors)
       .withColumn("frechet_km", round(TrajSim.frechetKm($"ta", $"tb"), 4))
       .select($"u1", $"u2", $"n_a", $"n_b", $"frechet_km")
       .orderBy($"frechet_km", $"u1", $"u2")
+      .limit(10)
+  }
+
+  /** m_traj_hausdorff's large-U path — the same two-scan threshold-prune
+    * shape as [[frechetPruned]], with the EXACT cell-rectangle Hausdorff
+    * lower bound ([[graft.functions.TrajSketch.hausLbKm]]) as the stage-1
+    * scan: dH ≥ max-min over the two fix-cell sets of the per-cell-pair
+    * distance bound, so pruning lb > thr + 1e-4 can never drop a true
+    * top-10 pair (thr = the 10th-smallest EXACT distance among the 50
+    * smallest-lb candidates — any ≥10-pair subset's 10th-smallest exact
+    * is ≥ the global d₁₀). Stage 1 moves only the ≤cap int cell arrays
+    * per user, never the 1.5 KB tracks; measured at sf0.01 the bound
+    * keeps 1% of pairs at the true threshold. */
+  private[graft] def hausdorffPruned(s: SparkSession, tr: DataFrame): DataFrame = {
+    import s.implicits._
+    TrajSketchFns.register(s, MatchEpsKm)
+    def light = {
+      val lhs = tr.select($"user_id".as("u1"), $"fc".as("fa"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val rhs = tr.select($"user_id".as("u2"), $"fc".as("fb"))
+      lhs.join(broadcast(rhs), $"u1" < $"u2")
+        .select($"u1", $"u2", TrajSketchFns.hausLbKm($"fa", $"fb").as("lb_km"))
+    }
+    def attach(df: DataFrame) = df
+      .join(broadcast(tr.select($"user_id".as("u1"),
+        $"n_fixes".as("n_a"), $"track".as("ta"))), Seq("u1"))
+      .join(broadcast(tr.select($"user_id".as("u2"),
+        $"n_fixes".as("n_b"), $"track".as("tb"))), Seq("u2"))
+    val thr = attach(light.orderBy($"lb_km", $"u1", $"u2").limit(50)
+        .select($"u1", $"u2"))
+      .select(TrajSim.hausdorffKm($"ta", $"tb").as("d"))
+      .orderBy($"d").limit(10)
+      .agg(max($"d").as("t"))
+      .select(coalesce($"t", lit(Double.MaxValue)))
+      .as[Double].head()
+    val survivors = light.filter($"lb_km" <= thr + 1e-4).select($"u1", $"u2")
+    val nUsers = tr.count()
+    lastPrune += "m_traj_hausdorff" -> (nUsers * (nUsers - 1) / 2, survivors.count())
+    attach(survivors)
+      .withColumn("hausdorff_km", round(TrajSim.hausdorffKm($"ta", $"tb"), 4))
+      .select($"u1", $"u2", $"n_a", $"n_b", $"hausdorff_km")
+      .orderBy($"hausdorff_km", $"u1", $"u2")
       .limit(10)
   }
 
@@ -140,7 +207,18 @@ object Trajectory extends QueryGroup {
           p => array(
             cos(radians(p.getField("lat"))) * cos(radians(p.getField("lon"))),
             cos(radians(p.getField("lat"))) * sin(radians(p.getField("lon"))),
-            sin(radians(p.getField("lat")))))).as("track"))
+            sin(radians(p.getField("lat")))))).as("track"),
+        // per-fix 2.5° cell ids, 1:1 with the track order — the sparse-
+        // match / lower-bound sketch of functions/TrajSketch. Integer-
+        // exact: 2.5° boundaries are exact binary doubles, and the 0.1°-
+        // lattice fixture coordinates can never land within an ulp of one.
+        transform(array_sort(collect_list(struct($"rn", $"lat", $"lon"))),
+          p => (floor((p.getField("lat") + lit(90.0)) / lit(graft.functions.TrajSketch.CellDeg)) * graft.functions.TrajSketch.NLon
+            + floor((p.getField("lon") + lit(180.0)) / lit(graft.functions.TrajSketch.CellDeg))).cast("int")).as("fc"),
+        // raw interleaved lat/lon of the same kept fixes (the map-matching
+        // key's input — the HMM needs degrees, not unit vectors)
+        flatten(transform(array_sort(collect_list(struct($"rn", $"lat", $"lon"))),
+          p => array(p.getField("lat"), p.getField("lon")))).as("ll"))
   }
 
   /** Every (u1 < u2) pair with both tracks attached: the q_traj_sim
@@ -162,10 +240,13 @@ object Trajectory extends QueryGroup {
   private def pairedTracks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrajSim.register(s)
+    TrajSketchFns.register(s, MatchEpsKm)
     val tr = tracks(s, dir)
-    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"), $"track".as("ta"))
+    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"),
+        $"track".as("ta"), $"fc".as("fa"))
       .repartition(s.sparkContext.defaultParallelism)
-    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"), $"track".as("tb"))
+    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
+        $"track".as("tb"), $"fc".as("fb"))
     lhs.join(broadcast(rhs), $"u1" < $"u2")
   }
 
@@ -224,8 +305,11 @@ object Trajectory extends QueryGroup {
     "m_traj_edr" -> ((s, dir) => {
       import s.implicits._
       pairedTracks(s, dir)
+        // exact sparse-match gap DP (functions/TrajSketch) ≡ the full
+        // cap² DP on every input, at the cost of the ε-match count —
+        // the r15 scale fix for the declared U² wall's per-pair constant
         .withColumn("n_edits",
-          TrajSim.edrDist($"ta", $"tb", lit(MatchEpsKm)))
+          TrajSketchFns.edrSparse($"fa", $"ta", $"fb", $"tb"))
         // normalize by the longer DOWNSAMPLED track (its exact point
         // count is size(track)/3 — stride rounding makes it ≤ cap but
         // not always min(n, cap))
@@ -282,11 +366,58 @@ object Trajectory extends QueryGroup {
     // all-pairs driver recomputation.
     "m_traj_hausdorff" -> ((s, dir) => {
       import s.implicits._
-      pairedTracks(s, dir)
-        .withColumn("hausdorff_km", round(TrajSim.hausdorffKm($"ta", $"tb"), 4))
-        .select($"u1", $"u2", $"n_a", $"n_b", $"hausdorff_km")
-        .orderBy($"hausdorff_km", $"u1", $"u2")
-        .limit(10)
+      // Same adaptive gate as the Fréchet key: below ~5M pairs the direct
+      // exact scan beats the prune's extra jobs; above it the exact
+      // cell-bound threshold prune ([[hausdorffPruned]]) pays the kernel
+      // on the measured ~1% of pairs the bound cannot exclude.
+      TrajSim.register(s)
+      val tr = tracks(s, dir)
+      val nUsers = tr.count()
+      if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
+        pairedTracks(s, dir)
+          .withColumn("hausdorff_km", round(TrajSim.hausdorffKm($"ta", $"tb"), 4))
+          .select($"u1", $"u2", $"n_a", $"n_b", $"hausdorff_km")
+          .orderBy($"hausdorff_km", $"u1", $"u2")
+          .limit(10)
+      else hausdorffPruned(s, tr)
+    }),
+
+    // HMM map-matching (Newson & Krumm, VLDB 2009 shape) — snap each
+    // user's downsampled fixes onto the 0.1° lattice road graph by exact
+    // per-user Viterbi over 3×3 candidate nodes: Gaussian emission in the
+    // fix→node distance, exponential transition in the route-vs-measured
+    // length discrepancy (functions/MapMatch.scala). The fixture is
+    // noise-free (every derived coordinate IS a lattice node), so the key
+    // DECLARES simulated GPS noise: a deterministic ±0.045° jitter from
+    // xxhash64(user_id, fix index) — under half a cell, keeping the true
+    // node inside every fix's candidate grid — and then reports how much
+    // of the clean walk the HMM recovers (self-validating: truth is the
+    // pre-jitter track). Plan: the tracks() substrate's one window pass is
+    // the only data-sized job; jitter, the T×9² Viterbi (T ≤ TrackCap)
+    // and the recovery compare are all per-user-row codegen work. No SQL
+    // oracle (Viterbi DP — the m_time_dtw precedent); MapMatchSpec pins
+    // kernel ≡ brute-force all-paths Viterbi, noise-free identity,
+    // planted-walk recovery, and the gross-outlier correction.
+    "m_traj_mapmatch" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.MapMatchExpr.register(s, sigmaKm = 3.0, betaKm = 30.0)
+      tracks(s, dir)
+        .withColumn("noisy", expr(
+          """flatten(transform(sequence(0, size(ll) div 2 - 1), i -> array(
+            |  ll[2*i]   + (pmod(xxhash64(user_id, i), 91) - 45) / 1000.0d,
+            |  ll[2*i+1] + (pmod(xxhash64(user_id, i, 7), 91) - 45) / 1000.0d)))"""
+            .stripMargin))
+        .withColumn("snap", graft.functions.MapMatchExpr.mapMatch($"noisy"))
+        .withColumn("n_pts", size($"ll") / 2)
+        .withColumn("n_rec", expr(
+          """aggregate(sequence(0, size(ll) div 2 - 1), 0L, (acc, i) ->
+            |  acc + IF(snap[2*i] = CAST(round(ll[2*i] * 10.0d) AS INT) AND
+            |           snap[2*i+1] = CAST(round(ll[2*i+1] * 10.0d) AS INT), 1L, 0L))"""
+            .stripMargin))
+        .select($"user_id", $"n_fixes", $"n_pts".cast("long").as("n_pts"),
+          $"n_rec",
+          round($"n_rec" * lit(1.0) / $"n_pts", 4).as("recover_rate"))
+        .orderBy($"user_id")
     }),
 
     // LCSS similarity (Vlachos et al., ICDE 2002) over the same pair scan
@@ -296,8 +427,10 @@ object Trajectory extends QueryGroup {
     "m_traj_lcss" -> ((s, dir) => {
       import s.implicits._
       pairedTracks(s, dir)
+        // exact Hunt-Szymanski LIS over the sparse ε-match set ≡ the full
+        // cap² DP on every input (functions/TrajSketch + TrajectorySpec)
         .withColumn("n_match",
-          TrajSim.lcssMatches($"ta", $"tb", lit(MatchEpsKm)))
+          TrajSketchFns.lcssSparse($"fa", $"ta", $"fb", $"tb"))
         .withColumn("lcss", round($"n_match" * lit(1.0) /
           least(least($"n_a", $"n_b"), lit(TrackCap.toLong)), 4))
         .select($"u1", $"u2", $"n_a", $"n_b", $"n_match", $"lcss")

@@ -765,6 +765,51 @@ class TimeseriesSpec extends BaseSpec {
     assert(prof2(20) > 1.0, s"ramp must not read as matching a flat: ${prof2(20)}")
   }
 
+  test("matrix profile diagonal-block tier: merged blocks bit-identical to the serial kernel") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(1519)
+    for (trial <- 1 to 6) {
+      val n = 80 + rnd.nextInt(200)
+      val m = 4 + 2 * rnd.nextInt(4)
+      val x = Array.tabulate(n) { i =>
+        if (trial % 2 == 0 && i / 12 % 4 == 0) 3.0
+        else math.rint((math.sin(i * 0.4) * 5 + rnd.nextDouble() * 3) * 10) / 10
+      }
+      val w = n - m + 1
+      val (profK, _) = mp(x, m)
+      // split the diagonals into uneven chunks (incl. degenerate/empty
+      // ranges) and merge by (d, nn)-min — the tiled tier's exact shape
+      val cuts = (Seq(0, w) ++ Seq.fill(3)(rnd.nextInt(w))).distinct.sorted
+      val prof = Array.fill(w)(Double.PositiveInfinity)
+      val nn = Array.fill(w)(-1)
+      cuts.sliding(2).foreach { case Seq(k0, k1) =>
+        val part = graft.functions.MatrixProfileBlockExpr
+          .compute(ArrayData.toArrayData(x), m, k0, k1).toDoubleArray()
+        var i = 0
+        while (i < w) {
+          val d = part(2 * i); val j = part(2 * i + 1).toInt
+          if (d < prof(i) || (d == prof(i) && j < nn(i))) { prof(i) = d; nn(i) = j }
+          i += 1
+        }
+      }
+      prof.indices.foreach { i =>
+        // BIT-identical distances: the block kernel replays the serial
+        // kernel's own diagonal chains (shared stats + distance code)
+        assert(prof(i) == profK(i),
+          s"trial $trial i=$i: tiled ${prof(i)} != kernel ${profK(i)}")
+        assert(nn(i) >= 0 && math.abs(nn(i) - i) >= m / 2, s"bad nn at $i")
+      }
+    }
+  }
+
+  test("m_time_matrixprofile: forced tiled branch == kernel branch on the fixture grid") {
+    val kernel = queries.Timeseries.mpKey(spark, sf, Int.MaxValue)
+      .as[(String, Long, Long, Long, Long, Double, Long, Double)].collect().toSeq
+    val tiled = queries.Timeseries.mpKey(spark, sf, 0)
+      .as[(String, Long, Long, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(tiled == kernel, s"tiled:\n $tiled\nkernel:\n $kernel")
+  }
+
   test("m_time_matrixprofile equals a driver recomputation from the raw parquet") {
     val m = 24
     val byType = Tables(spark, sf, "events")

@@ -194,6 +194,72 @@ class TrajectorySpec extends BaseSpec {
     assert(frechet(base, reversed) > 2000.0)
   }
 
+  /** lat/lon interleaved → per-fix 2.5° cell ids (the tracks() fc column's
+    * derivation, driver-side). */
+  private def fcArr(ll: Array[Double]): Array[Int] =
+    ll.grouped(2).map { case Array(lat, lon) =>
+      (math.floor((lat + 90.0) / 2.5) * 144 + math.floor((lon + 180.0) / 2.5)).toInt
+    }.toArray
+
+  test("sparse LCSS/EDR kernels == full-matrix DPs on random, dense, polar and corridor tracks") {
+    import graft.functions.TrajSketch
+    val rnd = new scala.util.Random(1517)
+    def randTrack(len: Int, latRange: Double = 160, latOff: Double = -80): Array[Double] =
+      trk(Seq.fill(len)((rnd.nextDouble() * latRange + latOff,
+        rnd.nextDouble() * 340 - 170)): _*)
+    def check(a: Array[Double], b: Array[Double], eps: Double): Unit = {
+      val fa = ArrayData.toArrayData(fcArr(a))
+      val fb = ArrayData.toArrayData(fcArr(b))
+      val (xa, xb) = (arr(xyz(a)), arr(xyz(b)))
+      assert(TrajSketch.lcssSparse(fa, xa, fb, xb, eps) ==
+        LcssMatches.compute(xa, xb, eps), s"lcss sparse != DP (eps=$eps)")
+      assert(TrajSketch.edrSparse(fa, xa, fb, xb, eps) ==
+        graft.functions.EdrDist.compute(xa, xb, eps), s"edr sparse != DP (eps=$eps)")
+      // the Hausdorff cell bound must never exceed the true distance
+      val hl = TrajSketch.hausLbKm(fa, fb)
+      val h = graft.functions.HausdorffKm.compute(xa, xb)
+      assert(hl <= h + 1e-6, s"hausLb $hl above true hausdorff $h")
+    }
+    for (_ <- 1 to 60) {
+      val a = randTrack(1 + rnd.nextInt(20))
+      val b = randTrack(1 + rnd.nextInt(20))
+      check(a, b, 500.0)
+      check(a, b, 150.0)
+      check(a, b, 2000.0)
+    }
+    // dense-match regime (identical-corridor pairs): every cell pair is an
+    // ε-match, exercising the EDR O(P²)-vs-DP fallback and the LIS at
+    // full density
+    val base = trk((0 until 30).map(i => (0.0, i * 0.2)): _*)
+    val near = trk((0 until 30).map(i => (0.05, i * 0.2 + 0.03)): _*)
+    check(base, near, 500.0)
+    check(base, base, 500.0)
+    // polar tracks: the lon dilation radius blows up toward the poles —
+    // the per-row dcMax table must stay a superset of true ε-matches
+    for (_ <- 1 to 20) {
+      val a = randTrack(1 + rnd.nextInt(12), latRange = 9.0, latOff = 75.0)
+      val b = randTrack(1 + rnd.nextInt(12), latRange = 9.0, latOff = 75.0)
+      check(a, b, 500.0)
+    }
+    // cross-antimeridian: circular column windows must wrap, not clip
+    val west = trk((0 until 10).map(i => (10.0, 179.0 + i * 0.2 - (if (179.0 + i * 0.2 >= 180) 360 else 0))): _*)
+    val east = trk((0 until 10).map(i => (10.1, -179.9 + i * 0.2)): _*)
+    check(west, east, 500.0)
+  }
+
+  test("m_traj_hausdorff: forced prune branch == direct all-pairs top-10 at fixture scale") {
+    val direct = SparkEntry.queries("m_traj_hausdorff")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val pruned = queries.Trajectory
+      .hausdorffPruned(spark, queries.Trajectory.tracks(spark, sf))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(pruned == direct, s"pruned hausdorff top-10:\n got=$pruned\nwant=$direct")
+    // the telemetry the ×10 probe logs must show a real reduction even at
+    // fixture scale (bound keeps <= ~half the pairs here; 1% at sf0.01)
+    val (cand, surv) = queries.Trajectory.lastPrune("m_traj_hausdorff")
+    assert(cand > 0 && surv <= cand, s"prune telemetry ($cand, $surv)")
+  }
+
   test("m_traj_frechet / m_traj_lcss: keys match exact all-pairs driver DP at fixture scale") {
     // rebuild the downsampled tracks independently: same derivation SQL,
     // driver-side stride arithmetic and unit-vector conversion
