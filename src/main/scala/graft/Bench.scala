@@ -129,7 +129,7 @@ object Bench {
     // Shared-memo amortization, stated where the numbers are read: these
     // keys split one memoized step per session (first touch pays it), so
     // their min-of-two timings are warm-path costs by design.
-    println("""{"metric":"note","text":"m_sim_ivf+q_sim_knn_vec share one k-means fit; q_dedup_jaccard+q_dedup_cluster+q_dedup_keep share one capped-shingle substrate (cluster+keep also one CC run); q_sim_cosine+q_dedup_embcos share one LSH candidate set; q_mine_pairs+q_mine_rules+q_mine_triples share one basket substrate; the co-traveler graph keys share one pair-set build; m_graph_lp+m_graph_modularity share one LP label run; m_text_bpe+q_text_bpe_encode+q_pack_bpe share one BPE training run - min-of-two reports the warm cost for those keys"}""")
+    println("""{"metric":"note","text":"m_sim_ivf+q_sim_knn_vec share one k-means fit; q_dedup_jaccard+q_dedup_cluster+q_dedup_keep share one capped-shingle substrate (cluster+keep also one CC run); q_sim_cosine+q_dedup_embcos share one LSH candidate set; q_mine_pairs+q_mine_rules+q_mine_triples share one basket substrate; the co-traveler graph keys share one pair-set build; m_graph_lp+m_graph_modularity share one LP label run; m_text_bpe+q_text_bpe_encode+q_pack_bpe share one BPE training run; the six supervised keys (logreg/svm/gbt/nb/rf/mlp) share one checkpointed feature frame and m_ml_gmm its PCA-8 projection - min-of-two reports the warm cost for those keys"}""")
     val chunks = results.toSeq.sortBy(_._1).grouped(10).toSeq
     chunks.zipWithIndex.reverse.foreach { case (chunk, ci) =>
       val qs = chunk.map { case (k, v) => "\"" + k + "\":" + r3(v) }

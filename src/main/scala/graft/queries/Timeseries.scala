@@ -68,10 +68,11 @@ object Timeseries extends QueryGroup {
       .groupBy($"event_type", expr("unix_millis(ts) div 3600000").as("hr"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false) // one fact scan feeds bounds + join
-    val grid = hc.groupBy($"event_type")
+    val bounds = hc.groupBy($"event_type")
       .agg(min($"hr").as("lo"), max($"hr").as("hi"))
+    val grid = bounds
       .select($"event_type", explode(expr("sequence(lo, hi)")).as("hr"))
-    val series = grid.join(hc, Seq("event_type", "hr"), "left")
+    def series = grid.join(hc, Seq("event_type", "hr"), "left")
       .select($"event_type", $"hr", coalesce($"c", lit(0L)).as("c"))
       .groupBy($"event_type")
       .agg(array_sort(collect_list(struct($"hr", $"c"))).as("e"))
@@ -80,10 +81,11 @@ object Timeseries extends QueryGroup {
       // kernel precondition (it throws below 2m — a silent empty
       // profile would read as "no motif"); a type must span ≥ 2 days
       .filter(size($"x") >= 2 * m)
-      // the grid frame is types × hours-in-range — small; caching it
-      // makes the gate probe + (tiled) broadcast reuse one derivation
-      .localCheckpoint(eager = false)
-    val maxLen = series.agg(coalesce(max(size($"x")), lit(0))).as[Int].head()
+    // the range gate reads the GRID BOUNDS only (a tiny agg over the
+    // checkpointed hour counts) — never materializing the series frame,
+    // so the kernel branch keeps its one-pass broadcast gap-fill plan
+    val maxLen = bounds.agg(coalesce(max($"hi" - $"lo" + 1L), lit(0L)))
+      .as[Long].head()
     val exploded =
       if (maxLen <= tiledGate)
         series

@@ -26,19 +26,25 @@ import Q._
   *     the measured visited-cell Jaccard of true top-10 pairs is
   *     indistinguishable from random pairs, one sf0.01 top-10 Fréchet
   *     pair shares ZERO cells — see [[graft.functions.TrajSketch]]):
-  *     - LCSS and EDR run an exact SPARSE-MATCH algorithm on every pair
+  *     - LCSS and EDR run an exact SPARSE-MATCH algorithm
   *       (Hunt-Szymanski LIS / sparse gap DP over the ε-match set found
-  *       by 2.5°-cell range lookup) — ≡ the full cap² DP on every input,
-  *       at the cost of the match count instead of the matrix. No gate,
-  *       no prune, no recall question: the U² scan stays the declared
-  *       wall but its per-pair constant drops ~10-25×.
+  *       by 2.5°-cell range lookup) — ≡ the full cap² DP on every input;
+  *       above the adaptive 5M-pair gate the shared near-count bound
+  *       (ub = min(nearA, nearB) ≥ n_match; lb = max(|Δn|, never-
+  *       matchable counts) ≤ n_edits) threshold-prunes first
+  *       ([[lcssPruned]] / [[edrPruned]]) — both bounds exact, so the
+  *       top-10 is provably unchanged.
   *     - Fréchet and Hausdorff keep the full-matrix kernels but, above
-  *       the adaptive 5M-pair gate, pay them only on pairs surviving an
-  *       EXACT lower-bound threshold prune ([[frechetPruned]] /
+  *       the same gate, pay them only on pairs surviving an EXACT
+  *       lower-bound threshold prune ([[frechetPruned]] /
   *       [[hausdorffPruned]]): endpoint chord for Fréchet, the
   *       cell-rectangle Hausdorff bound for Hausdorff (sf0.01 measured:
   *       1% survivors at the true top-10 threshold). Output provably
   *       identical to the all-pairs scan in both cases.
+  *     All four main passes are SINGLE-SCAN: tracks and sketches ride
+  *     the one broadcast pair join, bounds filter inline, survivors pay
+  *     the kernel in the same stage — the ×10 probe measured re-attach
+  *     joins and per-pair copies as the real wall, not the DP cells.
   *     The near-duplicate/corridor-fleet query form — where MinHash-LSH
   *     IS sound (J ≥ ~0.5) — lives in [[graft.operators.TrajLsh]], a
   *     library surface covered by TrajLshSpec.
@@ -123,10 +129,22 @@ object Trajectory extends QueryGroup {
       .agg(max($"d").as("t"))
       .select(coalesce($"t", lit(Double.MaxValue)))
       .as[Double].head()
-    val survivors = light.filter($"lb_km" <= thr + 1e-4).select($"u1", $"u2")
     val nUsers = tr.count()
-    lastPrune += "m_traj_frechet" -> (nUsers * (nUsers - 1) / 2, survivors.count())
-    attach(survivors)
+    lastPrune += "m_traj_frechet" ->
+      (nUsers * (nUsers - 1) / 2, light.filter($"lb_km" <= thr + 1e-4).count())
+    // Main pass is SINGLE-SCAN (round-15 probe finding: re-attaching the
+    // 1.5 KB tracks to 3.6×10⁷ survivors through two broadcast joins
+    // dominated the ×10 time): the pair scan carries the tracks from the
+    // start, the lb filter computes the endpoint bound inline from track
+    // slices, and survivors pay the DP in the same codegen stage.
+    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"), $"track".as("ta"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"), $"track".as("tb"))
+    lhs.join(broadcast(rhs), $"u1" < $"u2")
+      .filter(greatest(
+        chordKm(expr("slice(ta, 1, 3)"), expr("slice(tb, 1, 3)")),
+        chordKm(expr("slice(ta, size(ta) - 2, 3)"), expr("slice(tb, size(tb) - 2, 3)")))
+        <= thr + 1e-4)
       .withColumn("frechet_km", round(TrajSim.frechetKm($"ta", $"tb"), 4))
       .select($"u1", $"u2", $"n_a", $"n_b", $"frechet_km")
       .orderBy($"frechet_km", $"u1", $"u2")
@@ -143,35 +161,171 @@ object Trajectory extends QueryGroup {
     * is ≥ the global d₁₀). Stage 1 moves only the ≤cap int cell arrays
     * per user, never the 1.5 KB tracks; measured at sf0.01 the bound
     * keeps 1% of pairs at the true threshold. */
+  /** The stage-1 scan is a two-pass design tuned by the ×10 probe (the
+    * first cut computed the full max-min bound per pair and the 112M-pair
+    * scan cost 171 µs/pair — slower than the kernel it was saving):
+    *  - SEED pass: the threshold only needs the 10th-smallest EXACT
+    *    distance of ANY ≥10-pair subset (every such value ≥ the global
+    *    d₁₀), so the seed candidates are picked by the cheap shared-cell
+    *    OVERLAP proxy (one merge pass per pair) — proxy quality affects
+    *    prune tightness, never correctness.
+    *  - FILTER pass: `haus_lb_exceeds(cells, cells, thr)` — the bound is
+    *    only ever COMPARED to thr, so the scan exits at the first cell
+    *    proving lb > thr (~|cells| lookups on far pairs, the common
+    *    case) instead of completing the max-min. */
   private[graft] def hausdorffPruned(s: SparkSession, tr: DataFrame): DataFrame = {
     import s.implicits._
     TrajSketchFns.register(s, MatchEpsKm)
-    def light = {
-      val lhs = tr.select($"user_id".as("u1"), $"fc".as("fa"))
+    def lightPairs = {
+      val lhs = tr.select($"user_id".as("u1"), $"cells".as("ca"))
         .repartition(s.sparkContext.defaultParallelism)
-      val rhs = tr.select($"user_id".as("u2"), $"fc".as("fb"))
+      val rhs = tr.select($"user_id".as("u2"), $"cells".as("cb"))
       lhs.join(broadcast(rhs), $"u1" < $"u2")
-        .select($"u1", $"u2", TrajSketchFns.hausLbKm($"fa", $"fb").as("lb_km"))
     }
     def attach(df: DataFrame) = df
       .join(broadcast(tr.select($"user_id".as("u1"),
         $"n_fixes".as("n_a"), $"track".as("ta"))), Seq("u1"))
       .join(broadcast(tr.select($"user_id".as("u2"),
         $"n_fixes".as("n_b"), $"track".as("tb"))), Seq("u2"))
-    val thr = attach(light.orderBy($"lb_km", $"u1", $"u2").limit(50)
+    val thr = attach(lightPairs
+        .select($"u1", $"u2", TrajSketchFns.cellOverlap($"ca", $"cb").as("ov"))
+        .orderBy($"ov".desc, $"u1", $"u2").limit(50)
         .select($"u1", $"u2"))
       .select(TrajSim.hausdorffKm($"ta", $"tb").as("d"))
       .orderBy($"d").limit(10)
       .agg(max($"d").as("t"))
       .select(coalesce($"t", lit(Double.MaxValue)))
       .as[Double].head()
-    val survivors = light.filter($"lb_km" <= thr + 1e-4).select($"u1", $"u2")
     val nUsers = tr.count()
-    lastPrune += "m_traj_hausdorff" -> (nUsers * (nUsers - 1) / 2, survivors.count())
-    attach(survivors)
+    lastPrune += "m_traj_hausdorff" -> (nUsers * (nUsers - 1) / 2,
+      lightPairs.filter(!TrajSketchFns.hausLbExceeds($"ca", $"cb", lit(thr + 1e-4))).count())
+    // Single-scan main pass (the frechetPruned discipline): tracks AND
+    // cells ride the one pair scan, the early-exit exceeds check prunes,
+    // survivors pay the kernel in the same codegen stage — no re-attach.
+    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"),
+        $"track".as("ta"), $"cells".as("ca"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
+        $"track".as("tb"), $"cells".as("cb"))
+    lhs.join(broadcast(rhs), $"u1" < $"u2")
+      .filter(!TrajSketchFns.hausLbExceeds($"ca", $"cb", lit(thr + 1e-4)))
       .withColumn("hausdorff_km", round(TrajSim.hausdorffKm($"ta", $"tb"), 4))
       .select($"u1", $"u2", $"n_a", $"n_b", $"hausdorff_km")
       .orderBy($"hausdorff_km", $"u1", $"u2")
+      .limit(10)
+  }
+
+  /** m_traj_lcss's large-U path: the shared near-count bound
+    * ([[graft.functions.TrajSketch.nearCounts]]) gives the EXACT match
+    * upper bound ub = min(nearA, nearB) ≥ n_match, so the usual
+    * threshold-prune applies to the MAXIMIZATION form: seed = the 50
+    * largest-ub pairs, thr = their 10th-best exact normalized LCSS (any
+    * ≥10-pair subset's 10th best is ≤ the global s₁₀, so keeping
+    * ub_norm ≥ thr − 1e-4 can never drop a true top-10 pair, and
+    * excluded pairs sort strictly after kept ones even at round(4)).
+    * Single-pass main scan (the frechetPruned discipline). */
+  private[graft] def lcssPruned(s: SparkSession, tr: DataFrame): DataFrame = {
+    import s.implicits._
+    TrajSim.register(s)
+    TrajSketchFns.register(s, MatchEpsKm)
+    def lightPairs = {
+      val lhs = tr.select($"user_id".as("u1"), $"pb".as("sa"), $"dil".as("da"),
+          $"n_fixes".as("n_a"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val rhs = tr.select($"user_id".as("u2"), $"pb".as("sb"), $"dil".as("db"),
+          $"n_fixes".as("n_b"))
+      lhs.join(broadcast(rhs), $"u1" < $"u2")
+        .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
+        .withColumn("ubn",
+          least(shiftright($"nc", 32), $"nc".bitwiseAND(lit(0xffffffffL))) /
+            least(least($"n_a", $"n_b"), lit(TrackCap.toLong)))
+    }
+    def attach(df: DataFrame) = df
+      .join(broadcast(tr.select($"user_id".as("u1"), $"track".as("ta"),
+        $"pb".as("sa2"), $"n_fixes".as("na2"))), Seq("u1"))
+      .join(broadcast(tr.select($"user_id".as("u2"), $"track".as("tb"),
+        $"pb".as("sb2"), $"n_fixes".as("nb2"))), Seq("u2"))
+    val thr = attach(lightPairs.orderBy($"ubn".desc, $"u1", $"u2").limit(50)
+        .select($"u1", $"u2"))
+      .select((TrajSketchFns.lcssSparse($"sa2", $"ta", $"sb2", $"tb") /
+        least(least($"na2", $"nb2"), lit(TrackCap.toLong))).as("v"))
+      .orderBy($"v".desc).limit(10)
+      .agg(min($"v").as("t"))
+      .select(coalesce($"t", lit(-1.0)))
+      .as[Double].head()
+    val nUsers = tr.count()
+    lastPrune += "m_traj_lcss" -> (nUsers * (nUsers - 1) / 2,
+      lightPairs.filter($"ubn" >= thr - 1e-4).count())
+    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"),
+        $"track".as("ta"), $"pb".as("sa"), $"dil".as("da"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
+        $"track".as("tb"), $"pb".as("sb"), $"dil".as("db"))
+    lhs.join(broadcast(rhs), $"u1" < $"u2")
+      .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
+      .filter(least(shiftright($"nc", 32), $"nc".bitwiseAND(lit(0xffffffffL))) /
+        least(least($"n_a", $"n_b"), lit(TrackCap.toLong)) >= thr - 1e-4)
+      .withColumn("n_match", TrajSketchFns.lcssSparse($"sa", $"ta", $"sb", $"tb"))
+      .withColumn("lcss", round($"n_match" * lit(1.0) /
+        least(least($"n_a", $"n_b"), lit(TrackCap.toLong)), 4))
+      .select($"u1", $"u2", $"n_a", $"n_b", $"n_match", $"lcss")
+      .orderBy($"lcss".desc, $"u1", $"u2")
+      .limit(10)
+  }
+
+  /** m_traj_edr's large-U path — the MINIMIZATION twin of [[lcssPruned]]:
+    * lb = max(|nA−nB|, nA−nearA, nB−nearB) ≤ n_edits (every never-
+    * matchable fix costs an alignment op), normalized by the longer
+    * downsampled track; seed = 50 smallest-lb pairs, thr = their
+    * 10th-smallest exact normalized EDR (≥ the global d₁₀), keep
+    * lb_norm ≤ thr + 1e-4. */
+  private[graft] def edrPruned(s: SparkSession, tr: DataFrame): DataFrame = {
+    import s.implicits._
+    TrajSim.register(s)
+    TrajSketchFns.register(s, MatchEpsKm)
+    // downsampled point counts = size(pb); the key's normalization
+    def lbn = greatest(
+      abs(size($"sa") - size($"sb")).cast("long"),
+      size($"sa") - shiftright($"nc", 32),
+      size($"sb") - $"nc".bitwiseAND(lit(0xffffffffL))).cast("double") /
+      greatest(size($"sa"), size($"sb"))
+    def lightPairs = {
+      val lhs = tr.select($"user_id".as("u1"), $"pb".as("sa"), $"dil".as("da"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val rhs = tr.select($"user_id".as("u2"), $"pb".as("sb"), $"dil".as("db"))
+      lhs.join(broadcast(rhs), $"u1" < $"u2")
+        .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
+        .withColumn("lbn", lbn)
+    }
+    def attach(df: DataFrame) = df
+      .join(broadcast(tr.select($"user_id".as("u1"), $"track".as("ta"),
+        $"pb".as("sa2"))), Seq("u1"))
+      .join(broadcast(tr.select($"user_id".as("u2"), $"track".as("tb"),
+        $"pb".as("sb2"))), Seq("u2"))
+    val thr = attach(lightPairs.orderBy($"lbn", $"u1", $"u2").limit(50)
+        .select($"u1", $"u2"))
+      .select((TrajSketchFns.edrSparse($"sa2", $"ta", $"sb2", $"tb") * lit(1.0) /
+        greatest(size($"sa2"), size($"sb2"))).as("v"))
+      .orderBy($"v").limit(10)
+      .agg(max($"v").as("t"))
+      .select(coalesce($"t", lit(Double.MaxValue)))
+      .as[Double].head()
+    val nUsers = tr.count()
+    lastPrune += "m_traj_edr" -> (nUsers * (nUsers - 1) / 2,
+      lightPairs.filter($"lbn" <= thr + 1e-4).count())
+    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"),
+        $"track".as("ta"), $"pb".as("sa"), $"dil".as("da"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
+        $"track".as("tb"), $"pb".as("sb"), $"dil".as("db"))
+    lhs.join(broadcast(rhs), $"u1" < $"u2")
+      .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
+      .filter(lbn <= thr + 1e-4)
+      .withColumn("n_edits", TrajSketchFns.edrSparse($"sa", $"ta", $"sb", $"tb"))
+      .withColumn("edr", round($"n_edits" * lit(3.0) /
+        greatest(size($"ta"), size($"tb")), 4))
+      .select($"u1", $"u2", $"n_a", $"n_b", $"n_edits", $"edr")
+      .orderBy($"edr", $"u1", $"u2")
       .limit(10)
   }
 
@@ -189,6 +343,7 @@ object Trajectory extends QueryGroup {
 
   private def buildTracks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    TrajSketchFns.register(s, MatchEpsKm)
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
     val wAll = Window.partitionBy($"user_id")
     Geo.pts(s, dir)
@@ -213,12 +368,23 @@ object Trajectory extends QueryGroup {
         // exact: 2.5° boundaries are exact binary doubles, and the 0.1°-
         // lattice fixture coordinates can never land within an ulp of one.
         transform(array_sort(collect_list(struct($"rn", $"lat", $"lon"))),
-          p => (floor((p.getField("lat") + lit(90.0)) / lit(graft.functions.TrajSketch.CellDeg)) * graft.functions.TrajSketch.NLon
+          p => (floor((p.getField("lat") + lit(90.0)) / lit(graft.functions.TrajSketch.CellDeg)) * lit(256)
             + floor((p.getField("lon") + lit(180.0)) / lit(graft.functions.TrajSketch.CellDeg))).cast("int")).as("fc"),
         // raw interleaved lat/lon of the same kept fixes (the map-matching
         // key's input — the HMM needs degrees, not unit vectors)
         flatten(transform(array_sort(collect_list(struct($"rn", $"lat", $"lon"))),
           p => array(p.getField("lat"), p.getField("lon")))).as("ll"))
+      // per-user SORTED sketch structures, derived once here so no kernel
+      // ever sorts per pair (the round-15 probe lesson — see TrajSketch):
+      // pb = (cell << 32 | fixIdx) ascending, the sparse-match lookup
+      // structure; cells = distinct sorted cell ids, the bound/overlap set
+      .withColumn("pb", expr(
+        "array_sort(transform(fc, (c, i) -> shiftleft(CAST(c AS BIGINT), 32) + i))"))
+      .withColumn("cells", expr("array_sort(array_distinct(fc))"))
+      // the ε-dilation bitmap (162 longs): the LCSS/EDR prune tiers' near
+      // test becomes ONE bit lookup per fix at pair time (the per-pair
+      // band-search form measured 10 µs/pair — TrajSketch scaladoc)
+      .withColumn("dil", TrajSketchFns.dilateCells($"cells"))
   }
 
   /** Every (u1 < u2) pair with both tracks attached: the q_traj_sim
@@ -243,10 +409,10 @@ object Trajectory extends QueryGroup {
     TrajSketchFns.register(s, MatchEpsKm)
     val tr = tracks(s, dir)
     val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"),
-        $"track".as("ta"), $"fc".as("fa"))
+        $"track".as("ta"), $"pb".as("sa"))
       .repartition(s.sparkContext.defaultParallelism)
     val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
-        $"track".as("tb"), $"fc".as("fb"))
+        $"track".as("tb"), $"pb".as("sb"))
     lhs.join(broadcast(rhs), $"u1" < $"u2")
   }
 
@@ -304,20 +470,24 @@ object Trajectory extends QueryGroup {
     // detours, and key top-10 equality vs an exact all-pairs driver DP.
     "m_traj_edr" -> ((s, dir) => {
       import s.implicits._
-      pairedTracks(s, dir)
-        // exact sparse-match gap DP (functions/TrajSketch) ≡ the full
-        // cap² DP on every input, at the cost of the ε-match count —
-        // the r15 scale fix for the declared U² wall's per-pair constant
-        .withColumn("n_edits",
-          TrajSketchFns.edrSparse($"fa", $"ta", $"fb", $"tb"))
-        // normalize by the longer DOWNSAMPLED track (its exact point
-        // count is size(track)/3 — stride rounding makes it ≤ cap but
-        // not always min(n, cap))
-        .withColumn("edr", round($"n_edits" * lit(3.0) /
-          greatest(size($"ta"), size($"tb")), 4))
-        .select($"u1", $"u2", $"n_a", $"n_b", $"n_edits", $"edr")
-        .orderBy($"edr", $"u1", $"u2")
-        .limit(10)
+      // exact sparse-match gap DP (functions/TrajSketch) ≡ the full cap²
+      // DP on every input; above the 5M-pair gate the exact never-
+      // matchable-fix lower bound prunes first ([[edrPruned]])
+      val tr = tracks(s, dir)
+      val nUsers = tr.count()
+      if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
+        pairedTracks(s, dir)
+          .withColumn("n_edits",
+            TrajSketchFns.edrSparse($"sa", $"ta", $"sb", $"tb"))
+          // normalize by the longer DOWNSAMPLED track (its exact point
+          // count is size(track)/3 — stride rounding makes it ≤ cap but
+          // not always min(n, cap))
+          .withColumn("edr", round($"n_edits" * lit(3.0) /
+            greatest(size($"ta"), size($"tb")), 4))
+          .select($"u1", $"u2", $"n_a", $"n_b", $"n_edits", $"edr")
+          .orderBy($"edr", $"u1", $"u2")
+          .limit(10)
+      else edrPruned(s, tr)
     }),
 
     // TRACLUS partition-and-group (Lee, Han & Whang, SIGMOD 2007): MDL-
@@ -426,16 +596,22 @@ object Trajectory extends QueryGroup {
     // LCSS a single match). Top-10 MOST similar pairs.
     "m_traj_lcss" -> ((s, dir) => {
       import s.implicits._
-      pairedTracks(s, dir)
-        // exact Hunt-Szymanski LIS over the sparse ε-match set ≡ the full
-        // cap² DP on every input (functions/TrajSketch + TrajectorySpec)
-        .withColumn("n_match",
-          TrajSketchFns.lcssSparse($"fa", $"ta", $"fb", $"tb"))
-        .withColumn("lcss", round($"n_match" * lit(1.0) /
-          least(least($"n_a", $"n_b"), lit(TrackCap.toLong)), 4))
-        .select($"u1", $"u2", $"n_a", $"n_b", $"n_match", $"lcss")
-        .orderBy($"lcss".desc, $"u1", $"u2")
-        .limit(10)
+      // exact Hunt-Szymanski LIS over the sparse ε-match set ≡ the full
+      // cap² DP on every input (functions/TrajSketch + TrajectorySpec);
+      // above the 5M-pair gate the exact match upper bound prunes first
+      // ([[lcssPruned]])
+      val tr = tracks(s, dir)
+      val nUsers = tr.count()
+      if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
+        pairedTracks(s, dir)
+          .withColumn("n_match",
+            TrajSketchFns.lcssSparse($"sa", $"ta", $"sb", $"tb"))
+          .withColumn("lcss", round($"n_match" * lit(1.0) /
+            least(least($"n_a", $"n_b"), lit(TrackCap.toLong)), 4))
+          .select($"u1", $"u2", $"n_a", $"n_b", $"n_match", $"lcss")
+          .orderBy($"lcss".desc, $"u1", $"u2")
+          .limit(10)
+      else lcssPruned(s, tr)
     })
   )
 

@@ -465,4 +465,48 @@ class MlModelSpec extends BaseSpec {
     assert(bestLr.coefficients.toArray.exists(_ != 0.0),
       "best model must carry non-zero coefficients")
   }
+
+  test("CrossValidator: k-fold CV picks the working grid point; fold metrics average sanely") {
+    // The k-fold twin of the TVS seam (r14 verdict missing #3): same
+    // collapsed-vs-working L1 grid, 3 folds — CV must (a) separate the
+    // two points on AVERAGED fold metrics, (b) return the working point
+    // as bestModel, and (c) refit it on the FULL training frame (the CV
+    // contract: bestModel trains on all folds' union).
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val train = graft.queries.Ml.logregFrame(spark, sf).drop("features")
+      .filter($"split" === "train")
+    val lr = new LogisticRegression().setMaxIter(50).setElasticNetParam(1.0)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("x1", "x2"))
+        .setOutputCol("features"), lr))
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(10.0, 0.001)).build()
+    val cv = new CrossValidator().setEstimator(pipe)
+      .setEvaluator(new BinaryClassificationEvaluator()) // areaUnderROC
+      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42L)
+    val cm = cv.fit(train)
+
+    val metrics = grid.map(_.get(lr.regParam).get).zip(cm.avgMetrics).toMap
+    // the collapsed point scores AUC 0.5 on EVERY fold; averaging across
+    // folds cannot rescue it
+    assert(metrics(0.001) > metrics(10.0) + 0.2,
+      s"averaged fold AUCs $metrics must separate the collapsed L1 point")
+    assert(math.abs(metrics(10.0) - 0.5) < 0.05,
+      s"collapsed point should average ~0.5 AUC, got ${metrics(10.0)}")
+    val bestLr = cm.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .stages(1).asInstanceOf[LogisticRegressionModel]
+    assert(bestLr.getRegParam == 0.001,
+      s"best regParam ${bestLr.getRegParam}, want the working point 0.001")
+    // (c): the final refit sees the full frame — its coefficient direction
+    // must match the planted (+x1, -x2), like the direct fit does
+    val c = bestLr.coefficients
+    assert(c(0) > 0 && c(1) < 0, s"refit direction $c, want (+, -)")
+    // determinism: same seed, same data → identical averaged metrics
+    val again = cv.fit(train)
+    assert(again.avgMetrics.toSeq == cm.avgMetrics.toSeq, "CV must be seeded-deterministic")
+  }
 }

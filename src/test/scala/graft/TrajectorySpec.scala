@@ -198,7 +198,7 @@ class TrajectorySpec extends BaseSpec {
     * derivation, driver-side). */
   private def fcArr(ll: Array[Double]): Array[Int] =
     ll.grouped(2).map { case Array(lat, lon) =>
-      (math.floor((lat + 90.0) / 2.5) * 144 + math.floor((lon + 180.0) / 2.5)).toInt
+      graft.functions.TrajSketch.cellId(lat, lon)
     }.toArray
 
   test("sparse LCSS/EDR kernels == full-matrix DPs on random, dense, polar and corridor tracks") {
@@ -207,18 +207,29 @@ class TrajectorySpec extends BaseSpec {
     def randTrack(len: Int, latRange: Double = 160, latOff: Double = -80): Array[Double] =
       trk(Seq.fill(len)((rnd.nextDouble() * latRange + latOff,
         rnd.nextDouble() * 340 - 170)): _*)
+    // the tracks() sketch columns, driver-side: packed (cell<<32|idx)
+    // ascending and distinct sorted cells
+    def pbArr(fc: Array[Int]): ArrayData = ArrayData.toArrayData(
+      fc.zipWithIndex.map { case (c, i) => (c.toLong << 32) | i.toLong }.sorted)
+    def cellsArr(fc: Array[Int]): ArrayData = ArrayData.toArrayData(fc.distinct.sorted)
     def check(a: Array[Double], b: Array[Double], eps: Double): Unit = {
-      val fa = ArrayData.toArrayData(fcArr(a))
-      val fb = ArrayData.toArrayData(fcArr(b))
+      val (fca, fcb) = (fcArr(a), fcArr(b))
+      val (pa, pb) = (pbArr(fca), pbArr(fcb))
       val (xa, xb) = (arr(xyz(a)), arr(xyz(b)))
-      assert(TrajSketch.lcssSparse(fa, xa, fb, xb, eps) ==
+      assert(TrajSketch.lcssSparse(pa, xa, pb, xb, eps) ==
         LcssMatches.compute(xa, xb, eps), s"lcss sparse != DP (eps=$eps)")
-      assert(TrajSketch.edrSparse(fa, xa, fb, xb, eps) ==
+      assert(TrajSketch.edrSparse(pa, xa, pb, xb, eps) ==
         graft.functions.EdrDist.compute(xa, xb, eps), s"edr sparse != DP (eps=$eps)")
-      // the Hausdorff cell bound must never exceed the true distance
-      val hl = TrajSketch.hausLbKm(fa, fb)
+      // the Hausdorff cell bound must never exceed the true distance, and
+      // the threshold form must agree with the bound on BOTH sides of it
+      val hl = TrajSketch.hausLbKm(cellsArr(fca), cellsArr(fcb))
       val h = graft.functions.HausdorffKm.compute(xa, xb)
       assert(hl <= h + 1e-6, s"hausLb $hl above true hausdorff $h")
+      assert(!TrajSketch.hausLbExceeds(cellsArr(fca), cellsArr(fcb), hl + 1e-9),
+        "exceeds(thr just above lb) must be false")
+      if (hl > 1e-9)
+        assert(TrajSketch.hausLbExceeds(cellsArr(fca), cellsArr(fcb), hl - 1e-9),
+          "exceeds(thr just below lb) must be true")
     }
     for (_ <- 1 to 60) {
       val a = randTrack(1 + rnd.nextInt(20))
@@ -247,17 +258,28 @@ class TrajectorySpec extends BaseSpec {
     check(west, east, 500.0)
   }
 
-  test("m_traj_hausdorff: forced prune branch == direct all-pairs top-10 at fixture scale") {
-    val direct = SparkEntry.queries("m_traj_hausdorff")(spark, sf)
+  test("forced prune branches == direct all-pairs top-10 at fixture scale (hausdorff/lcss/edr)") {
+    val tr = queries.Trajectory.tracks(spark, sf)
+    val directH = SparkEntry.queries("m_traj_hausdorff")(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
-    val pruned = queries.Trajectory
-      .hausdorffPruned(spark, queries.Trajectory.tracks(spark, sf))
+    val prunedH = queries.Trajectory.hausdorffPruned(spark, tr)
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
-    assert(pruned == direct, s"pruned hausdorff top-10:\n got=$pruned\nwant=$direct")
-    // the telemetry the ×10 probe logs must show a real reduction even at
-    // fixture scale (bound keeps <= ~half the pairs here; 1% at sf0.01)
-    val (cand, surv) = queries.Trajectory.lastPrune("m_traj_hausdorff")
-    assert(cand > 0 && surv <= cand, s"prune telemetry ($cand, $surv)")
+    assert(prunedH == directH, s"pruned hausdorff top-10:\n got=$prunedH\nwant=$directH")
+    val directL = SparkEntry.queries("m_traj_lcss")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val prunedL = queries.Trajectory.lcssPruned(spark, tr)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(prunedL == directL, s"pruned lcss top-10:\n got=$prunedL\nwant=$directL")
+    val directE = SparkEntry.queries("m_traj_edr")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val prunedE = queries.Trajectory.edrPruned(spark, tr)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(prunedE == directE, s"pruned edr top-10:\n got=$prunedE\nwant=$directE")
+    // the telemetry the ×10 probe logs must be recorded by every tier
+    for (k <- Seq("m_traj_hausdorff", "m_traj_lcss", "m_traj_edr")) {
+      val (cand, surv) = queries.Trajectory.lastPrune(k)
+      assert(cand > 0 && surv <= cand, s"$k prune telemetry ($cand, $surv)")
+    }
   }
 
   test("m_traj_frechet / m_traj_lcss: keys match exact all-pairs driver DP at fixture scale") {
