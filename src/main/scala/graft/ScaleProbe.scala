@@ -157,7 +157,10 @@ object ScaleProbe {
       // search beam-bounded — near-linear build, flat search expected
       "m_sim_hnsw",
       // DW/KPSS ride the hour grid like adf (time-bounded past the agg)
-      "q_time_dw", "q_time_kpss")
+      "q_time_dw", "q_time_kpss",
+      // round-15: map-matching is one window pass + a per-user T×9²
+      // Viterbi (T ≤ TrackCap) — linear expected
+      "m_traj_mapmatch")
     // optional 4th arg: comma-separated key subset (one crashing probe —
     // fpgrowth's declared absolute-bar lattice at 10× — must not take the
     // shared SparkContext down with every later key's measurement)
@@ -285,14 +288,22 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(key)(spark, dir)
-        val rows = df.count()
+        // pruned keys run via collect() so the observe("prune") metric
+        // lands on THIS frame's queryExecution (count() builds its own);
+        // their outputs are top-10 frames, so collect is free
+        val pruned = graft.queries.Trajectory.lastPrune.contains(key)
+        val rows = if (pruned) df.collect().length.toLong else df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val ex = countShuffles(df.queryExecution.executedPlan)
         val it = graft.operators.LastIterations.get(key).map(i => s""","rounds":$i""").getOrElse("")
-        // prune-tier telemetry (r15): candidate pair count vs survivors fed
-        // to the exact kernel, recorded by the pruned traj branches
+        // prune-tier telemetry (r15): candidate pair count (recorded by the
+        // pruned traj branches) + the survivors fed to the exact kernel
+        // (an observe() metric on the executed frame — no counting scan)
+        val surv = df.queryExecution.observedMetrics.get("prune")
+          .map(_.getLong(0))
         val pr = graft.queries.Trajectory.lastPrune.get(key)
-          .map { case (c, v) => s""","pairs":$c,"survivors":$v""" }.getOrElse("")
+          .map { case (c, v) =>
+            s""","pairs":$c,"survivors":${surv.getOrElse(v)}""" }.getOrElse("")
         println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","sec":${r3(sec)},"rows":$rows,"exchanges":$ex$it$pr}""")
       } catch { case scala.util.control.NonFatal(e) =>
         val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"

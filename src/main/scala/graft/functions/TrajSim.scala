@@ -59,6 +59,39 @@ case class FrechetDist(left: Expression, right: Expression)
   override def prettyName: String = "frechet_km"
 }
 
+/** frechet_km_capped(a, b, capKm): exact discrete Fréchet distance when it
+  * is ≤ capKm, Double.MaxValue otherwise — the prune tier's survivor
+  * kernel. Poisoning cells whose chord² exceeds the cap leaves every
+  * all-cells-≤-cap path untouched (the DP value is a min over paths of a
+  * max over cells, so a poisoned cell only kills paths that already
+  * exceeded the cap), and an all-poisoned row proves dF > cap and abandons
+  * the scan — most endpoint-bound survivors are still far pairs, and they
+  * exit within a few rows instead of paying the full cap² matrix. Callers
+  * pass cap = thr + margin, so every value that can reach the top-10 is
+  * exact and everything returned MaxValue is provably outside it. */
+case class FrechetCapped(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any, cap: Any): Any =
+    FrechetDist.computeCapped(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      cap.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, cap) =>
+      s"${ev.value} = graft.functions.FrechetDist.computeCapped($a, $b, $cap);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "frechet_km_capped"
+}
+
 object FrechetDist {
 
   private[functions] def checkTrack(xs: Array[Double], ys: Array[Double],
@@ -114,6 +147,57 @@ object FrechetDist {
       i += 1
     }
     chordSqToKm(prev(m - 1))
+  }
+
+  /** [[FrechetCapped]]'s kernel — exact dF when ≤ capKm, else MaxValue. */
+  def computeCapped(a: ArrayData, b: ArrayData, capKm: Double): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    checkTrack(xs, ys, "frechet_km_capped")
+    val n = xs.length / 3
+    val m = ys.length / 3
+    // km → chord² cap (monotone — the LcssMatches identity); clamp the
+    // angle so caps past antipodal never wrap the sine
+    val sC = 2.0 * math.sin(math.min(capKm / (2.0 * HaversineDist.EarthRadiusKm), math.Pi / 2))
+    val capC2 = sC * sC
+    val Inf = Double.MaxValue
+    var prev = new Array[Double](m)
+    var cur = new Array[Double](m)
+    var alive = false
+    val d00 = chordSq(xs, 0, ys, 0)
+    prev(0) = if (d00 <= capC2) d00 else Inf
+    alive = prev(0) < Inf
+    var j = 1
+    while (j < m) {
+      val d = chordSq(xs, 0, ys, j)
+      prev(j) = if (d <= capC2 && prev(j - 1) < Inf) math.max(prev(j - 1), d) else Inf
+      if (prev(j) < Inf) alive = true
+      j += 1
+    }
+    if (!alive) return Inf
+    var i = 1
+    while (i < n) {
+      alive = false
+      val d0 = chordSq(xs, i, ys, 0)
+      cur(0) = if (d0 <= capC2 && prev(0) < Inf) math.max(prev(0), d0) else Inf
+      if (cur(0) < Inf) alive = true
+      j = 1
+      while (j < m) {
+        val d = chordSq(xs, i, ys, j)
+        cur(j) =
+          if (d > capC2) Inf
+          else {
+            val best = math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+            if (best == Inf) Inf else math.max(d, best)
+          }
+        if (cur(j) < Inf) alive = true
+        j += 1
+      }
+      if (!alive) return Inf // no sub-cap path can reach row i's frontier
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m - 1) == Inf) Inf else chordSqToKm(prev(m - 1))
   }
 }
 
@@ -325,6 +409,8 @@ object TrajSim {
       "edr_dist", exprs => EdrDist(exprs(0), exprs(1), exprs(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "hausdorff_km", exprs => HausdorffKm(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "frechet_km_capped", exprs => FrechetCapped(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   def frechetKm(a: Column, b: Column): Column = call_function("frechet_km", a, b)
@@ -336,4 +422,7 @@ object TrajSim {
     call_function("edr_dist", a, b, epsKm)
 
   def hausdorffKm(a: Column, b: Column): Column = call_function("hausdorff_km", a, b)
+
+  def frechetKmCapped(a: Column, b: Column, capKm: Column): Column =
+    call_function("frechet_km_capped", a, b, capKm)
 }

@@ -277,6 +277,11 @@ object TrajSketch {
     checkAligned(pa, a, "lcss_sparse"); checkAligned(pb, b, "lcss_sparse")
     if (pa.numElements() == 0 || pb.numElements() == 0)
       throw new IllegalArgumentException("lcss_sparse: empty track")
+    // declared size crossover (probe-measured): below ~40×40 the plain
+    // matrix (3 flops/cell, branch-predictable) beats the banded search's
+    // fixed overhead; both paths exact, so the gate is pure cost
+    if (pa.numElements().toLong * pb.numElements() <= 1600)
+      return LcssMatches.compute(a, b, epsKm)
     val sc = scratch.get()
     // scratch is sized for the TrackCap contract; oversized ad-hoc inputs
     // (spec-only) fall back to fresh arrays rather than overflowing
@@ -330,6 +335,8 @@ object TrajSketch {
     val m = pb.numElements()
     if (n == 0 || m == 0)
       throw new IllegalArgumentException("edr_sparse: empty track")
+    // same declared size crossover as lcssSparse
+    if (n.toLong * m <= 1600) return EdrDist.compute(a, b, epsKm)
     val sc = scratch.get()
     val big = n.toLong * m > sc.matches.length
     val ms = if (big) new Array[Long](n * m) else sc.matches
@@ -515,6 +522,12 @@ object TrajSketch {
   def nearCounts(pa: ArrayData, dilB: ArrayData, pb: ArrayData, dilA: ArrayData): Long =
     (nearCount(pa, dilB).toLong << 32) | nearCount(pb, dilA).toLong
 
+  /** min(nearA, nearB) — the LCSS match upper bound as ONE call (join
+    * conditions get no common-subexpression elimination, so the packed
+    * form would run the kernel twice per pair). */
+  def lcssUb(pa: ArrayData, dilB: ArrayData, pb: ArrayData, dilA: ArrayData): Int =
+    math.min(nearCount(pa, dilB), nearCount(pb, dilA))
+
   private def nearCount(p: ArrayData, dil: ArrayData): Int = {
     val np = p.numElements()
     var cnt = 0
@@ -651,6 +664,25 @@ case class NearCountsExpr(first: Expression, second: Expression,
   override def prettyName: String = "traj_near_counts"
 }
 
+case class LcssUbExpr(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression)
+  extends QuaternaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType),
+    ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(pa: Any, db: Any, pb: Any, da: Any): Any =
+    TrajSketch.lcssUb(pa.asInstanceOf[ArrayData], db.asInstanceOf[ArrayData],
+      pb.asInstanceOf[ArrayData], da.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pa, db, pb, da) =>
+      s"${ev.value} = graft.functions.TrajSketch.lcssUb($pa, $db, $pb, $da);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "lcss_ub"
+}
+
 /** dilate_cells(cells) → the ε-dilation bitmap (array of DilWords longs),
   * computed once per user in tracks() — the pair-time near test is then a
   * single bit lookup. */
@@ -718,6 +750,8 @@ object TrajSketchFns {
       exprs => NearCountsExpr(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
     reg.createOrReplaceTempFunction("dilate_cells",
       exprs => DilateCellsExpr(exprs(0), epsKm), "scala_udf")
+    reg.createOrReplaceTempFunction("lcss_ub",
+      exprs => LcssUbExpr(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
   }
 
   def lcssSparse(pa: Column, a: Column, pb: Column, b: Column): Column =
@@ -738,4 +772,7 @@ object TrajSketchFns {
     call_function("traj_near_counts", pa, dilB, pb, dilA)
 
   def dilateCells(cells: Column): Column = call_function("dilate_cells", cells)
+
+  def lcssUb(pa: Column, dilB: Column, pb: Column, dilA: Column): Column =
+    call_function("lcss_ub", pa, dilB, pb, dilA)
 }

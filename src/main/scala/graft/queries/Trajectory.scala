@@ -28,12 +28,13 @@ import Q._
   *     pair shares ZERO cells — see [[graft.functions.TrajSketch]]):
   *     - LCSS and EDR run an exact SPARSE-MATCH algorithm
   *       (Hunt-Szymanski LIS / sparse gap DP over the ε-match set found
-  *       by 2.5°-cell range lookup) — ≡ the full cap² DP on every input;
-  *       above the adaptive 5M-pair gate the shared near-count bound
-  *       (ub = min(nearA, nearB) ≥ n_match; lb = max(|Δn|, never-
-  *       matchable counts) ≤ n_edits) threshold-prunes first
-  *       ([[lcssPruned]] / [[edrPruned]]) — both bounds exact, so the
-  *       top-10 is provably unchanged.
+  *       by 2.5°-cell range lookup) — ≡ the full cap² DP on every input.
+  *       LCSS additionally threshold-prunes above the adaptive 5M-pair
+  *       gate with the exact match upper bound ub = min(nearA, nearB)
+  *       ([[lcssPruned]]); EDR does NOT — measured negative result: its
+  *       strongest exact bound (max(n,m) − ub) keeps 96% of ×10 pairs
+  *       at the true threshold, so a prune tier costs more than it
+  *       saves on uniform tracks (the key scaladoc has the numbers).
   *     - Fréchet and Hausdorff keep the full-matrix kernels but, above
   *       the same gate, pay them only on pairs surviving an EXACT
   *       lower-bound threshold prune ([[frechetPruned]] /
@@ -68,14 +69,14 @@ object Trajectory extends QueryGroup {
     * "same cell"). */
   private[queries] val MatchEpsKm = 500.0
 
-  /** Great-circle km between two 3-element unit-vector array columns —
-    * the endpoint-prune arithmetic, inline so it rides whole-stage
-    * codegen (same chord → 2R·asin(√c²/2) identity as the DP kernels). */
-  private def chordKm(a: org.apache.spark.sql.Column,
-                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dx = a.getItem(0) - b.getItem(0)
-    val dy = a.getItem(1) - b.getItem(1)
-    val dz = a.getItem(2) - b.getItem(2)
+  /** Great-circle km between two unit vectors given as SCALAR columns —
+    * the endpoint-prune arithmetic (same chord → 2R·asin(√c²/2) identity
+    * as the DP kernels), allocation-free wherever the optimizer moves it. */
+  private def scalarChordKm(a: (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column),
+                            b: (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column)): org.apache.spark.sql.Column = {
+    val dx = a._1 - b._1
+    val dy = a._2 - b._2
+    val dz = a._3 - b._3
     val c2 = dx * dx + dy * dy + dz * dz
     lit(2.0 * graft.functions.HaversineDist.EarthRadiusKm) *
       asin(least(sqrt(c2) / lit(2.0), lit(1.0)))
@@ -93,9 +94,11 @@ object Trajectory extends QueryGroup {
     * after every kept row even at round(4). Survivors re-attach tracks
     * via broadcast equi-joins and pay the cap² DP. Output provably ≡ the
     * all-pairs scan. */
-  /** Prune telemetry for the ×10 probe: (candidate pairs, survivors) by
-    * key, recorded by the pruned branches so ScaleProbe can log the pair
-    * counts the tier actually fed to the exact kernels. */
+  /** Prune telemetry for the ×10 probe: candidate pair count by key
+    * (survivors placeholder -1 — the ACTUAL survivor count is an
+    * `observe("prune", ...)` metric on the main pass, read from the
+    * executed frame by ScaleProbe/specs; counting via a separate scan
+    * cost a full extra pair pass per key). */
   @volatile private[graft] var lastPrune: Map[String, (Long, Long)] = Map.empty
 
   private[graft] def frechetPruned(s: SparkSession, tr: DataFrame): DataFrame = {
@@ -106,23 +109,33 @@ object Trajectory extends QueryGroup {
     // run it TWICE instead — a top-50 TakeOrdered pass for the threshold
     // seed and a filter pass for the survivors; two cheap scans beat one
     // data-sized cache at every scale.
+    // endpoint lower bound from the tracks() SCALAR endpoint columns —
+    // pure arithmetic whether it runs in a Project or gets pushed into
+    // the join condition (the slice()-based form was the 1054 s ×10
+    // regression: 12 array instantiations per ordered pair, no CSE in
+    // join conditions)
+    def lbScalar = greatest(
+      scalarChordKm(($"hx1", $"hy1", $"hz1"), ($"hx2", $"hy2", $"hz2")),
+      scalarChordKm(($"tx1", $"ty1", $"tz1"), ($"tx2", $"ty2", $"tz2")))
+    def epCols(side: Int) = Seq("hx", "hy", "hz", "tx", "ty", "tz")
+      .map(c => col(c).as(s"$c$side"))
     def light = {
-      val ep = tr.select($"user_id",
-        expr("slice(track, 1, 3)").as("h"),
-        expr("slice(track, size(track) - 2, 3)").as("t"))
-      val eLhs = ep.select($"user_id".as("u1"), $"h".as("h1"), $"t".as("t1"))
+      val eLhs = tr.select(($"user_id".as("u1") +: epCols(1)): _*)
         .repartition(s.sparkContext.defaultParallelism)
-      val eRhs = ep.select($"user_id".as("u2"), $"h".as("h2"), $"t".as("t2"))
+      val eRhs = tr.select(($"user_id".as("u2") +: epCols(2)): _*)
       eLhs.join(broadcast(eRhs), $"u1" < $"u2")
-        .select($"u1", $"u2",
-          greatest(chordKm($"h1", $"h2"), chordKm($"t1", $"t2")).as("lb_km"))
+        .select($"u1", $"u2", lbScalar.as("lb_km"))
     }
     def attach(df: DataFrame) = df
       .join(broadcast(tr.select($"user_id".as("u1"),
         $"n_fixes".as("n_a"), $"track".as("ta"))), Seq("u1"))
       .join(broadcast(tr.select($"user_id".as("u2"),
         $"n_fixes".as("n_b"), $"track".as("tb"))), Seq("u2"))
-    val thr = attach(light.orderBy($"lb_km", $"u1", $"u2").limit(50)
+    // SEED = 2000 smallest-lb pairs (any >= 10-pair subset gives a valid
+    // threshold; 2000 exact kernel evals are noise next to one pair scan
+    // and buy a thr much closer to the true d10 — the r15 probe measured
+    // 50-pair seeds leaving 30-100x more survivors than necessary)
+    val thr = attach(light.orderBy($"lb_km", $"u1", $"u2").limit(2000)
         .select($"u1", $"u2"))
       .select(TrajSim.frechetKm($"ta", $"tb").as("d"))
       .orderBy($"d").limit(10)
@@ -130,22 +143,27 @@ object Trajectory extends QueryGroup {
       .select(coalesce($"t", lit(Double.MaxValue)))
       .as[Double].head()
     val nUsers = tr.count()
-    lastPrune += "m_traj_frechet" ->
-      (nUsers * (nUsers - 1) / 2, light.filter($"lb_km" <= thr + 1e-4).count())
+    lastPrune += "m_traj_frechet" -> (nUsers * (nUsers - 1) / 2, -1L)
     // Main pass is SINGLE-SCAN (round-15 probe finding: re-attaching the
     // 1.5 KB tracks to 3.6×10⁷ survivors through two broadcast joins
     // dominated the ×10 time): the pair scan carries the tracks from the
     // start, the lb filter computes the endpoint bound inline from track
     // slices, and survivors pay the DP in the same codegen stage.
-    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"), $"track".as("ta"))
+    val lhs = tr.select(($"user_id".as("u1") +: $"n_fixes".as("n_a") +:
+        $"track".as("ta") +: epCols(1)): _*)
       .repartition(s.sparkContext.defaultParallelism)
-    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"), $"track".as("tb"))
-    lhs.join(broadcast(rhs), $"u1" < $"u2")
-      .filter(greatest(
-        chordKm(expr("slice(ta, 1, 3)"), expr("slice(tb, 1, 3)")),
-        chordKm(expr("slice(ta, size(ta) - 2, 3)"), expr("slice(tb, size(tb) - 2, 3)")))
-        <= thr + 1e-4)
-      .withColumn("frechet_km", round(TrajSim.frechetKm($"ta", $"tb"), 4))
+    val rhs = tr.select(($"user_id".as("u2") +: $"n_fixes".as("n_b") +:
+        $"track".as("tb") +: epCols(2)): _*)
+    // the bound rides the join condition with the CHEAP predicate first
+    // (a pushed filter lands before u1<u2 and doubles the bound's 225M
+    // evaluations); survivors' count is an observe() metric (no extra
+    // scan); the survivor kernel is the CAPPED DP — exact for anything
+    // that can reach the top-10, early-abandoning the far pairs that an
+    // endpoint bound cannot exclude
+    lhs.join(broadcast(rhs), $"u1" < $"u2" && lbScalar <= thr + 1e-4)
+      .observe("prune", count(lit(1)).as("survivors"))
+      .withColumn("frechet_km",
+        round(TrajSim.frechetKmCapped($"ta", $"tb", lit(thr + 1e-4)), 4))
       .select($"u1", $"u2", $"n_a", $"n_b", $"frechet_km")
       .orderBy($"frechet_km", $"u1", $"u2")
       .limit(10)
@@ -189,7 +207,7 @@ object Trajectory extends QueryGroup {
         $"n_fixes".as("n_b"), $"track".as("tb"))), Seq("u2"))
     val thr = attach(lightPairs
         .select($"u1", $"u2", TrajSketchFns.cellOverlap($"ca", $"cb").as("ov"))
-        .orderBy($"ov".desc, $"u1", $"u2").limit(50)
+        .orderBy($"ov".desc, $"u1", $"u2").limit(2000)
         .select($"u1", $"u2"))
       .select(TrajSim.hausdorffKm($"ta", $"tb").as("d"))
       .orderBy($"d").limit(10)
@@ -197,8 +215,7 @@ object Trajectory extends QueryGroup {
       .select(coalesce($"t", lit(Double.MaxValue)))
       .as[Double].head()
     val nUsers = tr.count()
-    lastPrune += "m_traj_hausdorff" -> (nUsers * (nUsers - 1) / 2,
-      lightPairs.filter(!TrajSketchFns.hausLbExceeds($"ca", $"cb", lit(thr + 1e-4))).count())
+    lastPrune += "m_traj_hausdorff" -> (nUsers * (nUsers - 1) / 2, -1L)
     // Single-scan main pass (the frechetPruned discipline): tracks AND
     // cells ride the one pair scan, the early-exit exceeds check prunes,
     // survivors pay the kernel in the same codegen stage — no re-attach.
@@ -207,8 +224,9 @@ object Trajectory extends QueryGroup {
       .repartition(s.sparkContext.defaultParallelism)
     val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
         $"track".as("tb"), $"cells".as("cb"))
-    lhs.join(broadcast(rhs), $"u1" < $"u2")
-      .filter(!TrajSketchFns.hausLbExceeds($"ca", $"cb", lit(thr + 1e-4)))
+    lhs.join(broadcast(rhs),
+        $"u1" < $"u2" && !TrajSketchFns.hausLbExceeds($"ca", $"cb", lit(thr + 1e-4)))
+      .observe("prune", count(lit(1)).as("survivors"))
       .withColumn("hausdorff_km", round(TrajSim.hausdorffKm($"ta", $"tb"), 4))
       .select($"u1", $"u2", $"n_a", $"n_b", $"hausdorff_km")
       .orderBy($"hausdorff_km", $"u1", $"u2")
@@ -235,9 +253,8 @@ object Trajectory extends QueryGroup {
       val rhs = tr.select($"user_id".as("u2"), $"pb".as("sb"), $"dil".as("db"),
           $"n_fixes".as("n_b"))
       lhs.join(broadcast(rhs), $"u1" < $"u2")
-        .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
         .withColumn("ubn",
-          least(shiftright($"nc", 32), $"nc".bitwiseAND(lit(0xffffffffL))) /
+          TrajSketchFns.lcssUb($"sa", $"db", $"sb", $"da") /
             least(least($"n_a", $"n_b"), lit(TrackCap.toLong)))
     }
     def attach(df: DataFrame) = df
@@ -245,7 +262,7 @@ object Trajectory extends QueryGroup {
         $"pb".as("sa2"), $"n_fixes".as("na2"))), Seq("u1"))
       .join(broadcast(tr.select($"user_id".as("u2"), $"track".as("tb"),
         $"pb".as("sb2"), $"n_fixes".as("nb2"))), Seq("u2"))
-    val thr = attach(lightPairs.orderBy($"ubn".desc, $"u1", $"u2").limit(50)
+    val thr = attach(lightPairs.orderBy($"ubn".desc, $"u1", $"u2").limit(2000)
         .select($"u1", $"u2"))
       .select((TrajSketchFns.lcssSparse($"sa2", $"ta", $"sb2", $"tb") /
         least(least($"na2", $"nb2"), lit(TrackCap.toLong))).as("v"))
@@ -254,78 +271,21 @@ object Trajectory extends QueryGroup {
       .select(coalesce($"t", lit(-1.0)))
       .as[Double].head()
     val nUsers = tr.count()
-    lastPrune += "m_traj_lcss" -> (nUsers * (nUsers - 1) / 2,
-      lightPairs.filter($"ubn" >= thr - 1e-4).count())
+    lastPrune += "m_traj_lcss" -> (nUsers * (nUsers - 1) / 2, -1L)
     val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"),
         $"track".as("ta"), $"pb".as("sa"), $"dil".as("da"))
       .repartition(s.sparkContext.defaultParallelism)
     val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
         $"track".as("tb"), $"pb".as("sb"), $"dil".as("db"))
-    lhs.join(broadcast(rhs), $"u1" < $"u2")
-      .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
-      .filter(least(shiftright($"nc", 32), $"nc".bitwiseAND(lit(0xffffffffL))) /
-        least(least($"n_a", $"n_b"), lit(TrackCap.toLong)) >= thr - 1e-4)
+    lhs.join(broadcast(rhs), $"u1" < $"u2" &&
+        TrajSketchFns.lcssUb($"sa", $"db", $"sb", $"da") /
+          least(least($"n_a", $"n_b"), lit(TrackCap.toLong)) >= thr - 1e-4)
+      .observe("prune", count(lit(1)).as("survivors"))
       .withColumn("n_match", TrajSketchFns.lcssSparse($"sa", $"ta", $"sb", $"tb"))
       .withColumn("lcss", round($"n_match" * lit(1.0) /
         least(least($"n_a", $"n_b"), lit(TrackCap.toLong)), 4))
       .select($"u1", $"u2", $"n_a", $"n_b", $"n_match", $"lcss")
       .orderBy($"lcss".desc, $"u1", $"u2")
-      .limit(10)
-  }
-
-  /** m_traj_edr's large-U path — the MINIMIZATION twin of [[lcssPruned]]:
-    * lb = max(|nA−nB|, nA−nearA, nB−nearB) ≤ n_edits (every never-
-    * matchable fix costs an alignment op), normalized by the longer
-    * downsampled track; seed = 50 smallest-lb pairs, thr = their
-    * 10th-smallest exact normalized EDR (≥ the global d₁₀), keep
-    * lb_norm ≤ thr + 1e-4. */
-  private[graft] def edrPruned(s: SparkSession, tr: DataFrame): DataFrame = {
-    import s.implicits._
-    TrajSim.register(s)
-    TrajSketchFns.register(s, MatchEpsKm)
-    // downsampled point counts = size(pb); the key's normalization
-    def lbn = greatest(
-      abs(size($"sa") - size($"sb")).cast("long"),
-      size($"sa") - shiftright($"nc", 32),
-      size($"sb") - $"nc".bitwiseAND(lit(0xffffffffL))).cast("double") /
-      greatest(size($"sa"), size($"sb"))
-    def lightPairs = {
-      val lhs = tr.select($"user_id".as("u1"), $"pb".as("sa"), $"dil".as("da"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val rhs = tr.select($"user_id".as("u2"), $"pb".as("sb"), $"dil".as("db"))
-      lhs.join(broadcast(rhs), $"u1" < $"u2")
-        .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
-        .withColumn("lbn", lbn)
-    }
-    def attach(df: DataFrame) = df
-      .join(broadcast(tr.select($"user_id".as("u1"), $"track".as("ta"),
-        $"pb".as("sa2"))), Seq("u1"))
-      .join(broadcast(tr.select($"user_id".as("u2"), $"track".as("tb"),
-        $"pb".as("sb2"))), Seq("u2"))
-    val thr = attach(lightPairs.orderBy($"lbn", $"u1", $"u2").limit(50)
-        .select($"u1", $"u2"))
-      .select((TrajSketchFns.edrSparse($"sa2", $"ta", $"sb2", $"tb") * lit(1.0) /
-        greatest(size($"sa2"), size($"sb2"))).as("v"))
-      .orderBy($"v").limit(10)
-      .agg(max($"v").as("t"))
-      .select(coalesce($"t", lit(Double.MaxValue)))
-      .as[Double].head()
-    val nUsers = tr.count()
-    lastPrune += "m_traj_edr" -> (nUsers * (nUsers - 1) / 2,
-      lightPairs.filter($"lbn" <= thr + 1e-4).count())
-    val lhs = tr.select($"user_id".as("u1"), $"n_fixes".as("n_a"),
-        $"track".as("ta"), $"pb".as("sa"), $"dil".as("da"))
-      .repartition(s.sparkContext.defaultParallelism)
-    val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
-        $"track".as("tb"), $"pb".as("sb"), $"dil".as("db"))
-    lhs.join(broadcast(rhs), $"u1" < $"u2")
-      .withColumn("nc", TrajSketchFns.nearCounts($"sa", $"db", $"sb", $"da"))
-      .filter(lbn <= thr + 1e-4)
-      .withColumn("n_edits", TrajSketchFns.edrSparse($"sa", $"ta", $"sb", $"tb"))
-      .withColumn("edr", round($"n_edits" * lit(3.0) /
-        greatest(size($"ta"), size($"tb")), 4))
-      .select($"u1", $"u2", $"n_a", $"n_b", $"n_edits", $"edr")
-      .orderBy($"edr", $"u1", $"u2")
       .limit(10)
   }
 
@@ -385,6 +345,17 @@ object Trajectory extends QueryGroup {
       // test becomes ONE bit lookup per fix at pair time (the per-pair
       // band-search form measured 10 µs/pair — TrajSketch scaladoc)
       .withColumn("dil", TrajSketchFns.dilateCells($"cells"))
+      // scalar endpoint coordinates: the fréchet endpoint bound pushed
+      // into the pair-join condition must be pure scalar arithmetic —
+      // the slice()-based form instantiated 12 array slices per ordered
+      // pair inside the join condition (no CSE there) and the ×10 probe
+      // paid 300 µs/pair for it
+      .withColumn("hx", $"track".getItem(0))
+      .withColumn("hy", $"track".getItem(1))
+      .withColumn("hz", $"track".getItem(2))
+      .withColumn("tx", element_at($"track", -3))
+      .withColumn("ty", element_at($"track", -2))
+      .withColumn("tz", element_at($"track", -1))
   }
 
   /** Every (u1 < u2) pair with both tracks attached: the q_traj_sim
@@ -471,23 +442,26 @@ object Trajectory extends QueryGroup {
     "m_traj_edr" -> ((s, dir) => {
       import s.implicits._
       // exact sparse-match gap DP (functions/TrajSketch) ≡ the full cap²
-      // DP on every input; above the 5M-pair gate the exact never-
-      // matchable-fix lower bound prunes first ([[edrPruned]])
-      val tr = tracks(s, dir)
-      val nUsers = tr.count()
-      if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
-        pairedTracks(s, dir)
-          .withColumn("n_edits",
-            TrajSketchFns.edrSparse($"sa", $"ta", $"sb", $"tb"))
-          // normalize by the longer DOWNSAMPLED track (its exact point
-          // count is size(track)/3 — stride rounding makes it ≤ cap but
-          // not always min(n, cap))
-          .withColumn("edr", round($"n_edits" * lit(3.0) /
-            greatest(size($"ta"), size($"tb")), 4))
-          .select($"u1", $"u2", $"n_a", $"n_b", $"n_edits", $"edr")
-          .orderBy($"edr", $"u1", $"u2")
-          .limit(10)
-      else edrPruned(s, tr)
+      // DP on every input. UNGATED by a measured negative result: the
+      // EDR edit lower bound (max(n,m) − match-UB, the strongest of the
+      // gap-DP bound family) kept 96% of pairs at the ×10 probe's true
+      // threshold — on uniform tracks the top-10 minimum-edit pairs sit
+      // in the bulk of the bound's distribution, so a prune tier COSTS
+      // more than it saves (the r15 lesson twin of the LSH finding). The
+      // U² scan is the declared wall; the sparse kernel is its smallest
+      // honest constant (it wins ~2× over the full DP at the TrackCap
+      // where production tracks saturate).
+      pairedTracks(s, dir)
+        .withColumn("n_edits",
+          TrajSketchFns.edrSparse($"sa", $"ta", $"sb", $"tb"))
+        // normalize by the longer DOWNSAMPLED track (its exact point
+        // count is size(track)/3 — stride rounding makes it ≤ cap but
+        // not always min(n, cap))
+        .withColumn("edr", round($"n_edits" * lit(3.0) /
+          greatest(size($"ta"), size($"tb")), 4))
+        .select($"u1", $"u2", $"n_a", $"n_b", $"n_edits", $"edr")
+        .orderBy($"edr", $"u1", $"u2")
+        .limit(10)
     }),
 
     // TRACLUS partition-and-group (Lee, Han & Whang, SIGMOD 2007): MDL-

@@ -9,15 +9,21 @@ object ExplainProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     graft.functions.TrajSketchFns.register(spark, 500.0)
+    graft.functions.TrajSim.register(spark)
     val tr = graft.queries.Trajectory.tracks(spark, "/root/testdata/sf0.001")
     val lhs = tr.select($"user_id".as("u1"), $"track".as("ta"), $"pb".as("sa"))
       .repartition(4)
     val rhs = tr.select($"user_id".as("u2"), $"track".as("tb"), $"pb".as("sb"))
-    val q = lhs.join(broadcast(rhs), $"u1" < $"u2")
-      .select(graft.functions.TrajSketchFns.lcssSparse($"sa", $"ta", $"sb", $"tb").as("x"))
-      .agg(sum($"x"))
-    q.head()
-    println(q.queryExecution.executedPlan.toString.linesIterator.take(25).mkString("\n"))
+    val qq = graft.queries.Trajectory.hausdorffPruned(spark, tr)
+    qq.collect()
+    println("observed: " + qq.queryExecution.observedMetrics)
+    val q = graft.queries.Trajectory.frechetPruned(spark, tr)
+    q.collect()
+    println(q.queryExecution.executedPlan.toString.linesIterator.take(30).mkString("\n"))
+    val q2 = graft.queries.Trajectory.lcssPruned(spark, tr)
+    q2.collect()
+    println("==== lcss ====")
+    println(q2.queryExecution.executedPlan.toString.linesIterator.take(30).mkString("\n"))
     spark.stop()
   }
 }

@@ -220,6 +220,13 @@ class TrajectorySpec extends BaseSpec {
         LcssMatches.compute(xa, xb, eps), s"lcss sparse != DP (eps=$eps)")
       assert(TrajSketch.edrSparse(pa, xa, pb, xb, eps) ==
         graft.functions.EdrDist.compute(xa, xb, eps), s"edr sparse != DP (eps=$eps)")
+      // capped Fréchet: exact at/above the true value, MaxValue below it
+      val f = FrechetDist.compute(xa, xb)
+      assert(FrechetDist.computeCapped(xa, xb, f + 1.0) == f,
+        "capped kernel must be exact when dF <= cap")
+      if (f > 1.0)
+        assert(FrechetDist.computeCapped(xa, xb, f - 1.0) == Double.MaxValue,
+          "capped kernel must poison when dF > cap")
       // the Hausdorff cell bound must never exceed the true distance, and
       // the threshold form must agree with the bound on BOTH sides of it
       val hl = TrajSketch.hausLbKm(cellsArr(fca), cellsArr(fcb))
@@ -262,23 +269,27 @@ class TrajectorySpec extends BaseSpec {
     val tr = queries.Trajectory.tracks(spark, sf)
     val directH = SparkEntry.queries("m_traj_hausdorff")(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
-    val prunedH = queries.Trajectory.hausdorffPruned(spark, tr)
-      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val prunedHDs = queries.Trajectory.hausdorffPruned(spark, tr)
+      .as[(Long, Long, Long, Long, Double)]
+    val prunedH = prunedHDs.collect().toSeq
     assert(prunedH == directH, s"pruned hausdorff top-10:\n got=$prunedH\nwant=$directH")
+    // the survivors count is an observe() metric on the EXECUTED dataset
+    // (each as[]/select creates its own queryExecution — read the one
+    // that ran)
+    val survH = prunedHDs.queryExecution.observedMetrics.get("prune")
+      .map(_.getLong(0))
+    assert(survH.exists(v => v > 0 && v <= 105), s"observe survivors $survH")
     val directL = SparkEntry.queries("m_traj_lcss")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     val prunedL = queries.Trajectory.lcssPruned(spark, tr)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(prunedL == directL, s"pruned lcss top-10:\n got=$prunedL\nwant=$directL")
-    val directE = SparkEntry.queries("m_traj_edr")(spark, sf)
-      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
-    val prunedE = queries.Trajectory.edrPruned(spark, tr)
-      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
-    assert(prunedE == directE, s"pruned edr top-10:\n got=$prunedE\nwant=$directE")
+    // (EDR carries no prune tier — measured negative result, see the key
+    // scaladoc: its strongest exact bound keeps 96% of x10 pairs)
     // the telemetry the ×10 probe logs must be recorded by every tier
-    for (k <- Seq("m_traj_hausdorff", "m_traj_lcss", "m_traj_edr")) {
-      val (cand, surv) = queries.Trajectory.lastPrune(k)
-      assert(cand > 0 && surv <= cand, s"$k prune telemetry ($cand, $surv)")
+    for (k <- Seq("m_traj_hausdorff", "m_traj_lcss")) {
+      val (cand, _) = queries.Trajectory.lastPrune(k)
+      assert(cand > 0, s"$k prune telemetry pairs=$cand")
     }
   }
 
