@@ -103,6 +103,7 @@ object Trajectory extends QueryGroup {
 
   private[graft] def frechetPruned(s: SparkSession, tr: DataFrame): DataFrame = {
     import s.implicits._
+    TrajSim.register(s)
     // The light (u1, u2, lb) scan is CHEAP (12 doubles per user) but at
     // 10⁸ pairs its materialization is not: r14 localCheckpoint'd it and
     // the 2.7 GB block write dominated the ×10 probe. Build it lazily and

@@ -1267,4 +1267,45 @@ class PlanSpec extends BaseSpec {
         s"$k: unexpected cartesian/BNLJ:\n$p")
     }
   }
+
+  test("round-15 additions hold their plan shapes") {
+    // m_traj_mapmatch: per-user kernel work over the memoized tracks()
+    // substrate — NO join anywhere (the road graph is implicit in the
+    // lattice), the Viterbi/jitter/recovery columns are projections, and
+    // the only exchange is the output-order sort (tracks() is already
+    // checkpointed per session by earlier keys; a join or second
+    // exchange means the key picked up a data-sized derivation)
+    // executed AQE plans print Final AND Initial sections — count shapes
+    // on the final section only
+    def finalSection(p: String): String =
+      p.split("== Initial Plan ==").head
+    val mm = SparkEntry.queries("m_traj_mapmatch")(spark, sf)
+    mm.collect()
+    val mmP = finalSection(mm.queryExecution.executedPlan.toString)
+    assert(!mmP.contains("Join"), s"m_traj_mapmatch: unexpected join:\n$mmP")
+    assert(mmP.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"m_traj_mapmatch: expected at most the sort exchange:\n$mmP")
+    assert(mmP.contains("map_match"),
+      s"m_traj_mapmatch: kernel projection missing:\n$mmP")
+
+    // the pruned tiers' main pass: ONE broadcast pair join whose
+    // condition carries the cheap predicate FIRST and the bound second
+    // (a pushed filter evaluating before u1<u2 doubles the bound's
+    // evaluations — the r15 probe lesson), kernel in a projection above,
+    // no re-attach joins (exactly one join in the whole plan)
+    val fp = graft.queries.Trajectory
+      .frechetPruned(spark, graft.queries.Trajectory.tracks(spark, sf))
+    fp.collect()
+    val fpP = finalSection(fp.queryExecution.executedPlan.toString)
+    assert(fpP.contains("BroadcastNestedLoopJoin"),
+      s"frechetPruned: pair scan missing:\n$fpP")
+    assert(fpP.linesIterator.count(_.contains("Join")) == 1,
+      s"frechetPruned: main pass must be single-join (no re-attach):\n$fpP")
+    val cond = fpP.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).get
+    assert(cond.indexOf("u1") >= 0 && cond.indexOf("ASIN") >= 0 &&
+           cond.indexOf("u1") < cond.indexOf("ASIN"),
+      s"frechetPruned: cheap predicate must precede the bound in the join condition:\n$cond")
+    assert(fpP.contains("frechet_km_capped"),
+      s"frechetPruned: survivors must pay the capped DP:\n$fpP")
+  }
 }
