@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+/** Local plan-shape probe for the trajectory prune tiers: prints the
+  * executed plans of the pruned branches (forced on the sf0.001 fixture)
+  * plus their observe() survivor metrics — the tool that caught the
+  * filter-pushdown-into-BNLJ-condition regression (PREFLIGHT_r15
+  * negative result #4). `sbt "Test/runMain graft.ExplainProbe"`. */
 object ExplainProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
