@@ -114,6 +114,36 @@ object Bench {
     // Failed keys report -1 individually; the total sums successful runs
     // only (a -1 contribution would understate the real wall time).
     val total = results.values.filter(_ >= 0).sum
+    // Contention-corrected third pass (r15 verdict ask #7): the ab_gz map
+    // proved driver totals swing ±30% purely with host load the bench does
+    // not control (load1 spikes to 11.5 on exactly the keys that read slow;
+    // a cooled host holds 2-4.6 and lands ~50 s lower). Keys whose sampled
+    // load1 exceeded the gate AND whose min is big enough to move the total
+    // get ONE more run after the full pass — by which point the transient
+    // contention has typically drained — and corrected(k) = min(a, b, c).
+    // The raw total stays the cross-round-comparable number; the corrected
+    // total is the contention-robust one, and BOTH ride the final tail line.
+    val RerunLoadGate = 6.0
+    val rerunKeys = results.toSeq
+      .filter { case (k, v) =>
+        v >= 0.3 && math.max(loads(k)._1, loads(k)._2) >= RerunLoadGate }
+      .sortBy(-_._2).take(24).map(_._1)
+    val rerunC = scala.collection.mutable.LinkedHashMap[String, Double]()
+    rerunKeys.foreach { k =>
+      val t0 = System.nanoTime()
+      val c =
+        try { SparkEntry.queries(k)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      if (c >= 0) rerunC(k) = c
+    }
+    val corrected = results.map { case (k, v) =>
+      k -> (rerunC.get(k) match {
+        case Some(c) if v >= 0 => math.min(v, c)
+        case Some(c) => c
+        case None => v
+      })
+    }
+    val totalCorrected = corrected.values.filter(_ >= 0).sum
     // The driver captures only the TAIL of stdout (BENCH_r02 lost the head
     // of a single long line; BENCH_r07's 117-key map lost ~32 entries the
     // same way). So: short total line first, then the per-query map as
@@ -124,7 +154,7 @@ object Bench {
     // keys most likely to survive a short tail rotate alphabetically
     // backward (the forward half is recoverable from the repo's own runs).
     val totalLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","corrected":${r3(totalCorrected)},"rerun_n":${rerunKeys.size},"rerun_gate_load1":$RerunLoadGate}"""
     println(totalLine)
     // Shared-memo amortization, stated where the numbers are read: these
     // keys split one memoized step per session (first touch pays it), so
@@ -179,13 +209,23 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"errors","failed":${errors.size},"first10":$errLine}""")
     }
+    // Per-key contention reruns (≤24 keys): [min_ab, c] so a reader sees
+    // exactly which keys' raw mins were load-inflated and by how much.
+    if (rerunC.nonEmpty) {
+      rerunC.toSeq.grouped(10).zipWithIndex.foreach { case (chunk, ci) =>
+        val qs = chunk.map { case (k, c) =>
+          "\"" + k + "\":[" + r3(results(k)) + "," + r3(c) + "]" }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"rerun","part":${ci + 1},"unit":"sec_minab_c","gate_load1":$RerunLoadGate,"rerun":$qs}""")
+      }
+    }
     // Full attribution map in ONE tail-survivable line (r14 verdict ask #3:
     // the plain-text ab parts above lose 30 of 31 chunks to the driver's
     // 2000-char tail capture). 2000 chars cannot carry 308 self-describing
     // key NAMES (they alone zlib to ~1.5 KB), so names are IMPLICIT — the
     // query keys sorted ascending, the exact key set of the same round's
     // CORRECTNESS json and of the "queries" parts above — and the payload
-    // is 6 quantized bytes per key, zlib'd and base64'd. Quantization is
+    // is 5 quantized bytes per key, zlib'd and base64'd. Quantization is
     // log-scale (2.2%/step — attribution-grade, not timing-grade; the
     // exact A/B doubles stay in the plain parts for local reads). Printed
     // immediately before the final total line so both always survive the

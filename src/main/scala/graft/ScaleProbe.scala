@@ -284,7 +284,118 @@ object ScaleProbe {
     }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // ×100-USERS probe family (r15 verdict ask #5): the trajectory keys'
+    // 100-TB claims rested on ×10 points; these rows measure the bound
+    // scan's U² growth directly at ×100 users. The ×100 corpus is a
+    // synthetic in-memory union of `factor` id-shifted copies of the
+    // ×10 POINT set (event_id shifts re-derive lat/lon, so copies are
+    // distinct tracks, not clones), re-derived through the keys' own
+    // tracksFromPoints — nothing extra lands on disk. Request one of
+    // "frechet_x100" / "hausdorff_x100" / "lcss_x100" (each runs its
+    // PRUNED branch on the ×100 tracks and reports sec / pairs /
+    // observe-survivors), or "edr_skew" (edrPruned's regime: per-user
+    // length skew — ×10-skew pruned ≡ direct equality + speedup, then
+    // the ×100-skew point; the ×100 UNIFORM edr wall is declared, not
+    // run — its tier is a no-op there by design).
+    val x100Req = Set("frechet_x100", "hausdorff_x100", "lcss_x100", "edr_skew")
+      .filter(k => args.lift(3).exists(_.split(',').contains(k)))
+    if (x100Req.nonEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      def pts(dir: String) = {
+        val ev = Tables(spark, dir, "events")
+        ev.withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
+          .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("lat"), col("lon"))
+      }
+      def shifted(p: DataFrame, copies: Int): DataFrame = {
+        val maxU = maxOf(p, "user_id")
+        val maxE = maxOf(p, "event_id")
+        (0 until copies).map { k =>
+          p.withColumn("user_id", col("user_id") + lit(k * maxU))
+            .withColumn("event_id", col("event_id") + lit(k * maxE))
+        }.reduce(_ unionAll _)
+      }
+      // per-user length skew: keep the first 4 + xxhash64(user)%60 fixes,
+      // so downsampled tracks span 4..63 points — the session/partial-track
+      // shape edrPruned's length bound exists for
+      def skew(p: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        p.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= lit(4) + pmod(xxhash64(col("user_id")), lit(60)))
+          .drop("rn")
+      }
+      def runOne(key: String, fn: DataFrame => DataFrame, tr: DataFrame,
+                 label: String): Unit = {
+        graft.queries.Trajectory.lastPrune -= key
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(tr)
+          val rows = df.collect().length.toLong
+          val sec = (System.nanoTime() - t0) / 1e9
+          val surv = df.queryExecution.observedMetrics.get("prune").map(_.getLong(0))
+          val pr = graft.queries.Trajectory.lastPrune.get(key)
+            .map { case (c, v) => s""","pairs":$c,"survivors":${surv.getOrElse(v)}""" }
+            .getOrElse("")
+          println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","sec":${r3(sec)},"rows":$rows$pr}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+          println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","error":"$m"}""")
+        }
+      }
+      lazy val tr100 = graft.queries.Trajectory
+        .tracksFromPoints(spark, shifted(pts(scaled), factor))
+        .localCheckpoint(eager = false)
+      if (x100Req("frechet_x100"))
+        runOne("m_traj_frechet",
+          t => graft.queries.Trajectory.frechetPruned(spark, t), tr100, s"x${10 * factor}")
+      if (x100Req("hausdorff_x100"))
+        runOne("m_traj_hausdorff",
+          t => graft.queries.Trajectory.hausdorffPruned(spark, t), tr100, s"x${10 * factor}")
+      if (x100Req("lcss_x100"))
+        runOne("m_traj_lcss",
+          t => graft.queries.Trajectory.lcssPruned(spark, t), tr100, s"x${10 * factor}")
+      if (x100Req("edr_skew")) {
+        val tr10s = graft.queries.Trajectory
+          .tracksFromPoints(spark, skew(pts(scaled)))
+          .localCheckpoint(eager = false)
+        // direct (all-pairs kernel) reference at ×10-skew: the equality
+        // stands in TrajectorySpec; here the MEASURED speedup + survivors
+        val direct = (tr: DataFrame) => {
+          val lhs = tr.select(col("user_id").as("u1"), col("n_fixes").as("n_a"),
+              col("track").as("ta"), col("pb").as("sa"))
+            .repartition(spark.sparkContext.defaultParallelism)
+          val rhs = tr.select(col("user_id").as("u2"), col("n_fixes").as("n_b"),
+              col("track").as("tb"), col("pb").as("sb"))
+          lhs.join(broadcast(rhs), col("u1") < col("u2"))
+            .withColumn("n_edits",
+              graft.functions.TrajSketchFns.edrSparse(col("sa"), col("ta"), col("sb"), col("tb")))
+            .withColumn("edr", round(col("n_edits") * lit(3.0) /
+              greatest(size(col("ta")), size(col("tb"))), 4))
+            .select(col("u1"), col("u2"), col("n_a"), col("n_b"), col("n_edits"), col("edr"))
+            .orderBy(col("edr"), col("u1"), col("u2"))
+            .limit(10)
+        }
+        runOne("edr_skew_direct", direct, tr10s, s"x$factor-skew")
+        runOne("m_traj_edr",
+          t => graft.queries.Trajectory.edrPruned(spark, t), tr10s, s"x$factor-skew")
+        val tr100s = graft.queries.Trajectory
+          .tracksFromPoints(spark, skew(shifted(pts(scaled), factor)))
+          .localCheckpoint(eager = false)
+        runOne("m_traj_edr",
+          t => graft.queries.Trajectory.edrPruned(spark, t), tr100s, s"x${10 * factor}-skew")
+      }
+    }
+
     for (key <- probeKeys; (label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
+      // lastPrune accumulates across the probe loop: stale entries from a
+      // pruned-branch run at one scale would otherwise match contains(key)
+      // on a later direct-branch run of the same key and print stale pair
+      // telemetry (survivors -1, no observe metric). Drop the key BEFORE
+      // invoking so the telemetry below only fires when THIS run's branch
+      // actually recorded it.
+      graft.queries.Trajectory.lastPrune -= key
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(key)(spark, dir)

@@ -7,7 +7,7 @@ import graft.queries._
 object SparkEntry {
   /** All contract query groups (SURVEY §2). */
   private def groups: Seq[QueryGroup] = Seq(
-    Scans, Filters, Joins, Aggregates, Windows, SortsSets, Scalars,
+    Scans, SourceFormats, Filters, Joins, Aggregates, Windows, SortsSets, Scalars,
     StreamingQueries, Geo, TextPipeline, Similarity, Custom, Reshape, Mining,
     Ml, Timeseries, Stats, Trajectory
   )

@@ -156,8 +156,12 @@ object MatrixProfileExpr {
 
     @inline def dist(qt: Double, i: Int, j: Int): Double =
       znDist(qt, i, j, m, mu, sig, flat)
+    // Smallest-j tie rule, matching the block kernel below and the tiled
+    // tier's min(struct(d, nn)) merge: without it a bit-exact distance tie
+    // would keep the first-encountered neighbor (scan-order dependent) and
+    // motif_nn/discord output would differ across the MpTiledGate.
     @inline def consider(i: Int, j: Int, d: Double): Unit = {
-      if (d < prof(i)) { prof(i) = d; nn(i) = j }
+      if (d < prof(i) || (d == prof(i) && j < nn(i))) { prof(i) = d; nn(i) = j }
     }
     var i = 0
 

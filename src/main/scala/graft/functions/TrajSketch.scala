@@ -460,10 +460,20 @@ object TrajSketch {
   }
 
   /** Cell id for (lat, lon) — the tracks() fc formula, shared so no
-    * second derivation of the encoding can drift. */
-  def cellId(lat: Double, lon: Double): Int =
-    ((math.floor((lat + 90.0) / CellDeg).toInt) << 8) |
-      math.floor((lon + 180.0) / CellDeg).toInt
+    * second derivation of the encoding can drift. Domain edges are
+    * CLOSED: lat = 90 would floor to row 72 (off the 72-entry
+    * rowGapHav/cosEdge tables and the 162-word dilation bitmap) and
+    * lon = 180 to col 144 — row clamps to NRow-1 and col wraps mod NLon
+    * (the antimeridian IS cell 0), so every real-world coordinate maps
+    * to a valid cell. The tracks() fc SQL derivation applies the same
+    * clamp/wrap. */
+  def cellId(lat: Double, lon: Double): Int = {
+    val row = math.min(NRow - 1,
+      math.max(0, math.floor((lat + 90.0) / CellDeg).toInt))
+    val col0 = math.floor((lon + 180.0) / CellDeg).toInt % NLon
+    val col = if (col0 < 0) col0 + NLon else col0
+    (row << 8) | col
+  }
 
   /** Bitmap word count for the dilation bitmaps: NRow × NLon cells packed
     * by word = (row·NLon + col) ÷ 64 — DENSE row-major (not the shifted

@@ -55,22 +55,23 @@ object AnnIVF {
     }
   }
 
-  private def assignAndProbe(spark: SparkSession, embeddings: DataFrame,
-                             probeIds: Seq[Long], nlist: Int, nprobe: Int)
-      : (DataFrame, DataFrame) = {
+  /** Probed cells from SUPPLIED artifacts — the query half, shared by the
+    * in-session path and the reopened-index path ([[AnnIndex]]): nothing
+    * here touches the embeddings table or the k-means fit. */
+  private def probeCells(spark: SparkSession, assigned: DataFrame,
+                         centroids: DataFrame, probeIds: Seq[Long],
+                         nprobe: Int): DataFrame = {
     import spark.implicits._
-    val (assigned, centroids) = assignments(spark, embeddings, nlist)
-
+    graft.functions.VectorOps.register(spark)
     val probes = assigned.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
 
     // nprobe closest cells per probe (tiny: |probes| × nlist).
     val wc = Window.partitionBy($"probe_id").orderBy($"cdist".desc, $"cell")
-    val probeCells = probes.crossJoin(broadcast(centroids))
+    probes.crossJoin(broadcast(centroids))
       .withColumn("cdist", expr(cosExpr("pv", "cv")))
       .withColumn("rn", row_number().over(wc)).filter($"rn" <= nprobe)
       .select($"probe_id", $"pv", $"cell")
-    (assigned, probeCells)
   }
 
   /** Candidate (probe_id, vec_id) pairs from the probed cells only — the
@@ -78,26 +79,35 @@ object AnnIVF {
   def probeCellCandidateIds(spark: SparkSession, embeddings: DataFrame,
                             probeIds: Seq[Long], nlist: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val (assigned, probeCells) = assignAndProbe(spark, embeddings, probeIds, nlist, nprobe)
-    probeCells.select($"probe_id", $"cell").join(assigned, Seq("cell"))
+    val (assigned, centroids) = assignments(spark, embeddings, nlist)
+    val probed = probeCells(spark, assigned, centroids, probeIds, nprobe)
+    probed.select($"probe_id", $"cell").join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id")
       .distinct()
   }
 
-  /** Top-k cosine neighbours for each probe id, searching nprobe cells. */
-  def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
-           k: Int, nlist: Int, nprobe: Int): DataFrame = {
+  /** Top-k from SUPPLIED fit artifacts — the reopened-index query path
+    * ([[AnnIndex.readIvf]]); never refits, never reads the embeddings. */
+  def topKFrom(spark: SparkSession, assigned: DataFrame, centroids: DataFrame,
+               probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val (assigned, probeCells) = assignAndProbe(spark, embeddings, probeIds, nlist, nprobe)
+    val probed = probeCells(spark, assigned, centroids, probeIds, nprobe)
     // Exact cosine inside the probed cells only.
     val wk = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
-    probeCells.join(assigned, Seq("cell"))
+    probed.join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("cos", round(expr(cosExpr("pv", "v")), 4))
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter($"rank" <= k)
       .select($"probe_id", $"rank", $"vec_id", $"cos")
       .orderBy($"probe_id", $"rank")
+  }
+
+  /** Top-k cosine neighbours for each probe id, searching nprobe cells. */
+  def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
+           k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val (assigned, centroids) = assignments(spark, embeddings, nlist)
+    topKFrom(spark, assigned, centroids, probeIds, k, nprobe)
   }
 }

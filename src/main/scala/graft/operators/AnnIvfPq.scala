@@ -101,9 +101,20 @@ object AnnIvfPq {
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
            k: Int, nlist: Int = 16, nprobe: Int = 10, m: Int = 8,
            ksub: Int = 32, rerank: Int = 150): DataFrame = {
+    val (codes, cents, books) = fitEncode(spark, embeddings, nlist, m, ksub)
+    topKFrom(spark, codes, cents, books, probeIds, k, nprobe, rerank)
+  }
+
+  /** Top-k from SUPPLIED fit artifacts — the reopened-index query path
+    * ([[AnnIndex.readIvfPq]]): builds the per-(probe, cell) residual ADC
+    * tables from the reopened centroids/books and never refits. `nlist`
+    * and `m` are implicit in the artifact shapes. */
+  def topKFrom(spark: SparkSession, codes: DataFrame,
+               cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+               probeIds: Seq[Long], k: Int, nprobe: Int, rerank: Int): DataFrame = {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
-    val (codes, cents, books) = fitEncode(spark, embeddings, nlist, m, ksub)
+    val m = books.length
     val sub = books(0)(0).length
 
     // Probe vectors and cell ranking are query-sized driver work: |probes|

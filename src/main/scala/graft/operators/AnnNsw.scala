@@ -108,8 +108,18 @@ object AnnNsw {
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
            k: Int, m: Int = 8, ef: Int = 32, nlist: Int = 16,
            rounds: Int = 4): DataFrame = {
-    import spark.implicits._
     val (vecs, adjacency, seeds) = buildGraph(spark, embeddings, m, nlist)
+    topKFrom(spark, vecs, adjacency, seeds, probeIds, k, ef, rounds)
+  }
+
+  /** Top-k beam search over SUPPLIED graph artifacts — the reopened-index
+    * query path ([[AnnIndex.readNsw]]): walks the persisted adjacency,
+    * never rebuilds the graph or touches the embeddings table. */
+  def topKFrom(spark: SparkSession, vecs: DataFrame, adjacency: DataFrame,
+               seeds: DataFrame, probeIds: Seq[Long], k: Int, ef: Int,
+               rounds: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
     val probes = vecs.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
 

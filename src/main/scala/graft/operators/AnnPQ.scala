@@ -95,9 +95,21 @@ object AnnPQ {
     * `rerank` candidates, exact [[graft.functions.CosineSim]] re-ranks. */
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
            k: Int, m: Int = 4, ksub: Int = 16, rerank: Int = 50): DataFrame = {
+    val (codes, books) = fitEncode(spark, embeddings, m, ksub)
+    topKFrom(spark, codes, books, probeIds, k, rerank)
+  }
+
+  /** Top-k from SUPPLIED fit artifacts (codes + codebooks) — the
+    * reopened-index query path ([[AnnIndex.readPq]]): builds the ADC
+    * tables and runs the code-space ranking + exact re-rank without ever
+    * refitting or touching the embeddings table. `m` is implicit in the
+    * codebook shape. */
+  def topKFrom(spark: SparkSession, codes: DataFrame,
+               books: Array[Array[Array[Double]]], probeIds: Seq[Long],
+               k: Int, rerank: Int): DataFrame = {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
-    val (codes, books) = fitEncode(spark, embeddings, m, ksub)
+    val m = books.length
     val sub = books(0)(0).length
 
     // Per-probe ADC lookup tables, computed from the collected probe

@@ -29,8 +29,26 @@ object MinHashDedup {
 
   /** OR-amplification width. 6 single-row bands keep the borderline
     * J ≈ 0.565 fixture pair at P = 1 − 0.435⁶ ≈ 0.993 while the exact
-    * verify step keeps precision at 1.0 regardless. */
-  private val numBands = 6
+    * verify step keeps precision at 1.0 regardless. Shared with the
+    * streaming ingestion path ([[graft.streaming.StreamOps.minHashDupStream]])
+    * so batch and stream band the same way. */
+  private[graft] val NumBands = 6
+  private def numBands = NumBands
+
+  /** The shingle→signature SQL, factored so the streaming path computes a
+    * BIT-IDENTICAL signature (same tokenizer, same 3-gram join, same
+    * xxhash64) — the batch≡stream property in StreamingSpec rests on one
+    * derivation existing, not two that agree today. Input column `toks`,
+    * output the distinct shingle-hash array. */
+  private[graft] val ShinglesExpr =
+    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+  private[graft] val HashesExpr =
+    "array_distinct(transform(shingles, s -> xxhash64(s)))"
+
+  /** Per-band minima over the signature column `hs` — perm_i(h) =
+    * xxhash64(h, i), min per band. */
+  private[graft] def bandMinsExpr(bands: Int): String =
+    s"transform(sequence(0, ${bands - 1}), i -> array_min(transform(hs, h -> xxhash64(h, i))))"
 
   /** @param maxBucket hot-bucket guard (the inverted-index df ≤ 1000 cap
     *        applied to banding), OPT-IN — the default is uncapped, so
@@ -57,14 +75,12 @@ object MinHashDedup {
     val sig = documents
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
-      .withColumn("shingles", expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-      .select($"doc_id", expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hs"))
+      .withColumn("shingles", expr(ShinglesExpr))
+      .select($"doc_id", expr(HashesExpr).as("hs"))
       .localCheckpoint(eager = false)
 
-    val bands = sig.select($"doc_id", posexplode(expr(
-      s"transform(sequence(0, ${numBands - 1}), i -> array_min(transform(hs, h -> xxhash64(h, i))))"))
-      .as(Seq("band", "mh")))
+    val bands = sig.select($"doc_id",
+      posexplode(expr(bandMinsExpr(numBands))).as(Seq("band", "mh")))
 
     // Uncapped path pays no bucket-census shuffle at all.
     val kept = if (maxBucket == Int.MaxValue) bands else {

@@ -28,12 +28,33 @@ object SizedWrite {
     * come out a bit under target rather than over. */
   val DefaultCompressionRatio = 4.0
 
+  /** Hard file-count ceiling. Per-file sizing is a SMALL-files guard; a
+    * sink that wants more files than this should use a partitioned layout
+    * (or raise targetBytes). It also bounds the damage when the plan's
+    * sizeInBytes is an optimizer ESTIMATE rather than a measurement —
+    * join-selectivity products can claim terabytes for a KB-sized frame
+    * (measured in r16: a 12k-task repartition of a tiny join-derived
+    * adjacency frame, each task minutes of closure deserialization). */
+  val MaxFiles = 4096
+
   /** Partition count that lands `df` near `targetBytes` per output file. */
   def plannedFileCount(df: Dataset[_], targetBytes: Long,
                        compressionRatio: Double = DefaultCompressionRatio): Int = {
     val memBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val onDisk = (BigDecimal(memBytes) / compressionRatio).toDouble
-    math.max(1, math.ceil(onDisk / targetBytes.toDouble).toInt)
+    // Unknown-stats sentinel: plans that cannot propagate a size (LogicalRDD
+    // from a localCheckpoint, RDD-backed frames) report
+    // spark.sql.defaultSizeInBytes = Long.MaxValue. Sizing from the sentinel
+    // asked for ceil(2^63/ratio/target) ≈ 2^31 partitions and the shuffle
+    // writer's per-partition array threw `Requested array size exceeds VM
+    // limit`. Anything within 100× of the sentinel is a flag, not a
+    // measurement (a real 2^56-byte frame does not fit any cluster) — keep
+    // the frame's current partitioning instead of resizing on a fiction.
+    if (memBytes >= BigInt(Long.MaxValue) / 100)
+      math.max(1, df.rdd.getNumPartitions)
+    else {
+      val onDisk = (BigDecimal(memBytes) / compressionRatio).toDouble
+      math.min(MaxFiles, math.max(1, math.ceil(onDisk / targetBytes.toDouble).toInt))
+    }
   }
 
   /** Write `df` as parquet files of ≈`targetBytes` each. Returns the file

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2.1 — CSV and JSON source paths as CONTRACT keys (r15 verdict
+  * missing #3: both formats were smoke-tested in SourcesSpec only; real
+  * telemetry dumps arrive as CSV/JSON, so the last untested source path
+  * gets an oracle).
+  *
+  * Shape: each key writes a deterministic projection of a fixture table
+  * to the format under test, reads it back with an EXPLICIT schema, and
+  * aggregates the read-back frame. The oracle computes the identical
+  * aggregate over the parquet table directly — so a pass proves the
+  * write→read round-trip is lossless for every column type crossing it
+  * (BIGINT, INT, DOUBLE, STRING, date-as-string), not merely that the
+  * reader ran. Doubles survive exactly: both the CSV and JSON writers
+  * emit `Double.toString`'s shortest round-trippable representation.
+  *
+  * 100 TB notes, per format:
+  *  - EXPLICIT schema always — schema inference is a full extra pass over
+  *    the data before the real one (at 100 TB, the difference between one
+  *    scan and two). The read paths here never infer.
+  *  - Uncompressed/LF-delimited CSV and line-delimited JSON are SPLITTABLE:
+  *    `spark.sql.files.maxPartitionBytes` shards a 100 TB dump across
+  *    executors with no repartition. (Gzipped dumps are not — one stream
+  *    per file; re-chunk on ingest.)
+  *  - Both readers prune columns (requiredSchema reaches the parser and
+  *    unparsed fields are skipped), but push NO filters — so the correct
+  *    pipeline shape at scale is exactly what these keys model: one pass
+  *    text → columnar (parquet), then query the parquet. Text formats are
+  *    an ingest surface, not a query surface.
+  *  - `columnNameOfCorruptRecord`/PERMISSIVE mode is the default here:
+  *    a malformed row lands as nulls rather than failing a 1000-executor
+  *    job 80 TB in. The round-trip fixture is clean by construction, so
+  *    the aggregate sees no corrupt rows.
+  */
+object SourceFormats extends QueryGroup {
+
+  /** Deterministic per-(format, sfDir) scratch dir: re-written (mode
+    * overwrite) on every invocation, so repeated bench/verify runs are
+    * self-contained and never read a stale projection of another SF. */
+  private def scratch(fmt: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_${fmt}_${math.abs(dir.hashCode)}"
+
+  val queries: Map[String, QFn] = Map(
+    "q_src_csv" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratch("csv", dir)
+      // date-as-string on the way out: CSV's default timestamp pattern is
+      // millisecond-precision and tz-sensitive — the string form is the
+      // deterministic cross-engine representation (oracle mirrors it with
+      // CAST(CAST(ts AS DATE) AS VARCHAR), both 'yyyy-MM-dd').
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderpriority",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_odate"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderpriority STRING, o_odate STRING")
+        .option("header", "true").csv(path)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum($"o_totalprice").as("sum_price"),
+          countDistinct($"o_orderstatus").as("statuses"),
+          min($"o_odate").as("min_odate"),
+          max($"o_orderkey").as("max_key"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q_src_json" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratch("json", dir)
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+          $"c_mktsegment")
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .json(path)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum($"c_acctbal").as("sum_bal"),
+          countDistinct($"c_nationkey").as("nations"),
+          max($"c_name").as("max_name"))
+        .orderBy($"c_mktsegment")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_src_csv" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${oSum("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_orderstatus) AS statuses,
+         |  MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS min_odate,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_src_json" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  ${oSum("c_acctbal")} AS sum_bal,
+         |  COUNT(DISTINCT c_nationkey) AS nations,
+         |  MAX(c_name) AS max_name
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

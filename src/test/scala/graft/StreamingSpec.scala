@@ -905,6 +905,58 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming MinHash near-dup: shuffled arrival emits exactly the batch verified pair set") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 30 distinct word-salad docs + planted near-dups: an exact copy
+      // (jdist 0), a light edit and a heavier edit. Truth is the BATCH
+      // MinHash banding + exact-verify path on the same corpus — the
+      // stream must reproduce its (d1, d2, jdist) set exactly, including
+      // the exact-Jaccard values.
+      val vocab = ("scan join agg sort hash table row batch stream state " +
+        "key value window filter part").split(" ")
+      val rnd = new scala.util.Random(23)
+      def mkDoc() = Seq.fill(60)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val base = (0L until 30L).map(i => DocIn(i, mkDoc()))
+      val docs = base ++ Seq(
+        DocIn(100L, base(7).text),
+        DocIn(101L, base(3).text.split(" ").updated(5, "zap").mkString(" ")),
+        DocIn(102L, base(12).text.split(" ").take(45).mkString(" ")))
+      val truth = graft.operators.MinHashDedup
+        .candidatePairs(spark, spark.createDataset(docs).toDF(), 0.6)
+        .select($"d1", $"d2", $"jdist")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(truth.exists(p => p._1 == 7L && p._2 == 100L && p._3 == 0.0),
+        s"planted exact dup missing from batch truth: $truth")
+      assert(truth.size >= 3, s"want all three planted dups in truth: $truth")
+      val input = MemoryStream[DocIn]
+      val name = nextName()
+      val q = StreamOps.minHashDupStream(input.toDS(), 0.6)
+        .toDF("d1", "d2", "jdist")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      // shuffled arrival across 4 micro-batches — pair emission must not
+      // depend on which member of a pair arrives first
+      new scala.util.Random(31).shuffle(docs).grouped(9).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      q.stop()
+      val streamed = spark.table(name).as[(Long, Long, Double)].collect().toSet
+      assert(streamed == truth,
+        s"missing=${(truth -- streamed).take(5)} extra=${(streamed -- truth).take(5)}")
+      assert(stateRows > 0 && stateRows <= 6L * docs.size,
+        s"state must stay within numBands entries per doc: $stateRows")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming MG heavy hitters: certified bounds hold under shuffled arrival, state stays fixed") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"

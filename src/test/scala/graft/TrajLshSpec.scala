@@ -78,4 +78,54 @@ class TrajLshSpec extends BaseSpec {
     val verified = TrajLsh.candidatePairs(spark, users, minJaccard = 0.45).count()
     assert(verified == 0L, s"bulk fleet produced $verified false near-dups")
   }
+
+  test("EDR-threshold corridor join: exact pair set in the J >= 0.5 regime (the m_traj_edr 100-TB path)") {
+    // Planted fleet with REAL tracks: a 30-fix corridor at lat 40
+    // (1-degree lon steps), one exact re-trace, one 6-fix detour
+    // (n_edits = 6, edr = 0.2, cell-J ~ 0.67 -- inside the corridor
+    // regime), one disjoint corridor, plus random-walk noise users.
+    val route = (0 until 30).map(i => (40.0, 10.0 + i))
+    val detour = route.zipWithIndex.map { case ((la, lo), i) =>
+      if (i >= 10 && i <= 15) (-40.0, lo) else (la, lo) }
+    val routeB = (0 until 30).map(i => (40.0, 100.0 + i))
+    val rnd = new scala.util.Random(97)
+    def walk() = (0 until 30).map(_ =>
+      (rnd.nextInt(1400) / 10.0 - 70.0, rnd.nextInt(3500) / 10.0 - 175.0))
+    val fleetPts = (Seq(2000L -> route, 2001L -> route, 2002L -> detour,
+      2003L -> routeB) ++ (0 until 12).map(u => (u.toLong, walk())))
+      .flatMap { case (u, pts) => pts.zipWithIndex.map { case ((la, lo), i) =>
+        (u, i.toLong * 1000000L, i.toLong, la, lo) } }
+      .toDF("user_id", "ts_us", "event_id", "lat", "lon")
+    val tracks = graft.queries.Trajectory.tracksFromPoints(spark, fleetPts)
+    val got = TrajLsh.edrThresholdPairs(spark, tracks, maxEdr = 0.25)
+      .select($"u1", $"u2", $"n_edits", $"edr")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // truth: ALL-PAIRS exact sparse-EDR (same kernel) filtered to the
+    // contract -- edr <= maxEdr AND exact cell-Jaccard >= minJaccard (the
+    // declared regime; a low-EDR pair sharing few cells is out of contract)
+    graft.functions.TrajSketchFns.register(spark, 500.0)
+    val lhs = tracks.select($"user_id".as("u1"), $"track".as("ta"),
+      $"pb".as("sa"), $"cells".as("c1"))
+    val rhs = tracks.select($"user_id".as("u2"), $"track".as("tb"),
+      $"pb".as("sb"), $"cells".as("c2"))
+    val truth = lhs.join(rhs, $"u1" < $"u2")
+      .withColumn("j", size(array_intersect($"c1", $"c2")).cast("double") /
+        size(array_union($"c1", $"c2")))
+      .withColumn("n_edits",
+        graft.functions.TrajSketchFns.edrSparse($"sa", $"ta", $"sb", $"tb"))
+      .withColumn("edr", $"n_edits" * lit(3.0) /
+        greatest(size($"ta"), size($"tb")))
+      .filter($"j" >= 0.5 && $"edr" <= 0.25)
+      .select($"u1", $"u2", $"n_edits", round($"edr", 4).as("edr"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.toSet == truth.toSet,
+      s"corridor edr join:\n got=${got.sorted}\nwant=${truth.sorted}")
+    // the planted semantics, explicitly: exact re-trace at edr 0, the
+    // 6-fix detour at exactly 6 edits / 0.2, disjoint corridor absent
+    val byPair = got.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byPair.get((2000L, 2001L)).contains((0L, 0.0)), s"re-trace: $byPair")
+    assert(byPair.get((2000L, 2002L)).contains((6L, 0.2)), s"detour: $byPair")
+    assert(!byPair.keySet.exists(p => p._1 == 2003L || p._2 == 2003L),
+      s"disjoint corridor leaked: $byPair")
+  }
 }

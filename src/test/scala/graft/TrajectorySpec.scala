@@ -284,10 +284,18 @@ class TrajectorySpec extends BaseSpec {
     val prunedL = queries.Trajectory.lcssPruned(spark, tr)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(prunedL == directL, s"pruned lcss top-10:\n got=$prunedL\nwant=$directL")
-    // (EDR carries no prune tier — measured negative result, see the key
-    // scaladoc: its strongest exact bound keeps 96% of x10 pairs)
+    // EDR's round-16 tier: the free length-difference bound (the r15
+    // negative result stands for the EXPENSIVE match-UB bound only). On
+    // this uniform fixture the bound prunes nothing — the equality below
+    // pins the no-op case is still exact; the skew case is probed in
+    // PREFLIGHT_r16.
+    val directE = SparkEntry.queries("m_traj_edr")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val prunedE = queries.Trajectory.edrPruned(spark, tr)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(prunedE == directE, s"pruned edr top-10:\n got=$prunedE\nwant=$directE")
     // the telemetry the ×10 probe logs must be recorded by every tier
-    for (k <- Seq("m_traj_hausdorff", "m_traj_lcss")) {
+    for (k <- Seq("m_traj_hausdorff", "m_traj_lcss", "m_traj_edr")) {
       val (cand, _) = queries.Trajectory.lastPrune(k)
       assert(cand > 0, s"$k prune telemetry pairs=$cand")
     }
