@@ -380,11 +380,33 @@ object ScaleProbe {
         runOne("edr_skew_direct", direct, tr10s, s"x$factor-skew")
         runOne("m_traj_edr",
           t => graft.queries.Trajectory.edrPruned(spark, t), tr10s, s"x$factor-skew")
-        val tr100s = graft.queries.Trajectory
-          .tracksFromPoints(spark, skew(shifted(pts(scaled), factor)))
+        // PLANTED near-dup variant: the regime where a top-10-nearest
+        // query is meaningful (and where the threshold-prune can bite) is
+        // a corpus CONTAINING near-duplicate tracks — d₁₀ ≪ 1. Clone 30
+        // users' skewed point sets minus their last fix (edr = 1 edit
+        // each), so thr collapses to ~1/n and the length bound excludes
+        // every pair whose length ratio misses it. Measured x10-skew
+        // WITHOUT plants: survivors = 100% of 112.5M pairs (d₁₀ ≈ 1 on
+        // random walks — nothing can prune, the declared honest wall).
+        def planted(p: DataFrame): DataFrame = {
+          val wd = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us").desc, col("event_id").desc)
+          val clones = p.filter(col("user_id") < 30)
+            .withColumn("rnd", row_number().over(wd))
+            .filter(col("rnd") > 1).drop("rnd")
+            .withColumn("user_id", col("user_id") + lit(10000000L))
+          p.unionAll(clones)
+        }
+        val tr10p = graft.queries.Trajectory
+          .tracksFromPoints(spark, planted(skew(pts(scaled))))
           .localCheckpoint(eager = false)
         runOne("m_traj_edr",
-          t => graft.queries.Trajectory.edrPruned(spark, t), tr100s, s"x${10 * factor}-skew")
+          t => graft.queries.Trajectory.edrPruned(spark, t), tr10p, s"x$factor-skew-planted")
+        val tr100p = graft.queries.Trajectory
+          .tracksFromPoints(spark, planted(skew(shifted(pts(scaled), factor))))
+          .localCheckpoint(eager = false)
+        runOne("m_traj_edr",
+          t => graft.queries.Trajectory.edrPruned(spark, t), tr100p, s"x${10 * factor}-skew-planted")
       }
     }
 

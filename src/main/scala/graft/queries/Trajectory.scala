@@ -300,17 +300,20 @@ object Trajectory extends QueryGroup {
     * normalized form is lb = |size(ta) − size(tb)| / max(size(ta),
     * size(tb)) — TWO int reads per pair, pure scalar in the join condition
     * (the r15 CSE lesson: no arrays, one call). Its value is regime-
-    * dependent and DECLARED: on uniform-length corpora (this fixture) lb
-    * is 0 everywhere and the tier degrades to the direct scan plus one
-    * cheap seed pass; on length-skewed corpora — the common production
-    * shape: sessions, partial tracks, heterogeneous devices — it excludes
-    * every pair whose length ratio is below 1 − d₁₀ before any kernel
-    * runs. Same two-scan threshold-prune shape as [[frechetPruned]]
-    * (seed → valid threshold → single-scan survivors), output provably ≡
-    * the all-pairs scan (TrajectorySpec pins forced-prune ≡ direct).
-    * The truly-uniform 100×-U wall has no exact escape (declared in the
-    * key scaladoc); the threshold/corridor query form rides
-    * [[graft.operators.TrajLsh.edrThresholdPairs]] instead. */
+    * dependent, MEASURED (PREFLIGHT_r16) and DECLARED: the bound bites
+    * exactly when d₁₀ ≪ 1 — a corpus that CONTAINS near-duplicate tracks,
+    * the regime where a top-10-nearest query is meaningful (planted
+    * near-dups at ×10-skew: thr collapses to ~1/n and the scan excludes
+    * every pair whose length ratio misses it). When even the closest
+    * pairs are ~random (d₁₀ ≈ 1 — this fixture, skewed or not: measured
+    * survivors 100% of 112.5M pairs), NO bound can prune and the tier
+    * honestly degrades to the direct scan plus one cheap seed pass.
+    * Same two-scan threshold-prune shape as [[frechetPruned]]
+    * (cell-overlap seed → valid threshold → single-scan survivors),
+    * output provably ≡ the all-pairs scan (TrajectorySpec pins
+    * forced-prune ≡ direct). The d₁₀ ≈ 1 100×-U wall has no exact escape
+    * (declared in the key scaladoc); the threshold/corridor query form
+    * rides [[graft.operators.TrajLsh.edrThresholdPairs]] instead. */
   private[graft] def edrPruned(s: SparkSession, tr: DataFrame): DataFrame = {
     import s.implicits._
     TrajSketchFns.register(s, MatchEpsKm)
@@ -325,13 +328,31 @@ object Trajectory extends QueryGroup {
       .repartition(s.sparkContext.defaultParallelism)
     val rhs = tr.select($"user_id".as("u2"), $"n_fixes".as("n_b"),
         $"track".as("tb"), $"pb".as("sb"))
-    // SEED: 2000 smallest-lb pairs (any ≥10-pair subset's 10th-smallest
-    // exact edr is ≥ the global d₁₀, so the threshold is valid however
-    // the seed is chosen; smallest-lb biases it toward tight). The seed
-    // scan carries only sizes — the kernel runs on 2000 pairs.
-    val thr = lhs.join(broadcast(rhs), $"u1" < $"u2")
-      .select($"u1", $"u2", $"ta", $"sa", $"tb", $"sb", lbEdr.as("lb"))
-      .orderBy($"lb", $"u1", $"u2").limit(2000)
+    // SEED: 2000 LARGEST-cell-overlap pairs (any ≥10-pair subset's
+    // 10th-smallest exact edr is ≥ the global d₁₀, so the threshold is
+    // valid however the seed is chosen — the proxy only affects how TIGHT
+    // the prune is). Shared-cell count is the right proxy for LOW edr
+    // (matches need shared ε-neighborhoods); the length bound itself is
+    // NOT (measured x10-skew: a smallest-length-diff seed put 2000 random
+    // equal-length pairs in the seed, thr ≈ 0.94, survivors 100%). The
+    // seed pair scan is LIGHT — the sorted distinct cell arrays, ≤ 64
+    // ints per side, one merge pass per pair (the hausdorffPruned stage-1
+    // shape; the r15 lesson: never carry track payloads through a
+    // TakeOrdered heap) — and only the 2000 winners re-attach tracks
+    // through broadcast equi-joins to pay the kernel.
+    val eLhs = tr.select($"user_id".as("u1"), $"cells".as("ca"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val eRhs = tr.select($"user_id".as("u2"), $"cells".as("cb"))
+    val seed = eLhs.join(broadcast(eRhs), $"u1" < $"u2")
+      .select($"u1", $"u2",
+        TrajSketchFns.cellOverlap($"ca", $"cb").as("ov"))
+      .orderBy($"ov".desc, $"u1", $"u2").limit(2000)
+      .select($"u1", $"u2")
+    val thr = seed
+      .join(broadcast(tr.select($"user_id".as("u1"), $"track".as("ta"),
+        $"pb".as("sa"))), Seq("u1"))
+      .join(broadcast(tr.select($"user_id".as("u2"), $"track".as("tb"),
+        $"pb".as("sb"))), Seq("u2"))
       .select(edrCol.as("v"))
       .orderBy($"v").limit(10)
       .agg(max($"v").as("t"))
@@ -527,12 +548,15 @@ object Trajectory extends QueryGroup {
       //  - above the same 5M-pair gate the siblings use, [[edrPruned]]
       //    threshold-prunes with the FREE length-difference bound
       //    (n_edits ≥ |n − m| — two scalar ints in the join condition):
-      //    a no-op on uniform-length corpora like this fixture
-      //    (declared — the U²·kernel product is the honest wall there,
-      //    the sparse kernel its smallest constant), a mass-prune on the
-      //    length-skewed corpora production actually ships (sessions,
-      //    partial tracks). Forced-prune ≡ direct pinned in
-      //    TrajectorySpec.
+      //    measured regime-dependent (PREFLIGHT_r16) — it bites when the
+      //    corpus contains genuine near-dup tracks (d₁₀ ≪ 1, the regime
+      //    where a nearest-pairs query means anything: thr collapses to
+      //    ~1/n and mass-prunes), and degrades to the direct scan + one
+      //    cheap seed pass when even the closest pairs are ~random
+      //    (d₁₀ ≈ 1 — this fixture, skewed or not: survivors 100%; the
+      //    U²·kernel product is the honest wall there, the sparse
+      //    kernel its smallest constant). Forced-prune ≡ direct pinned
+      //    in TrajectorySpec.
       //  - the threshold/corridor query form — "pairs within edr ≤ τ on
       //    shared routes", the shape a 100-TB fleet query takes — rides
       //    [[graft.operators.TrajLsh.edrThresholdPairs]] (J ≥ 0.5 regime,
