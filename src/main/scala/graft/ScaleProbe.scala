@@ -301,6 +301,10 @@ object ScaleProbe {
       .filter(k => args.lift(3).exists(_.split(',').contains(k)))
     if (x100Req.nonEmpty) {
       import org.apache.spark.sql.expressions.Window
+      // the pruned branches assume their KEY wrapper registered the
+      // session kernels (hausdorffPruned uses hausdorff_km via TrajSim);
+      // calling them directly needs the same registration
+      graft.functions.TrajSim.register(spark)
       def pts(dir: String) = {
         val ev = Tables(spark, dir, "events")
         ev.withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)

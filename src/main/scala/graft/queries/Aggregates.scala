@@ -23,9 +23,9 @@ object Aggregates extends QueryGroup {
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        r4(dsum($"l_quantity")).as("sum_qty"),
-        r4(dsum($"l_extendedprice")).as("sum_base_price"),
-        r4(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).as("sum_disc_price"),
+        dsumR($"l_quantity", 4).as("sum_qty"),
+        dsumR($"l_extendedprice", 4).as("sum_base_price"),
+        dsumR($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4, 6).as("sum_disc_price"),
         r4(davg($"l_quantity")).as("avg_qty"),
         r4(davg($"l_extendedprice")).as("avg_price"),
         r4(davg($"l_discount", 6)).as("avg_disc"),
@@ -69,7 +69,7 @@ object Aggregates extends QueryGroup {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup($"r_name", $"n_name")
-        .agg(r4(dsum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(dsumR($"o_totalprice", 4).as("revenue"), count(lit(1)).as("n_orders"))
         .select(coalesce($"r_name", lit("ALL")).as("region"),
                 coalesce($"n_name", lit("ALL")).as("nation"),
                 $"revenue", $"n_orders")
@@ -80,7 +80,7 @@ object Aggregates extends QueryGroup {
       import s.implicits._
       t(s, dir, "orders")
         .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), r4(dsum($"o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), dsumR($"o_totalprice", 4).as("revenue"))
         .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
                 coalesce($"o_orderpriority", lit("ALL")).as("priority"),
                 $"n_orders", $"revenue")
@@ -92,7 +92,7 @@ object Aggregates extends QueryGroup {
       s.sql(
         """SELECT coalesce(l_returnflag, 'ALL') AS flag,
           |  coalesce(l_linestatus, 'ALL') AS status,
-          |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+          |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
           |  COUNT(*) AS n_rows
           |FROM li_gsets
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -230,18 +230,18 @@ object Aggregates extends QueryGroup {
         .agg(count(lit(1)).as("n_rows"),
              count(when($"l_quantity" > 25, 1)).as("n_bulk"),
              count(when($"l_returnflag" === "R", 1)).as("n_returned"),
-             r4(dsum(when($"l_discount" > 0.05, $"l_extendedprice")))
+             dsumR(when($"l_discount" > 0.05, $"l_extendedprice"), 4)
                .as("disc_revenue"),
-             r4(dsum(when($"l_tax" === 0.0, $"l_quantity"))).as("untaxed_qty"))
+             dsumR(when($"l_tax" === 0.0, $"l_quantity"), 4).as("untaxed_qty"))
         .orderBy($"l_linestatus")
     })
   )
 
   private val q1Oracle =
     s"""SELECT l_returnflag, l_linestatus,
-       |  round(${oSum("l_quantity")}, 4) AS sum_qty,
-       |  round(${oSum("l_extendedprice")}, 4) AS sum_base_price,
-       |  round(${oSum("l_extendedprice * (1.0 - l_discount)", 6)}, 4) AS sum_disc_price,
+       |  ${oSumR("l_quantity", 4)} AS sum_qty,
+       |  ${oSumR("l_extendedprice", 4)} AS sum_base_price,
+       |  ${oSumR("l_extendedprice * (1.0 - l_discount)", 4, 6)} AS sum_disc_price,
        |  round(${oAvg("l_quantity")}, 4) AS avg_qty,
        |  round(${oAvg("l_extendedprice")}, 4) AS avg_price,
        |  round(${oAvg("l_discount", 6)}, 4) AS avg_disc,
@@ -270,7 +270,7 @@ object Aggregates extends QueryGroup {
 
     "q_agg_rollup" ->
       s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-         |  round(${oSum("o_totalprice")}, 4) AS revenue, COUNT(*) AS n_orders
+         |  ${oSumR("o_totalprice", 4)} AS revenue, COUNT(*) AS n_orders
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -281,7 +281,7 @@ object Aggregates extends QueryGroup {
     "q_agg_cube" ->
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
          |  coalesce(o_orderpriority, 'ALL') AS priority,
-         |  COUNT(*) AS n_orders, round(${oSum("o_totalprice")}, 4) AS revenue
+         |  COUNT(*) AS n_orders, ${oSumR("o_totalprice", 4)} AS revenue
          |FROM orders
          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
@@ -289,7 +289,7 @@ object Aggregates extends QueryGroup {
     "q_agg_gsets" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
          |  coalesce(l_linestatus, 'ALL') AS status,
-         |  round(${oSum("l_quantity")}, 4) AS sum_qty,
+         |  ${oSumR("l_quantity", 4)} AS sum_qty,
          |  COUNT(*) AS n_rows
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -370,10 +370,8 @@ object Aggregates extends QueryGroup {
          |  COUNT(*) AS n_rows,
          |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
          |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-         |  round(${oSum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END")},
-         |        4) AS disc_revenue,
-         |  round(${oSum("CASE WHEN l_tax = 0.0 THEN l_quantity END")},
-         |        4) AS untaxed_qty
+         |  ${oSumR("CASE WHEN l_discount > 0.05 THEN l_extendedprice END", 4)} AS disc_revenue,
+         |  ${oSumR("CASE WHEN l_tax = 0.0 THEN l_quantity END", 4)} AS untaxed_qty
          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   )
 }

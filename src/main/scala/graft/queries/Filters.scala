@@ -19,7 +19,7 @@ object Filters extends QueryGroup {
                 $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
                 $"l_discount".between(0.02, 0.09) &&
                 $"l_quantity" < 24)
-        .agg(r4(dsum($"l_extendedprice" * $"l_discount", 6)).as("revenue"),
+        .agg(dsumR($"l_extendedprice" * $"l_discount", 4, 6).as("revenue"),
              count(lit(1)).as("n_rows"))
     }),
 
@@ -43,7 +43,7 @@ object Filters extends QueryGroup {
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_cust"),
              count($"bal").as("n_nonnull"),
-             r4(dsum(coalesce($"bal", lit(0.0)))).as("sum_bal"))
+             dsumR(coalesce($"bal", lit(0.0)), 4).as("sum_bal"))
         .orderBy($"bucket")
     }),
 
@@ -55,14 +55,14 @@ object Filters extends QueryGroup {
         .groupBy($"event_type")
         .agg(count(when(keep, 1)).as("n_kept"),
              count(when(!keep, 1)).as("n_dropped"),
-             r4(dsum(when(keep, $"value"), 6)).as("sum_kept"))
+             dsumR(when(keep, $"value"), 4, 6).as("sum_kept"))
         .orderBy($"event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
     "q_filter_pred" ->
-      s"""SELECT round(${oSum("l_extendedprice * l_discount", 6)}, 4) AS revenue,
+      s"""SELECT ${oSumR("l_extendedprice * l_discount", 4, 6)} AS revenue,
          |  COUNT(*) AS n_rows
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -83,7 +83,7 @@ object Filters extends QueryGroup {
          |SELECT coalesce(CAST(floor(bal / 1000) AS BIGINT), -1) AS bucket,
          |  COUNT(*) AS n_cust,
          |  COUNT(bal) AS n_nonnull,
-         |  round(${oSum("coalesce(bal, 0.0)")}, 4) AS sum_bal
+         |  ${oSumR("coalesce(bal, 0.0)", 4)} AS sum_bal
          |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_filter_clean" ->
@@ -92,7 +92,7 @@ object Filters extends QueryGroup {
          |                     AND value BETWEEN 1.0 AND 250.0) AS n_kept,
          |  COUNT(*) FILTER (WHERE NOT (value IS NOT NULL AND NOT isnan(value)
          |                     AND value BETWEEN 1.0 AND 250.0)) AS n_dropped,
-         |  round(${oSum("CASE WHEN value IS NOT NULL AND NOT isnan(value) AND value BETWEEN 1.0 AND 250.0 THEN value END", 6)}, 4) AS sum_kept
+         |  ${oSumR("CASE WHEN value IS NOT NULL AND NOT isnan(value) AND value BETWEEN 1.0 AND 250.0 THEN value END", 4, 6)} AS sum_kept
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -319,7 +319,7 @@ object Geo extends QueryGroup {
       // flip — combined probability ~1e-6 per group at sf0.1.
       segments(s, dir)
         .groupBy($"user_id")
-        .agg(round(dsum($"seg_km", 4), 1).as("track_km"),
+        .agg(dsumR($"seg_km", 1, 4).as("track_km"),
              count($"seg_km").as("n_segs"))
         .orderBy($"user_id")
     }),
@@ -863,7 +863,7 @@ object Geo extends QueryGroup {
         .agg(count(lit(1)).as("n_segs"),
              // round(1), not round(3): see q_geo_haversine — a one-segment
              // cast flip must not be visible in the output rounding.
-             round(dsum($"seg_km", 4), 1).as("total_km"),
+             dsumR($"seg_km", 1, 4).as("total_km"),
              r2(dsum($"seg_km", 4) / (sum($"dt_us") / 3.6e9)).as("avg_speed_kmh"),
              round(max($"speed_kmh"), 0).cast("long").as("max_speed_kmh"),
              count(when($"speed_kmh" > 1000.0, 1)).as("n_speeding"))
@@ -912,7 +912,7 @@ object Geo extends QueryGroup {
       trips.groupBy($"user_id")
         .agg(count(lit(1)).as("n_trips"),
              round(max(coalesce($"trip_km", lit(0.0))), 1).as("longest_km"),
-             round(dsum($"trip_km", 4), 1).as("total_km"),
+             dsumR($"trip_km", 1, 4).as("total_km"),
              sum(coalesce($"dur_us", lit(0L))).as("moving_us"))
         .orderBy($"user_id")
     }),
@@ -1792,7 +1792,7 @@ object Geo extends QueryGroup {
     "q_geo_haversine" -> (segCte +
       """
         |SELECT user_id,
-        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 1) AS track_km,
+        |  CAST(round(SUM(CAST(seg_km AS DECIMAL(18,4))), 1) AS DOUBLE) AS track_km,
         |  COUNT(seg_km) AS n_segs
         |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin),
 
@@ -2250,7 +2250,7 @@ object Geo extends QueryGroup {
     "q_traj_speed" -> (segCte +
       """
         |SELECT user_id, COUNT(*) AS n_segs,
-        |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE), 1) AS total_km,
+        |  CAST(round(SUM(CAST(seg_km AS DECIMAL(18,4))), 1) AS DOUBLE) AS total_km,
         |  round(CAST(SUM(CAST(seg_km AS DECIMAL(18,4))) AS DOUBLE)
         |        / (SUM(dt_us) / 3.6e9), 2) AS avg_speed_kmh,
         |  CAST(round(MAX(seg_km / (dt_us / 3.6e9)), 0) AS BIGINT) AS max_speed_kmh,
@@ -2292,7 +2292,7 @@ object Geo extends QueryGroup {
         |  GROUP BY user_id, tid)
         |SELECT user_id, COUNT(*) AS n_trips,
         |  round(MAX(COALESCE(trip_km, 0.0)), 1) AS longest_km,
-        |  round(CAST(SUM(CAST(trip_km AS DECIMAL(18,4))) AS DOUBLE), 1) AS total_km,
+        |  CAST(round(SUM(CAST(trip_km AS DECIMAL(18,4))), 1) AS DOUBLE) AS total_km,
         |  CAST(SUM(COALESCE(dur_us, 0)) AS BIGINT) AS moving_us
         |FROM trips GROUP BY user_id ORDER BY user_id""".stripMargin),
 

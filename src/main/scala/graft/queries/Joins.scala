@@ -30,7 +30,7 @@ object Joins extends QueryGroup {
       val o  = t(s, dir, "orders")
       li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
         .groupBy($"o_orderstatus")
-        .agg(r4(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).as("revenue"),
+        .agg(dsumR($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4, 6).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy($"o_orderstatus")
     }),
@@ -44,7 +44,7 @@ object Joins extends QueryGroup {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy($"r_name")
         .agg(count(lit(1)).as("n_cust"),
-             r4(dsum($"c_acctbal")).as("sum_bal"))
+             dsumR($"c_acctbal", 4).as("sum_bal"))
         .orderBy($"r_name")
     }),
 
@@ -125,7 +125,7 @@ object Joins extends QueryGroup {
         .semi(s, t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n_items"),
-             r4(dsum($"l_extendedprice")).as("sum_price"))
+             dsumR($"l_extendedprice", 4).as("sum_price"))
         .orderBy($"l_returnflag")
     }),
 
@@ -139,7 +139,7 @@ object Joins extends QueryGroup {
           li("l_extendedprice").between(p("p_retailprice") * 0.9, p("p_retailprice") * 1.1))
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n_items"),
-             r4(dsum($"l_extendedprice")).as("sum_price"))
+             dsumR($"l_extendedprice", 4).as("sum_price"))
         .orderBy($"p_brand")
     }),
 
@@ -202,7 +202,7 @@ object Joins extends QueryGroup {
         .join(broadcast(iv), $"ts_us" >= $"start_us" && $"ts_us" < $"end_us")
         .groupBy($"o_orderkey")
         .agg(count(lit(1)).as("n_events"),
-             r4(dsum($"value", 6)).as("sum_value"))
+             dsumR($"value", 4, 6).as("sum_value"))
         .orderBy($"o_orderkey")
     })
   )
@@ -213,13 +213,13 @@ object Joins extends QueryGroup {
   val oracle: Map[String, String] = Map(
     "q_join_inner" ->
       s"""SELECT o_orderstatus,
-         |  round(${oSum("l_extendedprice * (1.0 - l_discount)", 6)}, 4) AS revenue,
+         |  ${oSumR("l_extendedprice * (1.0 - l_discount)", 4, 6)} AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_join_broadcast" ->
-      s"""SELECT r_name, COUNT(*) AS n_cust, round(${oSum("c_acctbal")}, 4) AS sum_bal
+      s"""SELECT r_name, COUNT(*) AS n_cust, ${oSumR("c_acctbal", 4)} AS sum_bal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
@@ -261,7 +261,7 @@ object Joins extends QueryGroup {
 
     "q_join_bloom" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_items,
-         |  round(${oSum("l_extendedprice")}, 4) AS sum_price
+         |  ${oSumR("l_extendedprice", 4)} AS sum_price
          |FROM lineitem
          |WHERE EXISTS (SELECT 1 FROM orders
          |              WHERE o_orderkey = l_orderkey
@@ -269,7 +269,7 @@ object Joins extends QueryGroup {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_theta" ->
-      s"""SELECT p_brand, COUNT(*) AS n_items, round(${oSum("l_extendedprice")}, 4) AS sum_price
+      s"""SELECT p_brand, COUNT(*) AS n_items, ${oSumR("l_extendedprice", 4)} AS sum_price
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |  AND l_extendedprice BETWEEN p_retailprice * 0.9 AND p_retailprice * 1.1
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -309,7 +309,7 @@ object Joins extends QueryGroup {
          |    1704067200000000 + (o_orderkey % 28) * 86400000000 + 2 * 86400000000 AS end_us
          |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 40 = 0)
          |SELECT o_orderkey, COUNT(*) AS n_events,
-         |  round(${oSum("value", 6)}, 4) AS sum_value
+         |  ${oSumR("value", 4, 6)} AS sum_value
          |FROM events JOIN iv
          |  ON epoch_us(CAST(ts AS TIMESTAMP)) >= start_us
          | AND epoch_us(CAST(ts AS TIMESTAMP)) <  end_us

@@ -33,6 +33,17 @@ object Q {
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
+  /** Tie-safe ROUNDED exact sum (SURVEY §2 determinism rule 7): round in
+    * the DECIMAL domain — half-away-from-zero in BOTH engines — THEN cast
+    * to double. The old `round(dsum(x), d)` shape rounds AFTER the double
+    * conversion, and an exact decimal sum landing on a 5·10⁻ᵈ⁻¹ tie then
+    * resolves differently per engine (Spark rounds the shortest double
+    * string with BigDecimal HALF_UP, DuckDB rounds in double arithmetic —
+    * the q_traj_entropy one-ulp flake, r14). Values are identical off-tie;
+    * ties become deterministic. [[oSumR]] is the oracle mirror. */
+  def dsumR(c: Column, digits: Int, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(18, scale))), digits).cast(DoubleType)
+
   /** Exact-sum average of a double expression, as DOUBLE. */
   def davg(c: Column, scale: Int = 4): Column =
     dsum(c, scale) / count(c)
@@ -71,6 +82,12 @@ object Q {
   /** Oracle-side mirror of [[dsum]]. */
   def oSum(expr: String, scale: Int = 4): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Oracle-side mirror of [[dsumR]] — DuckDB's decimal `round()` is also
+    * half-away-from-zero (its decimal→decimal CAST truncates, so only
+    * round() works — probed r14). */
+  def oSumR(expr: String, digits: Int, scale: Int = 4): String =
+    s"CAST(round(SUM(CAST(($expr) AS DECIMAL(18,$scale))), $digits) AS DOUBLE)"
 
   /** Oracle-side mirror of [[davg]]. */
   def oAvg(expr: String, scale: Int = 4): String =

@@ -44,7 +44,7 @@ object Reshape extends QueryGroup {
     * TPC-H Q3 shape. Decimal-routed sum per SURVEY §2 determinism rules. */
   private val tpchQ3 =
     """SELECT o_orderkey,
-      |  round(CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      |  CAST(round(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -61,7 +61,7 @@ object Reshape extends QueryGroup {
     * through DECIMAL per the determinism rules. */
   private val tpchQ5 =
     """SELECT n_name,
-      |  round(CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      |  CAST(round(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -226,8 +226,7 @@ object Reshape extends QueryGroup {
   /** TPC-H Q6 shape (forecasting revenue change): the pure scan-filter-agg
     * — no join at all; the predicate must reach the parquet scan. */
   private val tpchQ6 =
-    """SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-      |  AS DOUBLE), 4) AS revenue
+    """SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -238,7 +237,7 @@ object Reshape extends QueryGroup {
     * customer over one quarter's returns, top-20. */
   private val tpchQ10 =
     """SELECT c_custkey, c_name,
-      |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue,
       |  n_name
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
@@ -300,7 +299,7 @@ object Reshape extends QueryGroup {
     * equi-key (partkey) into the join and the residual brackets into a
     * post-join filter, never a nested loop. */
   private val tpchQ19 =
-    """SELECT round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+    """SELECT CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey
       |WHERE
@@ -322,7 +321,7 @@ object Reshape extends QueryGroup {
     * result. */
   private val tpchQ22 =
     """SELECT n_name AS cntry, COUNT(*) AS numcust,
-      |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS totacctbal
+      |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DOUBLE) AS totacctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE CAST(c_acctbal AS DECIMAL(18,6))
@@ -341,9 +340,9 @@ object Reshape extends QueryGroup {
   private val tpchQ1 =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
-      |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
-      |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_charge,
       |  round(CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
       |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
       |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
@@ -468,7 +467,7 @@ object Reshape extends QueryGroup {
     val agg = t(s, dir, "events")
       .withColumn("h", expr("(unix_millis(ts) div 3600000) * 3600000"))
       .groupBy($"h")
-      .agg(count(lit(1)).as("n_events"), r4(dsum($"value", 6)).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsumR($"value", 4, 6).as("sum_value"))
     val grid = agg.agg(min($"h").as("lo"), max($"h").as("hi"))
       .select(explode(expr("sequence(lo, hi, 3600000)")).as("h"))
     grid.join(agg, Seq("h"), "left")
@@ -484,7 +483,7 @@ object Reshape extends QueryGroup {
        |  FROM events),
        |agg AS (
        |  SELECT h, COUNT(*) AS n_events,
-       |    round(${oSum("value", 6)}, 4) AS sum_value
+       |    ${oSumR("value", 4, 6)} AS sum_value
        |  FROM ev GROUP BY h),
        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
        |grid AS (SELECT unnest(generate_series(lo, hi, 3600000)) AS h FROM b),
@@ -502,7 +501,7 @@ object Reshape extends QueryGroup {
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(r4(dsum($"l_quantity")))
+        .agg(dsumR($"l_quantity", 4))
         .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
         .orderBy($"l_returnflag")
     }),
@@ -701,7 +700,7 @@ object Reshape extends QueryGroup {
         .withColumn("salt", explode(sequence(lit(0L), lit(nSalt - 1L))))
       li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
         .groupBy($"o_orderpriority")
-        .agg(r4(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).as("revenue"),
+        .agg(dsumR($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4, 6).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy($"o_orderpriority")
     }),
@@ -715,7 +714,7 @@ object Reshape extends QueryGroup {
         .withColumn("bucket",
           least(floor($"o_totalprice" / 25000.0), lit(19.0)).cast("long"))
         .groupBy($"bucket")
-        .agg(count(lit(1)).as("n"), r2(dsum($"o_totalprice", 2)).as("sum_price"))
+        .agg(count(lit(1)).as("n"), dsumR($"o_totalprice", 2, 2).as("sum_price"))
         .withColumn("bucket_lo", ($"bucket" * 25000L).cast("double"))
         .select($"bucket", $"bucket_lo", $"n", $"sum_price")
         .orderBy($"bucket")
@@ -734,7 +733,7 @@ object Reshape extends QueryGroup {
         .withColumn("new_bal", r2($"c_acctbal" + coalesce($"delta", lit(0.0))))
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("n_cust"), count($"delta").as("n_updated"),
-             r2(dsum($"new_bal", 2)).as("total_bal"))
+             dsumR($"new_bal", 2, 2).as("total_bal"))
         .orderBy($"c_nationkey")
     }),
 
@@ -816,7 +815,8 @@ object Reshape extends QueryGroup {
         .withColumn("roll_events",
           r4(sum($"n_events").over(w).cast("double") / count(lit(1)).over(w)))
         .withColumn("roll_value",
-          r4(sum(expr("CAST(sum_value AS DECIMAL(18,6))")).over(w).cast("double")))
+          round(sum(expr("CAST(sum_value AS DECIMAL(18,6))")).over(w), 4)
+            .cast("double"))
         .select($"bucket_ms", $"n_events", $"roll_events", $"roll_value")
         .orderBy($"bucket_ms")
     }),
@@ -1083,10 +1083,10 @@ object Reshape extends QueryGroup {
         .localCheckpoint(eager = false)
       val byLast = pairs.groupBy($"lt".as("channel"))
         .agg(sum($"n").as("n_last"),
-             round(sum($"rev").cast("double"), 4).as("rev_last"))
+             round(sum($"rev"), 4).cast("double").as("rev_last"))
       val byFirst = pairs.groupBy($"ft".as("channel"))
         .agg(sum($"n").as("n_first"),
-             round(sum($"rev").cast("double"), 4).as("rev_first"))
+             round(sum($"rev"), 4).cast("double").as("rev_first"))
       byLast.join(byFirst, Seq("channel"), "full_outer")
         .select($"channel",
           coalesce($"n_last", lit(0L)).as("n_last"),
@@ -1114,10 +1114,10 @@ object Reshape extends QueryGroup {
          |  FROM p),
          |pur AS (SELECT * FROM a WHERE event_type = 'purchase'),
          |bl AS (SELECT lt AS channel, COUNT(*) AS n_last,
-         |         round(${oSum("value")}, 4) AS rev_last
+         |         ${oSumR("value", 4)} AS rev_last
          |       FROM pur GROUP BY lt),
          |bf AS (SELECT ft AS channel, COUNT(*) AS n_first,
-         |         round(${oSum("value")}, 4) AS rev_first
+         |         ${oSumR("value", 4)} AS rev_first
          |       FROM pur GROUP BY ft)
          |SELECT COALESCE(bl.channel, bf.channel) AS channel,
          |  CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,
@@ -1146,7 +1146,7 @@ object Reshape extends QueryGroup {
         |SELECT bucket_ms, n_events,
         |  round(CAST(SUM(n_events) OVER w AS DOUBLE) / (COUNT(*) OVER w), 4)
         |    AS roll_events,
-        |  round(CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4)
+        |  CAST(round(SUM(CAST(sum_value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
         |    AS roll_value
         |FROM res
         |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
@@ -1226,8 +1226,8 @@ object Reshape extends QueryGroup {
 
     "q_pivot" ->
       s"""SELECT l_returnflag,
-         |  round(${oSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 4) AS qty_f,
-         |  round(${oSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 4) AS qty_o
+         |  ${oSumR("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 4)} AS qty_f,
+         |  ${oSumR("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 4)} AS qty_o
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_unpivot" ->
@@ -1382,7 +1382,7 @@ object Reshape extends QueryGroup {
 
     "q_join_salted" ->
       s"""SELECT o_orderpriority,
-         |  round(${oSum("l_extendedprice * (1.0 - l_discount)", 6)}, 4) AS revenue,
+         |  ${oSumR("l_extendedprice * (1.0 - l_discount)", 4, 6)} AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -1496,7 +1496,7 @@ object Reshape extends QueryGroup {
 
     "q_histogram" ->
       s"""SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS bucket_lo,
-         |  COUNT(*) AS n, round(${oSum("o_totalprice", 2)}, 2) AS sum_price
+         |  COUNT(*) AS n, ${oSumR("o_totalprice", 2, 2)} AS sum_price
          |FROM (SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19.0) AS BIGINT) AS bucket,
          |             o_totalprice
          |      FROM orders) t
@@ -1507,7 +1507,7 @@ object Reshape extends QueryGroup {
          |  SELECT user_id, ${oSum("value", 6)} AS delta
          |  FROM events GROUP BY user_id)
          |SELECT c_nationkey, COUNT(*) AS n_cust, COUNT(delta) AS n_updated,
-         |  round(${oSum("round(c_acctbal + COALESCE(delta, 0.0), 2)", 2)}, 2) AS total_bal
+         |  ${oSumR("round(c_acctbal + COALESCE(delta, 0.0), 2)", 2, 2)} AS total_bal
          |FROM customer LEFT JOIN d ON c_custkey = user_id
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )

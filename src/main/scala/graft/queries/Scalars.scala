@@ -54,7 +54,7 @@ object Scalars extends QueryGroup {
         .groupBy(year($"od").cast("long").as("y"),
                  quarter($"od").cast("long").as("q"))
         .agg(count(lit(1)).as("n_orders"),
-             r4(dsum($"o_totalprice")).as("revenue"),
+             dsumR($"o_totalprice", 4).as("revenue"),
              max(date_format(last_day($"od"), "yyyy-MM-dd")).as("max_lastday"),
              max(date_format(date_add($"od", 30), "yyyy-MM-dd")).as("max_d30"),
              max(date_format(date_trunc("month", $"od"), "yyyy-MM-dd")).as("max_m_trunc"))
@@ -98,7 +98,7 @@ object Scalars extends QueryGroup {
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_events"),
              countDistinct($"k").as("n_k"),
-             r4(dsum($"value", 6)).as("sum_value"))
+             dsumR($"value", 4, 6).as("sum_value"))
         .orderBy($"bucket")
     })
   )
@@ -125,7 +125,7 @@ object Scalars extends QueryGroup {
     "q_date_funcs" ->
       s"""SELECT CAST(year(od) AS BIGINT) AS y, CAST(quarter(od) AS BIGINT) AS q,
          |  COUNT(*) AS n_orders,
-         |  round(${oSum("o_totalprice")}, 4) AS revenue,
+         |  ${oSumR("o_totalprice", 4)} AS revenue,
          |  max(strftime(last_day(od), '%Y-%m-%d')) AS max_lastday,
          |  max(strftime(od + 30, '%Y-%m-%d')) AS max_d30,
          |  max(strftime(date_trunc('month', od), '%Y-%m-%d')) AS max_m_trunc
@@ -152,7 +152,7 @@ object Scalars extends QueryGroup {
     "q_json_funcs" ->
       s"""SELECT CAST(k % 10 AS BIGINT) AS bucket,
          |  COUNT(*) AS n_events, COUNT(DISTINCT k) AS n_k,
-         |  round(${oSum("value", 6)}, 4) AS sum_value
+         |  ${oSumR("value", 4, 6)} AS sum_value
          |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k, value
          |      FROM events) t
          |GROUP BY 1 ORDER BY bucket""".stripMargin

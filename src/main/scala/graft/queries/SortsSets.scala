@@ -27,7 +27,7 @@ object SortsSets extends QueryGroup {
       import s.implicits._
       t(s, dir, "orders")
         .groupBy($"o_custkey")
-        .agg(r4(dsum($"o_totalprice")).as("total_value"), count(lit(1)).as("n_orders"))
+        .agg(dsumR($"o_totalprice", 4).as("total_value"), count(lit(1)).as("n_orders"))
         .orderBy($"total_value".desc, $"o_custkey")
         .limit(10)
     }),
@@ -126,7 +126,7 @@ object SortsSets extends QueryGroup {
         |ORDER BY c_nationkey ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,
 
     "q_topk" ->
-      s"""SELECT o_custkey, round(${oSum("o_totalprice")}, 4) AS total_value,
+      s"""SELECT o_custkey, ${oSumR("o_totalprice", 4)} AS total_value,
          |  COUNT(*) AS n_orders
          |FROM orders GROUP BY o_custkey
          |ORDER BY total_value DESC, o_custkey LIMIT 10""".stripMargin,

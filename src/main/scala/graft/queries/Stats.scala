@@ -145,7 +145,7 @@ object Stats extends QueryGroup {
               (countDistinct($"hi") - 1)).as("dof"),
              // per-cell terms are identical doubles; the DECIMAL route
              // makes their 10-row sum order-free too
-             r4(sum($"term".cast(DecimalType(18, 8))).cast("double")).as("chi2"))
+             round(sum($"term".cast(DecimalType(18, 8))), 4).cast("double").as("chi2"))
     }),
 
     // Pairwise Welch t statistics between event types' value means —
@@ -561,7 +561,7 @@ object Stats extends QueryGroup {
         .groupBy($"event_type")
         .agg(max($"n1").as("n1"), max($"n2").as("n2"),
              max($"nb").as("n_bins"),
-             round(sum($"term".cast(DecimalType(28, 12))).cast("double"), 6)
+             round(sum($"term".cast(DecimalType(28, 12))), 6).cast("double")
                .as("psi"))
         .orderBy($"event_type")
     }),
@@ -966,8 +966,7 @@ object Stats extends QueryGroup {
         |SELECT CAST(MAX(n) AS BIGINT) AS n,
         |  CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hi) - 1)
         |       AS BIGINT) AS dof,
-        |  round(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,8)))
-        |             AS DOUBLE), 4) AS chi2
+        |  CAST(round(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,8))), 4) AS DOUBLE) AS chi2
         |FROM (
         |  SELECT event_type, hi, o, n,
         |    CAST(r AS DOUBLE) * c / n AS e
@@ -1287,7 +1286,7 @@ object Stats extends QueryGroup {
         |    FROM wt) x)
         |SELECT event_type, CAST(MAX(n1) AS BIGINT) AS n1,
         |  CAST(MAX(n2) AS BIGINT) AS n2, MAX(nb) AS n_bins,
-        |  round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+        |  CAST(round(SUM(CAST(term AS DECIMAL(28,12))), 6) AS DOUBLE) AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stat_spearman" ->

@@ -24,7 +24,7 @@ object StreamingQueries extends QueryGroup {
       import s.implicits._
       t(s, dir, "events")
         .groupBy(window($"ts", "1 hour"), $"event_type")
-        .agg(count(lit(1)).as("n"), r4(dsum($"value", 6)).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsumR($"value", 4, 6).as("sum_value"))
         .select(unix_millis($"window.start").as("start_ms"), $"event_type", $"n", $"sum_value")
         .orderBy($"start_ms", $"event_type")
     }),
@@ -117,7 +117,7 @@ object StreamingQueries extends QueryGroup {
         ev.filter($"event_type" === "click"),
         ev.filter($"event_type" === "purchase"))
       pairs.groupBy($"user_id")
-        .agg(count(lit(1)).as("n_pairs"), r4(dsum($"value", 6)).as("attr_value"))
+        .agg(count(lit(1)).as("n_pairs"), dsumR($"value", 4, 6).as("attr_value"))
         .orderBy($"user_id")
     }),
 
@@ -132,7 +132,7 @@ object StreamingQueries extends QueryGroup {
         .groupBy($"user_id")
         .agg(max($"last_type").as("last_type"), // constant per user
              count(lit(1)).as("n_events"),
-             r4(dsum($"value", 6)).as("total_value"))
+             dsumR($"value", 4, 6).as("total_value"))
         .orderBy($"user_id")
     }),
 
@@ -155,7 +155,7 @@ object StreamingQueries extends QueryGroup {
   val oracle: Map[String, String] = Map(
     "q_stream_tumble" ->
       s"""SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS start_ms,
-         |  event_type, COUNT(*) AS n, round(${oSum("value", 6)}, 4) AS sum_value
+         |  event_type, COUNT(*) AS n, ${oSumR("value", 4, 6)} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY start_ms, event_type""".stripMargin,
 
     "q_stream_slide" ->
@@ -213,7 +213,7 @@ object StreamingQueries extends QueryGroup {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
          |  FROM events)
          |SELECT user_id, MAX(last_type) AS last_type, COUNT(*) AS n_events,
-         |  round(${oSum("value", 6)}, 4) AS total_value
+         |  ${oSumR("value", 4, 6)} AS total_value
          |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_join" ->
@@ -223,7 +223,7 @@ object StreamingQueries extends QueryGroup {
          |  FROM events),
          |c AS (SELECT user_id, ts_us AS c_us FROM ev WHERE event_type = 'click'),
          |b AS (SELECT user_id, ts_us AS b_us, value FROM ev WHERE event_type = 'purchase')
-         |SELECT user_id, COUNT(*) AS n_pairs, round(${oSum("value", 6)}, 4) AS attr_value
+         |SELECT user_id, COUNT(*) AS n_pairs, ${oSumR("value", 4, 6)} AS attr_value
          |FROM c JOIN b USING (user_id)
          |WHERE b_us >= c_us AND b_us < c_us + 1200000000
          |GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -275,7 +275,7 @@ object TextPipeline extends QueryGroup {
               ($"dl" / (($"sum_dl" * 1.0) / $"n_docs")))))
       scored.groupBy($"doc_id")
         .agg(count(lit(1)).as("n_terms"),
-             round(dsum($"bm25", 10), 6).as("score"))
+             dsumR($"bm25", 6, 10).as("score"))
         .orderBy($"score".desc, $"doc_id")
         .limit(20)
     }),
@@ -373,7 +373,7 @@ object TextPipeline extends QueryGroup {
           lit(0.5) * $"q" * round(log($"q" / $"m"), 6))
         .groupBy($"source")
         .agg(max($"ns").as("n_docs"), max($"nb").as("n_bins"),
-             round(sum($"term".cast(DecimalType(28, 12))).cast("double"), 6)
+             round(sum($"term".cast(DecimalType(28, 12))), 6).cast("double")
                .as("jsd"))
         .orderBy($"source")
     }),
@@ -1310,7 +1310,7 @@ object TextPipeline extends QueryGroup {
       docB.join(broadcast(model), Seq("b"))
         .groupBy($"doc_id", $"lang")
         .agg(sum($"c").as("n_bigrams"),
-          round(dsum($"c" * $"lr", 6), 6).as("dsir_w"))
+          dsumR($"c" * $"lr", 6, 6).as("dsir_w"))
         .orderBy($"dsir_w".desc, $"doc_id")
         .limit(20)
     })
@@ -1435,7 +1435,7 @@ object TextPipeline extends QueryGroup {
         |  FROM model)
         |SELECT db.doc_id, db.lang,
         |  CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
-        |  round(${oSum("db.c * lrm.lr", 6)}, 6) AS dsir_w
+        |  ${oSumR("db.c * lrm.lr", 6, 6)} AS dsir_w
         |FROM db JOIN lrm USING (b)
         |GROUP BY db.doc_id, db.lang
         |ORDER BY dsir_w DESC, doc_id LIMIT 20""".stripMargin,
@@ -1532,7 +1532,7 @@ object TextPipeline extends QueryGroup {
         |      (tf + 1.2 * (0.25 + 0.75 * (dl / ((sum_dl * 1.0) / n_docs)))) AS bm25
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
         |SELECT doc_id, COUNT(*) AS n_terms,
-        |  round(CAST(SUM(CAST((bm25) AS DECIMAL(18,10))) AS DOUBLE), 6) AS score
+        |  CAST(round(SUM(CAST((bm25) AS DECIMAL(18,10))), 6) AS DOUBLE) AS score
         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_text_lmscore" ->
@@ -1585,7 +1585,7 @@ object TextPipeline extends QueryGroup {
         |    FROM grid) x)
         |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
         |  MAX(nb) AS n_bins,
-        |  round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS jsd
+        |  CAST(round(SUM(CAST(term AS DECIMAL(28,12))), 6) AS DOUBLE) AS jsd
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_zipf" ->

@@ -490,8 +490,8 @@ object Timeseries extends QueryGroup {
         .groupBy($"h24")
         .agg(count(lit(1)).as("n"),
              round(min($"seasonal"), 4).as("seasonal"),
-             round(sum(($"resid" * $"resid").cast(DecimalType(18, 8)))
-               .cast("double"), 4).as("rss"))
+             round(sum(($"resid" * $"resid").cast(DecimalType(18, 8))), 4)
+               .cast("double").as("rss"))
         .orderBy($"h24")
     }),
 
@@ -1646,8 +1646,8 @@ object Timeseries extends QueryGroup {
         |      AS seasonal
         |  FROM d GROUP BY h24)
         |SELECT d.h24, COUNT(*) AS n, round(MIN(s.seasonal), 4) AS seasonal,
-        |  round(CAST(SUM(CAST((d.detr - s.seasonal) * (d.detr - s.seasonal)
-        |                      AS DECIMAL(18,8))) AS DOUBLE), 4) AS rss
+        |  CAST(round(SUM(CAST((d.detr - s.seasonal) * (d.detr - s.seasonal)
+        |                      AS DECIMAL(18,8))), 4) AS DOUBLE) AS rss
         |FROM d JOIN seas s ON d.h24 = s.h24
         |GROUP BY d.h24 ORDER BY d.h24""".stripMargin),
 

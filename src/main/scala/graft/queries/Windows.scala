@@ -36,8 +36,8 @@ object Windows extends QueryGroup {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey",
-                r4(sum($"o_totalprice".cast("decimal(18,4)")).over(w).cast("double"))
-                  .as("running_rev"))
+                round(sum($"o_totalprice".cast("decimal(18,4)")).over(w), 4)
+                  .cast("double").as("running_rev"))
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
@@ -172,9 +172,9 @@ object Windows extends QueryGroup {
 
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_rev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_rev
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_lag" ->
