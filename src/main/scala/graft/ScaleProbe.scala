@@ -305,21 +305,32 @@ object ScaleProbe {
       // session kernels (hausdorffPruned uses hausdorff_km via TrajSim);
       // calling them directly needs the same registration
       graft.functions.TrajSim.register(spark)
-      def pts(dir: String) = {
-        val ev = Tables(spark, dir, "events")
-        ev.withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
-          .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
-          .withColumn("ts_us", unix_micros(col("ts")))
-          .select(col("user_id"), col("ts_us"), col("event_id"), col("lat"), col("lon"))
-      }
-      def shifted(p: DataFrame, copies: Int): DataFrame = {
-        val maxU = maxOf(p, "user_id")
-        val maxE = maxOf(p, "event_id")
+      // ORDER MATTERS (r16 review finding): lat/lon must be derived from
+      // the ALREADY-SHIFTED event_id — deriving first and shifting after
+      // made every copy an exact geometric clone of the base (each ×10
+      // user gained C(10,2)=45 zero-distance twin pairs: the first ×100
+      // run's 675,000 = 45 × 15k survivor count was exactly that), which
+      // measures a duplicate-saturated corpus, not a ×100 fleet. The
+      // shift amounts keep the lat/lon lattice phases distinct
+      // (maxE·37 mod 1700 ≠ 0 and maxE·131 mod 3600 ≠ 0 — checked in
+      // PREFLIGHT_r16), matching the on-disk replicate() discipline.
+      def shiftedEvents(copies: Int): DataFrame = {
+        val ev = Tables(spark, scaled, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val maxU = maxOf(ev, "user_id")
+        val maxE = maxOf(ev, "event_id")
         (0 until copies).map { k =>
-          p.withColumn("user_id", col("user_id") + lit(k * maxU))
+          ev.withColumn("user_id", col("user_id") + lit(k * maxU))
             .withColumn("event_id", col("event_id") + lit(k * maxE))
         }.reduce(_ unionAll _)
       }
+      def toPts(ev: DataFrame): DataFrame = ev
+        .withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
+        .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("lat"), col("lon"))
+      def pts(dir: String) = toPts(Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts")))
       // per-user length skew: keep the first 4 + xxhash64(user)%60 fixes,
       // so downsampled tracks span 4..63 points — the session/partial-track
       // shape edrPruned's length bound exists for
@@ -349,7 +360,7 @@ object ScaleProbe {
         }
       }
       lazy val tr100 = graft.queries.Trajectory
-        .tracksFromPoints(spark, shifted(pts(scaled), factor))
+        .tracksFromPoints(spark, toPts(shiftedEvents(factor)))
         .localCheckpoint(eager = false)
       if (x100Req("frechet_x100"))
         runOne("m_traj_frechet",
@@ -407,7 +418,7 @@ object ScaleProbe {
         runOne("m_traj_edr",
           t => graft.queries.Trajectory.edrPruned(spark, t), tr10p, s"x$factor-skew-planted")
         val tr100p = graft.queries.Trajectory
-          .tracksFromPoints(spark, planted(skew(shifted(pts(scaled), factor))))
+          .tracksFromPoints(spark, planted(skew(toPts(shiftedEvents(factor)))))
           .localCheckpoint(eager = false)
         runOne("m_traj_edr",
           t => graft.queries.Trajectory.edrPruned(spark, t), tr100p, s"x${10 * factor}-skew-planted")

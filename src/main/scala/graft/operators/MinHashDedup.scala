@@ -33,7 +33,6 @@ object MinHashDedup {
     * streaming ingestion path ([[graft.streaming.StreamOps.minHashDupStream]])
     * so batch and stream band the same way. */
   private[graft] val NumBands = 6
-  private def numBands = NumBands
 
   /** The shingle→signature SQL, factored so the streaming path computes a
     * BIT-IDENTICAL signature (same tokenizer, same 3-gram join, same
@@ -80,7 +79,7 @@ object MinHashDedup {
       .localCheckpoint(eager = false)
 
     val bands = sig.select($"doc_id",
-      posexplode(expr(bandMinsExpr(numBands))).as(Seq("band", "mh")))
+      posexplode(expr(bandMinsExpr(NumBands))).as(Seq("band", "mh")))
 
     // Uncapped path pays no bucket-census shuffle at all.
     val kept = if (maxBucket == Int.MaxValue) bands else {

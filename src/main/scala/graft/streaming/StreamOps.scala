@@ -1042,8 +1042,10 @@ object StreamOps {
       }
     }
       .groupByKey(_.bkey)
+      // same TTL/TimeMode coupling as minHashDupStream
       .transformWithState(new NearDupProcessor(maxHamming, ttlMs),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+        if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 
   /** Streaming MinHash near-duplicate dedup (r15 verdict missing #2) —
@@ -1056,7 +1058,11 @@ object StreamOps {
     * `candidatePairs(maxJaccardDistance)` pair set on the same corpus
     * (StreamingSpec pins batch ≡ stream under shuffled arrival). Docs
     * shorter than one 3-gram are dropped exactly like the batch filter.
-    * `ttlMs` bounds the dedup window at scale. */
+    * `ttlMs` bounds the dedup window at scale; note a TTL'd query runs
+    * in ProcessingTime mode (duration TTLConfig is rejected under
+    * TimeMode.None) and schedules periodic maintenance batches, so
+    * `processAllAvailable` never quiesces on it — production sinks
+    * don't care, tests poll (StreamingSpec's TTL test). */
   def minHashDupStream(docs: Dataset[DocIn], maxJaccardDistance: Double,
                        ttlMs: Long = -1L): Dataset[(Long, Long, Double)] = {
     import docs.sparkSession.implicits._
@@ -1074,8 +1080,13 @@ object StreamOps {
       .select(expr("xxhash64(band, mh)").as("bkey"), col("doc_id"), col("hs"))
       .as[MhBanded]
       .groupByKey(_.bkey)
+      // TTL state requires ProcessingTime mode (Spark rejects a duration
+      // TTLConfig under TimeMode.None at query start) — the time mode
+      // follows the knob (r16 review finding; the ttl'd path now has a
+      // StreamingSpec test of its own)
       .transformWithState(new MinHashDupProcessor(maxJaccardDistance, ttlMs),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+        if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
 
   /** Stream-stream AS-OF enrichment — the streaming twin of the batch

@@ -1002,7 +1002,12 @@ class PlanSpec extends BaseSpec {
       "q_topk" -> 1, // custkey agg; TakeOrdered
       "q_topk_heap" -> 2, // heap agg + output sort (bounded state, not a window sort)
       "q_geo_join" -> 3, // cell-bucket equi-join rides a BROADCAST; distinct-agg + sort
-      "q_text_tokens" -> 2) // term agg with distinct doc_id (two-phase)
+      "q_text_tokens" -> 2, // term agg with distinct doc_id (two-phase)
+      // round-16 source round-trip keys: the read-back text scan feeds ONE
+      // hash agg (+ its distinct sub-agg) + the tiny output sort — a text
+      // source that slipped an inference pass or repartition would fail
+      "q_src_csv" -> 3, // partial/final agg with countDistinct (two-phase) + sort
+      "q_src_json" -> 3)
     for ((key, want) <- budget) {
       val df = SparkEntry.queries(key)(spark, sf)
       df.collect()

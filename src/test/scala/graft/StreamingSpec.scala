@@ -957,6 +957,47 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming MinHash near-dup with a TTL window starts and still emits in-window pairs") {
+    // The documented scale knob ("dedup against the last N days"): a
+    // duration TTLConfig requires TimeMode.ProcessingTime — this pins the
+    // ttlMs > 0 path actually RUNS (the r16 review found it threw at query
+    // start under TimeMode.None) and that an in-window pair still emits.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val docs = Seq(DocIn(1L, text), DocIn(2L, text + " extra"),
+        DocIn(3L, "one two three four five six seven"))
+      val input = MemoryStream[DocIn]
+      val name = nextName()
+      val q = StreamOps.minHashDupStream(input.toDS(), 0.6, ttlMs = 3600000L)
+        .toDF("d1", "d2", "jdist")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      input.addData(docs: _*)
+      // a TTL'd ProcessingTime query schedules periodic maintenance
+      // batches to advance processing time, so processAllAvailable never
+      // quiesces (probed) — poll the sink with a deadline instead
+      def got() = spark.table(name).as[(Long, Long, Double)].collect().toSet
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!got().exists(p => p._1 == 1L && p._2 == 2L) &&
+             System.nanoTime() < deadline && q.exception.isEmpty)
+        Thread.sleep(200)
+      q.exception.foreach(e => fail(s"ttl'd query died: ${e.getMessage}"))
+      val pairs = got()
+      q.stop()
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+        s"in-window near-dup pair missing under TTL: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc paired: $pairs")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming MG heavy hitters: certified bounds hold under shuffled arrival, state stays fixed") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
