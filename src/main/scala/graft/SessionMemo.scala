@@ -51,6 +51,14 @@ class SessionMemo[K, V] {
     holder.value
   }
 
+  /** Drop ONE (session, key) entry — for callers that must invalidate a
+    * cached value when what it describes is rewritten out from under it
+    * (e.g. [[graft.operators.AnnIndex]] caches lazy parquet plans per
+    * index dir; a rewrite/append of that dir makes the cached file
+    * listing stale — FileNotFoundException or pre-overwrite rows). */
+  def remove(spark: SparkSession, key: K): Unit =
+    m.remove((spark, key))
+
   /** Drop every entry owned by `spark`. Runs automatically at context
     * stop; call directly when discarding a `newSession` child sharing a
     * still-live context. */

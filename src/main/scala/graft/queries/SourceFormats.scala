@@ -38,11 +38,20 @@ import Q._
   */
 object SourceFormats extends QueryGroup {
 
-  /** Deterministic per-(format, sfDir) scratch dir: re-written (mode
+  /** Deterministic per-(format, sfDir, JVM) scratch dir: re-written (mode
     * overwrite) on every invocation, so repeated bench/verify runs are
-    * self-contained and never read a stale projection of another SF. */
-  private def scratch(fmt: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_src_${fmt}_${math.abs(dir.hashCode)}"
+    * self-contained and never read a stale projection of another SF.
+    * The dir name rides SANITIZED (not hashCode — distinct SFs can
+    * collide on hashCode and abs(Int.MinValue) is negative) and the pid
+    * suffix keeps two concurrent JVMs benchmarking the same SF from
+    * racing overwrite-vs-read on one path (r16 advice). Within one JVM
+    * the Verify/Bench harness runs keys sequentially, so the shared
+    * per-process path is race-free by construction. */
+  private def scratch(fmt: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_${fmt}_${safe}_$pid"
+  }
 
   val queries: Map[String, QFn] = Map(
     "q_src_csv" -> ((s, dir) => {

@@ -291,8 +291,20 @@ class MinHashDupProcessor(maxJaccardDistance: Double, ttlMs: Long = -1L)
       timerValues: streaming.TimerValues): Iterator[(Long, Long, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     rows.foreach { r =>
-      bucket.get().foreach { e =>
-        if (e.doc_id != r.doc_id) {
+      // Idempotent under at-least-once redelivery (r16 advice): a doc_id
+      // already present in the bucket is a replay — its pairs were emitted
+      // when it first arrived, so the whole row is dropped (no duplicate
+      // state entry doubling every future comparison, no duplicate
+      // emission). The presence check rides the same single pass the
+      // verify loop already makes over the bucket; the row's tentative
+      // pairs stage in a local buffer and flush only if the row is new.
+      var present = false
+      val mine = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val it = bucket.get()
+      while (it.hasNext && !present) {
+        val e = it.next()
+        if (e.doc_id == r.doc_id) present = true
+        else {
           val in = inter(e.hs, r.hs)
           val un = e.hs.length + r.hs.length - in
           // same IEEE op order as the batch verify: 1.0 - (i / u)
@@ -300,11 +312,14 @@ class MinHashDupProcessor(maxJaccardDistance: Double, ttlMs: Long = -1L)
           if (jd <= maxJaccardDistance) {
             // batch rounds with Spark round(_, 4) = BigDecimal HALF_UP
             val jr = BigDecimal(jd).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            out += ((math.min(e.doc_id, r.doc_id), math.max(e.doc_id, r.doc_id), jr))
+            mine += ((math.min(e.doc_id, r.doc_id), math.max(e.doc_id, r.doc_id), jr))
           }
         }
       }
-      bucket.appendValue(MhSig(r.doc_id, r.hs))
+      if (!present) {
+        out ++= mine
+        bucket.appendValue(MhSig(r.doc_id, r.hs))
+      }
     }
     out.iterator
   }

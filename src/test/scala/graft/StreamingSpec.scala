@@ -957,6 +957,45 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming MinHash near-dup is idempotent under redelivery: state and output do not grow") {
+    // At-least-once replay (r16 advice): re-delivering the same docs must
+    // neither duplicate state entries (doubling every future comparison)
+    // nor re-emit pairs — a doc_id already in its bucket is a replay.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val docs = Seq(DocIn(1L, text), DocIn(2L, text + " extra"),
+        DocIn(3L, "one two three four five six seven"))
+      val input = MemoryStream[DocIn]
+      val name = nextName()
+      val q = StreamOps.minHashDupStream(input.toDS(), 0.6)
+        .toDF("d1", "d2", "jdist")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      input.addData(docs: _*); q.processAllAvailable()
+      val state1 = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      val rows1 = spark.table(name).count()
+      // full redelivery of the same batch
+      input.addData(docs: _*); q.processAllAvailable()
+      val state2 = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      val rows2 = spark.table(name).count()
+      q.stop()
+      assert(state2 == state1,
+        s"replay grew state: $state1 -> $state2 (duplicate bucket entries)")
+      assert(rows2 == rows1, s"replay re-emitted pairs: $rows1 -> $rows2")
+      assert(spark.table(name).as[(Long, Long, Double)].collect().toSet
+        .exists(p => p._1 == 1L && p._2 == 2L), "the real pair must still emit")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming MinHash near-dup with a TTL window starts and still emits in-window pairs") {
     // The documented scale knob ("dedup against the last N days"): a
     // duration TTLConfig requires TimeMode.ProcessingTime — this pins the
