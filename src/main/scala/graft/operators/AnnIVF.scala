@@ -55,6 +55,28 @@ object AnnIVF {
     }
   }
 
+  /** Encode NEW vectors against FROZEN centroids — the incremental-append
+    * path ([[AnnIndex.appendIvf]]): cell = argmin over the stored
+    * centroids of the squared L2 distance (lowest cell on a tie,
+    * deterministic), no k-means fit anywhere. Same (vec_id, v, cell)
+    * shape as [[assignments]]._1 so the postings table appends
+    * schema-identically. The centroid side broadcasts (nlist rows); the
+    * per-vector argmin is one group-by over nlist copies — at 100 TB the
+    * append scans only the NEW vectors, never the fitted corpus. */
+  def encodeFrozen(spark: SparkSession, embeddings: DataFrame,
+                   centroids: DataFrame): DataFrame = {
+    import spark.implicits._
+    embeddings
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select($"vec_id", $"v")
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cell")).as("mc"), first($"v").as("v"))
+      .select($"vec_id", $"v", $"mc.cell".as("cell"))
+  }
+
   /** Probed cells from SUPPLIED artifacts — the query half, shared by the
     * in-session path and the reopened-index path ([[AnnIndex]]): nothing
     * here touches the embeddings table or the k-means fit. */

@@ -95,6 +95,57 @@ object AnnIvfPq {
       (enc, cents, books)
     }
 
+  /** Encode NEW vectors against the FROZEN coarse centroids + residual
+    * codebooks — the incremental-append path ([[AnnIndex.appendIvfPq]]):
+    * unit-normalize (the [[fitEncode]] expression), coarse cell = argmin
+    * squared L2 over the stored centroids, then the RESIDUAL v − cv codes
+    * per subspace against the stored books (lowest index on ties,
+    * deterministic). No k-means anywhere; both codebooks broadcast and
+    * the scan touches only the NEW vectors. Output (vec_id, v, cell,
+    * code) appends schema-identically to the fitted codes table. */
+  def encodeFrozen(spark: SparkSession, embeddings: DataFrame,
+                   cents: Array[Array[Double]],
+                   books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val m = books.length
+    val sub = books(0)(0).length
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "cv")
+    val booksDf = (for {
+      j <- books.indices
+      c <- books(j).indices
+    } yield (j, c, books(j)(c).toSeq)).toDF("j", "c", "vals")
+    val assigned = embeddings
+      .withColumn("raw", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        expr("greatest(sqrt(aggregate(raw, 0.0D, (a, x) -> a + x * x)), 1e-12)"))
+      .withColumn("v", expr("transform(raw, x -> x / nrm)"))
+      .select($"vec_id", $"v")
+      .crossJoin(broadcast(centsDf))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cell", $"cv")).as("mc"), first($"v").as("v"))
+      .select($"vec_id", $"v", $"mc.cell".as("cell"),
+        expr("zip_with(v, mc.cv, (a, b) -> a - b)").as("r"))
+    assigned
+      .select($"vec_id", $"v", $"cell",
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), j -> slice(r, j * $sub + 1, $sub))"))
+          .as(Seq("j", "sv")))
+      .join(broadcast(booksDf), Seq("j"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, vals, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .groupBy($"vec_id", $"j")
+      .agg(min(struct($"d2", $"c")).as("mc"),
+        first($"v").as("v"), first($"cell").as("cell"))
+      .groupBy($"vec_id")
+      .agg(first($"v").as("v"), first($"cell").as("cell"),
+        expr("transform(array_sort(collect_list(struct(j, mc.c AS c))), s -> s.c)")
+          .as("code"))
+      .select($"vec_id", $"v", $"cell", $"code")
+  }
+
   /** Top-k cosine neighbours per probe through the inverted file: probed
     * cells → per-(probe, cell) ADC tables over residual codes → exact
     * cosine re-rank of the `rerank` survivors. */

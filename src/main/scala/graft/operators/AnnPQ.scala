@@ -91,6 +91,45 @@ object AnnPQ {
       (enc, books)
     }
 
+  /** Encode NEW vectors against FROZEN codebooks — the incremental-append
+    * path ([[AnnIndex.appendPq]]): per subspace j, code = argmin over
+    * books(j) of the squared distance from the vector's unit-normalized
+    * sub-slice (lowest code on a tie, deterministic; the same
+    * normalization expression as [[fitEncode]] so appended and fitted
+    * vectors live on the same sphere). No k-means anywhere; the codebook
+    * side broadcasts (m·ksub rows) and the scan touches only the NEW
+    * vectors. Output (vec_id, v, code) appends schema-identically to the
+    * fitted codes table. */
+  def encodeFrozen(spark: SparkSession, embeddings: DataFrame,
+                   books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val m = books.length
+    val sub = books(0)(0).length
+    val booksDf = (for {
+      j <- books.indices
+      c <- books(j).indices
+    } yield (j, c, books(j)(c).toSeq)).toDF("j", "c", "vals")
+    embeddings
+      .withColumn("raw", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        expr("greatest(sqrt(aggregate(raw, 0.0D, (a, x) -> a + x * x)), 1e-12)"))
+      .withColumn("v", expr("transform(raw, x -> x / nrm)"))
+      .select($"vec_id", $"v",
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $sub + 1, $sub))"))
+          .as(Seq("j", "sv")))
+      .join(broadcast(booksDf), Seq("j"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, vals, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .groupBy($"vec_id", $"j")
+      .agg(min(struct($"d2", $"c")).as("mc"), first($"v").as("v"))
+      .groupBy($"vec_id")
+      .agg(first($"v").as("v"),
+        expr("transform(array_sort(collect_list(struct(j, mc.c AS c))), s -> s.c)")
+          .as("code"))
+      .select($"vec_id", $"v", $"code")
+  }
+
   /** Top-k cosine neighbours per probe: ADC ranking over the codes keeps
     * `rerank` candidates, exact [[graft.functions.CosineSim]] re-ranks. */
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
