@@ -79,6 +79,75 @@ object TrajLsh {
       .orderBy($"u1", $"u2")
   }
 
+  /** Fréchet-threshold corridor join (round 17 — the declared corridor
+    * escape for the exact m_traj_frechet key's U² gate): all pairs within
+    * discrete Fréchet ≤ `maxKm` among users sharing a route, found as LSH
+    * candidates (cell-Jaccard ≥ `minJaccard`, the regime where the S-curve
+    * is measured sound) and verified by the EXACT capped kernel — the same
+    * [[graft.functions.FrechetDist]] DP as the contract key, early-
+    * abandoning pairs the cap excludes (exact dF when ≤ cap, MaxValue
+    * otherwise, so the ≤ maxKm filter is exact).
+    *
+    * Contract (the edrThresholdPairs discipline, stated precisely):
+    * precision 1.0 — every output pair's frechet_km is exact and ≤ maxKm;
+    * recall = the LSH S-curve over cell-Jaccard (0.9989 at J = 0.5 with
+    * the r = 2, b = 24 defaults) — corridor near-dups share most visited
+    * cells BY DEFINITION of the regime, so a low-dF pair sharing few
+    * cells is out of contract (that is a top-k-nearest query, which takes
+    * the exact gated tier instead). At 100 TB the only shuffles are the
+    * band-bucket join and the track re-attach for surviving candidates —
+    * never U² pairs.
+    *
+    * @param tracks the [[graft.queries.Trajectory.tracksFromPoints]]
+    *        derivation: `cells` (distinct visited-cell ints) and `track`
+    *        (unit-vector array) per user
+    * @param maxKm Fréchet keep threshold in great-circle km */
+  def frechetThresholdPairs(spark: SparkSession, tracks: DataFrame,
+                            maxKm: Double, minJaccard: Double = 0.5,
+                            bandRows: Int = 2, numBands: Int = 24): DataFrame = {
+    import spark.implicits._
+    graft.functions.TrajSim.register(spark)
+    val cand = candidatePairs(spark,
+      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
+      .select($"u1", $"u2", $"jaccard")
+    cand
+      .join(tracks.select($"user_id".as("u1"), $"track".as("ta")), Seq("u1"))
+      .join(tracks.select($"user_id".as("u2"), $"track".as("tb")), Seq("u2"))
+      .withColumn("d_exact", graft.functions.TrajSim
+        .frechetKmCapped($"ta", $"tb", lit(maxKm)))
+      // threshold the UNROUNDED value, round only the output (house rule)
+      .filter($"d_exact" <= maxKm)
+      .select($"u1", $"u2", $"jaccard", round($"d_exact", 4).as("frechet_km"))
+      .orderBy($"u1", $"u2")
+  }
+
+  /** Hausdorff-threshold corridor join (round 17) — the set-based,
+    * order-free sibling of [[frechetThresholdPairs]] (same candidate
+    * generation, same contract: precision 1.0 by the exact
+    * [[graft.functions.HausdorffKm]] kernel, recall the LSH S-curve over
+    * cell-Jaccard in the declared J ≥ `minJaccard` corridor regime).
+    * Answers "which fleet members cover the same route, either
+    * direction" — a reversed corridor is Hausdorff-0 but Fréchet-far, so
+    * the two threshold joins compose into the direction question exactly
+    * like their top-k contract keys do. */
+  def hausdorffThresholdPairs(spark: SparkSession, tracks: DataFrame,
+                              maxKm: Double, minJaccard: Double = 0.5,
+                              bandRows: Int = 2, numBands: Int = 24): DataFrame = {
+    import spark.implicits._
+    graft.functions.TrajSim.register(spark)
+    val cand = candidatePairs(spark,
+      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
+      .select($"u1", $"u2", $"jaccard")
+    cand
+      .join(tracks.select($"user_id".as("u1"), $"track".as("ta")), Seq("u1"))
+      .join(tracks.select($"user_id".as("u2"), $"track".as("tb")), Seq("u2"))
+      .withColumn("d_exact",
+        graft.functions.TrajSim.hausdorffKm($"ta", $"tb"))
+      .filter($"d_exact" <= maxKm)
+      .select($"u1", $"u2", $"jaccard", round($"d_exact", 4).as("hausdorff_km"))
+      .orderBy($"u1", $"u2")
+  }
+
   /** EDR-threshold corridor join (round 16 — the declared 100-TB query
     * form for EDR, closing the r15 verdict's last weak key): all pairs
     * within normalized EDR ≤ `maxEdr` among users sharing a route, found

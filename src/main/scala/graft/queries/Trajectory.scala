@@ -69,6 +69,37 @@ object Trajectory extends QueryGroup {
     * "same cell"). */
   private[queries] val MatchEpsKm = 500.0
 
+  /** Declared refusal gate for the EXACT all-pairs top-k family (round
+    * 17, sized from the r16 ×100 probes): the scalar-bound pair scans
+    * measured 604–693 s at 11.25×10⁹ pairs on local[32] — ≈1.9 µs·core
+    * per pair end-to-end, LINEAR in pairs (the scan is embarrassingly
+    * parallel, it scales OUT with cores). This budget admits ≈20 min of
+    * scan per core at that measured rate; [[exactPairsGate]] multiplies
+    * by the session's parallelism, so a 1000-core cluster admits
+    * proportionally more pairs — but U² growth means ×1000 users always
+    * crosses ANY constant, and past the gate the keys REFUSE with the
+    * corridor escape named instead of silently burning cluster-hours on
+    * a query whose exact form has no sub-quadratic algorithm. */
+  private[graft] val ExactPairsPerCore = 650_000_000L
+
+  /** Gate check for the four exact top-k keys. Throws (with the corridor
+    * form named) when the U² pair count exceeds the declared per-core
+    * budget × available parallelism. */
+  private[graft] def exactPairsGate(parallelism: Int, key: String,
+                                    nUsers: Long): Unit = {
+    val pairs = nUsers * (nUsers - 1) / 2
+    val gate = ExactPairsPerCore * parallelism
+    require(pairs <= gate,
+      s"$key: $nUsers users = $pairs exact pairs, past the declared gate " +
+        s"$gate ($ExactPairsPerCore pairs/core x $parallelism cores; r16 " +
+        "x100 probe: 11.25e9 pairs = 604-693 s on local[32], linear in " +
+        "pairs). Exact all-pairs top-k is U-squared - no constant fixes " +
+        "x1000 users. Use the corridor/threshold form instead: " +
+        "TrajLsh.frechetThresholdPairs / hausdorffThresholdPairs / " +
+        "edrThresholdPairs, or TrajLsh.candidatePairs for LCSS-style " +
+        "cell-set similarity.")
+  }
+
   /** Great-circle km between two unit vectors given as SCALAR columns —
     * the endpoint-prune arithmetic (same chord → 2R·asin(√c²/2) identity
     * as the DP kernels), allocation-free wherever the optimizer moves it. */
@@ -518,6 +549,7 @@ object Trajectory extends QueryGroup {
       // of km, not this fixture's ~5000 km random-walk floor) the
       // threshold collapses and the DP tier touches almost nothing.
       val nUsers = tr.count()
+      exactPairsGate(s.sparkContext.defaultParallelism, "m_traj_frechet", nUsers)
       if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
         pairedTracks(s, dir)
           .withColumn("frechet_km", round(TrajSim.frechetKm($"ta", $"tb"), 4))
@@ -563,6 +595,7 @@ object Trajectory extends QueryGroup {
       //    measured-sound S-curve; EDR-threshold property in TrajLshSpec).
       val tr = tracks(s, dir)
       val nUsers = tr.count()
+      exactPairsGate(s.sparkContext.defaultParallelism, "m_traj_edr", nUsers)
       if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
         pairedTracks(s, dir)
           .withColumn("n_edits",
@@ -631,6 +664,7 @@ object Trajectory extends QueryGroup {
       TrajSim.register(s)
       val tr = tracks(s, dir)
       val nUsers = tr.count()
+      exactPairsGate(s.sparkContext.defaultParallelism, "m_traj_hausdorff", nUsers)
       if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
         pairedTracks(s, dir)
           .withColumn("hausdorff_km", round(TrajSim.hausdorffKm($"ta", $"tb"), 4))
@@ -690,6 +724,7 @@ object Trajectory extends QueryGroup {
       // ([[lcssPruned]])
       val tr = tracks(s, dir)
       val nUsers = tr.count()
+      exactPairsGate(s.sparkContext.defaultParallelism, "m_traj_lcss", nUsers)
       if (nUsers * (nUsers - 1) / 2 <= 5_000_000L)
         pairedTracks(s, dir)
           .withColumn("n_match",

@@ -79,6 +79,104 @@ class TrajLshSpec extends BaseSpec {
     assert(verified == 0L, s"bulk fleet produced $verified false near-dups")
   }
 
+  /** Shared planted fleet for the Fréchet/Hausdorff threshold joins: a
+    * 30-fix corridor at lat 40 (1° lon steps), one exact re-trace, one
+    * REVERSED trace (Hausdorff 0, Fréchet far — the direction question),
+    * one 0.5°-shifted parallel corridor (~55.6 km everywhere, same
+    * cells), one 6-fix detour (cells mostly shared, both metrics huge),
+    * one disjoint corridor, plus random-walk noise. */
+  private def corridorFleet(): org.apache.spark.sql.DataFrame = {
+    val route = (0 until 30).map(i => (40.0, 10.0 + i))
+    val reversed = route.reverse
+    val shifted = route.map { case (la, lo) => (la + 0.5, lo) }
+    val detour = route.zipWithIndex.map { case ((la, lo), i) =>
+      if (i >= 10 && i <= 15) (-40.0, lo) else (la, lo) }
+    val routeB = (0 until 30).map(i => (40.0, 100.0 + i))
+    val rnd = new scala.util.Random(97)
+    def walk() = (0 until 30).map(_ =>
+      (rnd.nextInt(1400) / 10.0 - 70.0, rnd.nextInt(3500) / 10.0 - 175.0))
+    (Seq(3000L -> route, 3001L -> route, 3002L -> reversed,
+      3003L -> shifted, 3004L -> detour, 3005L -> routeB) ++
+      (0 until 12).map(u => (u.toLong, walk())))
+      .flatMap { case (u, pts) => pts.zipWithIndex.map { case ((la, lo), i) =>
+        (u, i.toLong * 1000000L, i.toLong, la, lo) } }
+      .toDF("user_id", "ts_us", "event_id", "lat", "lon")
+  }
+
+  test("Frechet-threshold corridor join: exact pair set in the J >= 0.5 regime (the m_traj_frechet corridor escape)") {
+    val tracks = graft.queries.Trajectory.tracksFromPoints(spark, corridorFleet())
+    val got = TrajLsh.frechetThresholdPairs(spark, tracks, maxKm = 100.0)
+      .select($"u1", $"u2", $"frechet_km")
+      .as[(Long, Long, Double)].collect().toSeq
+    // truth: all-pairs exact kernel (UNCAPPED — a different code path than
+    // the operator's early-abandoning capped kernel) filtered to the
+    // declared contract: cell-Jaccard >= 0.5 AND dF <= maxKm
+    graft.functions.TrajSim.register(spark)
+    val lhs = tracks.select($"user_id".as("u1"), $"track".as("ta"), $"cells".as("c1"))
+    val rhs = tracks.select($"user_id".as("u2"), $"track".as("tb"), $"cells".as("c2"))
+    val truth = lhs.join(rhs, $"u1" < $"u2")
+      .withColumn("j", size(array_intersect($"c1", $"c2")).cast("double") /
+        size(array_union($"c1", $"c2")))
+      .withColumn("d", graft.functions.TrajSim.frechetKm($"ta", $"tb"))
+      .filter($"j" >= 0.5 && $"d" <= 100.0)
+      .select($"u1", $"u2", round($"d", 4).as("d"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.toSet == truth.toSet,
+      s"corridor frechet join:\n got=${got.sorted}\nwant=${truth.sorted}")
+    val byPair = got.map(r => (r._1, r._2) -> r._3).toMap
+    // planted semantics: re-trace at 0, parallel corridor at ~55.6 km,
+    // REVERSED trace order-far (absent), detour + disjoint absent
+    assert(byPair.get((3000L, 3001L)).contains(0.0), s"re-trace: $byPair")
+    assert(byPair.get((3000L, 3003L)).exists(d => d > 50.0 && d < 60.0),
+      s"parallel corridor: $byPair")
+    assert(!byPair.contains((3000L, 3002L)),
+      s"reversed trace must be Frechet-far: $byPair")
+    assert(!byPair.keySet.exists(p => p._1 == 3004L || p._2 == 3004L ||
+      p._1 == 3005L || p._2 == 3005L), s"detour/disjoint leaked: $byPair")
+  }
+
+  test("Hausdorff-threshold corridor join: exact pair set; reversed trace reads 0 (the direction composition)") {
+    val tracks = graft.queries.Trajectory.tracksFromPoints(spark, corridorFleet())
+    val got = TrajLsh.hausdorffThresholdPairs(spark, tracks, maxKm = 100.0)
+      .select($"u1", $"u2", $"hausdorff_km")
+      .as[(Long, Long, Double)].collect().toSeq
+    graft.functions.TrajSim.register(spark)
+    val lhs = tracks.select($"user_id".as("u1"), $"track".as("ta"), $"cells".as("c1"))
+    val rhs = tracks.select($"user_id".as("u2"), $"track".as("tb"), $"cells".as("c2"))
+    val truth = lhs.join(rhs, $"u1" < $"u2")
+      .withColumn("j", size(array_intersect($"c1", $"c2")).cast("double") /
+        size(array_union($"c1", $"c2")))
+      .withColumn("d", graft.functions.TrajSim.hausdorffKm($"ta", $"tb"))
+      .filter($"j" >= 0.5 && $"d" <= 100.0)
+      .select($"u1", $"u2", round($"d", 4).as("d"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.toSet == truth.toSet,
+      s"corridor hausdorff join:\n got=${got.sorted}\nwant=${truth.sorted}")
+    val byPair = got.map(r => (r._1, r._2) -> r._3).toMap
+    // the ORDER-FREE metric keeps the reversed trace at exactly 0 — read
+    // beside the Frechet join this answers "same route, which direction?"
+    assert(byPair.get((3000L, 3002L)).contains(0.0), s"reversed: $byPair")
+    assert(byPair.get((3000L, 3001L)).contains(0.0), s"re-trace: $byPair")
+    assert(byPair.get((3000L, 3003L)).exists(d => d > 50.0 && d < 60.0),
+      s"parallel corridor: $byPair")
+    assert(!byPair.keySet.exists(p => p._1 == 3004L || p._2 == 3004L ||
+      p._1 == 3005L || p._2 == 3005L), s"detour/disjoint leaked: $byPair")
+  }
+
+  test("exact top-k keys refuse past the declared U-squared gate, naming the corridor escape") {
+    import graft.queries.Trajectory
+    // under the gate: no throw (the probe regime — 11.25e9 pairs on 32 cores)
+    Trajectory.exactPairsGate(32, "m_traj_frechet", 150000L)
+    // past it: ~204k users on 32 cores crosses 650e6 x 32 = 20.8e9 pairs
+    val e = intercept[IllegalArgumentException] {
+      Trajectory.exactPairsGate(32, "m_traj_frechet", 300000L)
+    }
+    assert(e.getMessage.contains("frechetThresholdPairs") &&
+      e.getMessage.contains("declared gate"))
+    // and the gate scales OUT: the same corpus passes on 1000 cores
+    Trajectory.exactPairsGate(1000, "m_traj_frechet", 300000L)
+  }
+
   test("EDR-threshold corridor join: exact pair set in the J >= 0.5 regime (the m_traj_edr 100-TB path)") {
     // Planted fleet with REAL tracks: a 30-fix corridor at lat 40
     // (1-degree lon steps), one exact re-trace, one 6-fix detour
