@@ -243,6 +243,13 @@ object Bench {
       blob.write(math.min(255L, math.max(0L, math.round(math.max(l0, l1) * 10.0))).toInt)
       blob.write(q(gcs.getOrElse(k, 0L) / 100.0))
       blob.write(math.min(255, iters.getOrElse(k, 0)))
+      // 6th byte (r16 verdict ask #4): the contention-corrected third-run
+      // sample for the ≤24 rerun keys — the plain-text "rerun" lines did
+      // not survive the driver's 2000-char tail capture in r16, so the
+      // correction's per-key attribution now rides the tail-survivable
+      // artifact itself. 255 = key was not rerun; a real corrected time
+      // clamps at 254 (≥ 234 s — far past any key here).
+      blob.write(rerunC.get(k).map(c => math.min(254, qt(c))).getOrElse(255))
     }
     val defl = new java.util.zip.Deflater(9)
     defl.setInput(blob.toByteArray); defl.finish()
@@ -252,11 +259,12 @@ object Bench {
     defl.end()
     val b64 = java.util.Base64.getEncoder.encodeToString(out.toByteArray)
     // Decoder spec, printed on its own (clippable) line AND kept in
-    // SURVEY §6: per sorted key 5 bytes [q(a_ds), q(b_ds), load1max_x10,
-    // q(gc_ms/100), iter_rounds], q(v)=round(32*log2(1+v)) (2.2%/step),
-    // 255 in a time byte = failed sample; a/b deciseconds.
-    println("""{"metric":"ab_gz_fmt","text":"zlib+base64; keys = query names sorted asc (the round's CORRECTNESS json key set); 5 bytes/key: q(a_ds), q(b_ds), load1max_x10, q(gc_ms/100), iter_rounds; q(v)=round(32*log2(1+v)); 255 time byte = failed sample"}""")
-    println(s"""{"metric":"ab_gz","n":${ordered.size},"cpus":"$cpus","l1_start":${r3(loadStart)},"l1_end":${r3(load1())},"fmt":"v1-5B-sorted-zlib-b64","data":"$b64"}""")
+    // SURVEY §6: per sorted key 6 bytes [q(a_ds), q(b_ds), load1max_x10,
+    // q(gc_ms/100), iter_rounds, q(corrected_ds)],
+    // q(v)=round(32*log2(1+v)) (2.2%/step), 255 in a time byte = failed
+    // sample; corrected byte 255 = key not rerun; a/b/c deciseconds.
+    println("""{"metric":"ab_gz_fmt","text":"zlib+base64; keys = query names sorted asc (the round's CORRECTNESS json key set); 6 bytes/key: q(a_ds), q(b_ds), load1max_x10, q(gc_ms/100), iter_rounds, q(corrected_ds); q(v)=round(32*log2(1+v)); 255 time byte = failed sample; corrected byte 255 = not rerun (clamps at 254)"}""")
+    println(s"""{"metric":"ab_gz","n":${ordered.size},"cpus":"$cpus","l1_start":${r3(loadStart)},"l1_end":${r3(load1())},"fmt":"v2-6B-sorted-zlib-b64","data":"$b64"}""")
     println(totalLine)
     spark.stop()
   }

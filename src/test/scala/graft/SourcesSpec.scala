@@ -39,6 +39,67 @@ class SourcesSpec extends BaseSpec {
     assert(m.filter($"k".isNotNull).count() > 0)
   }
 
+  /** Run `body` with a QueryExecutionListener capturing observe() metrics;
+    * returns the named metrics Row the job produced. */
+  private def observedRow(name: String)(body: => Unit): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get(name).foreach(seen.add)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, s"no '$name' observed metrics arrived")
+      seen.peek()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("malformed CSV rows: PERMISSIVE yields nulls-not-abort, corrupt counter rides the consuming job") {
+    // The SourceFormats 100-TB safety claim, tested (r16 verdict missing
+    // #4): a malformed row 80 TB into a 1000-executor ingest must land as
+    // nulls + a quarantined raw line, never abort the job — and the
+    // corrupt-row COUNT must come from the consuming job itself
+    // (observe()), not a second scan of the input.
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rows.csv"),
+      """1,ok
+        |not_a_number,bad-key-type
+        |3,ok2
+        |4e1GB,also-bad
+        |5,ok3
+        |""".stripMargin.getBytes)
+    val df = spark.read
+      .schema("k BIGINT, v STRING, _corrupt_record STRING")
+      .csv(dir) // PERMISSIVE is the documented default — no mode option
+    val observed = graft.operators.Observe
+      .qualityMetrics(df, "ingest", Seq("k", "_corrupt_record"))
+      .cache()
+    try {
+      val m = observedRow("ingest") {
+        assert(observed.count() == 5, "all five physical lines must survive")
+      }
+      // nulls-not-abort: the two bad-typed keys parse to NULL...
+      assert(m.getAs[Long]("n_rows") == 5L)
+      assert(m.getAs[Long]("null_k") == 2L,
+        "exactly the malformed keys must be null")
+      // ...and the raw lines are quarantined (valid rows carry a NULL
+      // corrupt column: 5 - 2)
+      assert(m.getAs[Long]("null__corrupt_record") == 3L)
+      assert(observed.filter($"_corrupt_record".isNotNull)
+        .select($"_corrupt_record").as[String].collect().toSet ==
+        Set("not_a_number,bad-key-type", "4e1GB,also-bad"))
+      // the clean rows aggregate normally around the quarantined ones
+      assert(observed.filter($"_corrupt_record".isNull)
+        .select(sum($"k")).as[Long].head() == 9L)
+    } finally observed.unpersist()
+  }
+
   test("malformed JSON rows surface in _corrupt_record, not as crashes") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_badjson").toString

@@ -957,6 +957,46 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("streaming SimHash near-dup with a TTL window starts and still emits in-window pairs") {
+    // The MinHash TTL pin's SimHash twin (r16 advice): ttlMs > 0 switches
+    // nearDupStream to ProcessingTime mode (a duration TTLConfig is
+    // rejected under TimeMode.None at query start) — this pins that path
+    // RUNS and an in-window pair still emits.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val docs = Seq(DocIn(1L, text), DocIn(2L, text),
+        DocIn(3L, "one two three four five six seven eight nine ten"))
+      val input = MemoryStream[DocIn]
+      val name = nextName()
+      val q = StreamOps.nearDupStream(input.toDS(), maxHamming = 3, ttlMs = 3600000L)
+        .toDF("d1", "d2", "hamming")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      input.addData(docs: _*)
+      // TTL'd ProcessingTime queries never quiesce under
+      // processAllAvailable (periodic maintenance batches) — poll the sink
+      def got() = spark.table(name).as[(Long, Long, Long)].collect().toSet
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!got().exists(p => p._1 == 1L && p._2 == 2L) &&
+             System.nanoTime() < deadline && q.exception.isEmpty)
+        Thread.sleep(200)
+      q.exception.foreach(e => fail(s"ttl'd query died: ${e.getMessage}"))
+      val pairs = got()
+      q.stop()
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L),
+        s"in-window exact dup missing under TTL: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc paired: $pairs")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("corpus-seeded MinHash dedup: a near-dup of a corpus doc never seen on-stream emits in its arrival batch") {
     // The production ingest shape (r16 verdict missing #3): arrivals dedup
     // against the EXISTING batch corpus via transformWithState's
