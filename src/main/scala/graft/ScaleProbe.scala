@@ -425,6 +425,133 @@ object ScaleProbe {
       }
     }
 
+    // Round-17 corridor-join probe (request "corridor_x10"): the
+    // threshold/corridor forms' cost claim is "the band join + candidate
+    // re-attach, never U² pairs" — measured here on the ×10 fleet
+    // (~15k users ≈ 112.5M all-pairs) with 30 planted near-dup users so
+    // the J ≥ 0.5 regime is populated. Reported: sec, output rows, and
+    // the LSH candidate count (the number that must stay ≪ all-pairs).
+    if (args.lift(3).exists(_.split(',').contains("corridor_x10"))) {
+      def basePts: DataFrame = {
+        val ev = Tables(spark, scaled, "events").select(
+          col("user_id"), col("event_id"), col("ts"))
+        ev.withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
+          .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("lat"), col("lon"))
+      }
+      // 30 planted EXACT re-traces (the corridor regime: same route, all
+      // three metrics 0) so every threshold join has real work + output
+      def planted(p: DataFrame): DataFrame =
+        p.unionAll(p.filter(col("user_id") < 30)
+          .withColumn("user_id", col("user_id") + lit(10000000L)))
+      val trc = graft.queries.Trajectory
+        .tracksFromPoints(spark, planted(basePts))
+        .localCheckpoint(eager = false)
+      val nU = trc.count()
+      val cand = graft.operators.TrajLsh
+        .candidatePairs(spark, trc.select(col("user_id"), col("cells")), 0.5)
+      val tc = System.nanoTime()
+      val nCand = cand.count()
+      println(s"""{"metric":"scaleprobe","key":"corridor_candidates","scale":"x$factor-planted","sec":${r3((System.nanoTime() - tc) / 1e9)},"rows":$nCand,"pairs":${nU * (nU - 1) / 2}}""")
+      for ((key, fn) <- Seq[(String, DataFrame => DataFrame)](
+        "frechet_threshold" -> (t => graft.operators.TrajLsh
+          .frechetThresholdPairs(spark, t, maxKm = 100.0)),
+        "hausdorff_threshold" -> (t => graft.operators.TrajLsh
+          .hausdorffThresholdPairs(spark, t, maxKm = 100.0)),
+        "edr_threshold" -> (t => graft.operators.TrajLsh
+          .edrThresholdPairs(spark, t, maxEdr = 0.25)))) {
+        val t0 = System.nanoTime()
+        try {
+          val rows = fn(trc).count()
+          println(s"""{"metric":"scaleprobe","key":"$key","scale":"x$factor-planted","sec":${r3((System.nanoTime() - t0) / 1e9)},"rows":$rows}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+          println(s"""{"metric":"scaleprobe","key":"$key","scale":"x$factor-planted","error":"$m"}""")
+        }
+      }
+    }
+
+    // Round-17 ANN-append probe (request "ann_append"): the append's
+    // claim is "no re-fit" — measured as writeIvf (k-means fit + encode)
+    // vs appendIvf (frozen-centroid encode only) on the ×10 embeddings,
+    // plus the same split for IVFADC (two quantizer fits skipped).
+    if (args.lift(3).exists(_.split(',').contains("ann_append"))) {
+      val embAll = Tables(spark, scaled, "embeddings")
+      val embA = embAll.filter(col("vec_id") % 2 === 0)
+      val embB = embAll.filter(col("vec_id") % 2 =!= 0)
+      for ((fam, write, append) <- Seq[(String,
+          (DataFrame, String) => Unit, (DataFrame, String) => Unit)](
+        ("ivf",
+          (d, p) => graft.operators.AnnIndex.writeIvf(spark, d, p, nlist = 16),
+          (d, p) => { graft.operators.AnnIndex.appendIvf(spark, d, p); () }),
+        ("ivfpq",
+          (d, p) => graft.operators.AnnIndex.writeIvfPq(spark, d, p,
+            nlist = 16, m = 8, ksub = 32),
+          (d, p) => { graft.operators.AnnIndex.appendIvfPq(spark, d, p); () }))) {
+        try {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft_probe_append_$fam").toString
+          val t0 = System.nanoTime()
+          write(embA, dir)
+          val wSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          append(embB, dir)
+          val aSec = (System.nanoTime() - t1) / 1e9
+          println(s"""{"metric":"scaleprobe","key":"ann_append_$fam","scale":"x$factor","write_sec":${r3(wSec)},"append_sec":${r3(aSec)}}""")
+        } catch { case scala.util.control.NonFatal(e) =>
+          val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+          println(s"""{"metric":"scaleprobe","key":"ann_append_$fam","scale":"x$factor","error":"$m"}""")
+        }
+      }
+    }
+
+    // Round-17 bucketed-join probe (request "bucketed_join"): the
+    // recurring-ETL claim quantified — pay the layout shuffle once at
+    // write time, then every join on the key skips its Exchange. Reported:
+    // the one-off bucketed-write cost and the per-join cost bucketed vs
+    // unbucketed on the ×10 lineitem⋈orders (AQE off for a clean A/B).
+    if (args.lift(3).exists(_.split(',').contains("bucketed_join"))) {
+      try {
+        val wh = java.nio.file.Files.createTempDirectory("graft_probe_bkt").toString
+        val li = Tables(spark, scaled, "lineitem")
+        val ord = Tables(spark, scaled, "orders")
+        val tW = System.nanoTime()
+        graft.operators.BucketedTables.writeBucketed(spark, li,
+          "probe_bl_li", s"$wh/li", 32, "l_orderkey")
+        graft.operators.BucketedTables.writeBucketed(spark, ord,
+          "probe_bl_ord", s"$wh/ord", 32, "o_orderkey")
+        val wSec = (System.nanoTime() - tW) / 1e9
+        def timeJoin(a: DataFrame, b: DataFrame): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = a.join(b, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(sum(col("l_quantity")).as("q")).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val prev = (spark.conf.getOption("spark.sql.adaptive.enabled"),
+          spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val (plainSec, _) = timeJoin(li, ord)
+          val (bktSec, _) = timeJoin(spark.table("probe_bl_li"), spark.table("probe_bl_ord"))
+          println(s"""{"metric":"scaleprobe","key":"bucketed_join","scale":"x$factor","write_sec":${r3(wSec)},"join_plain_sec":${r3(plainSec)},"join_bucketed_sec":${r3(bktSec)}}""")
+        } finally {
+          prev._1.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+          prev._2.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+          spark.sql("DROP TABLE IF EXISTS probe_bl_li")
+          spark.sql("DROP TABLE IF EXISTS probe_bl_ord")
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+        println(s"""{"metric":"scaleprobe","key":"bucketed_join","scale":"x$factor","error":"$m"}""")
+      }
+    }
+
     for (key <- probeKeys; (label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
       // lastPrune accumulates across the probe loop: stale entries from a
       // pruned-branch run at one scale would otherwise match contains(key)
