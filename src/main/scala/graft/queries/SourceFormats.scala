@@ -79,6 +79,31 @@ object SourceFormats extends QueryGroup {
         .orderBy($"o_orderpriority")
     }),
 
+    "q_src_orc" -> ((s, dir) => {
+      import s.implicits._
+      // ORC: the third batch source/sink format (round 17 — SourcesSpec
+      // smoke-tested it since r8; now oracle-backed like CSV/JSON). ORC is
+      // self-describing (schema in the file footer — no inference pass to
+      // avoid), splittable by stripe, and column-pruning + filter-pushdown
+      // capable like parquet, so unlike the text formats it IS a query
+      // surface; the explicit read schema here pins the round-trip types
+      // rather than avoiding a scan.
+      val path = scratch("orc", dir)
+      t(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        .write.mode("overwrite").orc(path)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, " +
+          "s_acctbal DOUBLE")
+        .orc(path)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          dsum($"s_acctbal").as("sum_bal"),
+          max($"s_name").as("max_name"),
+          max($"s_suppkey").as("max_key"))
+        .orderBy($"s_nationkey")
+    }),
+
     "q_src_json" -> ((s, dir) => {
       import s.implicits._
       val path = scratch("json", dir)
@@ -107,6 +132,13 @@ object SourceFormats extends QueryGroup {
          |  MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS min_odate,
          |  MAX(o_orderkey) AS max_key
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_src_orc" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n,
+         |  ${oSum("s_acctbal")} AS sum_bal,
+         |  MAX(s_name) AS max_name,
+         |  MAX(s_suppkey) AS max_key
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_src_json" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,

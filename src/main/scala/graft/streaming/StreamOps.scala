@@ -190,6 +190,11 @@ case class BandedDoc(bkey: Long, doc_id: Long, sh: Long)
 /** One (doc, fingerprint) bucket entry of [[NearDupProcessor]]. */
 case class SigEntry(doc_id: Long, sh: Long)
 
+/** One band bucket of BATCH-corpus seed state for
+  * [[StreamOps.nearDupStreamSeeded]] — the SimHash twin of
+  * [[MhBucketSeed]], pre-grouped to one row per key. */
+case class ShBucketSeed(bkey: Long, sigs: Array[SigEntry])
+
 /** `StatefulProcessor` behind [[StreamOps.nearDupStream]] — the streaming
   * ingestion face of SimHash dedup ([[graft.operators.SimHash]]): state is
   * one ListState bucket per packed (band, bits) key holding the
@@ -205,7 +210,8 @@ case class SigEntry(doc_id: Long, sh: Long)
   * "dedup against the last N days", not the unbounded corpus). ttlMs ≤ 0
   * keeps state forever (the deterministic test configuration). */
 class NearDupProcessor(maxHamming: Int, ttlMs: Long = -1L)
-  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BandedDoc, (Long, Long, Long)] {
+  extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+    Long, BandedDoc, (Long, Long, Long), ShBucketSeed] {
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var bucket: streaming.ListState[SigEntry] = _
@@ -216,17 +222,37 @@ class NearDupProcessor(maxHamming: Int, ttlMs: Long = -1L)
     bucket = getHandle.getListState[SigEntry]("bucket", Encoders.product[SigEntry], ttl)
   }
 
+  /** Corpus bootstrap ([[StreamOps.nearDupStreamSeeded]]): batch-corpus
+    * fingerprints land in state before the first micro-batch with no
+    * emission — corpus-corpus pairs belong to the batch path. Never
+    * called by the unseeded [[StreamOps.nearDupStream]]. */
+  override def handleInitialState(key: Long, initialState: ShBucketSeed,
+      timerValues: streaming.TimerValues): Unit =
+    initialState.sigs.foreach(bucket.appendValue)
+
   override def handleInputRows(key: Long, rows: Iterator[BandedDoc],
       timerValues: streaming.TimerValues): Iterator[(Long, Long, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     rows.foreach { r =>
-      bucket.get().foreach { e =>
-        val ham = graft.operators.SimHash.hamming(e.sh, r.sh)
-        if (e.doc_id != r.doc_id && ham <= maxHamming)
-          out += ((math.min(e.doc_id, r.doc_id), math.max(e.doc_id, r.doc_id),
-                   ham.toLong))
+      // idempotent under at-least-once redelivery — the MinHashDupProcessor
+      // discipline: a doc_id already in the bucket is a replay, drop the row
+      var present = false
+      val mine = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val it = bucket.get()
+      while (it.hasNext && !present) {
+        val e = it.next()
+        if (e.doc_id == r.doc_id) present = true
+        else {
+          val ham = graft.operators.SimHash.hamming(e.sh, r.sh)
+          if (ham <= maxHamming)
+            mine += ((math.min(e.doc_id, r.doc_id), math.max(e.doc_id, r.doc_id),
+                     ham.toLong))
+        }
       }
-      bucket.appendValue(SigEntry(r.doc_id, r.sh))
+      if (!present) {
+        out ++= mine
+        bucket.appendValue(SigEntry(r.doc_id, r.sh))
+      }
     }
     out.iterator
   }
@@ -814,6 +840,29 @@ class AdwinDriftProcessor(delta: Double = 0.002)
   * state volume is O(|users|), shuffle-partitioned like any keyed agg. */
 object StreamOps {
 
+  /** Replay-idempotent parquet micro-batch writer — the foreachBatch
+    * exactly-once pattern for sinks without a transaction log (round 17).
+    * Spark's own streaming file sink is exactly-once only THROUGH its
+    * `_spark_metadata` manifest: after a failure replay the directory
+    * holds duplicate part files, and any reader that lists files directly
+    * (DuckDB, a downstream non-Spark consumer, plain
+    * `spark.read.parquet` without the manifest) double-counts. This
+    * writer instead keys the output layout on the batch id —
+    * `dir/batch_id=N` written with OVERWRITE — so re-processing batch N
+    * after a crash replaces its own output byte-for-byte: physically
+    * exactly-once for EVERY reader, and the `batch_id=` layout is a
+    * standard partition column (partition-pruned, droppable for
+    * compaction). The checkpoint (caller-owned) is what pins batch ids
+    * to input ranges across restarts; this function supplies the
+    * deterministic-overwrite half of the contract.
+    *
+    * Exposed as the raw (DataFrame, Long) => Unit so tests drive the
+    * replay case directly; wire it with
+    * `df.writeStream.option("checkpointLocation", ...).foreachBatch(fn)`. */
+  def idempotentParquetBatch(dir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   /** Event-time column as TIMESTAMP for window functions. */
   private def withEventTime(ev: DataFrame): DataFrame =
     ev.withColumn("ts", timestamp_micros(col("ts_us")))
@@ -1065,8 +1114,9 @@ object StreamOps {
     * Keying on the packed (band, bits) long keeps comparison work
     * bucket-local — the stream shuffles once on the band key, exactly like
     * the batch equi-join, never all-pairs against the corpus. */
-  def nearDupStream(docs: Dataset[DocIn], maxHamming: Int = 3,
-                    ttlMs: Long = -1L): Dataset[(Long, Long, Long)] = {
+  /** The fingerprint→band derivation shared by the streaming input and
+    * the batch-corpus seed — one derivation, both consumers. */
+  private def shBanded(docs: Dataset[DocIn]): Dataset[BandedDoc] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       val sh = graft.operators.SimHash.simhash64(d.text.split(" ", -1).toSeq)
@@ -1074,11 +1124,40 @@ object StreamOps {
         BandedDoc((b.toLong << 16) | ((sh >>> (b * 16)) & 0xFFFFL), d.doc_id, sh)
       }
     }
+  }
+
+  def nearDupStream(docs: Dataset[DocIn], maxHamming: Int = 3,
+                    ttlMs: Long = -1L): Dataset[(Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    shBanded(docs)
       .groupByKey(_.bkey)
       // same TTL/TimeMode coupling as minHashDupStream
       .transformWithState(new NearDupProcessor(maxHamming, ttlMs),
         if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
         else org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** [[nearDupStream]] BOOTSTRAPPED from the batch corpus — the SimHash
+    * twin of [[minHashDupStreamSeeded]]: the corpus's (band, bits)
+    * fingerprint buckets seed the processor's ListState via the
+    * initial-state handle, so arrivals near-dup-check against the
+    * EXISTING corpus in their arrival micro-batch. Corpus-corpus pairs
+    * do not emit; corpus docs re-arriving on-stream drop as replays. */
+  def nearDupStreamSeeded(docs: Dataset[DocIn], corpus: DataFrame,
+                          maxHamming: Int = 3,
+                          ttlMs: Long = -1L): Dataset[(Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val seed = shBanded(corpus.select(col("doc_id"), col("text")).as[DocIn])
+      .groupBy(col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("sigs"))
+      .as[ShBucketSeed]
+      .groupByKey(_.bkey)
+    shBanded(docs)
+      .groupByKey(_.bkey)
+      .transformWithState(new NearDupProcessor(maxHamming, ttlMs),
+        if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update, seed)
   }
 
   /** Streaming MinHash near-duplicate dedup (r15 verdict missing #2) —

@@ -1052,6 +1052,81 @@ class StreamingSpec extends BaseSpec {
     }
   }
 
+  test("idempotent parquet sink: replaying a batch id replaces its output instead of duplicating it") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem_sink").toString
+    val fn = StreamOps.idempotentParquetBatch(dir)
+    // batch 0 and 1 land side by side as partition dirs
+    fn(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    fn(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(spark.read.parquet(dir).count() == 3)
+    // crash-replay of batch 1 (same id, possibly different physical plan)
+    // REPLACES its own output — physically exactly-once for any reader
+    fn(Seq((3L, "c")).toDF("id", "v").repartition(4), 1L)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3, s"replay duplicated rows: ${after.count()}")
+    assert(after.filter($"batch_id" === 1L).count() == 1)
+    // and the layout is a real partition column: pruning works
+    val pruned = after.filter($"batch_id" === 0L)
+    assert(pruned.count() == 2)
+    // end-to-end through writeStream.foreachBatch
+    val input = MemoryStream[(Long, String)]
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_idem_sink2").toString
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch(StreamOps.idempotentParquetBatch(dir2))
+      .start()
+    input.addData((7L, "x"), (8L, "y")); q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(dir2).select($"id").as[Long].collect().toSet ==
+      Set(7L, 8L))
+  }
+
+  test("corpus-seeded SimHash near-dup: corpus fingerprints checked on arrival; replay stays flat") {
+    // The SimHash twin of the seeded MinHash bootstrap + the redelivery
+    // idempotency pin in one planted run.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val vocab = ("scan join agg sort hash table row batch stream state " +
+        "key value window filter part").split(" ")
+      val rnd = new scala.util.Random(83)
+      def mkDoc() = Seq.fill(60)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val base = (0L until 30L).map(i => DocIn(i, mkDoc()))
+      // corpus carries its own dup pair (5, 60) — must NOT emit
+      val corpus = base ++ Seq(DocIn(60L, base(5).text))
+      val input = MemoryStream[DocIn]
+      val name = nextName()
+      val q = StreamOps.nearDupStreamSeeded(input.toDS(),
+        spark.createDataset(corpus).toDF(), maxHamming = 3)
+        .toDF("d1", "d2", "hamming")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      val arrivals = Seq(
+        DocIn(300L, base(5).text), // exact copy of a corpus doc
+        DocIn(301L, "one two three four five six seven"))
+      input.addData(arrivals: _*); q.processAllAvailable()
+      val got = spark.table(name).as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((5L, 300L, 0L)) && got.contains((60L, 300L, 0L)),
+        s"corpus near-dup must emit in the arrival batch: $got")
+      assert(!got.contains((5L, 60L, 0L)),
+        s"corpus-corpus pair must not emit: $got")
+      val state1 = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      val rows1 = spark.table(name).count()
+      input.addData(arrivals: _*); q.processAllAvailable() // full replay
+      val state2 = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      val rows2 = spark.table(name).count()
+      q.stop()
+      assert(state2 == state1 && rows2 == rows1,
+        s"replay must not grow state/output: $state1->$state2, $rows1->$rows2")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming MinHash near-dup is idempotent under redelivery: state and output do not grow") {
     // At-least-once replay (r16 advice): re-delivering the same docs must
     // neither duplicate state entries (doubling every future comparison)
