@@ -148,6 +148,47 @@ object TrajLsh {
       .orderBy($"u1", $"u2")
   }
 
+  /** LCSS-threshold corridor join (round 17) — completes the four-metric
+    * corridor family (Fréchet / Hausdorff / EDR / LCSS share one
+    * candidate generation and differ only in the exact verify kernel):
+    * all pairs with normalized LCSS similarity ≥ `minSim` among users
+    * sharing a route. The verify kernel and the normalization are the
+    * m_traj_lcss contract key's own (exact Hunt-Szymanski sparse match,
+    * n_match / min(n_a, n_b, TrackCap)), so a pair reads the same
+    * similarity here and there. Same precision-1.0 / S-curve-recall
+    * contract as the siblings; note LCSS is MAXIMIZED, so the threshold
+    * keeps sim ≥ minSim (a re-trace reads 1.0).
+    *
+    * @param tracks the [[graft.queries.Trajectory.tracksFromPoints]]
+    *        derivation (`cells`, `track`, `pb`, `n_fixes`)
+    * @param minSim normalized-LCSS keep threshold (1 = identical tracks)
+    * @param epsKm LCSS match radius, default the contract keys' 500 km */
+  def lcssThresholdPairs(spark: SparkSession, tracks: DataFrame,
+                         minSim: Double, epsKm: Double = 500.0,
+                         minJaccard: Double = 0.5,
+                         bandRows: Int = 2, numBands: Int = 24): DataFrame = {
+    import spark.implicits._
+    graft.functions.TrajSketchFns.register(spark, epsKm)
+    val cap = graft.queries.Trajectory.TrackCap.toLong
+    val cand = candidatePairs(spark,
+      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
+      .select($"u1", $"u2", $"jaccard")
+    cand
+      .join(tracks.select($"user_id".as("u1"), $"track".as("ta"),
+        $"pb".as("sa"), $"n_fixes".as("n_a")), Seq("u1"))
+      .join(tracks.select($"user_id".as("u2"), $"track".as("tb"),
+        $"pb".as("sb"), $"n_fixes".as("n_b")), Seq("u2"))
+      .withColumn("n_match",
+        graft.functions.TrajSketchFns.lcssSparse($"sa", $"ta", $"sb", $"tb"))
+      .withColumn("sim_exact", $"n_match" * lit(1.0) /
+        least(least($"n_a", $"n_b"), lit(cap)))
+      // threshold the UNROUNDED value, round only the output (house rule)
+      .filter($"sim_exact" >= minSim)
+      .select($"u1", $"u2", $"jaccard", $"n_match",
+        round($"sim_exact", 4).as("lcss"))
+      .orderBy($"u1", $"u2")
+  }
+
   /** EDR-threshold corridor join (round 16 — the declared 100-TB query
     * form for EDR, closing the r15 verdict's last weak key): all pairs
     * within normalized EDR ≤ `maxEdr` among users sharing a route, found

@@ -61,8 +61,10 @@ import Q._
   * exact all-pairs driver DP at fixture scale. */
 object Trajectory extends QueryGroup {
 
-  /** Downsample cap: per-pair exact DP ≤ 64² = 4096 cells. */
-  private[queries] val TrackCap = 64
+  /** Downsample cap: per-pair exact DP ≤ 64² = 4096 cells. (graft-wide
+    * visibility: the TrajLsh corridor joins normalize LCSS with the SAME
+    * constant as the contract key.) */
+  private[graft] val TrackCap = 64
 
   /** LCSS match radius, sized to the fixture's 10°-lattice jumps (a cell
     * diagonal at mid-latitude ≈ 1300 km — 500 km says "same fix", not

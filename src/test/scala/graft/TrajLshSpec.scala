@@ -163,6 +163,42 @@ class TrajLshSpec extends BaseSpec {
       p._1 == 3005L || p._2 == 3005L), s"detour/disjoint leaked: $byPair")
   }
 
+  test("LCSS-threshold corridor join: exact pair set in-regime; order-awareness excludes the reversed trace") {
+    val tracks = graft.queries.Trajectory.tracksFromPoints(spark, corridorFleet())
+    val got = TrajLsh.lcssThresholdPairs(spark, tracks, minSim = 0.7)
+      .select($"u1", $"u2", $"n_match", $"lcss")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // truth: all-pairs exact kernel + the contract key's own normalization,
+    // filtered to cell-Jaccard >= 0.5 AND sim >= 0.7
+    graft.functions.TrajSketchFns.register(spark, 500.0)
+    val lhs = tracks.select($"user_id".as("u1"), $"track".as("ta"),
+      $"pb".as("sa"), $"n_fixes".as("na"), $"cells".as("c1"))
+    val rhs = tracks.select($"user_id".as("u2"), $"track".as("tb"),
+      $"pb".as("sb"), $"n_fixes".as("nb"), $"cells".as("c2"))
+    val truth = lhs.join(rhs, $"u1" < $"u2")
+      .withColumn("j", size(array_intersect($"c1", $"c2")).cast("double") /
+        size(array_union($"c1", $"c2")))
+      .withColumn("m",
+        graft.functions.TrajSketchFns.lcssSparse($"sa", $"ta", $"sb", $"tb"))
+      .withColumn("sim", $"m" * lit(1.0) / least(least($"na", $"nb"), lit(64L)))
+      .filter($"j" >= 0.5 && $"sim" >= 0.7)
+      .select($"u1", $"u2", $"m", round($"sim", 4).as("sim"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.toSet == truth.toSet,
+      s"corridor lcss join:\n got=${got.sorted}\nwant=${truth.sorted}")
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    // planted semantics: re-trace and the 0.5°-shifted corridor (inside
+    // the 500 km eps everywhere) read 1.0; the 6-fix detour keeps 24/30 =
+    // 0.8; the REVERSED trace is order-far for the ORDER-AWARE metric
+    // (a common subsequence must ascend in both directions) — excluded
+    assert(byPair.get((3000L, 3001L)).contains(1.0), s"re-trace: $byPair")
+    assert(byPair.get((3000L, 3003L)).contains(1.0), s"parallel: $byPair")
+    assert(byPair.get((3000L, 3004L)).contains(0.8), s"detour: $byPair")
+    assert(!byPair.contains((3000L, 3002L)), s"reversed must be excluded: $byPair")
+    assert(!byPair.keySet.exists(p => p._1 == 3005L || p._2 == 3005L),
+      s"disjoint corridor leaked: $byPair")
+  }
+
   test("exact top-k keys refuse past the declared U-squared gate, naming the corridor escape") {
     import graft.queries.Trajectory
     // under the gate: no throw (the probe regime — 11.25e9 pairs on 32 cores)
