@@ -237,8 +237,12 @@ object Bench {
     ordered.foreach { k =>
       val (a, b) = samples(k)
       val (l0, l1) = loads(k)
-      // failed samples (-1) encode as 255 (a legal timing would need 248 s)
-      def qt(v: Double) = if (v < 0) 255 else q(v * 10.0)
+      // 255 is EXCLUSIVELY the failed/absent marker: legal timings clamp
+      // at 254 (≈ 24.6 s at the decisecond log scale — post-r17 review:
+      // the old comment claimed 255 needed "248 s", off by 10×, and a
+      // heavily-contended 25 s sample would have aliased to "failed").
+      // Exact values stay in the plain ab/queries lines regardless.
+      def qt(v: Double) = if (v < 0) 255 else math.min(254, q(v * 10.0))
       blob.write(qt(a)); blob.write(qt(b))
       blob.write(math.min(255L, math.max(0L, math.round(math.max(l0, l1) * 10.0))).toInt)
       blob.write(q(gcs.getOrElse(k, 0L) / 100.0))
@@ -247,9 +251,10 @@ object Bench {
       // sample for the ≤24 rerun keys — the plain-text "rerun" lines did
       // not survive the driver's 2000-char tail capture in r16, so the
       // correction's per-key attribution now rides the tail-survivable
-      // artifact itself. 255 = key was not rerun; a real corrected time
-      // clamps at 254 (≥ 234 s — far past any key here).
-      blob.write(rerunC.get(k).map(c => math.min(254, qt(c))).getOrElse(255))
+      // artifact itself. 255 = key not rerun (or its rerun failed — the
+      // min-of-two raw value stands in that case); real corrected times
+      // clamp at 254 like the a/b bytes.
+      blob.write(rerunC.get(k).map(c => qt(c)).getOrElse(255))
     }
     val defl = new java.util.zip.Deflater(9)
     defl.setInput(blob.toByteArray); defl.finish()
@@ -263,7 +268,7 @@ object Bench {
     // q(gc_ms/100), iter_rounds, q(corrected_ds)],
     // q(v)=round(32*log2(1+v)) (2.2%/step), 255 in a time byte = failed
     // sample; corrected byte 255 = key not rerun; a/b/c deciseconds.
-    println("""{"metric":"ab_gz_fmt","text":"zlib+base64; keys = query names sorted asc (the round's CORRECTNESS json key set); 6 bytes/key: q(a_ds), q(b_ds), load1max_x10, q(gc_ms/100), iter_rounds, q(corrected_ds); q(v)=round(32*log2(1+v)); 255 time byte = failed sample; corrected byte 255 = not rerun (clamps at 254)"}""")
+    println("""{"metric":"ab_gz_fmt","text":"zlib+base64; keys = query names sorted asc (the round's CORRECTNESS json key set); 6 bytes/key: q(a_ds), q(b_ds), load1max_x10, q(gc_ms/100), iter_rounds, q(corrected_ds); q(v)=round(32*log2(1+v)); 255 time byte = failed sample, legal times clamp at 254 (~24.6 s); corrected byte 255 = not rerun"}""")
     println(s"""{"metric":"ab_gz","n":${ordered.size},"cpus":"$cpus","l1_start":${r3(loadStart)},"l1_end":${r3(load1())},"fmt":"v2-6B-sorted-zlib-b64","data":"$b64"}""")
     println(totalLine)
     spark.stop()

@@ -69,22 +69,41 @@ object AnnIndex {
     readMemo.remove(spark, dir)
 
   /** Data-sized artifact write: inherited (scan-shaped) partitioning —
-    * see the class scaladoc for why this is NOT SizedWrite. */
-  private def writeData(df: DataFrame, path: String): Unit =
+    * see the class scaladoc for why this is NOT SizedWrite. Returns the
+    * row count, taken from the in-hand frame AFTER the write (the frames
+    * here are lazily localCheckpoint'd by their fit, so the write
+    * materialized the blocks and the count replays them — no re-read of
+    * the just-written files, no second scan-shaped job). */
+  private def writeData(df: DataFrame, path: String): Long = {
     df.write.mode("overwrite").parquet(path)
+    df.count()
+  }
 
-  /** Count a written parquet table from its row-group metadata only (the
-    * count aggregate pushes into the footers — no data scan). */
-  private def writtenCount(spark: SparkSession, path: String): Long =
+  /** Table count via an empty-projection parquet scan — per-row-group
+    * metadata rows, no column pages. Used only where no in-hand frame
+    * exists (the append path's self-heal recount). */
+  private def tableCount(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 
+  /** Meta is tiny but load-bearing (checkMeta gates every read), so its
+    * rewrite goes through write-new + swap instead of a delete-then-write
+    * overwrite of the live path: a crash now loses at most the update,
+    * never the meta itself (the unreadable-index failure mode a crash
+    * mid-overwrite would leave). */
   private def writeMeta(spark: SparkSession, dir: String, family: String,
                         nlist: Int, m: Int, ksub: Int, nBase: Long,
                         nAppended: Long = 0L): Unit = {
     import spark.implicits._
-    Seq((family, nlist, m, ksub, nBase, nAppended))
+    val df = Seq((family, nlist, m, ksub, nBase, nAppended))
       .toDF("family", "nlist", "m", "ksub", "n_base", "n_appended")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/meta_new")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(live)) fs.delete(live, true)
+    fs.rename(tmp, live)
   }
 
   private def checkMeta(spark: SparkSession, dir: String, family: String): Unit = {
@@ -105,19 +124,35 @@ object AnnIndex {
       .select($"n_base", $"n_appended").as[(Long, Long)].head()
   }
 
-  /** Shared append bookkeeping: drift-budget gate (BEFORE any write), the
-    * parquet append, the meta rewrite, the memo eviction. Returns the
-    * appended row count. */
+  /** Shared append bookkeeping, RETRY-IDEMPOTENT (post-round-17 review):
+    * a weekly-ingest orchestrator re-running an append after a crash must
+    * not duplicate vectors, and a crash between the data append and the
+    * meta rewrite must not corrupt the staleness accounting. Two
+    * mechanisms provide that:
+    *  - the encoded rows ANTI-JOIN the existing table on vec_id before
+    *    appending — a replayed batch (or an overlap with the fitted base)
+    *    appends only the rows not already present. The existing side is
+    *    a vec_id-only column-pruned scan of the postings/codes table —
+    *    one pass, paid per append, which is what makes the retry safe;
+    *  - `n_appended` is RE-DERIVED as count(table) − n_base rather than
+    *    read from meta, so a crash that committed data but not meta
+    *    self-heals on the next append (meta's copy is the recorded value
+    *    for cheap [[staleness]] reads, reconciled here).
+    * Gate (BEFORE any write), dedup, append, meta swap, memo eviction.
+    * Returns the count of rows actually appended. */
   private def appendWith(spark: SparkSession, dir: String, family: String,
                          enc: DataFrame, table: String): Long = {
     import spark.implicits._
-    val (nlist, m, ksub, nBase, nApp) = spark.read.parquet(s"$dir/meta")
-      .select($"nlist", $"m", $"ksub", $"n_base", $"n_appended")
-      .as[(Int, Int, Int, Long, Long)].head()
-    // Materialize the frozen encoding ONCE (consumed twice: the gate's
-    // count, then the parquet append) — lazy checkpoint, the operators'
-    // own reuse idiom.
-    val encCk = enc.localCheckpoint(eager = false)
+    val (nlist, m, ksub, nBase) = spark.read.parquet(s"$dir/meta")
+      .select($"nlist", $"m", $"ksub", $"n_base")
+      .as[(Int, Int, Int, Long)].head()
+    val nApp = tableCount(spark, s"$dir/$table") - nBase
+    val existing = spark.read.parquet(s"$dir/$table").select($"vec_id")
+    // Materialize the deduped frozen encoding ONCE (consumed twice: the
+    // gate's count, then the parquet append) — lazy checkpoint, the
+    // operators' own reuse idiom.
+    val encCk = enc.join(existing, Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = false)
     val n = encCk.count()
     require(nApp + n <= MaxAppendFraction * nBase,
       s"$dir: appending $n rows would put appended=${nApp + n} past the " +
@@ -125,7 +160,7 @@ object AnnIndex {
         "quantizer was fitted on the base corpus; a corpus grown past the " +
         "budget needs a re-fit (writeIvf/writePq/writeIvfPq), not another " +
         "frozen-codebook append.")
-    encCk.write.mode("append").parquet(s"$dir/$table")
+    if (n > 0) encCk.write.mode("append").parquet(s"$dir/$table")
     writeMeta(spark, dir, family, nlist, m, ksub, nBase, nApp + n)
     evict(spark, dir)
     n
@@ -153,10 +188,9 @@ object AnnIndex {
   def writeIvf(spark: SparkSession, embeddings: DataFrame, dir: String,
                nlist: Int): Unit = {
     val (assigned, centroids) = AnnIVF.assignments(spark, embeddings, nlist)
-    writeData(assigned, s"$dir/postings")
+    val nBase = writeData(assigned, s"$dir/postings")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    writeMeta(spark, dir, "ivf", nlist, 0, 0,
-      writtenCount(spark, s"$dir/postings"))
+    writeMeta(spark, dir, "ivf", nlist, 0, 0, nBase)
     evict(spark, dir)
   }
 
@@ -185,11 +219,10 @@ object AnnIndex {
   def writePq(spark: SparkSession, embeddings: DataFrame, dir: String,
               m: Int, ksub: Int): Unit = {
     val (codes, books) = AnnPQ.fitEncode(spark, embeddings, m, ksub)
-    writeData(codes, s"$dir/codes")
+    val nBase = writeData(codes, s"$dir/codes")
     booksDf(spark, books).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/books")
-    writeMeta(spark, dir, "pq", 0, m, ksub,
-      writtenCount(spark, s"$dir/codes"))
+    writeMeta(spark, dir, "pq", 0, m, ksub, nBase)
     evict(spark, dir)
   }
 
@@ -220,14 +253,13 @@ object AnnIndex {
     import spark.implicits._
     val (codes, cents, books) =
       AnnIvfPq.fitEncode(spark, embeddings, nlist, m, ksub)
-    writeData(codes, s"$dir/codes")
+    val nBase = writeData(codes, s"$dir/codes")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "cv").coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids")
     booksDf(spark, books).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/books")
-    writeMeta(spark, dir, "ivfpq", nlist, m, ksub,
-      writtenCount(spark, s"$dir/codes"))
+    writeMeta(spark, dir, "ivfpq", nlist, m, ksub, nBase)
     evict(spark, dir)
   }
 
@@ -264,11 +296,10 @@ object AnnIndex {
   def writeNsw(spark: SparkSession, embeddings: DataFrame, dir: String,
                m: Int, nlist: Int): Unit = {
     val (vecs, adjacency, seeds) = AnnNsw.buildGraph(spark, embeddings, m, nlist)
-    writeData(vecs, s"$dir/vecs")
+    val nBase = writeData(vecs, s"$dir/vecs")
     writeData(adjacency, s"$dir/adjacency")
     seeds.coalesce(1).write.mode("overwrite").parquet(s"$dir/seeds")
-    writeMeta(spark, dir, "nsw", nlist, m, 0,
-      writtenCount(spark, s"$dir/vecs"))
+    writeMeta(spark, dir, "nsw", nlist, m, 0, nBase)
     evict(spark, dir)
   }
 

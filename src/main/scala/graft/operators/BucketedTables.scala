@@ -50,7 +50,16 @@ object BucketedTables {
                     path: String, numBuckets: Int, bucketKey: String,
                     sortKeys: Seq[String] = Nil): Unit = {
     val sorts = if (sortKeys.isEmpty) Seq(bucketKey) else sortKeys
+    // Replace-if-present must clear BOTH halves of an external table:
+    // DROP TABLE removes only the catalog entry (the files survive by
+    // design), and a CTAS into a non-empty location refuses
+    // (spark.sql.legacy.allowNonEmptyLocationInCTAS=false) — so a weekly
+    // re-write of the same table would throw without the explicit path
+    // delete (post-round-17 review finding; PlanSpec pins the re-write).
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     df.repartition(numBuckets, col(bucketKey))
       .write
       .bucketBy(numBuckets, bucketKey)

@@ -102,23 +102,43 @@ object TrajLsh {
     *        derivation: `cells` (distinct visited-cell ints) and `track`
     *        (unit-vector array) per user
     * @param maxKm Fréchet keep threshold in great-circle km */
-  def frechetThresholdPairs(spark: SparkSession, tracks: DataFrame,
-                            maxKm: Double, minJaccard: Double = 0.5,
-                            bandRows: Int = 2, numBands: Int = 24): DataFrame = {
+  /** Shared corridor-join skeleton (post-r17 review — the four threshold
+    * joins are ONE body): LSH candidates at J ≥ `minJaccard`, per-side
+    * attach of the named `tracks` columns (c → c1/c2), then the caller's
+    * exact-verify metric, keep predicate on the UNROUNDED value, and
+    * rounded output column. A contract change (re-attach strategy, new
+    * tracksFromPoints column, rounding rule) lands once, not four times. */
+  private def thresholdJoin(spark: SparkSession, tracks: DataFrame,
+                            attach: Seq[String], minJaccard: Double,
+                            bandRows: Int, numBands: Int)
+                           (metric: DataFrame => org.apache.spark.sql.Column,
+                            keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                            outName: String,
+                            extraOut: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     import spark.implicits._
-    graft.functions.TrajSim.register(spark)
     val cand = candidatePairs(spark,
       tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
       .select($"u1", $"u2", $"jaccard")
-    cand
-      .join(tracks.select($"user_id".as("u1"), $"track".as("ta")), Seq("u1"))
-      .join(tracks.select($"user_id".as("u2"), $"track".as("tb")), Seq("u2"))
-      .withColumn("d_exact", graft.functions.TrajSim
-        .frechetKmCapped($"ta", $"tb", lit(maxKm)))
+    def side(u: String, sfx: String) =
+      tracks.select(($"user_id".as(u) +: attach.map(c => col(c).as(s"$c$sfx"))): _*)
+    val joined = cand.join(side("u1", "1"), Seq("u1")).join(side("u2", "2"), Seq("u2"))
+    joined
+      .withColumn("metric_exact", metric(joined))
       // threshold the UNROUNDED value, round only the output (house rule)
-      .filter($"d_exact" <= maxKm)
-      .select($"u1", $"u2", $"jaccard", round($"d_exact", 4).as("frechet_km"))
+      .filter(keep(col("metric_exact")))
+      .select(($"u1" +: $"u2" +: $"jaccard" +: extraOut :+
+        round($"metric_exact", 4).as(outName)): _*)
       .orderBy($"u1", $"u2")
+  }
+
+  def frechetThresholdPairs(spark: SparkSession, tracks: DataFrame,
+                            maxKm: Double, minJaccard: Double = 0.5,
+                            bandRows: Int = 2, numBands: Int = 24): DataFrame = {
+    graft.functions.TrajSim.register(spark)
+    thresholdJoin(spark, tracks, Seq("track"), minJaccard, bandRows, numBands)(
+      _ => graft.functions.TrajSim
+        .frechetKmCapped(col("track1"), col("track2"), lit(maxKm)),
+      _ <= maxKm, "frechet_km")
   }
 
   /** Hausdorff-threshold corridor join (round 17) — the set-based,
@@ -133,19 +153,10 @@ object TrajLsh {
   def hausdorffThresholdPairs(spark: SparkSession, tracks: DataFrame,
                               maxKm: Double, minJaccard: Double = 0.5,
                               bandRows: Int = 2, numBands: Int = 24): DataFrame = {
-    import spark.implicits._
     graft.functions.TrajSim.register(spark)
-    val cand = candidatePairs(spark,
-      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
-      .select($"u1", $"u2", $"jaccard")
-    cand
-      .join(tracks.select($"user_id".as("u1"), $"track".as("ta")), Seq("u1"))
-      .join(tracks.select($"user_id".as("u2"), $"track".as("tb")), Seq("u2"))
-      .withColumn("d_exact",
-        graft.functions.TrajSim.hausdorffKm($"ta", $"tb"))
-      .filter($"d_exact" <= maxKm)
-      .select($"u1", $"u2", $"jaccard", round($"d_exact", 4).as("hausdorff_km"))
-      .orderBy($"u1", $"u2")
+    thresholdJoin(spark, tracks, Seq("track"), minJaccard, bandRows, numBands)(
+      _ => graft.functions.TrajSim.hausdorffKm(col("track1"), col("track2")),
+      _ <= maxKm, "hausdorff_km")
   }
 
   /** LCSS-threshold corridor join (round 17) — completes the four-metric
@@ -167,26 +178,19 @@ object TrajLsh {
                          minSim: Double, epsKm: Double = 500.0,
                          minJaccard: Double = 0.5,
                          bandRows: Int = 2, numBands: Int = 24): DataFrame = {
-    import spark.implicits._
     graft.functions.TrajSketchFns.register(spark, epsKm)
     val cap = graft.queries.Trajectory.TrackCap.toLong
-    val cand = candidatePairs(spark,
-      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
-      .select($"u1", $"u2", $"jaccard")
-    cand
-      .join(tracks.select($"user_id".as("u1"), $"track".as("ta"),
-        $"pb".as("sa"), $"n_fixes".as("n_a")), Seq("u1"))
-      .join(tracks.select($"user_id".as("u2"), $"track".as("tb"),
-        $"pb".as("sb"), $"n_fixes".as("n_b")), Seq("u2"))
-      .withColumn("n_match",
-        graft.functions.TrajSketchFns.lcssSparse($"sa", $"ta", $"sb", $"tb"))
-      .withColumn("sim_exact", $"n_match" * lit(1.0) /
-        least(least($"n_a", $"n_b"), lit(cap)))
-      // threshold the UNROUNDED value, round only the output (house rule)
-      .filter($"sim_exact" >= minSim)
-      .select($"u1", $"u2", $"jaccard", $"n_match",
-        round($"sim_exact", 4).as("lcss"))
-      .orderBy($"u1", $"u2")
+    // the sparse-match kernel appears in the metric (all candidates) and
+    // in the n_match output column (SURVIVORS only — the re-evaluation is
+    // bounded by the output size, not the candidate count)
+    def nMatch = graft.functions.TrajSketchFns.lcssSparse(
+      col("pb1"), col("track1"), col("pb2"), col("track2"))
+    thresholdJoin(spark,
+      tracks.withColumn("nf", col("n_fixes")), // attach under a stable name
+      Seq("track", "pb", "nf"), minJaccard, bandRows, numBands)(
+      _ => nMatch * lit(1.0) / least(least(col("nf1"), col("nf2")), lit(cap)),
+      _ >= minSim, "lcss",
+      extraOut = Seq(nMatch.as("n_match")))
   }
 
   /** EDR-threshold corridor join (round 16 — the declared 100-TB query
@@ -215,23 +219,16 @@ object TrajLsh {
                         maxEdr: Double, epsKm: Double = 500.0,
                         minJaccard: Double = 0.5,
                         bandRows: Int = 2, numBands: Int = 24): DataFrame = {
-    import spark.implicits._
     graft.functions.TrajSketchFns.register(spark, epsKm)
-    val cand = candidatePairs(spark,
-      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
-      .select($"u1", $"u2", $"jaccard")
-    cand
-      .join(tracks.select($"user_id".as("u1"), $"track".as("ta"), $"pb".as("sa")), Seq("u1"))
-      .join(tracks.select($"user_id".as("u2"), $"track".as("tb"), $"pb".as("sb")), Seq("u2"))
-      .withColumn("n_edits",
-        graft.functions.TrajSketchFns.edrSparse($"sa", $"ta", $"sb", $"tb"))
-      // same normalization as the m_traj_edr key: edits over the longer
-      // downsampled track; threshold the UNROUNDED value, round the output
-      .withColumn("edr_exact", $"n_edits" * lit(3.0) /
-        greatest(size($"ta"), size($"tb")))
-      .filter($"edr_exact" <= maxEdr)
-      .select($"u1", $"u2", $"jaccard", $"n_edits",
-        round($"edr_exact", 4).as("edr"))
-      .orderBy($"u1", $"u2")
+    // same normalization as the m_traj_edr key: edits over the longer
+    // downsampled track
+    def nEdits = graft.functions.TrajSketchFns.edrSparse(
+      col("pb1"), col("track1"), col("pb2"), col("track2"))
+    thresholdJoin(spark, tracks, Seq("track", "pb"),
+      minJaccard, bandRows, numBands)(
+      _ => nEdits * lit(3.0) /
+        greatest(size(col("track1")), size(col("track2"))),
+      _ <= maxEdr, "edr",
+      extraOut = Seq(nEdits.as("n_edits")))
   }
 }

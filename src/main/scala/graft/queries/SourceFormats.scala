@@ -50,7 +50,29 @@ object SourceFormats extends QueryGroup {
   private def scratch(fmt: String, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val pid = ProcessHandle.current().pid()
-    s"${System.getProperty("java.io.tmpdir")}/graft_src_${fmt}_${safe}_$pid"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_${fmt}_${safe}_$pid"
+    cleanupAtExit(path)
+    path
+  }
+
+  /** The pid suffix means every JVM mints fresh scratch dirs — without
+    * cleanup they would accumulate one projection per (format, SF, run)
+    * in tmp forever (post-r17 review). One shutdown hook deletes exactly
+    * the paths THIS process created. */
+  private val scratchPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchPaths.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+  private def cleanupAtExit(path: String): Unit = {
+    hookInstalled
+    scratchPaths.add(path); ()
   }
 
   val queries: Map[String, QFn] = Map(

@@ -98,8 +98,8 @@ object Trajectory extends QueryGroup {
         "pairs). Exact all-pairs top-k is U-squared - no constant fixes " +
         "x1000 users. Use the corridor/threshold form instead: " +
         "TrajLsh.frechetThresholdPairs / hausdorffThresholdPairs / " +
-        "edrThresholdPairs, or TrajLsh.candidatePairs for LCSS-style " +
-        "cell-set similarity.")
+        "lcssThresholdPairs / edrThresholdPairs (or candidatePairs for " +
+        "order-blind cell-set similarity).")
   }
 
   /** Great-circle km between two unit vectors given as SCALAR columns —

@@ -145,12 +145,30 @@ class AnnIndexSpec extends BaseSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("append retries are idempotent: a replayed batch adds no duplicate vectors") {
+    // post-r17 review: an orchestrator re-running an append after a crash
+    // (data committed, success not recorded) must not duplicate vec_ids
+    val dir = tmp("ivf_retry")
+    AnnIndex.writeIvf(spark, embA, dir, nlist = 8)
+    val n1 = AnnIndex.appendIvf(spark, embB, dir)
+    val (postings1, _) = AnnIndex.readIvf(spark, dir)
+    val rows1 = rows(postings1)
+    val n2 = AnnIndex.appendIvf(spark, embB, dir) // full replay
+    assert(n2 == 0L, s"replayed append claimed $n2 new rows")
+    assert(AnnIndex.staleness(spark, dir) == (embA.count(), n1))
+    val (postings2, _) = AnnIndex.readIvf(spark, dir)
+    assert(rows(postings2) == rows1, "replay changed the postings table")
+  }
+
   test("append refuses past the declared drift budget instead of silently degrading") {
     val dir = tmp("ivf_budget")
     AnnIndex.writeIvf(spark, embA, dir, nlist = 8)
     AnnIndex.appendIvf(spark, embB, dir) // |B| <= |A|: inside the budget
+    // a second batch of genuinely NEW vectors (fresh ids — a replay would
+    // dedup to zero and pass) pushes appended past MaxAppendFraction
     val e = intercept[IllegalArgumentException] {
-      AnnIndex.appendIvf(spark, embB, dir) // 2|B| > |A|: past it
+      AnnIndex.appendIvf(spark,
+        embB.withColumn("vec_id", $"vec_id" + 1000000L), dir)
     }
     assert(e.getMessage.contains("drift budget") && e.getMessage.contains("re-fit"))
   }

@@ -261,6 +261,14 @@ class PlanSpec extends BaseSpec {
       assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty,
         "bucketed join rows differ from the unbucketed join")
     }
+    // the RECURRING half of the contract (post-r17 review: DROP TABLE on
+    // an external table leaves the files, and CTAS refuses a non-empty
+    // location — the weekly re-write must still work)
+    graft.operators.BucketedTables.writeBucketed(spark,
+      Tables(spark, sf, "orders").limit(100),
+      "bl_orders", s"$wh/bl_orders", 8, "o_orderkey")
+    assert(spark.table("bl_orders").count() == 100,
+      "re-write of an existing bucketed table must replace it")
     spark.sql("DROP TABLE IF EXISTS bl_orders")
     spark.sql("DROP TABLE IF EXISTS bl_lineitem")
   }
