@@ -425,26 +425,41 @@ object ScaleProbe {
       }
     }
 
-    // Round-17 corridor-join probe (request "corridor_x10"): the
-    // threshold/corridor forms' cost claim is "the band join + candidate
-    // re-attach, never U² pairs" — measured here on the ×10 fleet
-    // (~15k users ≈ 112.5M all-pairs) with 30 planted near-dup users so
-    // the J ≥ 0.5 regime is populated. Reported: sec, output rows, and
-    // the LSH candidate count (the number that must stay ≪ all-pairs).
-    if (args.lift(3).exists(_.split(',').contains("corridor_x10"))) {
+    // Round-17 corridor-join probes (request "corridor_x10" and/or
+    // "corridor_x100"): the threshold/corridor forms' cost claim is "the
+    // band join + candidate re-attach, never U-squared pairs" - measured
+    // on the x10 fleet (~15k users = 112.9M all-pairs) and, for the x100
+    // point, on `factor` id-shifted in-memory copies (~150k users =
+    // 11.3G all-pairs - the EXACT keys' measured 604-693 s regime), each
+    // with 30 planted re-trace users so the J >= 0.5 regime is
+    // populated. Reported: sec, output rows, and the LSH candidate count
+    // (the number that must stay far below all-pairs). LCSS rides these
+    // runs too - all four corridor kernels over one candidate-set build.
+    for (variant <- Seq("corridor_x10", "corridor_x100")
+         if args.lift(3).exists(_.split(',').contains(variant))) {
+      val copies = if (variant == "corridor_x100") factor else 1
       def basePts: DataFrame = {
-        val ev = Tables(spark, scaled, "events").select(
+        val ev0 = Tables(spark, scaled, "events").select(
           col("user_id"), col("event_id"), col("ts"))
+        val maxU = maxOf(ev0, "user_id")
+        val maxE = maxOf(ev0, "event_id")
+        // id-shift BEFORE deriving lat/lon (the r16 clone-saturation
+        // lesson): each copy is a distinct fleet, not a geometric clone
+        val ev = (0 until copies).map { k =>
+          ev0.withColumn("user_id", col("user_id") + lit(k * maxU))
+            .withColumn("event_id", col("event_id") + lit(k * maxE))
+        }.reduce(_ unionAll _)
         ev.withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
           .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
           .withColumn("ts_us", unix_micros(col("ts")))
           .select(col("user_id"), col("ts_us"), col("event_id"), col("lat"), col("lon"))
       }
       // 30 planted EXACT re-traces (the corridor regime: same route, all
-      // three metrics 0) so every threshold join has real work + output
+      // metrics 0/1) so every threshold join has real work + output
       def planted(p: DataFrame): DataFrame =
         p.unionAll(p.filter(col("user_id") < 30)
           .withColumn("user_id", col("user_id") + lit(10000000L)))
+      val label = s"x${factor * copies}-planted"
       val trc = graft.queries.Trajectory
         .tracksFromPoints(spark, planted(basePts))
         .localCheckpoint(eager = false)
@@ -453,25 +468,28 @@ object ScaleProbe {
         .candidatePairs(spark, trc.select(col("user_id"), col("cells")), 0.5)
       val tc = System.nanoTime()
       val nCand = cand.count()
-      println(s"""{"metric":"scaleprobe","key":"corridor_candidates","scale":"x$factor-planted","sec":${r3((System.nanoTime() - tc) / 1e9)},"rows":$nCand,"pairs":${nU * (nU - 1) / 2}}""")
+      println(s"""{"metric":"scaleprobe","key":"corridor_candidates","scale":"$label","sec":${r3((System.nanoTime() - tc) / 1e9)},"rows":$nCand,"pairs":${nU * (nU - 1) / 2}}""")
       for ((key, fn) <- Seq[(String, DataFrame => DataFrame)](
         "frechet_threshold" -> (t => graft.operators.TrajLsh
           .frechetThresholdPairs(spark, t, maxKm = 100.0)),
         "hausdorff_threshold" -> (t => graft.operators.TrajLsh
           .hausdorffThresholdPairs(spark, t, maxKm = 100.0)),
+        "lcss_threshold" -> (t => graft.operators.TrajLsh
+          .lcssThresholdPairs(spark, t, minSim = 0.9)),
         "edr_threshold" -> (t => graft.operators.TrajLsh
           .edrThresholdPairs(spark, t, maxEdr = 0.25)))) {
         val t0 = System.nanoTime()
         try {
           val rows = fn(trc).count()
-          println(s"""{"metric":"scaleprobe","key":"$key","scale":"x$factor-planted","sec":${r3((System.nanoTime() - t0) / 1e9)},"rows":$rows}""")
+          println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","sec":${r3((System.nanoTime() - t0) / 1e9)},"rows":$rows}""")
         } catch { case scala.util.control.NonFatal(e) =>
           val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
-          println(s"""{"metric":"scaleprobe","key":"$key","scale":"x$factor-planted","error":"$m"}""")
+          println(s"""{"metric":"scaleprobe","key":"$key","scale":"$label","error":"$m"}""")
         }
       }
     }
+
 
     // Round-17 ANN-append probe (request "ann_append"): the append's
     // claim is "no re-fit" — measured as writeIvf (k-means fit + encode)
