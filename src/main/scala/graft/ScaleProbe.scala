@@ -441,14 +441,18 @@ object ScaleProbe {
       def basePts: DataFrame = {
         val ev0 = Tables(spark, scaled, "events").select(
           col("user_id"), col("event_id"), col("ts"))
-        val maxU = maxOf(ev0, "user_id")
-        val maxE = maxOf(ev0, "event_id")
         // id-shift BEFORE deriving lat/lon (the r16 clone-saturation
-        // lesson): each copy is a distinct fleet, not a geometric clone
-        val ev = (0 until copies).map { k =>
-          ev0.withColumn("user_id", col("user_id") + lit(k * maxU))
-            .withColumn("event_id", col("event_id") + lit(k * maxE))
-        }.reduce(_ unionAll _)
+        // lesson): each copy is a distinct fleet, not a geometric clone.
+        // copies == 1 skips the two max() jobs entirely (they would shift
+        // by k = 0 — wasted work in a timing probe).
+        val ev = if (copies == 1) ev0 else {
+          val maxU = maxOf(ev0, "user_id")
+          val maxE = maxOf(ev0, "event_id")
+          (0 until copies).map { k =>
+            ev0.withColumn("user_id", col("user_id") + lit(k * maxU))
+              .withColumn("event_id", col("event_id") + lit(k * maxE))
+          }.reduce(_ unionAll _)
+        }
         ev.withColumn("lat", (col("event_id") * 37L % 1700L) / 10.0 - 85.0)
           .withColumn("lon", (col("event_id") * 131L % 3600L) / 10.0 - 180.0)
           .withColumn("ts_us", unix_micros(col("ts")))

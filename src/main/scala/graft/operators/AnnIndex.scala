@@ -47,8 +47,9 @@ import org.apache.spark.sql.functions._
   * share every line of query code with the in-session path — the
   * AnnIndexSpec property is reopened ≡ in-session RESULTS, not "similar
   * recall"; the append property is reopened-appended ≡ the in-session
-  * union (fitted postings ∪ frozen-encoded new rows). Doubles round-trip
-  * parquet bit-exactly, so equality is exact.
+  * union (fitted postings ∪ frozen-encoded new ID-DISJOINT rows —
+  * appends are insert-only by vec_id, see `appendWith`). Doubles
+  * round-trip parquet bit-exactly, so equality is exact.
   *
   * Reads are memoized per (session, dir) — the memo holds the LAZY
   * parquet plans (footer/schema listing done once), never materialized
@@ -75,9 +76,14 @@ object AnnIndex {
     * materialized the blocks and the count replays them — no re-read of
     * the just-written files, no second scan-shaped job). */
   private def writeData(df: DataFrame, path: String): Long = {
-    df.write.mode("overwrite").parquet(path)
+    writeDataUncounted(df, path)
     df.count()
   }
+
+  /** Same write, no count job — for artifacts whose row count nothing
+    * records (NSW adjacency). */
+  private def writeDataUncounted(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
 
   /** Table count via an empty-projection parquet scan — per-row-group
     * metadata rows, no column pages. Used only where no in-hand frame
@@ -86,10 +92,15 @@ object AnnIndex {
     spark.read.parquet(path).count()
 
   /** Meta is tiny but load-bearing (checkMeta gates every read), so its
-    * rewrite goes through write-new + swap instead of a delete-then-write
-    * overwrite of the live path: a crash now loses at most the update,
-    * never the meta itself (the unreadable-index failure mode a crash
-    * mid-overwrite would leave). */
+    * rewrite is a CHECKED three-step swap — write `meta_new`, rename the
+    * live dir aside to `meta_old`, rename `meta_new` into place, drop
+    * the backup — with every rename result verified (Hadoop FileSystem
+    * returns false instead of throwing on many failures), and
+    * [[metaPath]] recovering the narrow crash windows: a kill between
+    * any two steps leaves either the old meta, a fully-written
+    * `meta_new`, or the `meta_old` backup, each of which the next read
+    * restores. The r17-review failure mode (delete-then-rename losing
+    * meta entirely, rename result ignored) is closed. */
   private def writeMeta(spark: SparkSession, dir: String, family: String,
                         nlist: Int, m: Int, ksub: Int, nBase: Long,
                         nAppended: Long = 0L): Unit = {
@@ -100,15 +111,38 @@ object AnnIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/meta_new")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/meta_old")
     val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(live)) fs.delete(live, true)
-    fs.rename(tmp, live)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(live))
+      require(fs.rename(live, bak), s"$dir: could not stage meta backup")
+    require(fs.rename(tmp, live), s"$dir: could not swap meta into place")
+    fs.delete(bak, true)
+  }
+
+  /** Resolve (and if needed RECOVER) the live meta path: a crash inside
+    * [[writeMeta]]'s swap can leave `meta` missing with a fully-written
+    * `meta_new` (preferred — it carries the newer counters) or the
+    * `meta_old` backup; either is restored here before any read. */
+  private def metaPath(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (!fs.exists(live)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/meta_new")
+      val bak = new org.apache.hadoop.fs.Path(s"$dir/meta_old")
+      if (fs.exists(tmp)) require(fs.rename(tmp, live),
+        s"$dir: meta recovery from meta_new failed")
+      else if (fs.exists(bak)) require(fs.rename(bak, live),
+        s"$dir: meta recovery from meta_old failed")
+    }
+    live.toString
   }
 
   private def checkMeta(spark: SparkSession, dir: String, family: String): Unit = {
     import spark.implicits._
-    val got = spark.read.parquet(s"$dir/meta")
+    val got = spark.read.parquet(metaPath(spark, dir))
       .select($"family").as[String].head()
     require(got == family,
       s"$dir holds a '$got' index, not '$family' — refusing to mis-decode")
@@ -120,7 +154,7 @@ object AnnIndex {
     * budget the append path itself enforces. */
   def staleness(spark: SparkSession, dir: String): (Long, Long) = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/meta")
+    spark.read.parquet(metaPath(spark, dir))
       .select($"n_base", $"n_appended").as[(Long, Long)].head()
   }
 
@@ -133,7 +167,12 @@ object AnnIndex {
     *    appending — a replayed batch (or an overlap with the fitted base)
     *    appends only the rows not already present. The existing side is
     *    a vec_id-only column-pruned scan of the postings/codes table —
-    *    one pass, paid per append, which is what makes the retry safe;
+    *    one pass, paid per append, which is what makes the retry safe.
+    *    Appends are therefore INSERT-ONLY BY vec_id: a row re-using an
+    *    existing id is treated as a replay and dropped even if its
+    *    payload differs — an UPDATED embedding needs a new id or a
+    *    re-fit, never an append (declared; checking payload equality
+    *    would cost a full-width compare join per append);
     *  - `n_appended` is RE-DERIVED as count(table) − n_base rather than
     *    read from meta, so a crash that committed data but not meta
     *    self-heals on the next append (meta's copy is the recorded value
@@ -143,7 +182,7 @@ object AnnIndex {
   private def appendWith(spark: SparkSession, dir: String, family: String,
                          enc: DataFrame, table: String): Long = {
     import spark.implicits._
-    val (nlist, m, ksub, nBase) = spark.read.parquet(s"$dir/meta")
+    val (nlist, m, ksub, nBase) = spark.read.parquet(metaPath(spark, dir))
       .select($"nlist", $"m", $"ksub", $"n_base")
       .as[(Int, Int, Int, Long)].head()
     val nApp = tableCount(spark, s"$dir/$table") - nBase
@@ -297,7 +336,7 @@ object AnnIndex {
                m: Int, nlist: Int): Unit = {
     val (vecs, adjacency, seeds) = AnnNsw.buildGraph(spark, embeddings, m, nlist)
     val nBase = writeData(vecs, s"$dir/vecs")
-    writeData(adjacency, s"$dir/adjacency")
+    writeDataUncounted(adjacency, s"$dir/adjacency")
     seeds.coalesce(1).write.mode("overwrite").parquet(s"$dir/seeds")
     writeMeta(spark, dir, "nsw", nlist, m, 0, nBase)
     evict(spark, dir)

@@ -37,10 +37,21 @@ import org.apache.spark.sql.functions.col
   * Sort, rows ≡ the unbucketed join. */
 object BucketedTables {
 
-  /** Write `df` as an external bucketed+sorted table.
+  /** Write `df` as an external bucketed+sorted table, replacing any
+    * previous version WITHOUT a destroy-first window (second r17-review
+    * pass): the data lands in a fresh `path/v<nanos>` subdir under a
+    * staging catalog name while the live table — catalog entry AND files
+    * — keeps serving; only after the write fully commits does the staging
+    * entry rename over the live one and the superseded version dirs get
+    * deleted. A failed re-write therefore leaves the previous table
+    * untouched, and a read-transform-rewrite caller (df derived from
+    * `spark.table(table)` itself) reads the OLD files while writing the
+    * new version instead of hitting its own deletes. (A long-lived
+    * reader holding a plan over the superseded version should re-resolve
+    * after a re-write — the old files are GC'd immediately.)
     *
     * @param table      catalog table name (replaced if present)
-    * @param path       external data path (the caller's warehouse dir)
+    * @param path       external data ROOT (versioned subdirs live here)
     * @param numBuckets bucket count — match it across the tables that
     *                   join together
     * @param bucketKey  the recurring join/aggregation key
@@ -50,21 +61,24 @@ object BucketedTables {
                     path: String, numBuckets: Int, bucketKey: String,
                     sortKeys: Seq[String] = Nil): Unit = {
     val sorts = if (sortKeys.isEmpty) Seq(bucketKey) else sortKeys
-    // Replace-if-present must clear BOTH halves of an external table:
-    // DROP TABLE removes only the catalog entry (the files survive by
-    // design), and a CTAS into a non-empty location refuses
-    // (spark.sql.legacy.allowNonEmptyLocationInCTAS=false) — so a weekly
-    // re-write of the same table would throw without the explicit path
-    // delete (post-round-17 review finding; PlanSpec pins the re-write).
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val version = s"v${System.nanoTime()}"
+    val staging = s"${table}__staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
     df.repartition(numBuckets, col(bucketKey))
       .write
       .bucketBy(numBuckets, bucketKey)
       .sortBy(sorts.head, sorts.tail: _*)
-      .option("path", path)
-      .saveAsTable(table)
+      .option("path", s"$path/$version")
+      .saveAsTable(staging)
+    // the write committed — now swap the catalog entry (external tables
+    // keep their location through a rename) and GC superseded versions
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName != version) fs.delete(st.getPath, true)
+      }
   }
 }

@@ -79,6 +79,34 @@ object TrajLsh {
       .orderBy($"u1", $"u2")
   }
 
+  /** Shared corridor-join skeleton (post-r17 review — the four threshold
+    * joins are ONE body): LSH candidates at J ≥ `minJaccard`, per-side
+    * attach of the named `tracks` columns (c → c1/c2), then the caller's
+    * exact-verify metric, keep predicate on the UNROUNDED value, and
+    * rounded output column. A contract change (re-attach strategy, new
+    * tracksFromPoints column, rounding rule) lands once, not four times. */
+  private def thresholdJoin(spark: SparkSession, tracks: DataFrame,
+                            attach: Seq[String], minJaccard: Double,
+                            bandRows: Int, numBands: Int)
+                           (metric: org.apache.spark.sql.Column,
+                            keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                            outName: String,
+                            extraOut: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    import spark.implicits._
+    val cand = candidatePairs(spark,
+      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
+      .select($"u1", $"u2", $"jaccard")
+    def side(u: String, sfx: String) =
+      tracks.select(($"user_id".as(u) +: attach.map(c => col(c).as(s"$c$sfx"))): _*)
+    cand.join(side("u1", "1"), Seq("u1")).join(side("u2", "2"), Seq("u2"))
+      .withColumn("metric_exact", metric)
+      // threshold the UNROUNDED value, round only the output (house rule)
+      .filter(keep(col("metric_exact")))
+      .select(($"u1" +: $"u2" +: $"jaccard" +: extraOut :+
+        round($"metric_exact", 4).as(outName)): _*)
+      .orderBy($"u1", $"u2")
+  }
+
   /** Fréchet-threshold corridor join (round 17 — the declared corridor
     * escape for the exact m_traj_frechet key's U² gate): all pairs within
     * discrete Fréchet ≤ `maxKm` among users sharing a route, found as LSH
@@ -102,41 +130,12 @@ object TrajLsh {
     *        derivation: `cells` (distinct visited-cell ints) and `track`
     *        (unit-vector array) per user
     * @param maxKm Fréchet keep threshold in great-circle km */
-  /** Shared corridor-join skeleton (post-r17 review — the four threshold
-    * joins are ONE body): LSH candidates at J ≥ `minJaccard`, per-side
-    * attach of the named `tracks` columns (c → c1/c2), then the caller's
-    * exact-verify metric, keep predicate on the UNROUNDED value, and
-    * rounded output column. A contract change (re-attach strategy, new
-    * tracksFromPoints column, rounding rule) lands once, not four times. */
-  private def thresholdJoin(spark: SparkSession, tracks: DataFrame,
-                            attach: Seq[String], minJaccard: Double,
-                            bandRows: Int, numBands: Int)
-                           (metric: DataFrame => org.apache.spark.sql.Column,
-                            keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                            outName: String,
-                            extraOut: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
-    import spark.implicits._
-    val cand = candidatePairs(spark,
-      tracks.select($"user_id", $"cells"), minJaccard, bandRows, numBands)
-      .select($"u1", $"u2", $"jaccard")
-    def side(u: String, sfx: String) =
-      tracks.select(($"user_id".as(u) +: attach.map(c => col(c).as(s"$c$sfx"))): _*)
-    val joined = cand.join(side("u1", "1"), Seq("u1")).join(side("u2", "2"), Seq("u2"))
-    joined
-      .withColumn("metric_exact", metric(joined))
-      // threshold the UNROUNDED value, round only the output (house rule)
-      .filter(keep(col("metric_exact")))
-      .select(($"u1" +: $"u2" +: $"jaccard" +: extraOut :+
-        round($"metric_exact", 4).as(outName)): _*)
-      .orderBy($"u1", $"u2")
-  }
-
   def frechetThresholdPairs(spark: SparkSession, tracks: DataFrame,
                             maxKm: Double, minJaccard: Double = 0.5,
                             bandRows: Int = 2, numBands: Int = 24): DataFrame = {
     graft.functions.TrajSim.register(spark)
     thresholdJoin(spark, tracks, Seq("track"), minJaccard, bandRows, numBands)(
-      _ => graft.functions.TrajSim
+      graft.functions.TrajSim
         .frechetKmCapped(col("track1"), col("track2"), lit(maxKm)),
       _ <= maxKm, "frechet_km")
   }
@@ -155,7 +154,7 @@ object TrajLsh {
                               bandRows: Int = 2, numBands: Int = 24): DataFrame = {
     graft.functions.TrajSim.register(spark)
     thresholdJoin(spark, tracks, Seq("track"), minJaccard, bandRows, numBands)(
-      _ => graft.functions.TrajSim.hausdorffKm(col("track1"), col("track2")),
+      graft.functions.TrajSim.hausdorffKm(col("track1"), col("track2")),
       _ <= maxKm, "hausdorff_km")
   }
 
@@ -175,7 +174,8 @@ object TrajLsh {
     * @param minSim normalized-LCSS keep threshold (1 = identical tracks)
     * @param epsKm LCSS match radius, default the contract keys' 500 km */
   def lcssThresholdPairs(spark: SparkSession, tracks: DataFrame,
-                         minSim: Double, epsKm: Double = 500.0,
+                         minSim: Double,
+                         epsKm: Double = graft.queries.Trajectory.MatchEpsKm,
                          minJaccard: Double = 0.5,
                          bandRows: Int = 2, numBands: Int = 24): DataFrame = {
     graft.functions.TrajSketchFns.register(spark, epsKm)
@@ -185,10 +185,10 @@ object TrajLsh {
     // bounded by the output size, not the candidate count)
     def nMatch = graft.functions.TrajSketchFns.lcssSparse(
       col("pb1"), col("track1"), col("pb2"), col("track2"))
-    thresholdJoin(spark,
-      tracks.withColumn("nf", col("n_fixes")), // attach under a stable name
-      Seq("track", "pb", "nf"), minJaccard, bandRows, numBands)(
-      _ => nMatch * lit(1.0) / least(least(col("nf1"), col("nf2")), lit(cap)),
+    thresholdJoin(spark, tracks,
+      Seq("track", "pb", "n_fixes"), minJaccard, bandRows, numBands)(
+      nMatch * lit(1.0) /
+        least(least(col("n_fixes1"), col("n_fixes2")), lit(cap)),
       _ >= minSim, "lcss",
       extraOut = Seq(nMatch.as("n_match")))
   }
@@ -216,7 +216,8 @@ object TrajLsh {
     * @param maxEdr normalized-EDR keep threshold (0 = identical tracks)
     * @param epsKm EDR match radius, default the contract keys' 500 km */
   def edrThresholdPairs(spark: SparkSession, tracks: DataFrame,
-                        maxEdr: Double, epsKm: Double = 500.0,
+                        maxEdr: Double,
+                        epsKm: Double = graft.queries.Trajectory.MatchEpsKm,
                         minJaccard: Double = 0.5,
                         bandRows: Int = 2, numBands: Int = 24): DataFrame = {
     graft.functions.TrajSketchFns.register(spark, epsKm)
@@ -226,7 +227,7 @@ object TrajLsh {
       col("pb1"), col("track1"), col("pb2"), col("track2"))
     thresholdJoin(spark, tracks, Seq("track", "pb"),
       minJaccard, bandRows, numBands)(
-      _ => nEdits * lit(3.0) /
+      nEdits * lit(3.0) /
         greatest(size(col("track1")), size(col("track2"))),
       _ <= maxEdr, "edr",
       extraOut = Seq(nEdits.as("n_edits")))

@@ -69,7 +69,7 @@ object Trajectory extends QueryGroup {
   /** LCSS match radius, sized to the fixture's 10°-lattice jumps (a cell
     * diagonal at mid-latitude ≈ 1300 km — 500 km says "same fix", not
     * "same cell"). */
-  private[queries] val MatchEpsKm = 500.0
+  private[graft] val MatchEpsKm = 500.0
 
   /** Declared refusal gate for the EXACT all-pairs top-k family (round
     * 17, sized from the r16 ×100 probes): the scalar-bound pair scans

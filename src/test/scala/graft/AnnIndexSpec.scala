@@ -173,6 +173,26 @@ class AnnIndexSpec extends BaseSpec {
     assert(e.getMessage.contains("drift budget") && e.getMessage.contains("re-fit"))
   }
 
+  test("meta swap crash windows recover on the next read") {
+    // simulate the two kill-points inside writeMeta's checked swap: the
+    // next metadata read must restore a usable meta from whichever of
+    // meta_new / meta_old survived
+    val dir = tmp("ivf_meta")
+    AnnIndex.writeIvf(spark, embA, dir, nlist = 8)
+    val want = AnnIndex.staleness(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
+    // window A: live staged aside to meta_old, replacement never landed
+    assert(fs.rename(p("meta"), p("meta_old")))
+    assert(AnnIndex.staleness(spark, dir) == want, "recovery from meta_old")
+    // window B: live gone, fully-written meta_new present
+    assert(fs.rename(p("meta"), p("meta_new")))
+    assert(AnnIndex.staleness(spark, dir) == want, "recovery from meta_new")
+    // and the full read path works after recovery
+    assert(AnnIndex.readIvf(spark, dir)._1.count() == embA.count())
+  }
+
   test("same-session rewrite invalidates the cached read plans (r16 advice)") {
     val dir = tmp("ivf_evict")
     AnnIndex.writeIvf(spark, embA, dir, nlist = 8)
