@@ -263,12 +263,24 @@ class PlanSpec extends BaseSpec {
     }
     // the RECURRING half of the contract (post-r17 review: DROP TABLE on
     // an external table leaves the files, and CTAS refuses a non-empty
-    // location — the weekly re-write must still work)
+    // location — the weekly re-write must still work). The re-write goes
+    // through the versioned staging + catalog-rename path, so ALSO pin
+    // that the bucket layout SURVIVES the rename: a silently-dropped
+    // bucket spec would keep the rows and lose the whole point.
     graft.operators.BucketedTables.writeBucketed(spark,
       Tables(spark, sf, "orders").limit(100),
       "bl_orders", s"$wh/bl_orders", 8, "o_orderkey")
     assert(spark.table("bl_orders").count() == 100,
       "re-write of an existing bucketed table must replace it")
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+                "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val rejoined = spark.table("bl_lineitem")
+        .join(spark.table("bl_orders"), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"o_totalprice")
+      val plan2 = rejoined.queryExecution.executedPlan.toString
+      assert(plan2.contains("Bucketed: true") && !plan2.contains("Exchange"),
+        s"re-written table lost its bucket layout:\n$plan2")
+    }
     spark.sql("DROP TABLE IF EXISTS bl_orders")
     spark.sql("DROP TABLE IF EXISTS bl_lineitem")
   }
