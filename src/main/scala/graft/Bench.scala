@@ -225,7 +225,8 @@ object Bench {
     // key NAMES (they alone zlib to ~1.5 KB), so names are IMPLICIT — the
     // query keys sorted ascending, the exact key set of the same round's
     // CORRECTNESS json and of the "queries" parts above — and the payload
-    // is 5 quantized bytes per key, zlib'd and base64'd. Quantization is
+    // is 6 quantized bytes per key (fmt v2-6B), zlib'd and base64'd.
+    // Quantization is
     // log-scale (2.2%/step — attribution-grade, not timing-grade; the
     // exact A/B doubles stay in the plain parts for local reads). Printed
     // immediately before the final total line so both always survive the

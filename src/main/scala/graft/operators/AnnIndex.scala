@@ -51,6 +51,15 @@ import org.apache.spark.sql.functions._
   * appends are insert-only by vec_id, see `appendWith`). Doubles
   * round-trip parquet bit-exactly, so equality is exact.
   *
+  * CONCURRENCY CONTRACT (post-round-17 review): one index dir has ONE
+  * writer at a time. The append path is retry-idempotent for a SINGLE
+  * sequential writer — two appends to the same dir running concurrently
+  * from separate sessions/JVMs would anti-join the same postings
+  * snapshot (double-inserting overlapping vec_ids) and race the meta
+  * swap. Serialize writes per dir in the orchestrator (the same
+  * single-writer-per-scratch-dir discipline as SourceFormats); readers
+  * are unrestricted.
+  *
   * Reads are memoized per (session, dir) — the memo holds the LAZY
   * parquet plans (footer/schema listing done once), never materialized
   * data, so Catalyst still prunes/pushes into the scans per query. Every

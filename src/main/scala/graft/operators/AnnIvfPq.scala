@@ -56,12 +56,15 @@ object AnnIvfPq {
       val dim = embeddings.select(size($"embedding")).as[Int].head()
       require(dim % m == 0, s"dim $dim must divide into $m subspaces")
       val sub = dim / m
+      // metadata columns ride into the codes table for filtered search
+      // (round 18) — see [[AnnIVF.metaCols]]
+      val extras = AnnIVF.metaCols(embeddings)
       val emb = embeddings
         .withColumn("raw", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("nrm",
           expr("greatest(sqrt(aggregate(raw, 0.0D, (a, x) -> a + x * x)), 1e-12)"))
         .withColumn("v", expr("transform(raw, x -> x / nrm)"))
-        .select($"vec_id", $"v")
+        .select(($"vec_id" +: $"v" +: extras.map(col)): _*)
         .withColumn("features", array_to_vector($"v"))
         .localCheckpoint(eager = false)
       val coarse = new KMeans().setK(nlist).setSeed(7L).setMaxIter(20)
@@ -72,13 +75,14 @@ object AnnIvfPq {
       // residual = v − centroid(cell); the broadcast centroid join is the
       // only place the coarse codebook meets the data
       val withRes = coarse.transform(emb)
-        .select($"vec_id", $"v", $"prediction".as("cell"))
+        .select(($"vec_id" +: $"v" +: $"prediction".as("cell") +:
+          extras.map(col)): _*)
         .join(broadcast(centsDf), Seq("cell"))
         .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
-        .select($"vec_id", $"v", $"cell", $"r")
+        .select(($"vec_id" +: $"v" +: $"cell" +: $"r" +: extras.map(col)): _*)
         .localCheckpoint(eager = false)
       val books = new Array[Array[Array[Double]]](m)
-      var codes = withRes.select($"vec_id", $"v", $"cell")
+      var codes = withRes.drop("r")
       for (j <- 0 until m) {
         val s = withRes.withColumn("features",
           array_to_vector(expr(s"slice(r, ${j * sub + 1}, $sub)")))
@@ -90,7 +94,8 @@ object AnnIvfPq {
       }
       val enc = codes
         .withColumn("code", array((0 until m).map(j => col(s"c$j")): _*))
-        .select($"vec_id", $"v", $"cell", $"code")
+        .select(($"vec_id" +: $"v" +: $"cell" +: $"code" +:
+          extras.map(col)): _*)
         .localCheckpoint(eager = false)
       (enc, cents, books)
     }
@@ -115,35 +120,41 @@ object AnnIvfPq {
       j <- books.indices
       c <- books(j).indices
     } yield (j, c, books(j)(c).toSeq)).toDF("j", "c", "vals")
+    val extras = AnnIVF.metaCols(embeddings)
     val assigned = embeddings
       .withColumn("raw", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
         expr("greatest(sqrt(aggregate(raw, 0.0D, (a, x) -> a + x * x)), 1e-12)"))
       .withColumn("v", expr("transform(raw, x -> x / nrm)"))
-      .select($"vec_id", $"v")
+      .select(($"vec_id" +: $"v" +: extras.map(col)): _*)
       .crossJoin(broadcast(centsDf))
       .withColumn("d2", expr(
         "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
       .groupBy($"vec_id")
-      .agg(min(struct($"d2", $"cell", $"cv")).as("mc"), first($"v").as("v"))
-      .select($"vec_id", $"v", $"mc.cell".as("cell"),
-        expr("zip_with(v, mc.cv, (a, b) -> a - b)").as("r"))
+      .agg(min(struct($"d2", $"cell", $"cv")).as("mc"),
+        (first($"v").as("v") +: extras.map(c => first(col(c)).as(c))): _*)
+      .select(($"vec_id" +: $"v" +: $"mc.cell".as("cell") +:
+        expr("zip_with(v, mc.cv, (a, b) -> a - b)").as("r") +:
+        extras.map(col)): _*)
     assigned
-      .select($"vec_id", $"v", $"cell",
+      .select(($"vec_id" +: $"v" +: $"cell" +:
         posexplode(expr(
           s"transform(sequence(0, ${m - 1}), j -> slice(r, j * $sub + 1, $sub))"))
-          .as(Seq("j", "sv")))
+          .as(Seq("j", "sv")) +: extras.map(col)): _*)
       .join(broadcast(booksDf), Seq("j"))
       .withColumn("d2", expr(
         "aggregate(zip_with(sv, vals, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
       .groupBy($"vec_id", $"j")
       .agg(min(struct($"d2", $"c")).as("mc"),
-        first($"v").as("v"), first($"cell").as("cell"))
+        (first($"v").as("v") +: first($"cell").as("cell") +:
+          extras.map(c => first(col(c)).as(c))): _*)
       .groupBy($"vec_id")
-      .agg(first($"v").as("v"), first($"cell").as("cell"),
-        expr("transform(array_sort(collect_list(struct(j, mc.c AS c))), s -> s.c)")
-          .as("code"))
-      .select($"vec_id", $"v", $"cell", $"code")
+      .agg(first($"v").as("v"),
+        (first($"cell").as("cell") +:
+          expr("transform(array_sort(collect_list(struct(j, mc.c AS c))), s -> s.c)")
+            .as("code") +: extras.map(c => first(col(c)).as(c))): _*)
+      .select(($"vec_id" +: $"v" +: $"cell" +: $"code" +:
+        extras.map(col)): _*)
   }
 
   /** Top-k cosine neighbours per probe through the inverted file: probed
@@ -151,18 +162,28 @@ object AnnIvfPq {
     * cosine re-rank of the `rerank` survivors. */
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
            k: Int, nlist: Int = 16, nprobe: Int = 10, m: Int = 8,
-           ksub: Int = 32, rerank: Int = 150): DataFrame = {
+           ksub: Int = 32, rerank: Int = 150,
+           pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (codes, cents, books) = fitEncode(spark, embeddings, nlist, m, ksub)
-    topKFrom(spark, codes, cents, books, probeIds, k, nprobe, rerank)
+    topKFrom(spark, codes, cents, books, probeIds, k, nprobe, rerank, pred)
   }
 
   /** Top-k from SUPPLIED fit artifacts — the reopened-index query path
     * ([[AnnIndex.readIvfPq]]): builds the per-(probe, cell) residual ADC
     * tables from the reopened centroids/books and never refits. `nlist`
-    * and `m` are implicit in the artifact shapes. */
+    * and `m` are implicit in the artifact shapes.
+    *
+    * `pred` = FILTERED search (round 18, [[AnnIVF.topKFrom]] contract):
+    * the metadata predicate restricts the inverted-file scan BEFORE the
+    * ADC ranking — it composes with the cell pruning (cell join AND
+    * predicate both land on the codes scan, the predicate reaching
+    * parquet PushedFilters on a reopened index), so the rerank list and
+    * the final k are drawn from matching vectors only. Probes resolve
+    * unfiltered. */
   def topKFrom(spark: SparkSession, codes: DataFrame,
                cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
-               probeIds: Seq[Long], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+               probeIds: Seq[Long], k: Int, nprobe: Int, rerank: Int,
+               pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
     val m = books.length
@@ -204,7 +225,8 @@ object AnnIvfPq {
     // Inverted-file pruning FIRST (broadcast semi-shape join on cell),
     // then the code-level ADC sum — never a full-table distance pass.
     val probedDf = probedCells.toDF("probe_id", "cell")
-    val adc = codes.join(broadcast(probedDf), Seq("cell"))
+    val db = pred.map(codes.filter).getOrElse(codes)
+    val adc = db.join(broadcast(probedDf), Seq("cell"))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"cell", $"vec_id", posexplode($"code").as(Seq("j", "c")))
       .join(broadcast(dtDf), Seq("probe_id", "cell", "j", "c"))

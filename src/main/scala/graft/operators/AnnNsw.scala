@@ -67,7 +67,11 @@ object AnnNsw {
       val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.toSeq)
       }.toSeq.toDF("cell", "cv")
-      val vecs = emb.select($"vec_id", $"v").localCheckpoint(eager = false)
+      // metadata columns ride into the vecs table for filtered search
+      // (round 18) — see [[AnnIVF.metaCols]]
+      val vecs = emb
+        .select(($"vec_id" +: $"v" +: AnnIVF.metaCols(embeddings).map(col)): _*)
+        .localCheckpoint(eager = false)
 
       // Two nearest cells per vector (the cross-cell edge source). The
       // centroid frame is nlist rows — the crossJoin is the declared
@@ -104,20 +108,35 @@ object AnnNsw {
   }
 
   /** Top-k cosine neighbours per probe id via beam search over the NSW
-    * graph. `ef` is the beam width (≥ k), `rounds` the expansion bound. */
+    * graph. `ef` is the beam width (≥ k), `rounds` the expansion bound;
+    * `pred` restricts the RESULT side (see [[topKFrom]]). */
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
            k: Int, m: Int = 8, ef: Int = 32, nlist: Int = 16,
-           rounds: Int = 4): DataFrame = {
+           rounds: Int = 4,
+           pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (vecs, adjacency, seeds) = buildGraph(spark, embeddings, m, nlist)
-    topKFrom(spark, vecs, adjacency, seeds, probeIds, k, ef, rounds)
+    topKFrom(spark, vecs, adjacency, seeds, probeIds, k, ef, rounds, pred)
   }
 
   /** Top-k beam search over SUPPLIED graph artifacts — the reopened-index
     * query path ([[AnnIndex.readNsw]]): walks the persisted adjacency,
-    * never rebuilds the graph or touches the embeddings table. */
+    * never rebuilds the graph or touches the embeddings table.
+    *
+    * `pred` = FILTERED graph search (round 18). A graph walk cannot
+    * pre-filter its NAVIGATION — pruning non-matching nodes from the
+    * beam disconnects the graph exactly when the filter is selective —
+    * so the filtered form keeps the beam UNFILTERED for connectivity and
+    * draws the final top-k from every VISITED node that matches the
+    * predicate (the filtered-HNSW / ACORN-1 shape: navigate on
+    * structure, answer from the matching visited set). k stays live as
+    * long as the walk visits ≥ k matching nodes — widen `ef`/`rounds`
+    * when the filter is much more selective than ef/|beam| (declared;
+    * the quantizer families pre-filter their scans instead and have no
+    * such caveat — see [[AnnIVF.topKFrom]]). */
   def topKFrom(spark: SparkSession, vecs: DataFrame, adjacency: DataFrame,
                seeds: DataFrame, probeIds: Seq[Long], k: Int, ef: Int,
-               rounds: Int): DataFrame = {
+               rounds: Int,
+               pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
     val probes = vecs.filter($"vec_id".isin(probeIds: _*))
@@ -133,9 +152,12 @@ object AnnNsw {
       .select($"probe_id", $"vec_id", $"cos")
 
     // Round 0: every probe scores all cell medoids (full-coverage entry).
-    var beam = scoreTop(
-      probes.select($"probe_id").crossJoin(broadcast(seeds)), ef)
-      .localCheckpoint(eager = false)
+    val seedCands = probes.select($"probe_id").crossJoin(broadcast(seeds))
+    var beam = scoreTop(seedCands, ef).localCheckpoint(eager = false)
+    // Every (probe, node) the walk touches — the filtered form's answer
+    // pool. Stays (probe × rounds × ef·M)-sized: query-shaped, never
+    // data-sized. Tracked only when a predicate asks for it.
+    var visited = beam.select($"probe_id", $"vec_id")
 
     // Fixed-round expansion: beam ∪ neighbors(beam), re-scored, top-ef.
     // Frontier stays |probes| × ef — broadcast against the adjacency
@@ -152,11 +174,26 @@ object AnnNsw {
           .select($"probe_id", adjacency("src").as("vec_id")))
       val cands = beam.select($"probe_id", $"vec_id")
         .unionAll(expand).distinct()
+      if (pred.isDefined)
+        visited = visited.unionAll(cands).distinct()
+          .localCheckpoint(eager = false)
       beam = scoreTop(cands, ef).localCheckpoint(eager = false)
       r += 1
     }
 
-    beam.filter($"vec_id" =!= $"probe_id")
+    // Unfiltered: answer from the final beam (the NSW contract).
+    // Filtered: answer from ALL visited matching nodes — a matching node
+    // the walk passed through in round 1 must stay eligible even after
+    // the unfiltered beam moved on.
+    val pool = pred match {
+      case None => beam
+      case Some(p) =>
+        // k + 1: the probe itself may sit in the matching pool and is
+        // dropped below — k survivors must remain after the drop
+        scoreTop(visited.join(vecs.filter(p).select($"vec_id"),
+          Seq("vec_id"), "left_semi"), k + 1)
+    }
+    pool.filter($"vec_id" =!= $"probe_id")
       .withColumn("rank", row_number().over(wb).cast("long"))
       .filter($"rank" <= k)
       .select($"probe_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))

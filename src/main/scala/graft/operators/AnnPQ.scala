@@ -61,15 +61,18 @@ object AnnPQ {
       // Cosine itself is scale-invariant, so `v` stays valid for the exact
       // re-rank; the 1e-12 floor only guards an (undefined-cosine) zero
       // vector from poisoning its own codes with NaN.
+      // metadata columns ride into the codes table for filtered search
+      // (round 18) — see [[AnnIVF.metaCols]]
+      val extras = AnnIVF.metaCols(embeddings)
       val emb = embeddings
         .withColumn("raw", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("nrm",
           expr("greatest(sqrt(aggregate(raw, 0.0D, (a, x) -> a + x * x)), 1e-12)"))
         .withColumn("v", expr("transform(raw, x -> x / nrm)"))
-        .select($"vec_id", $"v")
+        .select(($"vec_id" +: $"v" +: extras.map(col)): _*)
         .localCheckpoint(eager = false)
       val books = new Array[Array[Array[Double]]](m)
-      var codes = emb.select($"vec_id", $"v")
+      var codes = emb
       for (j <- 0 until m) {
         val s = emb.withColumn("features",
           array_to_vector(expr(s"slice(v, ${j * sub + 1}, $sub)")))
@@ -86,7 +89,7 @@ object AnnPQ {
       }
       val enc = codes
         .withColumn("code", array((0 until m).map(j => col(s"c$j")): _*))
-        .select($"vec_id", $"v", $"code")
+        .select(($"vec_id" +: $"v" +: $"code" +: extras.map(col)): _*)
         .localCheckpoint(eager = false)
       (enc, books)
     }
@@ -109,43 +112,54 @@ object AnnPQ {
       j <- books.indices
       c <- books(j).indices
     } yield (j, c, books(j)(c).toSeq)).toDF("j", "c", "vals")
+    val extras = AnnIVF.metaCols(embeddings)
     embeddings
       .withColumn("raw", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm",
         expr("greatest(sqrt(aggregate(raw, 0.0D, (a, x) -> a + x * x)), 1e-12)"))
       .withColumn("v", expr("transform(raw, x -> x / nrm)"))
-      .select($"vec_id", $"v",
+      .select(($"vec_id" +: $"v" +:
         posexplode(expr(
           s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $sub + 1, $sub))"))
-          .as(Seq("j", "sv")))
+          .as(Seq("j", "sv")) +: extras.map(col)): _*)
       .join(broadcast(booksDf), Seq("j"))
       .withColumn("d2", expr(
         "aggregate(zip_with(sv, vals, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
       .groupBy($"vec_id", $"j")
-      .agg(min(struct($"d2", $"c")).as("mc"), first($"v").as("v"))
+      .agg(min(struct($"d2", $"c")).as("mc"),
+        (first($"v").as("v") +: extras.map(c => first(col(c)).as(c))): _*)
       .groupBy($"vec_id")
       .agg(first($"v").as("v"),
-        expr("transform(array_sort(collect_list(struct(j, mc.c AS c))), s -> s.c)")
-          .as("code"))
-      .select($"vec_id", $"v", $"code")
+        (expr("transform(array_sort(collect_list(struct(j, mc.c AS c))), s -> s.c)")
+          .as("code") +: extras.map(c => first(col(c)).as(c))): _*)
+      .select(($"vec_id" +: $"v" +: $"code" +: extras.map(col)): _*)
   }
 
   /** Top-k cosine neighbours per probe: ADC ranking over the codes keeps
     * `rerank` candidates, exact [[graft.functions.CosineSim]] re-ranks. */
   def topK(spark: SparkSession, embeddings: DataFrame, probeIds: Seq[Long],
-           k: Int, m: Int = 4, ksub: Int = 16, rerank: Int = 50): DataFrame = {
+           k: Int, m: Int = 4, ksub: Int = 16, rerank: Int = 50,
+           pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (codes, books) = fitEncode(spark, embeddings, m, ksub)
-    topKFrom(spark, codes, books, probeIds, k, rerank)
+    topKFrom(spark, codes, books, probeIds, k, rerank, pred)
   }
 
   /** Top-k from SUPPLIED fit artifacts (codes + codebooks) — the
     * reopened-index query path ([[AnnIndex.readPq]]): builds the ADC
     * tables and runs the code-space ranking + exact re-rank without ever
     * refitting or touching the embeddings table. `m` is implicit in the
-    * codebook shape. */
+    * codebook shape.
+    *
+    * `pred` = FILTERED search (round 18, [[AnnIVF.topKFrom]] contract):
+    * the metadata predicate restricts the ADC scan BEFORE ranking, so
+    * both the `rerank` candidate list and the final k are drawn entirely
+    * from matching vectors — k stays live under a selective filter, and
+    * on a reopened index the predicate lands in the codes scan's
+    * parquet PushedFilters. Probes resolve unfiltered. */
   def topKFrom(spark: SparkSession, codes: DataFrame,
                books: Array[Array[Array[Double]]], probeIds: Seq[Long],
-               k: Int, rerank: Int): DataFrame = {
+               k: Int, rerank: Int,
+               pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
     val m = books.length
@@ -169,7 +183,8 @@ object AnnPQ {
     }
     val dtDf = dt.toDF("probe_id", "j", "c", "d")
 
-    val adc = codes.select($"vec_id", posexplode($"code").as(Seq("j", "c")))
+    val db = pred.map(codes.filter).getOrElse(codes)
+    val adc = db.select($"vec_id", posexplode($"code").as(Seq("j", "c")))
       .join(broadcast(dtDf), Seq("j", "c"))
       .filter($"vec_id" =!= $"probe_id")
       .groupBy($"probe_id", $"vec_id")

@@ -37,18 +37,61 @@ import org.apache.spark.sql.functions.col
   * Sort, rows ≡ the unbucketed join. */
 object BucketedTables {
 
+  private def stagingPrefix(table: String) = s"${table}__staging_"
+
+  private def tableLocation(spark: SparkSession, table: String): Option[String] =
+    if (spark.catalog.tableExists(table))
+      Some(spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .location.toString)
+    else None
+
+  /** Adopt a leftover staging entry when `table` itself is missing — the
+    * recovery for a crash inside [[writeBucketed]]'s drop→rename window
+    * (post-round-17 review): the staged data and its catalog entry
+    * survive such a crash fully written; only the live NAME is gone.
+    * Renaming the newest staging entry (highest nanoTime version — the
+    * latest committed write) into place restores it. Returns true when a
+    * recovery happened. No-op when `table` resolves or nothing is
+    * staged. */
+  def recoverStaging(spark: SparkSession, table: String): Boolean = {
+    if (spark.catalog.tableExists(table)) return false
+    val pre = stagingPrefix(table)
+    val staged = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(pre))
+    if (staged.isEmpty) return false
+    val newest = staged.maxBy(n => BigInt(n.stripPrefix(pre).stripPrefix("v")))
+    spark.sql(s"ALTER TABLE $newest RENAME TO $table")
+    true
+  }
+
   /** Write `df` as an external bucketed+sorted table, replacing any
     * previous version WITHOUT a destroy-first window (second r17-review
     * pass): the data lands in a fresh `path/v<nanos>` subdir under a
-    * staging catalog name while the live table — catalog entry AND files
-    * — keeps serving; only after the write fully commits does the staging
-    * entry rename over the live one and the superseded version dirs get
-    * deleted. A failed re-write therefore leaves the previous table
-    * untouched, and a read-transform-rewrite caller (df derived from
-    * `spark.table(table)` itself) reads the OLD files while writing the
-    * new version instead of hitting its own deletes. (A long-lived
-    * reader holding a plan over the superseded version should re-resolve
-    * after a re-write — the old files are GC'd immediately.)
+    * NONCE'd staging catalog name while the live table — catalog entry
+    * AND files — keeps serving; only after the write fully commits does
+    * the staging entry rename over the live one and the ONE superseded
+    * version dir get deleted. A failed re-write therefore leaves the
+    * previous table untouched, and a read-transform-rewrite caller (df
+    * derived from `spark.table(table)` itself) reads the OLD files while
+    * writing the new version instead of hitting its own deletes. (A
+    * long-lived reader holding a plan over the superseded version should
+    * re-resolve after a re-write — the old files are GC'd immediately.)
+    *
+    * The commit itself is DROP-then-RENAME — the catalog has no atomic
+    * swap — so a crash between the two leaves no entry named `table`
+    * while the fully-written staging entry survives; [[recoverStaging]]
+    * (run at the top of every write, and callable standalone) closes
+    * that window by adopting the newest staging entry.
+    *
+    * Concurrent re-writes of the SAME table (post-round-17 review nit)
+    * are last-writer-wins and cannot destroy each other's DATA: the
+    * staging name carries the write's own version nonce (no shared
+    * staging entry to drop), and GC deletes only the version dir this
+    * write observed as live at entry — never "everything but mine". A
+    * racing loser either fails its rename loudly (the winner's entry
+    * already holds the name) or leaks an interim version dir for the
+    * next write's GC horizon; it never deletes the winner's files.
     *
     * @param table      catalog table name (replaced if present)
     * @param path       external data ROOT (versioned subdirs live here)
@@ -61,24 +104,27 @@ object BucketedTables {
                     path: String, numBuckets: Int, bucketKey: String,
                     sortKeys: Seq[String] = Nil): Unit = {
     val sorts = if (sortKeys.isEmpty) Seq(bucketKey) else sortKeys
+    recoverStaging(spark, table)
     val version = s"v${System.nanoTime()}"
-    val staging = s"${table}__staging"
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val staging = s"${stagingPrefix(table)}$version"
+    // the version dir THIS write supersedes — the only thing its GC may
+    // delete (a concurrent writer's fresh version is never in scope)
+    val prevLoc = tableLocation(spark, table)
     df.repartition(numBuckets, col(bucketKey))
       .write
       .bucketBy(numBuckets, bucketKey)
       .sortBy(sorts.head, sorts.tail: _*)
       .option("path", s"$path/$version")
       .saveAsTable(staging)
-    // the write committed — now swap the catalog entry (external tables
-    // keep their location through a rename) and GC superseded versions
+    // the write committed — swap the catalog entry (external tables keep
+    // their location through a rename; window documented above) and GC
+    // exactly the superseded version
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root).foreach { st =>
-        if (st.getPath.getName != version) fs.delete(st.getPath, true)
-      }
+    prevLoc.foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (p.getName != version && fs.exists(p)) fs.delete(p, true)
+    }
   }
 }

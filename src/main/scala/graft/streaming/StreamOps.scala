@@ -208,7 +208,15 @@ case class ShBucketSeed(bkey: Long, sigs: Array[SigEntry])
   * the retention window; production deployments bound the window with
   * `ttlMs` (the streaming twin of the batch hot-shingle df-cap —
   * "dedup against the last N days", not the unbounded corpus). ttlMs ≤ 0
-  * keeps state forever (the deterministic test configuration). */
+  * keeps state forever (the deterministic test configuration).
+  *
+  * doc_ids are INSERT-ONLY (post-round-17 review, the [[graft.operators
+  * .AnnIndex]] appendWith declaration mirrored here): a doc_id
+  * re-arriving with CHANGED text is dropped as a replay only in the
+  * buckets its OLD fingerprint occupied and would insert as new in the
+  * rest, mixing old and new fingerprints across buckets and suppressing
+  * some pairs — an updated document needs a NEW doc_id (or a TTL'd
+  * window that lets the old fingerprint age out first). */
 class NearDupProcessor(maxHamming: Int, ttlMs: Long = -1L)
   extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
     Long, BandedDoc, (Long, Long, Long), ShBucketSeed] {
@@ -295,7 +303,15 @@ case class MhBucketSeed(bkey: Long, sigs: Array[MhSig])
   * Scale: state volume is numBands entries per retained doc, each one
   * signature array; comparisons stay bucket-local (the stream shuffles
   * once on bkey, exactly like the batch (band, min) equi-join — never
-  * all-pairs against the corpus). */
+  * all-pairs against the corpus).
+  *
+  * doc_ids are INSERT-ONLY (post-round-17 review): a doc_id re-arriving
+  * with CHANGED text drops as a replay only in the buckets its old
+  * signature's band minima landed in, and inserts as new in the rest —
+  * old and new signatures end up mixed across buckets and some pairs
+  * are suppressed. An updated document needs a NEW doc_id (or a TTL'd
+  * window that ages the old signature out first) — the same insert-only
+  * declaration as [[graft.operators.AnnIndex]] appends. */
 class MinHashDupProcessor(maxJaccardDistance: Double, ttlMs: Long = -1L)
   extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
     Long, MhBanded, (Long, Long, Double), MhBucketSeed] {
