@@ -46,9 +46,14 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   /** One implementation for both eval paths (static forwarder for codegen). */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toDoubleArray()
-    val ys = b.toDoubleArray()
+  def compute(a: ArrayData, b: ArrayData): Double =
+    compute(a.toDoubleArray(), b.toDoubleArray())
+
+  /** Same scorer over plain arrays — the streaming semantic-dedup
+    * processor ([[graft.streaming.SemDupProcessor]]) verifies through
+    * THIS implementation, so stream and batch cosines are bit-identical
+    * by construction, not by a mirrored loop. */
+  def compute(xs: Array[Double], ys: Array[Double]): Double = {
     // Fail loudly on ragged input — a truncated similarity is a silent
     // wrong answer in every ANN verify stage built on this expression.
     if (xs.length != ys.length)

@@ -40,6 +40,33 @@ import org.apache.spark.sql.functions._
   * candidate-reduction factor, and determinism. */
 object TrajLsh {
 
+  /** Measured corridor throughput, users · s⁻¹ · core⁻¹ (round 18, r17
+    * verdict ask #7): the PREFLIGHT_r17 ×100 probe ran ~150k users
+    * end-to-end (candidate generation 10.9 s; per-metric verify 6.1–9.4 s
+    * each) on local[32] — ≈ 600 users/s/core for generation + one
+    * verify, vs the exact family's 1.9 µs·core/PAIR (quadratic). Budget
+    * a corridor job as |users| / (CorridorUsersPerSecPerCore ×
+    * parallelism); at ×1000 users (~1.5M) the band join itself becomes
+    * the term to watch — monitor it with the live Observe counters below
+    * (`traj_lsh_candidates` / `traj_lsh_survivors` /
+    * `traj_corridor_survivors`) rather than re-deriving from this
+    * constant, which assumes the measured fixture's selectivity. */
+  val CorridorUsersPerSecPerCore: Double = 600.0
+
+  /** Observed-metric names the corridor surfaces attach (collected from
+    * `QueryExecutionListener.observedMetrics` batch-side, or
+    * `StreamingQueryProgress.observedMetrics`): band-join candidate
+    * fanout, exact-Jaccard survivors, and the metric-verify survivors.
+    * candidates/survivors is the live selectivity — a drift toward 1.0
+    * means the bands stopped pruning (corpus left the corridor regime:
+    * re-tune bandRows/numBands or route to the exact gated tier); a
+    * candidate count growing faster than |users| means a hot bucket
+    * (shared-route crowd) is going quadratic. Zero extra jobs: the
+    * counters ride the joins that produce the data ([[Observe]]). */
+  val CandidatesMetric = "traj_lsh_candidates"
+  val SurvivorsMetric = "traj_lsh_survivors"
+  val CorridorMetric = "traj_corridor_survivors"
+
   /** @param users (user_id, cells: array<int>) — one row per user, the
     *        distinct visited-cell ids (any lattice; callers pick the
     *        resolution that makes "same route" mean "same cells")
@@ -65,6 +92,9 @@ object TrajLsh {
       .filter(col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
       .distinct()
+      // selectivity telemetry (free: rides the verify job) — see the
+      // metric-name scaladoc above for what drift in the ratio means
+      .observe(CandidatesMetric, count(lit(1)).as("n_candidates"))
     cand
       .join(sig.select($"user_id".as("u1"), $"cells".as("c1")), Seq("u1"))
       .join(sig.select($"user_id".as("u2"), $"cells".as("c2")), Seq("u2"))
@@ -76,6 +106,7 @@ object TrajLsh {
       .filter($"j_exact" >= minJaccard)
       .withColumn("jaccard", round($"j_exact", 4))
       .select($"u1", $"u2", $"jaccard")
+      .observe(SurvivorsMetric, count(lit(1)).as("n_survivors"))
       .orderBy($"u1", $"u2")
   }
 
@@ -104,6 +135,7 @@ object TrajLsh {
       .filter(keep(col("metric_exact")))
       .select(($"u1" +: $"u2" +: $"jaccard" +: extraOut :+
         round($"metric_exact", 4).as(outName)): _*)
+      .observe(CorridorMetric, count(lit(1)).as("n_out"))
       .orderBy($"u1", $"u2")
   }
 

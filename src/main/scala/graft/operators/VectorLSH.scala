@@ -56,16 +56,26 @@ object VectorLSH {
         numTables, bucketLen).localCheckpoint(eager = false)
     }
 
+  /** Register (idempotently) the projection family at (numTables,
+    * bucketLen) and return its SQL function name — the SINGLE bucket
+    * derivation shared by the batch candidate joins, the probe path, and
+    * the streaming semantic dedup ([[graft.streaming.StreamOps
+    * .semDedupStreamSeeded]]): one projection matrix, every consumer.
+    * The name is parameter-specific so two widths in one session never
+    * overwrite each other's registration before lazy analysis runs. */
+  def registerBuckets(spark: SparkSession, numTables: Int = DefaultTables,
+                      bucketLen: Double = DefaultBucketLen): String = {
+    val fn = s"brp_buckets_${numTables}_${(bucketLen * 100).toInt}"
+    graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed, fn)
+    fn
+  }
+
   private def buildCandidatesWithVecs(spark: SparkSession, embeddings: DataFrame,
                                       maxEuclideanDistance: Double,
                                       numTables: Int,
                                       bucketLen: Double): DataFrame = {
     import spark.implicits._
-    // Parameter-specific function name: two candidatePairs calls with
-    // different parameters in one session must not overwrite each other's
-    // registration before their (lazy) plan analysis runs.
-    val fn = s"brp_buckets_${numTables}_${(bucketLen * 100).toInt}"
-    graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed, fn)
+    val fn = registerBuckets(spark, numTables, bucketLen)
 
     // Vectors as ARRAY<DOUBLE>, materialized once: the bucket explode and
     // both sides of the verify join reuse them.
@@ -99,8 +109,7 @@ object VectorLSH {
                         numTables: Int = DefaultTables,
                         bucketLen: Double = DefaultBucketLen): DataFrame = {
     import spark.implicits._
-    val fn = s"brp_buckets_${numTables}_${(bucketLen * 100).toInt}"
-    graft.functions.ProjectionLSH.register(spark, numTables, bucketLen, seed, fn)
+    val fn = registerBuckets(spark, numTables, bucketLen)
     val vecs = embeddings
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val buckets = vecs.select($"vec_id",

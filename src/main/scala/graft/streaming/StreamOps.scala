@@ -266,6 +266,91 @@ class NearDupProcessor(maxHamming: Int, ttlMs: Long = -1L)
   }
 }
 
+/** One document embedding entering the streaming semantic-dedup filter. */
+case class EmbIn(doc_id: Long, embedding: Array[Float])
+
+/** [[EmbIn]] exploded to one row per projection table: `bkey` =
+  * xxhash64(table, bucket) — the single-long state key over the SAME
+  * [[graft.operators.VectorLSH]] bucket derivation the batch candidate
+  * join runs (one projection matrix, both consumers); `v` is the
+  * double-cast vector the exact verify scores. */
+case class EmbBanded(bkey: Long, doc_id: Long, v: Array[Double])
+
+/** One (doc, vector) bucket entry of [[SemDupProcessor]]. */
+case class EmbSig(doc_id: Long, v: Array[Double])
+
+/** One bucket of BATCH-corpus seed state for
+  * [[StreamOps.semDedupStreamSeeded]], pre-grouped to one row per key. */
+case class EmbBucketSeed(bkey: Long, sigs: Array[EmbSig])
+
+/** `StatefulProcessor` behind [[StreamOps.semDedupStream]] — the
+  * EMBEDDING twin of [[MinHashDupProcessor]] (round 18, r17 verdict ask
+  * #3): state is one ListState bucket per packed (table, bucket)
+  * projection key; an arriving embedding exact-cosine-verifies against
+  * every stored entry — through the STATIC
+  * [[graft.functions.CosineSim.compute]] the batch expression itself
+  * calls, so stream and batch cosines are bit-identical — and emits
+  * (d1, d2, cos) for pairs at cos ≥ `minCos`, rounded HALF_UP(4) BEFORE
+  * the threshold exactly like the batch `q_dedup_embcos` key
+  * (round-then-filter), then joins the bucket. A pair surfaces once per
+  * shared bucket — callers collect a set/distinct downstream. Same
+  * contracts as the lexical processors: emitted by the second arrival
+  * (order-invariant d1 < d2), replay-dropped and INSERT-ONLY by doc_id
+  * (an updated embedding needs a new doc_id), `ttlMs` bounds retention
+  * under ProcessingTime mode.
+  *
+  * Scale: state is numTables vector copies per retained doc and
+  * comparisons stay bucket-local — the stream shuffles once on bkey,
+  * exactly like the batch (tbl, bkt) equi-join, never all-pairs. */
+class SemDupProcessor(minCos: Double, ttlMs: Long = -1L)
+  extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+    Long, EmbBanded, (Long, Long, Double), EmbBucketSeed] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var bucket: streaming.ListState[EmbSig] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+    val ttl = if (ttlMs > 0) streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+              else streaming.TTLConfig.NONE
+    bucket = getHandle.getListState[EmbSig]("bucket", Encoders.product[EmbSig], ttl)
+  }
+
+  /** Corpus bootstrap ([[StreamOps.semDedupStreamSeeded]]): corpus
+    * vectors land in state before the first micro-batch with no emission
+    * — corpus-corpus pairs belong to the batch path (`q_dedup_embcos` /
+    * [[graft.operators.SemDedup]]). */
+  override def handleInitialState(key: Long, initialState: EmbBucketSeed,
+      timerValues: streaming.TimerValues): Unit =
+    initialState.sigs.foreach(bucket.appendValue)
+
+  override def handleInputRows(key: Long, rows: Iterator[EmbBanded],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    rows.foreach { r =>
+      var present = false
+      val mine = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val it = bucket.get()
+      while (it.hasNext && !present) {
+        val e = it.next()
+        if (e.doc_id == r.doc_id) present = true
+        else {
+          val c = graft.functions.CosineSim.compute(e.v, r.v)
+          // batch parity: q_dedup_embcos rounds with Spark round(_, 4)
+          // (BigDecimal HALF_UP) and thresholds the ROUNDED value
+          val cr = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cr >= minCos)
+            mine += ((math.min(e.doc_id, r.doc_id), math.max(e.doc_id, r.doc_id), cr))
+        }
+      }
+      if (!present) {
+        out ++= mine
+        bucket.appendValue(EmbSig(r.doc_id, r.v))
+      }
+    }
+    out.iterator
+  }
+}
+
 /** One [[DocIn]] exploded to one row per MinHash band: `bkey` =
   * xxhash64(band, band-minimum) — a single long state key per bucket. A
   * bkey collision across distinct (band, min) pairs can only ADD a
@@ -1256,6 +1341,83 @@ object StreamOps {
     mhBanded(docs.toDF())
       .groupByKey(_.bkey)
       .transformWithState(new MinHashDupProcessor(maxJaccardDistance, ttlMs),
+        if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update, seed)
+  }
+
+  /** The vector→bucket derivation shared by the streaming input AND the
+    * batch-corpus seed — [[graft.operators.VectorLSH]]'s OWN registered
+    * projection family (one matrix: batch candidate join, probe path,
+    * stream), doubled-cast exactly like the batch verify sides. */
+  private def embBanded(docs: DataFrame, numTables: Int,
+                        bucketLen: Double): Dataset[EmbBanded] = {
+    import docs.sparkSession.implicits._
+    val fn = graft.operators.VectorLSH
+      .registerBuckets(docs.sparkSession, numTables, bucketLen)
+    docs
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("doc_id"), col("v"),
+        posexplode(expr(s"$fn(v)")).as(Seq("tbl", "bkt")))
+      .select(expr("xxhash64(tbl, bkt)").as("bkey"), col("doc_id"), col("v"))
+      .as[EmbBanded]
+  }
+
+  /** Streaming SEMANTIC near-duplicate dedup (round 18, r17 verdict ask
+    * #3) — the embedding twin of [[minHashDupStream]], catching what the
+    * lexical streams cannot: a PARAPHRASE shares high cosine with its
+    * source at near-zero shingle Jaccard, so it sails through MinHash /
+    * SimHash and only the vector path stops it at ingest. Each arriving
+    * (doc_id, embedding) explodes to its `numTables` random-projection
+    * buckets (the batch [[graft.operators.VectorLSH]] derivation — same
+    * registered projection matrix) and exact-cosine-verifies against the
+    * entries accumulated per bucket; output rows are (d1, d2, cos ≥
+    * minCos) verified pairs, d1 < d2, each cosine computed by the SAME
+    * static kernel as the batch `q_dedup_embcos` key. `numTables`
+    * defaults to the batch key's 12-table operating point (recall-1.0
+    * region for cos ≥ 0.4 on unit-norm 64-dim vectors); `ttlMs` bounds
+    * the dedup window at scale (ProcessingTime mode, as the lexical
+    * streams). */
+  def semDedupStream(docs: Dataset[EmbIn], minCos: Double,
+                     numTables: Int = 12,
+                     bucketLen: Double = graft.operators.VectorLSH.DefaultBucketLen,
+                     ttlMs: Long = -1L): Dataset[(Long, Long, Double)] = {
+    import docs.sparkSession.implicits._
+    embBanded(docs.toDF(), numTables, bucketLen)
+      .groupByKey(_.bkey)
+      .transformWithState(new SemDupProcessor(minCos, ttlMs),
+        if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
+  /** [[semDedupStream]] BOOTSTRAPPED from the batch corpus — the
+    * embedding member of the seeded-dedup family
+    * ([[minHashDupStreamSeeded]] / [[nearDupStreamSeeded]]): `corpus` is
+    * a batch (doc_id, embedding) frame (the `embeddings` table with
+    * vec_id renamed); its bucket entries — derived through the SAME
+    * projection family as the stream input — seed the processor's
+    * ListState via the initial-state handle, so a paraphrase of a corpus
+    * document never seen on-stream is caught in its arrival micro-batch.
+    * Corpus-corpus pairs are NOT emitted (the batch `q_dedup_embcos` /
+    * SemDedup keys own those); corpus docs re-arriving on-stream drop as
+    * doc_id replays. Seed cost: one shuffle of numTables × |corpus|
+    * vector copies on the same bucket-key partitioning the stream itself
+    * uses — never all-pairs. */
+  def semDedupStreamSeeded(docs: Dataset[EmbIn], corpus: DataFrame,
+                           minCos: Double,
+                           numTables: Int = 12,
+                           bucketLen: Double = graft.operators.VectorLSH.DefaultBucketLen,
+                           ttlMs: Long = -1L): Dataset[(Long, Long, Double)] = {
+    import docs.sparkSession.implicits._
+    val seed = embBanded(corpus.select(col("doc_id"), col("embedding")),
+        numTables, bucketLen)
+      .groupBy(col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("v"))).as("sigs"))
+      .as[EmbBucketSeed]
+      .groupByKey(_.bkey)
+    embBanded(docs.toDF(), numTables, bucketLen)
+      .groupByKey(_.bkey)
+      .transformWithState(new SemDupProcessor(minCos, ttlMs),
         if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
         else org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update, seed)

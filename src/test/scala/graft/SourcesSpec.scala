@@ -210,6 +210,111 @@ class SourcesSpec extends BaseSpec {
            docs.select($"doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("compacted streaming sink: fold collapses files, rows survive, reader survives the swap") {
+    // Round 18 (r17 verdict ask #4): SizedWrite.compact closes the
+    // small-files loop of a foreachBatch parquet sink with the
+    // BucketedTables versioned-swap idiom.
+    import graft.operators.SizedWrite
+    val root = Files.createTempDirectory("graft_compact").toString
+    val sink = SizedWrite.sinkBatch(root)
+    // five micro-batches, each deliberately splintered into 4 files
+    (0L until 5L).foreach { b =>
+      sink(spark.range(b * 100, b * 100 + 100).toDF("id")
+        .withColumn("v", $"id" * 2).repartition(4), b)
+    }
+    val v0 = SizedWrite.currentVersion(spark, root).get
+    def dataFiles(dir: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var n = 0
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    assert(dataFiles(s"$root/$v0") == 20, "sanity: 5 batches x 4 splinter files")
+    val before = SizedWrite.readSink(spark, root)
+      .select($"id", $"v").as[(Long, Long)].collect().toSet
+    assert(before.size == 500)
+
+    // a reader whose plan resolved BEFORE the compaction...
+    val preReader = SizedWrite.readSink(spark, root).select($"id")
+
+    val blobFiles = SizedWrite.compact(spark, root, targetBytes = 512L * 1024 * 1024)
+    assert(blobFiles == 1, s"500 tiny rows should fold to one file, got $blobFiles")
+    val v1 = SizedWrite.currentVersion(spark, root).get
+    assert(v1 != v0)
+    // row identity on the DATA columns; ledger invariant on batch_id:
+    // folded rows read the watermark (3), the live batch keeps its id (4)
+    val after = SizedWrite.readSink(spark, root)
+      .select($"id", $"v").as[(Long, Long)].collect().toSet
+    assert(after == before, "compaction changed the data rows")
+    val ids = SizedWrite.readSink(spark, root)
+      .select($"batch_id".cast("long")).as[Long].collect().toSet
+    assert(ids == Set(3L, 4L), s"watermark fold + live batch expected, got $ids")
+    assert(dataFiles(s"$root/$v1") < 20, "file count must collapse")
+    assert(SizedWrite.compactedUpto(spark, root) == 3L)
+
+    // ...still reads intact files: the superseded version is the grace copy
+    assert(preReader.count() == 500, "pre-compaction reader must survive the swap")
+
+    // replay of a FOLDED id is answered by the blob (dropped, not duplicated);
+    // replay of the LIVE id overwrites its own partition exactly-once
+    sink(spark.range(200, 300).toDF("id").withColumn("v", $"id" * 2), 2L)
+    assert(SizedWrite.readSink(spark, root).count() == 500, "folded-id replay duplicated rows")
+    sink(spark.range(400, 500).toDF("id").withColumn("v", $"id" * 2).repartition(2), 4L)
+    assert(SizedWrite.readSink(spark, root).count() == 500, "live-id replay duplicated rows")
+
+    // new batches land beside the blob; a second compact folds them and
+    // GC's the oldest version (grace window = exactly one predecessor)
+    sink(spark.range(500, 600).toDF("id").withColumn("v", $"id" * 2).repartition(4), 5L)
+    sink(spark.range(600, 700).toDF("id").withColumn("v", $"id" * 2).repartition(4), 6L)
+    SizedWrite.compact(spark, root, targetBytes = 512L * 1024 * 1024)
+    val v2 = SizedWrite.currentVersion(spark, root).get
+    assert(SizedWrite.readSink(spark, root).count() == 700)
+    assert(SizedWrite.compactedUpto(spark, root) == 5L)
+    val fsr = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fsr.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v")).toSet
+    assert(versions == Set(v1, v2), s"GC must keep live + one grace copy, got $versions")
+
+    // marker-flip crash windows recover on the next resolve
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$root/$n")
+    assert(fsr.rename(p("_current"), p("_current_old")))
+    assert(SizedWrite.currentVersion(spark, root).contains(v2), "recovery from _current_old")
+    assert(fsr.rename(p("_current"), p("_current_new")))
+    assert(SizedWrite.currentVersion(spark, root).contains(v2), "recovery from _current_new")
+
+    // a sink root is coupled to ONE query's checkpoint lineage: a FRESH
+    // query restarts batch ids at 0, which the watermark correctly treats
+    // as already-durable replays — so the root refuses to double-ingest
+    val input0 = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      MemoryStream[Long]
+    }
+    val q0 = input0.toDF().toDF("id").withColumn("v", $"id" * 2)
+      .writeStream.foreachBatch(SizedWrite.sinkBatch(root)).start()
+    input0.addData(10000L); q0.processAllAvailable(); q0.stop()
+    assert(SizedWrite.readSink(spark, root).count() == 700,
+      "a checkpoint-less restart's batch 0 must drop as a folded replay")
+
+    // end-to-end on a fresh root: the sink function is foreachBatch-shaped
+    val root2 = Files.createTempDirectory("graft_compact2").toString
+    val input = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      MemoryStream[Long]
+    }
+    val q = input.toDF().toDF("id").withColumn("v", $"id" * 2)
+      .writeStream.foreachBatch(SizedWrite.sinkBatch(root2)).start()
+    input.addData(10000L); q.processAllAvailable(); q.stop()
+    assert(SizedWrite.readSink(spark, root2).count() == 1)
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, old rows read null") {
     // The data-lake reality at 100 TB: a column added mid-corpus must not
     // force a rewrite — mergeSchema unions the footers and back-fills null.

@@ -199,6 +199,60 @@ class TrajLshSpec extends BaseSpec {
       s"disjoint corridor leaked: $byPair")
   }
 
+  test("corridor telemetry: candidate/survivor counters ride the join, ratio matches direct truth") {
+    // Round 18 (r17 verdict ask #7): a 100-TB operator watches
+    // selectivity drift through the Observe counters instead of
+    // re-deriving from the CorridorUsersPerSecPerCore constant. The
+    // counters must (a) arrive through the standard listener with zero
+    // extra jobs, (b) agree with directly computed truth, (c) show the
+    // band join actually pruning (candidates ≪ all-pairs).
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new ConcurrentLinkedQueue[Map[String, org.apache.spark.sql.Row]]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (qe.observedMetrics.nonEmpty) seen.add(qe.observedMetrics)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val tracks = graft.queries.Trajectory.tracksFromPoints(spark, corridorFleet())
+        .localCheckpoint(true)
+      val nUsers = tracks.count()
+      val out = TrajLsh.frechetThresholdPairs(spark, tracks, maxKm = 100.0)
+      val nOut = out.count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      def all() = {
+        val it = seen.iterator()
+        var m = Map.empty[String, org.apache.spark.sql.Row]
+        while (it.hasNext) m = m ++ it.next()
+        m
+      }
+      while (System.nanoTime() < deadline &&
+             !Set(TrajLsh.CandidatesMetric, TrajLsh.SurvivorsMetric,
+                  TrajLsh.CorridorMetric).subsetOf(all().keySet))
+        Thread.sleep(50)
+      val m = all()
+      val cands = m(TrajLsh.CandidatesMetric).getAs[Long]("n_candidates")
+      val surv = m(TrajLsh.SurvivorsMetric).getAs[Long]("n_survivors")
+      val corr = m(TrajLsh.CorridorMetric).getAs[Long]("n_out")
+      assert(corr == nOut, s"corridor counter $corr != result rows $nOut")
+      assert(cands >= surv && surv >= corr,
+        s"funnel must be monotone: candidates=$cands survivors=$surv out=$corr")
+      // the funnel's top agrees with directly recomputed band-join truth
+      val directCands = TrajLsh.candidatePairs(spark,
+          tracks.select($"user_id", $"cells"), minJaccard = 0.0)
+        .count() // J >= 0 keeps every distinct band-join candidate
+      assert(cands == directCands,
+        s"candidate counter $cands != direct band-join count $directCands")
+      // and the band join prunes: candidates well under all-pairs
+      val allPairs = nUsers * (nUsers - 1) / 2
+      assert(cands < allPairs / 2,
+        s"band join stopped pruning: $cands of $allPairs all-pairs")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("exact top-k keys refuse past the declared U-squared gate, naming the corridor escape") {
     import graft.queries.Trajectory
     // under the gate: no throw (the probe regime — 11.25e9 pairs on 32 cores)
