@@ -45,11 +45,84 @@ object Betweenness {
     *         (each undirected pair is counted from both endpoints when
     *         both are sources — the standard undirected convention) */
   def run(spark: SparkSession, edges: DataFrame, k: Int = 16,
-          maxDepth: Int = 16, checkEvery: Int = 2): DataFrame = {
+          maxDepth: Int = 16, checkEvery: Int = 2,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val sym = edges.select($"u1".as("src"), $"u2".as("dst"))
       .unionAll(edges.select($"u2".as("src"), $"u1".as("dst")))
       .localCheckpoint(eager = true)
+
+    // Hybrid endgame ([[PageRank]] round-18 discipline): textbook Brandes
+    // per sampled source over a driver adjacency map below the edge
+    // budget. σ stays Long-exact; every δ group sum goes through the SAME
+    // Decimal(38,18) HALF_UP route as the distributed aggregate (decimal
+    // sums are order-independent), so the local path is BIT-IDENTICAL to
+    // the distributed one, not merely close (BetweennessSpec pins both
+    // paths and the across-runs determinism). 0 forces distributed.
+    if (sym.count() <= localThreshold) {
+      val es = sym.as[(Long, Long)].collect()
+      val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val sources = adj.keys.toArray.sorted.take(k)
+      def dec(d: Double): java.math.BigDecimal =
+        new java.math.BigDecimal(java.lang.Double.toString(d))
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+      val bcAcc = scala.collection.mutable.LongMap.empty[java.math.BigDecimal]
+      var globalMax = 0
+      sources.foreach { s =>
+        val dist = scala.collection.mutable.LongMap[Int](s -> 0)
+        val sigma = scala.collection.mutable.LongMap[Long](s -> 1L)
+        var frontier = Array(s)
+        var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          val cand = scala.collection.mutable.LongMap.empty[Long]
+          frontier.foreach { v =>
+            adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+              if (!dist.contains(w))
+                cand(w) = cand.getOrElse(w, 0L) + sigma(v)
+            }
+          }
+          if (cand.nonEmpty && d > maxDepth)
+            throw new IllegalStateException(
+              s"Brandes BFS still had undiscovered vertices after $maxDepth " +
+                "rounds — scores would be truncated; raise maxDepth")
+          cand.foreach { case (w, sg) => dist(w) = d; sigma(w) = sg }
+          frontier = cand.keys.toArray.sorted
+        }
+        val maxLevel = d - 1 // last round discovered nothing
+        globalMax = math.max(globalMax, maxLevel)
+        // backward accumulation, deepest level first; δ defaults to 0
+        val delta = scala.collection.mutable.LongMap.empty[Double]
+        var l = maxLevel - 1
+        while (l >= 1) {
+          dist.foreach { case (v, dv) =>
+            if (dv == l) {
+              var sum: java.math.BigDecimal = null
+              adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+                if (dist.getOrElse(w, -1) == l + 1) {
+                  val term = sigma(v).toDouble / sigma(w) *
+                    (1.0 + delta.getOrElse(w, 0.0))
+                  sum = if (sum == null) dec(term) else sum.add(dec(term))
+                }
+              }
+              if (sum != null) delta(v) = sum.doubleValue
+            }
+          }
+          l -= 1
+        }
+        delta.foreach { case (v, dl) =>
+          bcAcc(v) = bcAcc.get(v) match {
+            case Some(acc) => acc.add(dec(dl))
+            case None => dec(dl)
+          }
+        }
+      }
+      lastIterations = globalMax
+      val out = bcAcc.toSeq.sortBy(_._1)
+        .map { case (v, acc) => (v, acc.doubleValue / 2.0) }
+      return spark.createDataset(out).toDF("id", "bc")
+    }
+
     val sources = sym.select($"src".as("id")).distinct()
       .orderBy($"id").limit(k)
 

@@ -27,15 +27,58 @@ import org.apache.spark.sql.functions._
 object Bfs {
   @volatile var lastIterations: Int = 0
 
+  /** Driver-local frontier loop — the [[ConnectedComponents]] hybrid
+    * endgame applied to BFS (round 18): below `localThreshold` edges the
+    * distributed rounds are pure fixed job overhead (each round ≈ 4 tiny
+    * AQE-materialized exchanges whatever the data size), so the same
+    * layer-synchronous expansion runs over a driver adjacency map. Same
+    * cadence-deferred exit, same lastIterations, identical output set
+    * (integer hop distances have no fp noise; BfsSpec pins set equality
+    * on both paths). */
+  private def runLocal(sym: Array[(Long, Long)], seedIds: Array[Long],
+                       maxHops: Int, checkEvery: Int): (Seq[(Long, Int)], Int) = {
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val visited = scala.collection.mutable.LongMap.empty[Int]
+    seedIds.foreach(visited(_) = 0)
+    var frontier: Array[Long] = seedIds.distinct
+    var d = 0
+    var done = false
+    while (d < maxHops && !done) {
+      d += 1
+      val cadence = d % checkEvery == 0 || d == maxHops
+      val next = frontier.iterator
+        .flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+        .filterNot(visited.contains).toArray.distinct
+      next.foreach(visited(_) = d)
+      frontier = next
+      if (cadence && d < maxHops) done = next.isEmpty
+    }
+    (visited.toSeq.sortBy(_._1), d)
+  }
+
   /** @param edges  undirected pair list (u1, u2), each pair once
     * @param seeds  (id) — distance-0 vertex set
+    * @param localThreshold run the driver-local endgame when the
+    *        symmetrized edge list (and the seed set) is at most this many
+    *        rows; 0 forces distributed rounds (the spec pin)
     * @return (id, dist) for every vertex within `maxHops` of a seed */
   def run(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-          maxHops: Int = 8, checkEvery: Int = 2): DataFrame = {
+          maxHops: Int = 8, checkEvery: Int = 2,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val sym = edges.select($"u1".as("src"), $"u2".as("dst"))
       .unionAll(edges.select($"u2".as("src"), $"u1".as("dst")))
       .localCheckpoint(eager = true)
+
+    if (sym.count() <= localThreshold) {
+      val seedIds = seeds.select($"id".cast("long")).as[Long].collect()
+      if (seedIds.length <= localThreshold) {
+        val (out, d) = runLocal(sym.as[(Long, Long)].collect(), seedIds,
+          maxHops, checkEvery)
+        lastIterations = d
+        return spark.createDataset(out).toDF("id", "dist")
+      }
+    }
 
     var visited = seeds.select($"id", lit(0).as("dist"))
       .localCheckpoint(eager = true)
@@ -70,11 +113,30 @@ object Bfs {
     *
     * @return (src, id, dist) with dist = 0 at each source itself */
   def runFromEach(spark: SparkSession, edges: DataFrame, sources: DataFrame,
-                  maxHops: Int = 8, checkEvery: Int = 2): DataFrame = {
+                  maxHops: Int = 8, checkEvery: Int = 2,
+                  localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val sym = edges.select($"u1".as("sv"), $"u2".as("dst"))
       .unionAll(edges.select($"u2".as("sv"), $"u1".as("dst")))
       .localCheckpoint(eager = true)
+
+    // Hybrid endgame (see [[run]]): per-source BFS over the same driver
+    // adjacency map — Σ reachable pairs is |sources|·|V|-bounded, the same
+    // budget class as the distributed state it replaces.
+    if (sym.count() <= localThreshold) {
+      val srcIds = sources.select($"id".cast("long")).as[Long].collect()
+      if (srcIds.length.toLong * 4 <= localThreshold) {
+        val es = sym.as[(Long, Long)].collect()
+        var maxD = 0
+        val out = srcIds.distinct.sorted.flatMap { s =>
+          val (one, d) = runLocal(es, Array(s), maxHops, checkEvery)
+          maxD = math.max(maxD, d)
+          one.map { case (v, dist) => (s, v, dist) }
+        }
+        lastIterations = maxD
+        return spark.createDataset(out.toSeq).toDF("src", "id", "dist")
+      }
+    }
 
     var visited = sources.select($"id".as("src"), $"id", lit(0).as("dist"))
       .localCheckpoint(eager = true)

@@ -31,11 +31,45 @@ object Coreness {
   /** @param edges undirected pair list (u1, u2), each pair once
     * @return (id, coreness) for every vertex with ≥ 1 edge */
   def run(spark: SparkSession, edges: DataFrame,
-          maxIter: Int = 50, checkEvery: Int = 2): DataFrame = {
+          maxIter: Int = 50, checkEvery: Int = 2,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val sym = edges.select($"u1".as("u"), $"u2".as("v"))
       .unionAll(edges.select($"u2".as("u"), $"u1".as("v")))
       .localCheckpoint(eager = true)
+    // Hybrid endgame ([[PageRank]] round-18 discipline): the identical
+    // h-index iteration over a driver adjacency map below the edge budget
+    // — integer labels, so local ≡ distributed exactly (CorenessSpec pins
+    // both paths). Cadence/throw semantics mirrored; 0 forces distributed.
+    if (sym.count() <= localThreshold) {
+      val es = sym.as[(Long, Long)].collect()
+      val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var labL = adj.view.mapValues(_.length.toLong).toMap
+      var i = 0
+      var done = false
+      while (i < maxIter && !done) {
+        i += 1
+        val cadence = i % checkEvery == 0 || i == maxIter
+        val next = adj.map { case (u, nbrs) =>
+          val sorted = nbrs.map(labL).sortBy(-_)
+          var h = 0L
+          var r = 1
+          while (r <= sorted.length) {
+            if (sorted(r - 1) >= r) h = r.toLong
+            r += 1
+          }
+          u -> h
+        }
+        if (cadence) done = next.forall { case (u, c) => c == labL(u) }
+        labL = next
+      }
+      lastIterations = i
+      if (!done)
+        throw new IllegalStateException(
+          s"h-index coreness did not reach its fixpoint in $maxIter rounds — " +
+            "labels may still over-report core numbers; raise maxIter")
+      return spark.createDataset(labL.toSeq.sortBy(_._1)).toDF("id", "coreness")
+    }
     var lab = sym.groupBy($"u").agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = true)
     var i = 0

@@ -50,8 +50,61 @@ object DBSCAN {
     *        which the sub-grid split engages
     * @return (id, role ∈ {core,border,noise}, cluster: Long — -1 for noise)
     */
+  /** Driver-local role assignment from the collected ε-pair list — the
+    * [[ConnectedComponents]] hybrid-endgame discipline applied to the whole
+    * degrees → core → CC → border → noise tail (round 18): below
+    * `localThreshold` pairs those five frames are each a multi-stage job
+    * over a list that fits in a few MB, so one collect + primitive-map work
+    * replaces ~10 tiny shuffles. Semantics identical by construction:
+    * weighted degrees over the SAME pair list, core = deg ≥ minPts,
+    * cluster = min core pid via union-to-min (the CC label), border = min
+    * neighbouring cluster, noise = the rest (DbscanSpec pins both paths).
+    * Returns (pid, role, cluster) for every position. */
+  private[operators] def rolesLocal(spark: SparkSession,
+                                    pairRows: Array[(Long, Long, Long)],
+                                    posPids: Array[Long],
+                                    minPts: Int): DataFrame = {
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    pairRows.foreach { case (pid, _, w2) => deg(pid) = deg.getOrElse(pid, 0L) + w2 }
+    val core = scala.collection.mutable.LongMap.empty[Boolean]
+    deg.foreach { case (pid, d) => if (d >= minPts) core(pid) = true }
+    // union-to-min over core-core pairs: label = min core pid (the CC label)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairRows.foreach { case (a, b, _) =>
+      if (a != b && core.contains(a) && core.contains(b)) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    // border: min neighbouring cluster over pairs whose pid2 side is core
+    val borderMin = scala.collection.mutable.LongMap.empty[Long]
+    pairRows.foreach { case (pid, pid2, _) =>
+      if (!core.contains(pid) && core.contains(pid2)) {
+        val cl = find(pid2)
+        borderMin(pid) = math.min(borderMin.getOrElse(pid, Long.MaxValue), cl)
+      }
+    }
+    val out = posPids.sorted.map { pid =>
+      if (core.contains(pid)) (pid, "core", find(pid))
+      else borderMin.get(pid) match {
+        case Some(cl) => (pid, "border", cl)
+        case None => (pid, "noise", -1L)
+      }
+    }
+    import spark.implicits._
+    spark.createDataset(out.toSeq).toDF("pid", "role", "cluster")
+  }
+
   def run(spark: SparkSession, pts: DataFrame, eps: Double, minPts: Int,
-          hotCellPositions: Long = 100000L): DataFrame = {
+          hotCellPositions: Long = 100000L,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val p = pts.select($"id".cast("long"), $"x".cast("double"), $"y".cast("double"))
 
@@ -122,6 +175,21 @@ object DBSCAN {
     // degrees, core edges, and border assignment — materialize once.
     val pairs = coldPairs.unionAll(hotPairs)
       .localCheckpoint(eager = false)
+
+    // Hybrid endgame: the whole role-assignment tail goes driver-local
+    // below the pair budget (see [[rolesLocal]]); the data-sized stages —
+    // contraction, pair generation, and the final point expansion — stay
+    // distributed at every scale.
+    if (pairs.count() <= localThreshold) {
+      val pairRows = pairs.as[(Long, Long, Long)].collect()
+      val posPids = positions.select($"pid").as[Long].collect()
+      if (posPids.length <= localThreshold) {
+        val roles = rolesLocal(spark, pairRows, posPids, minPts)
+        return p.join(positions.select($"x", $"y", $"pid"), Seq("x", "y"))
+          .join(roles, Seq("pid"))
+          .select($"id", $"role", $"cluster")
+      }
+    }
 
     // Weighted degree: each point at position pid has |N_ε| = Σ w2 over the
     // ε-reachable positions (the self-pair contributes the colocated count).

@@ -43,16 +43,54 @@ object LabelProp {
     * @return (id, label) for every vertex in `edges`; vertices sharing a
     *         label are one community */
   def run(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
-          checkEvery: Int = 3): DataFrame =
-    runCounted(spark, edges, iterations, checkEvery)._1
+          checkEvery: Int = 3, localThreshold: Long = 1L << 20): DataFrame =
+    runCounted(spark, edges, iterations, checkEvery, localThreshold)._1
 
   /** As [[run]], also returning the number of rounds actually executed
     * (< `iterations` when the labelling reached a fixpoint early). */
   def runCounted(spark: SparkSession, edges: DataFrame,
-                 iterations: Int = 10, checkEvery: Int = 3): (DataFrame, Int) = {
+                 iterations: Int = 10, checkEvery: Int = 3,
+                 localThreshold: Long = 1L << 20): (DataFrame, Int) = {
     import spark.implicits._
     val e = edges.select($"src".cast("long"), $"dst".cast("long"))
       .localCheckpoint(eager = true)
+    // Hybrid endgame ([[PageRank]] round-18 discipline): the identical
+    // synchronous plurality rounds over driver maps below the edge budget
+    // — integer labels with the same min-label tie rule, so local ≡
+    // distributed exactly (LabelPropSpec pins both paths). Cadence exit
+    // mirrored; 0 forces distributed rounds.
+    if (e.count() <= localThreshold) {
+      val es = e.as[(Long, Long)].collect()
+      val inNbrs = es.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val ids = es.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct.sorted
+      var labL = ids.map(v => v -> v).toMap
+      var i = 0
+      var stable = false
+      while (i < iterations && !stable) {
+        i += 1
+        val cadence = i % checkEvery == 0 || i == iterations
+        var changed = false
+        val next = ids.map { v =>
+          inNbrs.get(v) match {
+            case None => v -> labL(v)
+            case Some(nbrs) =>
+              val counts = scala.collection.mutable.LongMap.empty[Long]
+              nbrs.foreach { u =>
+                val l = labL(u); counts(l) = counts.getOrElse(l, 0L) + 1L
+              }
+              // plurality, ties to the SMALLEST label: max over (cnt, -label)
+              val win = counts.iterator.maxBy { case (l, c) => (c, -l) }._1
+              if (win != labL(v)) changed = true
+              v -> win
+          }
+        }.toMap
+        if (cadence && i < iterations) stable = !changed
+        labL = next
+      }
+      lastIterations = i
+      return (spark.createDataset(ids.toSeq.map(v => (v, labL(v))))
+        .toDF("id", "label"), i)
+    }
     val verts = e.select($"src".as("id")).unionAll(e.select($"dst".as("id")))
       .distinct().localCheckpoint(eager = true)
 

@@ -45,6 +45,19 @@ object PageRank {
     *        across its out-edges ∝ w/Σw (the classic weighted PageRank)
     *        instead of uniformly — the unweighted path is exactly the
     *        weighted one with w ≡ 1, and PageRankSpec pins that identity.
+    * @param localThreshold finish DRIVER-LOCAL when the materialized edge
+    *        list has at most this many rows — the [[ConnectedComponents]]
+    *        hybrid-endgame discipline applied to the power iteration
+    *        (round 18, guide §1.2: on a contracted graph the loop cost is
+    *        fixed per-round job overhead, not data volume; each distributed
+    *        round is ~6 tiny AQE-materialized exchanges regardless of
+    *        size). The local kernel runs the SAME update equations over
+    *        primitive arrays (PageRankSpec pins node-wise 1e-9 equality on
+    *        both paths), edges sorted (src, dst, w) first so summation
+    *        order — hence the output — is run-deterministic. Driver cost:
+    *        three 8 B/edge arrays + the transient collected rows, well
+    *        under 100 MB at the 1M default; 0 forces pure distributed
+    *        rounds (the spec pin for the cadence/job-count properties).
     * @param tol L1 convergence tolerance, checked every `checkEvery`
     *        rounds: the loop ends once Σ|rankᵢ − rankᵢ₋₁| < tol (an agg
     *        over the just-checkpointed per-vertex frame — near-free next
@@ -63,20 +76,79 @@ object PageRank {
     * @return (id, rank) for every vertex appearing in `edges`, Σrank = 1 */
   def run(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
           iterations: Int = 15, tol: Double = 1e-7,
-          checkEvery: Int = 3, weighted: Boolean = false): DataFrame =
-    runCounted(spark, edges, damping, iterations, tol, checkEvery, weighted)._1
+          checkEvery: Int = 3, weighted: Boolean = false,
+          localThreshold: Long = 1L << 20): DataFrame =
+    runCounted(spark, edges, damping, iterations, tol, checkEvery, weighted,
+      localThreshold)._1
+
+  /** Driver-local power iteration over primitive arrays — the hybrid
+    * endgame kernel. Mirrors the distributed semantics exactly: same
+    * update equations, same dangling redistribution, same cadence L1
+    * early-exit (checked at i % checkEvery == 0, i < cap). */
+  private def runLocal(spark: SparkSession, rows: Array[(Long, Long, Double)],
+                       damping: Double, iterations: Int, tol: Double,
+                       checkEvery: Int): (DataFrame, Int) = {
+    import spark.implicits._
+    // Deterministic summation order: collected partition order varies run
+    // to run; the sort pins it (the distributed path's noise floor is the
+    // declared ~1e-15; the local path simply has none).
+    val es = rows.sortBy(e => (e._1, e._2, e._3))(Ordering.Tuple3(
+      Ordering.Long, Ordering.Long, Ordering.Double.TotalOrdering))
+    val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
+    val n = ids.length.toDouble
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    ids.zipWithIndex.foreach { case (v, i) => idx(v) = i }
+    val outDeg = new Array[Double](ids.length)
+    es.foreach { case (s, _, w) => outDeg(idx(s)) += w }
+    var rank = Array.fill(ids.length)(1.0 / n)
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
+      var danglingMass = 0.0
+      var v = 0
+      while (v < ids.length) {
+        if (outDeg(v) == 0.0) danglingMass += rank(v); v += 1
+      }
+      val in = new Array[Double](ids.length)
+      es.foreach { case (s, d, w) =>
+        val si = idx(s); in(idx(d)) += rank(si) / outDeg(si) * w
+      }
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      val next = Array.tabulate(ids.length)(v => base + damping * in(v))
+      i += 1
+      if (tol > 0 && (i % checkEvery == 0) && i < iterations) {
+        var l1 = 0.0
+        v = 0
+        while (v < ids.length) { l1 += math.abs(next(v) - rank(v)); v += 1 }
+        converged = l1 < tol
+      }
+      rank = next
+    }
+    (spark.createDataset(ids.toSeq.map(v => (v, rank(idx(v)))))
+      .toDF("id", "rank"), i)
+  }
 
   /** As [[run]], also returning the number of iterations actually executed
     * (< `iterations` when the L1 certificate ended the loop early). */
   def runCounted(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
                  iterations: Int = 15, tol: Double = 1e-7,
-                 checkEvery: Int = 3, weighted: Boolean = false): (DataFrame, Int) = {
+                 checkEvery: Int = 3, weighted: Boolean = false,
+                 localThreshold: Long = 1L << 20): (DataFrame, Int) = {
     import spark.implicits._
     val e = (if (weighted)
         edges.select($"src".cast("long"), $"dst".cast("long"), $"w".cast("double"))
       else
         edges.select($"src".cast("long"), $"dst".cast("long"), lit(1.0).as("w")))
       .localCheckpoint(eager = true)
+    // Hybrid endgame (see `localThreshold` scaladoc): the edge count is a
+    // count over just-cached blocks — the frame every downstream branch
+    // needs materialized anyway.
+    if (e.count() <= localThreshold) {
+      val rows = e.as[(Long, Long, Double)].collect()
+      val (out, it) = runLocal(spark, rows, damping, iterations, tol, checkEvery)
+      lastIterations = it
+      return (out, it)
+    }
     val verts = e.select($"src".as("id")).unionAll(e.select($"dst".as("id")))
       .distinct().localCheckpoint(eager = true)
     val n = verts.count().toDouble

@@ -45,7 +45,8 @@ object Scc {
     * @throws IllegalStateException if the closure fixpoint is not reached
     *         within `maxIter` doubling rounds, or |V| > `maxVertices` */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-          maxIter: Int = 20, maxVertices: Long = 10000L): DataFrame = {
+          maxIter: Int = 20, maxVertices: Long = 10000L,
+          localThreshold: Long = 2000L): DataFrame = {
     import spark.implicits._
     val nV = vertices.count()
     if (nV > maxVertices)
@@ -54,6 +55,77 @@ object Scc {
           s"$maxVertices — this operator is declared for lattice-bounded " +
           "universes; decompose data-sized graphs with Forward-Backward instead")
 
+    // Hybrid endgame ([[PageRank]] round-18 discipline), gated on |V| (the
+    // closure is |V|²-bounded, and the bitset squaring is |V|³/64 work —
+    // ~1.2e8 word-ops at the 2000 default): the IDENTICAL path-doubling
+    // rounds over driver bitsets, same count-equality fixpoint, same
+    // maxIter throw, mutual = closure ∧ transpose, label = min mutual
+    // partner. Integer-exact, so local ≡ distributed (SccSpec pins both
+    // paths); 0 forces distributed rounds.
+    if (nV <= localThreshold) {
+      val vset = vertices.select($"id".cast("long")).as[Long].collect()
+      val es = edges.select($"src".cast("long"), $"dst".cast("long"))
+        .as[(Long, Long)].collect()
+        .filter { case (s, d) => s != d }
+        .distinct
+      // The matrix universe is vertices ∪ edge endpoints: an endpoint
+      // outside `vertices` still carries reachability between vertices
+      // (and can be the min mutual partner), exactly as in the
+      // distributed closure.
+      val vs = (vset ++ es.flatMap(p => Seq(p._1, p._2))).distinct.sorted
+      if (vs.length > localThreshold)
+        return runDistributed(spark, vertices, edges, maxIter)
+      val idx = scala.collection.mutable.LongMap.empty[Int]
+      vs.zipWithIndex.foreach { case (v, i) => idx(v) = i }
+      val n = vs.length
+      val reach = Array.fill(n)(new java.util.BitSet(n))
+      es.foreach { case (s, d) => reach(idx(s)).set(idx(d)) }
+      var prev = es.length.toLong
+      var i = 0
+      var done = prev == 0L
+      while (i < maxIter && !done) {
+        i += 1
+        // R ∪ (R ∘ R): for every u, fold in the rows of its reachable set
+        val next = Array.tabulate(n) { u =>
+          val row = reach(u).clone().asInstanceOf[java.util.BitSet]
+          var v = reach(u).nextSetBit(0)
+          while (v >= 0) {
+            row.or(reach(v)); v = reach(u).nextSetBit(v + 1)
+          }
+          row.clear(u) // src =!= dst filter
+          row
+        }
+        var cnt = 0L
+        next.foreach(cnt += _.cardinality())
+        done = cnt == prev
+        prev = cnt
+        var u = 0
+        while (u < n) { reach(u) = next(u); u += 1 }
+      }
+      lastIterations = i
+      if (!done)
+        throw new IllegalStateException(
+          s"SCC path-doubling closure did not reach its fixpoint in $maxIter " +
+            "rounds — the mutual-pair set may be incomplete; raise maxIter")
+      val out = vset.sorted.map { v =>
+        val u = idx(v)
+        var mm = v
+        var w = reach(u).nextSetBit(0)
+        while (w >= 0) {
+          if (reach(w).get(u) && vs(w) < mm) mm = vs(w)
+          w = reach(u).nextSetBit(w + 1)
+        }
+        (v, math.min(v, mm))
+      }
+      return spark.createDataset(out.toSeq).toDF("id", "scc_id")
+    }
+
+    runDistributed(spark, vertices, edges, maxIter)
+  }
+
+  private def runDistributed(spark: SparkSession, vertices: DataFrame,
+                             edges: DataFrame, maxIter: Int): DataFrame = {
+    import spark.implicits._
     var r = edges.select($"src", $"dst")
       .filter($"src" =!= $"dst").distinct()
       .localCheckpoint(eager = true)

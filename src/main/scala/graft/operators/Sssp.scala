@@ -39,11 +39,54 @@ object Sssp {
     * @throws IllegalStateException if relaxation has not reached its
     *         fixpoint within `maxIter` rounds (raise it for deep graphs) */
   def run(spark: SparkSession, edges: DataFrame, source: Long,
-          maxIter: Int = 20, checkEvery: Int = 2): DataFrame = {
+          maxIter: Int = 20, checkEvery: Int = 2,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val e = edges.select($"src".cast("long"), $"dst".cast("long"),
         $"w".cast("double"))
       .localCheckpoint(eager = true)
+    // Hybrid endgame ([[PageRank]] round-18 discipline): the same
+    // Bellman-Ford rounds over a driver adjacency map when the edge list
+    // is small — min-relaxation over doubles is order-independent, so the
+    // local path is bit-identical to the distributed one (SsspSpec pins
+    // both). Cadence/throw semantics mirrored exactly; 0 forces
+    // distributed rounds.
+    if (e.count() <= localThreshold) {
+      val es = e.as[(Long, Long, Double)].collect()
+      val adj = es.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+      val dist = scala.collection.mutable.LongMap[Double](source -> 0.0)
+      var i = 0
+      var converged = false
+      while (i < maxIter && !converged) {
+        i += 1
+        val cadence = i % checkEvery == 0 || i == maxIter
+        var improved = 0L
+        val next = dist.clone()
+        dist.foreach { case (u, du) =>
+          adj.getOrElse(u, Array.empty[(Long, Double)]).foreach { case (v, w) =>
+            val cand = du + w
+            if (!next.contains(v) || cand < next(v)) {
+              next(v) = math.min(cand, next.getOrElse(v, Double.MaxValue))
+            }
+          }
+        }
+        next.foreach { case (v, d2) =>
+          dist.get(v) match {
+            case None => improved += 1
+            case Some(p) => if (d2 < p) improved += 1
+          }
+        }
+        if (cadence) converged = improved == 0L
+        next.foreach { case (v, d2) => dist(v) = d2 }
+        // (assignment above keeps `dist` = round-i tentative distances)
+      }
+      lastIterations = i
+      if (!converged)
+        throw new IllegalStateException(
+          s"SSSP relaxation did not reach its fixpoint in $maxIter rounds — " +
+            "tentative distances may still decrease; raise maxIter")
+      return spark.createDataset(dist.toSeq.sortBy(_._1)).toDF("id", "d")
+    }
     var dist = Seq((source, 0.0)).toDF("id", "d")
     var i = 0
     var converged = false

@@ -42,7 +42,8 @@ object StDbscan {
     * @return (id, role ∈ {core,border,noise}, cluster: Long — -1 for noise)
     */
   def run(spark: SparkSession, pts: DataFrame,
-          eps: Double, epsT: Double, minPts: Int): DataFrame = {
+          eps: Double, epsT: Double, minPts: Int,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val p = pts.select($"id".cast("long"), $"x".cast("double"),
       $"y".cast("double"), $"t".cast("double"))
@@ -81,6 +82,23 @@ object StDbscan {
       .filter(inReach)
       .select($"pid", $"pid2", $"w2")
       .localCheckpoint(eager = false)
+
+    // Hybrid endgame — the identical role-assignment tail shared with
+    // [[DBSCAN.rolesLocal]] goes driver-local below the pair budget
+    // (round 18); contraction, the 3-D cell pair join, and the final
+    // point expansion stay distributed at every scale. StDbscanSpec pins
+    // both paths node-wise.
+    if (pairs.count() <= localThreshold) {
+      val pairRows = pairs.as[(Long, Long, Long)].collect()
+      val posPids = positions.select($"pid").as[Long].collect()
+      if (posPids.length <= localThreshold) {
+        val roles = DBSCAN.rolesLocal(spark, pairRows, posPids, minPts)
+        return p.join(positions.select($"x", $"y", $"t", $"pid"),
+            Seq("x", "y", "t"))
+          .join(roles, Seq("pid"))
+          .select($"id", $"role", $"cluster")
+      }
+    }
 
     val degrees = pairs.groupBy($"pid").agg(sum($"w2").as("deg"))
     val core = degrees.filter($"deg" >= minPts).select($"pid".as("core_pid"))

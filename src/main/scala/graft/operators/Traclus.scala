@@ -102,7 +102,8 @@ object Traclus {
     * @return (sid, user_id, role ∈ {core,border,noise,transit},
     *         cluster — -1 for noise/transit) */
   def run(spark: SparkSession, segs: DataFrame, epsKm: Double, minLns: Int,
-          minUsers: Int = 1, maxSegKm: Double = Double.MaxValue): DataFrame = {
+          minUsers: Int = 1, maxSegKm: Double = Double.MaxValue,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     TraclusFns.register(spark)
     val cell = 5.0 * epsKm // the ε√5 + cell/2 < cell cover bound (scaladoc)
@@ -156,6 +157,71 @@ object Traclus {
       .filter($"sid1" < $"sid2" && expr(s"traclus_dist(seg1, seg2) <= $epsKm"))
       .select($"sid1", $"sid2").distinct()
       .localCheckpoint(eager = false)
+
+    // Hybrid endgame ([[DBSCAN.rolesLocal]] discipline, round 18): the
+    // whole density-grouping tail — degrees, core set, CC, border, the
+    // §4.2 trajectory-cardinality filter, noise — runs driver-local below
+    // the pair budget; MDL partitioning, the grid pair join and the exact
+    // ε-filter stay distributed at every scale. TraclusSpec pins both
+    // paths against the brute-force reference.
+    if (pairs.count() <= localThreshold) {
+      val pr = pairs.as[(Long, Long)].collect()
+      val sids = s.select($"sid", $"user_id").as[(Long, Long)].collect()
+      if (sids.length <= localThreshold) {
+        val nbrs = scala.collection.mutable.LongMap.empty[Long] // deg-1
+        pr.foreach { case (a, b) =>
+          nbrs(a) = nbrs.getOrElse(a, 0L) + 1L
+          nbrs(b) = nbrs.getOrElse(b, 0L) + 1L
+        }
+        val coreSet = scala.collection.mutable.LongMap.empty[Boolean]
+        sids.foreach { case (sid, _) =>
+          if (nbrs.getOrElse(sid, 0L) + 1L >= minLns) coreSet(sid) = true
+        }
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        pr.foreach { case (a, b) =>
+          if (coreSet.contains(a) && coreSet.contains(b)) {
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+        }
+        val borderMin = scala.collection.mutable.LongMap.empty[Long]
+        def noteBorder(sid: Long, nb: Long): Unit =
+          if (!coreSet.contains(sid) && coreSet.contains(nb)) {
+            val cl = find(nb)
+            borderMin(sid) = math.min(borderMin.getOrElse(sid, Long.MaxValue), cl)
+          }
+        pr.foreach { case (a, b) => noteBorder(a, b); noteBorder(b, a) }
+        // §4.2 cardinality filter: distinct users per cluster (core+border)
+        val users = scala.collection.mutable.LongMap.empty[scala.collection.mutable.Set[Long]]
+        def clusterOf(sid: Long): Long =
+          if (coreSet.contains(sid)) find(sid)
+          else borderMin.getOrElse(sid, -1L)
+        sids.foreach { case (sid, u) =>
+          val cl = clusterOf(sid)
+          if (cl >= 0L && (coreSet.contains(sid) || borderMin.contains(sid)))
+            users.getOrElseUpdate(cl, scala.collection.mutable.Set.empty) += u
+        }
+        val keepCl = users.filter(_._2.size >= minUsers).keySet
+        val out = sids.sortBy(_._1).map { case (sid, u) =>
+          if (coreSet.contains(sid) && keepCl.contains(find(sid)))
+            (sid, u, "core", find(sid))
+          else if (!coreSet.contains(sid) && borderMin.contains(sid) &&
+                   keepCl.contains(borderMin(sid)))
+            (sid, u, "border", borderMin(sid))
+          else (sid, u, "noise", -1L)
+        }
+        return spark.createDataset(out.toSeq)
+          .toDF("sid", "user_id", "role", "cluster")
+          .unionAll(transit)
+      }
+    }
 
     // Density roles over the symmetric neighbor relation (+1 = self).
     val deg = pairs.select($"sid1".as("sid"))

@@ -9,8 +9,9 @@ class BfsSpec extends BaseSpec {
   import spark.implicits._
 
   private def dists(es: Seq[(Long, Long)], seeds: Seq[Long],
-                    maxHops: Int = 8): Map[Long, Int] =
-    Bfs.run(spark, es.toDF("u1", "u2"), seeds.toDF("id"), maxHops)
+                    maxHops: Int = 8, thr: Long = 1L << 20): Map[Long, Int] =
+    Bfs.run(spark, es.toDF("u1", "u2"), seeds.toDF("id"), maxHops,
+        localThreshold = thr)
       .as[(Long, Int)].collect().toMap
 
   /** Queue BFS reference over the symmetric adjacency. */
@@ -36,9 +37,13 @@ class BfsSpec extends BaseSpec {
       val es = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }.distinct
       val seeds = Seq.fill(3)(rnd.nextInt(n).toLong).distinct
-      val got = dists(es, seeds)
       val exp = reference(es, seeds, 8)
-      assert(got == exp, s"trial $trial: $got vs $exp")
+      // both the driver-local endgame (default threshold) and the
+      // distributed rounds (thr = 0) must match the reference exactly
+      for (thr <- Seq(1L << 20, 0L)) {
+        val got = dists(es, seeds, thr = thr)
+        assert(got == exp, s"trial $trial thr=$thr: $got vs $exp")
+      }
     }
   }
 

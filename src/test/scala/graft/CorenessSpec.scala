@@ -29,9 +29,11 @@ class CorenessSpec extends BaseSpec {
     core.toMap
   }
 
-  private def runOp(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def runOp(edges: Seq[(Long, Long)],
+                    thr: Long = 1L << 20): Map[Long, Long] = {
     val e = edges.toDF("u1", "u2")
-    graft.operators.Coreness.run(spark, e).as[(Long, Long)].collect().toMap
+    graft.operators.Coreness.run(spark, e, localThreshold = thr)
+      .as[(Long, Long)].collect().toMap
   }
 
   test("planted shapes: clique+pendant, path, two cliques sharing a vertex") {
@@ -44,9 +46,12 @@ class CorenessSpec extends BaseSpec {
     // K4 and K3 sharing vertex 4: K4 side 3, K3 side 2, the shared vertex 3
     val shared = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L), (4L, 6L), (5L, 6L))
-    val got = runOp(shared)
-    assert(got == peel(shared))
-    assert(got(4L) == 3L && got(5L) == 2L && got(6L) == 2L)
+    // both the driver-local endgame and the distributed rounds (thr = 0)
+    for (thr <- Seq(1L << 20, 0L)) {
+      val got = runOp(shared, thr)
+      assert(got == peel(shared), s"thr=$thr")
+      assert(got(4L) == 3L && got(5L) == 2L && got(6L) == 2L, s"thr=$thr")
+    }
   }
 
   test("fixture co-traveler graph matches the driver peel; h-index law holds") {

@@ -30,10 +30,12 @@ class LabelPropSpec extends BaseSpec {
     lab
   }
 
-  private def sparkLp(edges: Seq[(Long, Long)], iterations: Int = 10) = {
+  private def sparkLp(edges: Seq[(Long, Long)], iterations: Int = 10,
+                      thr: Long = 1L << 20) = {
     import spark.implicits._
     val sym = edges ++ edges.map { case (a, b) => (b, a) }
-    LabelProp.run(spark, sym.toDF("src", "dst"), iterations)
+    LabelProp.run(spark, sym.toDF("src", "dst"), iterations,
+        localThreshold = thr)
       .as[(Long, Long)].collect().toMap
   }
 
@@ -58,9 +60,12 @@ class LabelPropSpec extends BaseSpec {
     val cross = for (_ <- 1 to 5) yield (rnd.nextInt(20).toLong, 50L + rnd.nextInt(20))
     val edges = (intra ++ cross).filter { case (a, b) => a != b }
     val ref = refLp(edges, 10)
-    val got = sparkLp(edges, 10)
-    assert(got == ref,
-      s"diff=${(got.toSet -- ref.toSet).take(5)} / ${(ref.toSet -- got.toSet).take(5)}")
+    // both the driver-local endgame and the distributed rounds (thr = 0)
+    for (thr <- Seq(1L << 20, 0L)) {
+      val got = sparkLp(edges, 10, thr)
+      assert(got == ref,
+        s"thr=$thr diff=${(got.toSet -- ref.toSet).take(5)} / ${(ref.toSet -- got.toSet).take(5)}")
+    }
   }
 
   test("fixpoint early-exit: a clique stops before the cap, labels unchanged") {

@@ -24,18 +24,26 @@ class PageRankSpec extends BaseSpec {
     rank
   }
 
-  test("distributed ranks equal the reference on a graph with dangling nodes") {
+  test("both paths' ranks equal the reference on a graph with dangling nodes") {
     // star (1 -> 2,3,4), a chain into it, a 2-cycle, and dangling sink 9.
+    // Run the SAME graph through the local endgame (default threshold) and
+    // the pure distributed rounds (localThreshold = 0): both must match the
+    // reference node-wise — the hybrid cannot change what the key computes.
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 1L), (6L, 5L),
                     (7L, 8L), (8L, 7L), (4L, 9L))
-    val got = PageRank.run(spark, edges.toDF("src", "dst"))
-      .as[(Long, Double)].collect().toMap
     val want = reference(edges, 0.85, 15)
-    assert(got.keySet == want.keySet)
-    got.foreach { case (v, r) =>
-      assert(math.abs(r - want(v)) < 1e-9, s"node $v: got $r want ${want(v)}")
+    for (thr <- Seq(1L << 20, 0L)) {
+      val got = PageRank.run(spark, edges.toDF("src", "dst"),
+          localThreshold = thr)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-9,
+          s"thr=$thr node $v: got $r want ${want(v)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9,
+        s"thr=$thr sum=${got.values.sum}")
     }
-    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
   }
 
   /** Reference WEIGHTED iteration: rank splits ∝ w/Σw out-weights. */
@@ -57,18 +65,25 @@ class PageRankSpec extends BaseSpec {
 
   test("weighted ranks equal the weighted reference; heavy ties attract rank") {
     // hub 1 points at 2 (weight 9) and 3 (weight 1) — 2 must absorb 9×
-    // the split mass; plus a weighted cycle and a dangling sink
+    // the split mass; plus a weighted cycle and a dangling sink. Both the
+    // local endgame and the distributed rounds must match the reference.
     val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 2.0),
                     (3L, 1L, 0.5), (2L, 4L, 1.0))
-    val got = PageRank.run(spark, edges.toDF("src", "dst", "w"), weighted = true)
-      .as[(Long, Double)].collect().toMap
     val want = referenceW(edges, 0.85, 15)
-    assert(got.keySet == want.keySet)
-    got.foreach { case (v, r) =>
-      assert(math.abs(r - want(v)) < 1e-9, s"node $v: got $r want ${want(v)}")
+    for (thr <- Seq(1L << 20, 0L)) {
+      val got = PageRank.run(spark, edges.toDF("src", "dst", "w"),
+          weighted = true, localThreshold = thr)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-9,
+          s"thr=$thr node $v: got $r want ${want(v)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9,
+        s"thr=$thr sum=${got.values.sum}")
+      assert(got(2L) > got(3L),
+        s"the weight-9 neighbor must outrank the weight-1: $got")
     }
-    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
-    assert(got(2L) > got(3L), s"the weight-9 neighbor must outrank the weight-1: $got")
   }
 
   test("weighted with w ≡ 1 is the unweighted ranking exactly") {
@@ -142,8 +157,11 @@ class PageRankSpec extends BaseSpec {
     }
     def measure(checkEvery: Int): Int = {
       jobs.set(0)
+      // localThreshold = 0 pins the DISTRIBUTED rounds — the cadence
+      // amortization is a distributed-path property; the default-threshold
+      // local endgame would trivialize both sides of the comparison.
       val (df, iters) = PageRank.runCounted(spark, edges, iterations = 9,
-        tol = 0, checkEvery = checkEvery)
+        tol = 0, checkEvery = checkEvery, localThreshold = 0L)
       df.count() // materialize the final (already-checkpointed) frame
       assert(iters == 9)
       settled()

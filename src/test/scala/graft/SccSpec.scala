@@ -56,10 +56,11 @@ class SccSpec extends BaseSpec {
     comp.toMap
   }
 
-  private def runScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def runScc(edges: Seq[(Long, Long)],
+                     thr: Long = 2000L): Map[Long, Long] = {
     val e = edges.toDF("src", "dst")
     val v = e.select($"src".as("id")).unionAll(e.select($"dst".as("id"))).distinct()
-    graft.operators.Scc.run(spark, v, e)
+    graft.operators.Scc.run(spark, v, e, localThreshold = thr)
       .as[(Long, Long)].collect().toMap
   }
 
@@ -68,8 +69,12 @@ class SccSpec extends BaseSpec {
     // bridge must NOT merge them (the mistake an undirected CC would make)
     val bridged = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
       (10L, 11L), (11L, 12L), (12L, 10L))
-    assert(runScc(bridged) == tarjan(bridged, Set(1L, 2L, 3L, 10L, 11L, 12L)))
-    assert(runScc(bridged).values.toSet.size == 2)
+    // both the driver-local bitset closure and the distributed rounds
+    for (thr <- Seq(2000L, 0L)) {
+      assert(runScc(bridged, thr) == tarjan(bridged, Set(1L, 2L, 3L, 10L, 11L, 12L)),
+        s"thr=$thr")
+      assert(runScc(bridged, thr).values.toSet.size == 2, s"thr=$thr")
+    }
     // a pure DAG: every vertex its own singleton SCC
     val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
     assert(runScc(dag) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))

@@ -9,9 +9,10 @@ class SsspSpec extends BaseSpec {
   import spark.implicits._
 
   private def run(es: Seq[(Long, Long, Double)], source: Long,
-                  maxIter: Int = 20): Map[Long, Double] =
+                  maxIter: Int = 20, thr: Long = 1L << 20): Map[Long, Double] =
     Sssp.run(spark,
-        es.toDF("src", "dst", "w"), source, maxIter = maxIter)
+        es.toDF("src", "dst", "w"), source, maxIter = maxIter,
+        localThreshold = thr)
       .as[(Long, Double)].collect().toMap
 
   /** Textbook Dijkstra over an adjacency map. */
@@ -42,13 +43,18 @@ class SsspSpec extends BaseSpec {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
          (rnd.nextInt(9) + 1) / 4.0)
       }.filter { case (a, b, _) => a != b }
-      val got = run(es, 0L)
       val want = dijkstra(es, 0L)
-      assert(got.keySet == want.keySet,
-        s"trial $trial reachable sets differ: extra=${got.keySet -- want.keySet} " +
-          s"missing=${want.keySet -- got.keySet}")
-      for ((v, d) <- want)
-        assert(math.abs(got(v) - d) < 1e-12, s"trial $trial vertex $v: ${got(v)} vs $d")
+      // both the driver-local endgame and the distributed rounds (thr = 0)
+      for (thr <- Seq(1L << 20, 0L)) {
+        val got = run(es, 0L, thr = thr)
+        assert(got.keySet == want.keySet,
+          s"trial $trial thr=$thr reachable sets differ: " +
+            s"extra=${got.keySet -- want.keySet} " +
+            s"missing=${want.keySet -- got.keySet}")
+        for ((v, d) <- want)
+          assert(math.abs(got(v) - d) < 1e-12,
+            s"trial $trial thr=$thr vertex $v: ${got(v)} vs $d")
+      }
     }
   }
 
