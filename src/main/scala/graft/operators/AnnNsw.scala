@@ -135,9 +135,68 @@ object AnnNsw {
   def topKFrom(spark: SparkSession, vecs: DataFrame, adjacency: DataFrame,
                seeds: DataFrame, probeIds: Seq[Long], k: Int, ef: Int,
                rounds: Int,
-               pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+               pred: Option[org.apache.spark.sql.Column] = None,
+               localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
+
+    // Hybrid endgame ([[PageRank]] round-18 discipline): the beam walk is
+    // probe-shaped — each of its `rounds` is a broadcast join + window +
+    // checkpoint whose cost is fixed job overhead on a small graph — so
+    // below the budget the SAME walk runs over driver maps. Scoring goes
+    // through [[graft.functions.CosineSim.compute]] (the one batch/stream
+    // scorer), ranking uses the same (cos desc, vec_id) tie rule, and the
+    // predicate's matching id set is still computed by a distributed
+    // filter over `vecs`, so a filtered search stays predicate-exact.
+    // AnnIndexSpec pins local ≡ distributed; 0 forces the distributed
+    // walk. At 100 TB the vector table exceeds the budget and nothing
+    // changes.
+    if (vecs.count() <= localThreshold && adjacency.count() <= localThreshold) {
+      val vArr = vecs.select($"vec_id", $"v").as[(Long, Seq[Double])]
+        .collect().map { case (id, v) => (id, v.toArray) }.toMap
+      val out = scala.collection.mutable.LongMap.empty[List[Long]]
+      val in = scala.collection.mutable.LongMap.empty[List[Long]]
+      adjacency.select($"src", $"dst").as[(Long, Long)].collect()
+        .foreach { case (s, d) =>
+          out(s) = d :: out.getOrElse(s, Nil)
+          in(d) = s :: in.getOrElse(d, Nil)
+        }
+      val seedIds = seeds.select($"vec_id").as[Long].collect()
+      val matchIds = pred.map(p =>
+        vecs.filter(p).select($"vec_id").as[Long].collect().toSet)
+      def r4(d: Double): Double =
+        java.math.BigDecimal.valueOf(d)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      val rows = probeIds.distinct.sorted.filter(vArr.contains).flatMap { pid =>
+        val pv = vArr(pid)
+        def top(cands: Iterable[Long], width: Int): Seq[(Long, Double)] =
+          cands.toSeq.distinct
+            .map(id => (id, graft.functions.CosineSim.compute(pv, vArr(id))))
+            .sortBy { case (id, c) => (-c, id) }.take(width)
+        var beam = top(seedIds, ef)
+        var visited = beam.map(_._1).toSet
+        var r = 0
+        while (r < rounds) {
+          val beamIds = beam.map(_._1)
+          val expand = beamIds.flatMap(b =>
+            out.getOrElse(b, Nil) ++ in.getOrElse(b, Nil))
+          val cands = (beamIds ++ expand).distinct
+          visited ++= cands
+          beam = top(cands, ef)
+          r += 1
+        }
+        val pool = matchIds match {
+          case None => beam
+          case Some(ok) => top(visited.filter(ok), k + 1)
+        }
+        pool.filter(_._1 != pid).take(k).zipWithIndex.map {
+          case ((id, c), i) => (pid, (i + 1).toLong, id, r4(c))
+        }
+      }
+      return spark.createDataset(rows)
+        .toDF("probe_id", "rank", "vec_id", "cos")
+    }
+
     val probes = vecs.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
     val (beam, visited) =

@@ -378,6 +378,27 @@ class MlSpec extends BaseSpec {
         "fixture no longer demonstrates the selective-filter collapse")
   }
 
+  test("NSW local walk == distributed walk, filtered and unfiltered") {
+    // The round-18 driver-local beam endgame must return the EXACT rows
+    // the distributed walk returns (same scorer, same tie rule, same
+    // visited-pool semantics under a predicate); thr = 0 pins the
+    // distributed path.
+    import graft.operators.AnnNsw
+    val (vecs, adjacency, seeds) = AnnNsw.buildGraph(spark, emb, 8, 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSeq
+    val preds: Seq[Option[org.apache.spark.sql.Column]] =
+      Seq(None, Some($"label" === 3))
+    preds.foreach { p =>
+      val loc = AnnNsw.topKFrom(spark, vecs, adjacency, seeds,
+        0L until 10L, k = 5, ef = 32, rounds = 4, pred = p)
+      val dist = AnnNsw.topKFrom(spark, vecs, adjacency, seeds,
+        0L until 10L, k = 5, ef = 32, rounds = 4, pred = p,
+        localThreshold = 0L)
+      assert(rows(loc) == rows(dist), s"pred=${p.isDefined}")
+    }
+  }
+
   test("NSW graph ANN recall@5 >= 0.9 vs exact kNN; degree bounded by M") {
     // The graph-navigable side of the family: a 4-round beam search from
     // the cell medoids must reach the true neighbors through the top-M
