@@ -21,8 +21,11 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // Data dir from the bench's own env contract (portable across hosts);
+    // the local sf0.1 layout stays the default.
+    val dataDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     keys.foreach { k =>
-      val df = SparkEntry.queries(k)(spark, "/root/testdata/sf0.1")
+      val df = SparkEntry.queries(k)(spark, dataDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(Paths.get(s"$outDir/${k}_$suffix.txt"), txt)

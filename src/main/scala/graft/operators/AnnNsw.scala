@@ -169,8 +169,12 @@ object AnnNsw {
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
       val rows = probeIds.distinct.sorted.filter(vArr.contains).flatMap { pid =>
         val pv = vArr(pid)
+        // vArr.contains mirrors the distributed path's join semantics: an
+        // adjacency/seed id absent from the vector table is silently dropped
+        // (inconsistent persisted artifacts must not throw only on the
+        // local path).
         def top(cands: Iterable[Long], width: Int): Seq[(Long, Double)] =
-          cands.toSeq.distinct
+          cands.toSeq.distinct.filter(vArr.contains)
             .map(id => (id, graft.functions.CosineSim.compute(pv, vArr(id))))
             .sortBy { case (id, c) => (-c, id) }.take(width)
         var beam = top(seedIds, ef)

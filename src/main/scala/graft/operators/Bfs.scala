@@ -35,9 +35,11 @@ object Bfs {
     * cadence-deferred exit, same lastIterations, identical output set
     * (integer hop distances have no fp noise; BfsSpec pins set equality
     * on both paths). */
-  private def runLocal(sym: Array[(Long, Long)], seedIds: Array[Long],
+  private def buildAdj(sym: Array[(Long, Long)]): Map[Long, Array[Long]] =
+    sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def runLocal(adj: Map[Long, Array[Long]], seedIds: Array[Long],
                        maxHops: Int, checkEvery: Int): (Seq[(Long, Int)], Int) = {
-    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val visited = scala.collection.mutable.LongMap.empty[Int]
     seedIds.foreach(visited(_) = 0)
     var frontier: Array[Long] = seedIds.distinct
@@ -70,14 +72,14 @@ object Bfs {
       .unionAll(edges.select($"u2".as("src"), $"u1".as("dst")))
       .localCheckpoint(eager = true)
 
-    if (sym.count() <= localThreshold) {
+    // Both gates are DISTRIBUTED counts taken before any collect: the seed
+    // frame must prove it is under budget before it is allowed on the driver.
+    if (sym.count() <= localThreshold && seeds.count() <= localThreshold) {
       val seedIds = seeds.select($"id".cast("long")).as[Long].collect()
-      if (seedIds.length <= localThreshold) {
-        val (out, d) = runLocal(sym.as[(Long, Long)].collect(), seedIds,
-          maxHops, checkEvery)
-        lastIterations = d
-        return spark.createDataset(out).toDF("id", "dist")
-      }
+      val (out, d) = runLocal(buildAdj(sym.as[(Long, Long)].collect()),
+        seedIds, maxHops, checkEvery)
+      lastIterations = d
+      return spark.createDataset(out).toDF("id", "dist")
     }
 
     var visited = seeds.select($"id", lit(0).as("dist"))
@@ -123,19 +125,20 @@ object Bfs {
     // Hybrid endgame (see [[run]]): per-source BFS over the same driver
     // adjacency map — Σ reachable pairs is |sources|·|V|-bounded, the same
     // budget class as the distributed state it replaces.
-    if (sym.count() <= localThreshold) {
+    // Distributed source count gates the collect (same discipline as [[run]]);
+    // the adjacency map is built ONCE and shared across the per-source loops.
+    if (sym.count() <= localThreshold &&
+        sources.count() * 4 <= localThreshold) {
       val srcIds = sources.select($"id".cast("long")).as[Long].collect()
-      if (srcIds.length.toLong * 4 <= localThreshold) {
-        val es = sym.as[(Long, Long)].collect()
-        var maxD = 0
-        val out = srcIds.distinct.sorted.flatMap { s =>
-          val (one, d) = runLocal(es, Array(s), maxHops, checkEvery)
-          maxD = math.max(maxD, d)
-          one.map { case (v, dist) => (s, v, dist) }
-        }
-        lastIterations = maxD
-        return spark.createDataset(out.toSeq).toDF("src", "id", "dist")
+      val adj = buildAdj(sym.as[(Long, Long)].collect())
+      var maxD = 0
+      val out = srcIds.distinct.sorted.flatMap { s =>
+        val (one, d) = runLocal(adj, Array(s), maxHops, checkEvery)
+        maxD = math.max(maxD, d)
+        one.map { case (v, dist) => (s, v, dist) }
       }
+      lastIterations = maxD
+      return spark.createDataset(out.toSeq).toDF("src", "id", "dist")
     }
 
     var visited = sources.select($"id".as("src"), $"id", lit(0).as("dist"))

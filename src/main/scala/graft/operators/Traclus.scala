@@ -164,11 +164,14 @@ object Traclus {
     // the pair budget; MDL partitioning, the grid pair join and the exact
     // ε-filter stay distributed at every scale. TraclusSpec pins both
     // paths against the brute-force reference.
-    if (pairs.count() <= localThreshold) {
+    // Both budgets are proven by DISTRIBUTED counts before anything is
+    // collected: ε-pairs are canonical sid1<sid2, so a sparse input can have
+    // few pairs yet arbitrarily many segments — the segment frame must pass
+    // its own count gate before the (sid, user) list comes to the driver.
+    if (pairs.count() <= localThreshold && s.count() <= localThreshold) {
       val pr = pairs.as[(Long, Long)].collect()
       val sids = s.select($"sid", $"user_id").as[(Long, Long)].collect()
-      if (sids.length <= localThreshold) {
-        val nbrs = scala.collection.mutable.LongMap.empty[Long] // deg-1
+      val nbrs = scala.collection.mutable.LongMap.empty[Long] // deg-1
         pr.foreach { case (a, b) =>
           nbrs(a) = nbrs.getOrElse(a, 0L) + 1L
           nbrs(b) = nbrs.getOrElse(b, 0L) + 1L
@@ -220,7 +223,6 @@ object Traclus {
         return spark.createDataset(out.toSeq)
           .toDF("sid", "user_id", "role", "cluster")
           .unionAll(transit)
-      }
     }
 
     // Density roles over the symmetric neighbor relation (+1 = self).

@@ -220,7 +220,6 @@ object Mining extends QueryGroup {
     // the equality property is stronger).
     "m_mine_fpgrowth" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.ml.fpm.FPGrowth
       // Plan note: PFP's standard preprocessing (drop items below the
       // support bar before tree building) is lossless for the declared
       // sizes ≥ 2 output — but at this fixture's minCount = 2 virtually
@@ -238,15 +237,17 @@ object Mining extends QueryGroup {
       // eager checkpoint: the count below plus FPGrowth.fit's two passes
       // would otherwise re-run the scan + distinct + collect_set shuffle
       // three times (MLlib warns "input is not cached" for exactly this)
+      // Round-19 (guide §1.2 step 1): the fit routes through
+      // [[graft.operators.FreqItemsets]] — a driver-local Eclat DFS below
+      // the occurrence budget (the itemset multiset is a set property of
+      // the baskets, so the two algorithms cannot disagree; MiningSpec
+      // pins local ≡ PFP ≡ brute force), MLlib PFP unchanged above it.
       val baskets = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey").distinct()
         .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
         .localCheckpoint(eager = true)
       val n = baskets.count()
-      val model = new FPGrowth().setItemsCol("items")
-        .setMinSupport(2.0 / n).setMinConfidence(0.5)
-        .fit(baskets)
-      model.freqItemsets
+      graft.operators.FreqItemsets.run(s, baskets, 2.0 / n)
         .withColumn("sz", size($"items"))
         .filter($"sz" >= 2)
         .groupBy($"sz".as("size"))
@@ -270,7 +271,11 @@ object Mining extends QueryGroup {
     // (user, day) hash-agg over the fact scan.
     "m_mine_prefixspan" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.ml.fpm.PrefixSpan
+      // Round-19 (guide §1.2 step 1): the mine routes through
+      // [[graft.operators.SeqPatterns]] — driver-local prefix-projection
+      // DFS below the occurrence budget (pattern support is a set property
+      // of the corpus; MiningSpec pins local ≡ MLlib ≡ the driver
+      // subsequence scan), MLlib PrefixSpan unchanged above it.
       val seqs = t(s, dir, "events")
         .withColumn("day", expr("unix_millis(ts) div 86400000"))
         .groupBy($"user_id", $"day")
@@ -278,9 +283,7 @@ object Mining extends QueryGroup {
           struct($"ts", $"event_id", $"event_type"))).as("evs"))
         .select(expr("transform(evs, e -> array(e.event_type))").as("sequence"))
         .localCheckpoint(eager = true)
-      val ps = new PrefixSpan()
-        .setSequenceCol("sequence").setMinSupport(0.05).setMaxPatternLength(3)
-      ps.findFrequentSequentialPatterns(seqs)
+      graft.operators.SeqPatterns.run(s, seqs, 0.05, 3)
         .withColumn("len", size($"sequence"))
         .groupBy($"len")
         .agg(count(lit(1)).as("n_patterns"), sum($"freq").as("total_freq"))

@@ -59,6 +59,65 @@ class MiningSpec extends BaseSpec {
     assert(rows.get(3).map(_._2).getOrElse(0L) == want3.values.sum)
   }
 
+  test("FreqItemsets: local Eclat == distributed PFP, exact itemset multiset") {
+    // thr = default takes the driver-local Eclat DFS; thr = 0 forces the
+    // MLlib PFP path — the two must agree on every (itemset, freq), all
+    // sizes >= 2 (the operator's declared output)
+    val baskets = Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
+      .localCheckpoint(eager = true)
+    val n = baskets.count()
+    val both = Seq(1L << 20, 0L).map { thr =>
+      operators.FreqItemsets.run(spark, baskets, 2.0 / n, thr)
+        .select($"items", $"freq").as[(Seq[Long], Long)].collect()
+        .filter(_._1.size >= 2)
+        .map { case (is, f) => (is.sorted, f) }.toSet
+    }
+    assert(both(0).nonEmpty)
+    assert(both(0) == both(1),
+      s"local-only=${(both(0) -- both(1)).take(3)} " +
+        s"pfp-only=${(both(1) -- both(0)).take(3)}")
+  }
+
+  test("SeqPatterns: local prefix-projection == distributed PrefixSpan") {
+    val seqs = Tables(spark, sf, "events")
+      .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      .groupBy($"user_id", $"day")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select(expr("transform(evs, e -> array(e.event_type))").as("sequence"))
+      .localCheckpoint(eager = true)
+    val both = Seq(1L << 20, 0L).map { thr =>
+      operators.SeqPatterns.run(spark, seqs, 0.05, 3, thr)
+        .select(expr("transform(sequence, x -> x[0])"), $"freq")
+        .as[(Seq[String], Long)].collect()
+        .map { case (p, f) => (p.toVector, f) }.toSet
+    }
+    assert(both(0).nonEmpty)
+    assert(both(0) == both(1),
+      s"local-only=${(both(0) -- both(1)).take(3)} " +
+        s"mllib-only=${(both(1) -- both(0)).take(3)}")
+    // multi-item itemsets must refuse the local path (routed to MLlib):
+    // a two-item itemset input on the local-threshold path still returns
+    // MLlib's answer
+    val multi = Seq(Seq(Seq("a", "b"), Seq("a")), Seq(Seq("a", "b")))
+      .toDF("sequence")
+    val viaOp = operators.SeqPatterns.run(spark, multi, 0.5, 2, 1L << 20)
+      .select(expr("to_json(sequence)"), $"freq")
+      .as[(String, Long)].collect().toSet
+    val viaMl = {
+      import org.apache.spark.ml.fpm.PrefixSpan
+      new PrefixSpan().setSequenceCol("sequence")
+        .setMinSupport(0.5).setMaxPatternLength(2)
+        .findFrequentSequentialPatterns(multi)
+        .select(expr("to_json(sequence)"), $"freq")
+        .as[(String, Long)].collect().toSet
+    }
+    assert(viaOp == viaMl)
+  }
+
   test("A-priori triple key == brute force triples at its declared bar") {
     // the join-based q_mine_triples (support >= 2, sf fixture) must carry
     // exactly the brute-force triple set with exact counts
