@@ -36,15 +36,75 @@ object KTruss {
 
   /** @param edges undirected (u1, u2) pair list, each pair once
     * @param k     truss order ≥ 3 (k−2 triangles required per edge)
+    * @param localThreshold run the driver-local peel when the canonical
+    *        edge list is at most this many rows (round 19 — the
+    *        [[ConnectedComponents]]/[[PageRank]] hybrid-endgame
+    *        discipline: below the budget each distributed peel round is
+    *        ~4 tiny AQE-materialized exchanges of pure job overhead);
+    *        0 forces distributed rounds (the spec pin)
     * @return the k-truss edge set as canonical (u1 < u2) rows */
   def run(spark: SparkSession, edges: DataFrame, k: Int,
-          maxIter: Int = 50, checkEvery: Int = 2): DataFrame = {
+          maxIter: Int = 50, checkEvery: Int = 2,
+          localThreshold: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var e = edges
       .select(least($"u1", $"u2").as("u1"), greatest($"u1", $"u2").as("u2"))
       .filter($"u1" < $"u2").distinct()
       .localCheckpoint(eager = true)
+
+    // Driver-local endgame: the IDENTICAL peel (same oriented a<b<c
+    // triangle enumeration, same cadence-deferred fixpoint probe, same
+    // round counting and non-convergence throw) over collected canonical
+    // edges — integer support counts, so local ≡ distributed exactly
+    // (KTrussSpec pins both paths). The count gate runs on the
+    // already-materialized checkpoint BEFORE any collect.
+    if (e.count() <= localThreshold && localThreshold > 0) {
+      var es: Array[(Long, Long)] = e.as[(Long, Long)].collect().sorted
+      def peelLocal(cur: Array[(Long, Long)]): Array[(Long, Long)] = {
+        // oriented adjacency: u1 -> sorted larger neighbours
+        val adj = cur.groupBy(_._1).view
+          .mapValues(_.map(_._2).sorted).toMap
+        val sup = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        cur.foreach { case (a, b) =>
+          // triangles (a < b < c): c adjacent to BOTH a and b
+          val na = adj.getOrElse(a, Array.empty[Long])
+          val nb = adj.getOrElse(b, Array.empty[Long])
+          var i = 0; var j = 0
+          while (i < na.length && j < nb.length) {
+            if (na(i) == nb(j)) {
+              if (na(i) > b) { // oriented: c > b (c > a holds since c in adj(a))
+                val c = na(i)
+                sup.update((a, b), sup.getOrElse((a, b), 0L) + 1L)
+                sup.update((b, c), sup.getOrElse((b, c), 0L) + 1L)
+                sup.update((a, c), sup.getOrElse((a, c), 0L) + 1L)
+              }
+              i += 1; j += 1
+            } else if (na(i) < nb(j)) i += 1 else j += 1
+          }
+        }
+        cur.filter(ed => sup.getOrElse(ed, 0L) >= (k - 2).toLong)
+      }
+      var prev = es.length
+      var i = 0
+      var converged = false
+      while (i < maxIter && !converged) {
+        i += 1
+        val cadence = i % checkEvery == 0 || i == maxIter
+        es = peelLocal(es)
+        if (cadence) {
+          converged = es.length == prev
+          prev = es.length
+        }
+      }
+      lastIterations = i
+      if (!converged) converged = peelLocal(es).length == prev
+      if (!converged)
+        throw new IllegalStateException(
+          s"k-truss peeling did not reach its fixpoint in $maxIter rounds — " +
+            "the current edge set may be a strict superset; raise maxIter")
+      return spark.createDataset(es.toSeq).toDF("u1", "u2")
+    }
     // One support-recount round: survivors of `cur` under the k−2 bar.
     def peelOnce(cur: DataFrame): DataFrame = {
       val paths = cur.as("ab").join(cur.as("bc"), col("ab.u2") === col("bc.u1"))

@@ -234,8 +234,12 @@ object TextPipeline extends QueryGroup {
       import s.implicits._
       val tok = tokens(s, dir)
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = tok.select($"doc_id", $"term").distinct()
-        .groupBy($"term").agg(count(lit(1)).as("df"))
+      // Round-19 (guide §2.4): df re-derived FROM tf — tf already has one
+      // row per distinct (doc, term), so df(term) = tf's row count per
+      // term. Drops the second scan + explode + distinct of the prior
+      // shape; the shared (doc_id, term) exchange is reused across the
+      // two branches. Exact-integer equivalence, oracle-pinned.
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
         .withColumn("score",
@@ -490,20 +494,21 @@ object TextPipeline extends QueryGroup {
           "transform(sequence(0, size(toks) - 3), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")))
         .withColumnRenamed("col", "h")
       val wDoc = Window.partitionBy($"doc_id")
-      val wins = g
-        .withColumn("gg", count(lit(1)).over(wDoc))
-        .withColumn("wmin", min($"h").over(
+      // Round-19 rewrite (guide §2.4 — remove shuffles outright): the
+      // rightmost-min of each w-gram window is computed from ONE ordered
+      // collect_list window + an O(w) codegen'd fold, replacing the prior
+      // shape's second shingle derivation, ×w candidate explode, and
+      // banded equi-join (plan: 2 scans + 6 exchanges → 1 scan + 3; the
+      // md5 pass over the corpus runs once, not twice). Selection
+      // semantics are IDENTICAL — fp = window min, fpos = rightmost
+      // position attaining it — and the oracle pins the results.
+      g.withColumn("gg", count(lit(1)).over(wDoc))
+        .withColumn("warr", collect_list($"h").over(
           Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, w - 1)))
         .filter($"pos" <= $"gg" - w)
-        .select($"doc_id", $"pos".as("j"), $"wmin", $"gg")
-      val cand = g
-        .select($"doc_id", explode(expr(s"sequence(0, ${w - 1})")).as("k"),
-                $"pos", $"h")
-        .select($"doc_id", ($"pos" - $"k").as("j"), $"pos".as("p"), $"h")
-      wins.join(cand, Seq("doc_id", "j"))
-        .filter($"h" === $"wmin")
-        .groupBy($"doc_id", $"j")
-        .agg(max($"gg").as("gg"), max($"wmin").as("fp"), max($"p").as("fpos"))
+        .withColumn("fp", array_min($"warr"))
+        .withColumn("fpos", $"pos" + expr(
+          "aggregate(sequence(0, size(warr) - 1), -1, (acc, i) -> IF(warr[i] = fp, i, acc))"))
         .groupBy($"doc_id")
         .agg(max($"gg").as("n_grams"),
              countDistinct($"fp", $"fpos").as("n_fp"))
@@ -736,8 +741,12 @@ object TextPipeline extends QueryGroup {
         .select($"doc_id", explode(array_distinct(expr(
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
           .as("shingle"))
-      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
-      sh.join(first, Seq("shingle"))
+      // Round-19 (guide §2.4): first_doc as a shingle-partitioned window
+      // MIN instead of a groupBy + self-join — the shingle frame is
+      // derived and shuffled once, not twice. Exact-integer equivalence,
+      // oracle-pinned.
+      sh.withColumn("first_doc",
+          min($"doc_id").over(Window.partitionBy($"shingle")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shingles"),
              sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
@@ -1287,13 +1296,18 @@ object TextPipeline extends QueryGroup {
       import s.implicits._
       val B = 1024L
       val wAll = Window.partitionBy()
-      val toks = t(s, dir, "documents")
-        .select($"doc_id", $"lang", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
-      val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      val docB = toks.withColumn("y", lead($"tok", 1).over(w))
-        .filter($"y".isNotNull)
+      // Round-19 (guide §2.4): bigrams come straight off the token array
+      // (the q_text_lmscore shape) instead of posexplode + a doc-keyed
+      // window lead — same (tok, next-tok) pairs, minus one full-data
+      // Exchange + Sort; a 1-token doc contributes no bigram rows on
+      // either shape. Oracle-pinned.
+      val docB = t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", $"lang", explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("bg"))
         .withColumn("b",
-          conv(substring(md5(concat_ws(" ", $"tok", $"y")), 1, 8), 16, 10)
+          conv(substring(md5($"bg"), 1, 8), 16, 10)
             .cast("long") % B)
         .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
         // one fact-sized agg feeds both the per-doc side and the models

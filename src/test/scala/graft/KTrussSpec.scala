@@ -10,9 +10,19 @@ import graft.operators.KTruss
 class KTrussSpec extends BaseSpec {
   import spark.implicits._
 
-  private def run(es: Seq[(Long, Long)], k: Int): Set[(Long, Long)] =
-    KTruss.run(spark, es.toDF("u1", "u2"), k)
-      .as[(Long, Long)].collect().toSet
+  /** Runs BOTH paths — the driver-local endgame (default threshold) and
+    * the distributed peel (thr = 0) — and pins their exact set equality
+    * before returning, so every test in this spec covers both. */
+  private def run(es: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    val Seq(local, dist) = Seq(1L << 20, 0L).map { thr =>
+      KTruss.run(spark, es.toDF("u1", "u2"), k, localThreshold = thr)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(local == dist,
+      s"local/distributed k-truss diverge: localOnly=${(local -- dist).take(3)} " +
+        s"distOnly=${(dist -- local).take(3)}")
+    local
+  }
 
   /** Reference peeler: recount per-edge triangle support over the live
     * edge set, drop < k−2, repeat to fixpoint. */

@@ -43,6 +43,21 @@ class SemDedupSpec extends BaseSpec {
     assert(out == List((1L, 1L, true), (2L, 2L, true)), out.toString)
   }
 
+  test("local endgame == distributed path, exact rows (thr in {default, 0})") {
+    val (assignedDf, centsDf) =
+      AnnIVF.assignments(spark, Tables(spark, sf, "embeddings"), nlist = 16)
+    val both = Seq(1L << 20, 0L).map { thr =>
+      SemDedup.run(spark, assignedDf, centsDf, tauCos = 0.4, localThreshold = thr)
+        .select($"vec_id", $"cell", $"comp", $"ccos", $"keep")
+        .as[(Long, Int, Long, Double, Boolean)].collect().sortBy(_._1).toList
+    }
+    assert(both(0).nonEmpty)
+    // ccos routes through the one shared CosineSim.compute kernel on both
+    // paths, so even the doubles must agree BIT-identically
+    assert(both(0) == both(1),
+      s"first diff: ${both(0).zip(both(1)).find(p => p._1 != p._2)}")
+  }
+
   test("m_dedup_semantic equals a driver pairs/union-find/keep recomputation") {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
