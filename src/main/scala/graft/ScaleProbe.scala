@@ -495,6 +495,51 @@ object ScaleProbe {
     }
 
 
+    // Round-19 distributed-loop probe (request "dist_loop"; r18 verdict
+    // ask #7): the driver-local endgames bypass the distributed round
+    // loops at bench SF, so their cost would otherwise go unmeasured.
+    // This forces `localThreshold = 0` on PageRank and BFS over the SAME
+    // co-traveler substrate the declared keys use, at base and ×factor,
+    // and prints sec + executed rounds next to the endgame line (thr =
+    // default) for the direct comparison. The spec `thr = 0` loops keep
+    // CORRECTNESS covered; this keeps the distributed path's COST on the
+    // record.
+    if (args.lift(3).exists(_.split(',').contains("dist_loop"))) {
+      for ((label, dir) <- Seq("base" -> base, s"x$factor" -> scaled)) {
+        val pairs = graft.queries.Geo
+          .coTravelerPairs(spark, dir, cellDeg = 20.0, minHours = 2)
+        val edges = pairs.select(col("u1").as("src"), col("u2").as("dst"))
+          .unionAll(pairs.select(col("u2").as("src"), col("u1").as("dst")))
+        val verts = pairs.select(col("u1").as("id"))
+          .unionAll(pairs.select(col("u2").as("id"))).distinct()
+        val seeds = verts.orderBy(col("id")).limit(3)
+        val nEdges = edges.count()
+        for ((mode, thr) <- Seq("dist" -> 0L, "local" -> (1L << 20))) {
+          for ((op, body) <- Seq[(String, () => Long)](
+            "pagerank" -> (() => graft.operators.PageRank
+              .run(spark, edges, localThreshold = thr).count()),
+            "bfs" -> (() => graft.operators.Bfs
+              .run(spark, pairs.select(col("u1"), col("u2")), seeds,
+                maxHops = 8, localThreshold = thr).count()))) {
+            val t0 = System.nanoTime()
+            try {
+              val rows = body()
+              val sec = (System.nanoTime() - t0) / 1e9
+              val it = op match {
+                case "pagerank" => graft.operators.PageRank.lastIterations
+                case _ => graft.operators.Bfs.lastIterations
+              }
+              println(s"""{"metric":"scaleprobe","key":"dist_loop_$op","scale":"$label","mode":"$mode","sec":${r3(sec)},"rows":$rows,"rounds":$it,"edges":$nEdges}""")
+            } catch { case scala.util.control.NonFatal(e) =>
+              val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+                .replaceAll("[\\s\\p{Cntrl}\"\\\\]+", " ").trim.take(160)
+              println(s"""{"metric":"scaleprobe","key":"dist_loop_$op","scale":"$label","mode":"$mode","error":"$m"}""")
+            }
+          }
+        }
+      }
+    }
+
     // Round-17 ANN-append probe (request "ann_append"): the append's
     // claim is "no re-fit" — measured as writeIvf (k-means fit + encode)
     // vs appendIvf (frozen-centroid encode only) on the ×10 embeddings,

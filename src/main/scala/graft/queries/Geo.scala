@@ -56,8 +56,10 @@ object Geo extends QueryGroup {
     * a fresh pts() plan, so DataFrame identity would never hit). */
   private val convoyMemo = new graft.SessionMemo[(String, Double, Int), DataFrame]
 
-  private def coTravelerPairs(s: SparkSession, dir: String,
-                              cellDeg: Double, minHours: Int): DataFrame =
+  // private[graft] so ScaleProbe's dist_loop probe can time the
+  // distributed round path over the SAME substrate the keys use
+  private[graft] def coTravelerPairs(s: SparkSession, dir: String,
+                                     cellDeg: Double, minHours: Int): DataFrame =
     convoyMemo.getOrCompute(s, (dir, cellDeg, minHours)) {
       graft.operators.Convoy.coTravelers(pts(s, dir), cellDeg, minHours)
         .localCheckpoint(eager = false)
