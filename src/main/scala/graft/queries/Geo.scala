@@ -128,7 +128,7 @@ object Geo extends QueryGroup {
        |            ELSE CASE WHEN dlon >= 0.0$d THEN 'S+' ELSE 'S-' END END
        |END""".stripMargin
 
-  private[queries] def pts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pts(s: SparkSession, dir: String): DataFrame = {
     HaversineDist.register(s)
     withGeo(t(s, dir, "events")).withColumn("ts_us", unix_micros(col("ts")))
   }
