@@ -234,12 +234,14 @@ object TextPipeline extends QueryGroup {
       import s.implicits._
       val tok = tokens(s, dir)
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      // Round-19 (guide §2.4): df re-derived FROM tf — tf already has one
-      // row per distinct (doc, term), so df(term) = tf's row count per
-      // term. Drops the second scan + explode + distinct of the prior
-      // shape; the shared (doc_id, term) exchange is reused across the
-      // two branches. Exact-integer equivalence, oracle-pinned.
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      // Round-19 note: a df-from-tf rewrite (df = tf's per-term row count,
+      // dropping this second scan + distinct) was built, oracle-verified,
+      // and REVERTED — two full bench runs read it 0.95/0.97 s vs the
+      // 0.69 s floor of this shape (the branch-duplicated tf subtree costs
+      // more here than the saved scan; exchange reuse does not recover
+      // it). Kept as measured evidence in OPTIMIZATION_r19.md §6.
+      val df = tok.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
         .withColumn("score",
@@ -1296,18 +1298,19 @@ object TextPipeline extends QueryGroup {
       import s.implicits._
       val B = 1024L
       val wAll = Window.partitionBy()
-      // Round-19 (guide §2.4): bigrams come straight off the token array
-      // (the q_text_lmscore shape) instead of posexplode + a doc-keyed
-      // window lead — same (tok, next-tok) pairs, minus one full-data
-      // Exchange + Sort; a 1-token doc contributes no bigram rows on
-      // either shape. Oracle-pinned.
-      val docB = t(s, dir, "documents")
-        .withColumn("toks", split($"text", " "))
-        .filter(size($"toks") >= 2)
-        .select($"doc_id", $"lang", explode(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("bg"))
+      // Round-19 note: an array-transform bigram derivation (the lmscore
+      // shape, dropping this window's Exchange + Sort) was built,
+      // oracle-verified, and REVERTED — two full bench runs read it
+      // 1.72/1.27 s vs the 1.08 s floor of this shape (the extra bigram-
+      // string array materialized per doc costs more here than the saved
+      // exchange). Kept as measured evidence in OPTIMIZATION_r19.md §6.
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", $"lang", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val docB = toks.withColumn("y", lead($"tok", 1).over(w))
+        .filter($"y".isNotNull)
         .withColumn("b",
-          conv(substring(md5($"bg"), 1, 8), 16, 10)
+          conv(substring(md5(concat_ws(" ", $"tok", $"y")), 1, 8), 16, 10)
             .cast("long") % B)
         .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
         // one fact-sized agg feeds both the per-doc side and the models
